@@ -1,0 +1,88 @@
+package graft.repl
+
+/** Core model of the replication engine (SURVEY.md §7.1 step 1).
+  *
+  * Mirrors the semantics of the reference orchestrator
+  * (`/root/reference/hive3repl.sh:37-187`): a database is replicated either
+  * by a full bootstrap snapshot or by an incremental delta from a
+  * transaction-id watermark, then the load is verified by comparing the
+  * post-load watermark against the dump's transaction id.
+  */
+
+/** Bootstrap = full snapshot (reference `HQL/replbootstrap.hql:1-3`);
+  * Incremental = ordered events after a watermark (`HQL/repldump.hql:1-3`).
+  */
+sealed trait DumpKind { def name: String }
+object DumpKind {
+  case object Bootstrap extends DumpKind { val name = "bootstrap" }
+  case object Incremental extends DumpKind { val name = "incremental" }
+  def parse(s: String): DumpKind = s match {
+    case "bootstrap"   => Bootstrap
+    case "incremental" => Incremental
+    case other         => throw new IllegalArgumentException(s"bad dump kind: $other")
+  }
+}
+
+/** Result of a dump: the on-disk export plus the txn id it is current to —
+  * the 2-column row the reference awk-parses from `REPL DUMP`
+  * (`/root/reference/beeline_functions.sh:117-118,166-167`).
+  */
+final case class DumpResult(path: String, txnId: Long)
+
+/** Self-describing dump metadata, persisted inside the dump directory
+  * (the Spark-native form of Hive's `_dumpmetadata`).
+  */
+final case class DumpManifest(
+    db: String,
+    kind: DumpKind,
+    fromId: Long, // -1 for bootstrap
+    toId: Long,
+    tables: Seq[String])
+
+/** The five-way post-load watermark comparison of the reference
+  * (`/root/reference/hive3repl.sh:106-120` bootstrap,
+  * `:155-169` incremental).
+  */
+sealed trait VerifyResult { def name: String }
+object VerifyResult {
+  /** post-load watermark == dump txn id → replication verified. */
+  case object Success extends VerifyResult { val name = "SUCCESS" }
+  /** incremental only: watermark unchanged → no transactions to apply. */
+  case object NoOp extends VerifyResult { val name = "NOOP" }
+  /** post-load watermark < dump txn id → partial/failed load. */
+  case object Behind extends VerifyResult { val name = "BEHIND" }
+  /** post-load watermark > dump txn id → concurrent load detected. */
+  case object Ahead extends VerifyResult { val name = "AHEAD" }
+  /** watermark unreadable → unverifiable. */
+  case object Unknown extends VerifyResult { val name = "UNKNOWN" }
+
+  def of(postLoadId: Option[Long], dumpTxnId: Long, priorId: Option[Long]): VerifyResult =
+    postLoadId match {
+      case None                                     => Unknown
+      case Some(p) if p == dumpTxnId                => Success
+      case Some(p) if priorId.contains(p)           => NoOp
+      case Some(p) if p < dumpTxnId                 => Behind
+      case Some(_)                                  => Ahead
+    }
+}
+
+/** Engine configuration — the Spark-native form of the reference's
+  * `env.sh` knobs (`/root/reference/env.sh:1-42`).
+  */
+final case class ReplConfig(
+    dumpRoot: String,
+    includeExternalTables: Boolean = false, // env.sh:8
+    incrRerun: Int = 3,                     // env.sh:24
+    rerunSleepMs: Long = 1000,              // env.sh:26 (60 s in prod)
+    dbAllowlist: Set[String] = Set.empty,   // env.sh:14 (empty = allow all)
+    lockStaleMs: Long = 60 * 60 * 1000L)
+
+/** One replication run's outcome, appended to the engine run log. */
+final case class RunReport(
+    db: String,
+    kind: String,
+    fromId: Long,
+    toId: Long,
+    attempts: Int,
+    verify: String,
+    durationMs: Long)
