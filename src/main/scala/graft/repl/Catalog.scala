@@ -1,0 +1,126 @@
+package graft.repl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Directory-backed database catalog + engine-owned change log.
+  *
+  * A "database" is a directory `<root>/<db>/` holding one parquet directory
+  * per table plus the engine's append-only event log `_events`. This is the
+  * Spark-native stand-in for the Hive metastore + ACID write-ids the
+  * reference leans on (`/root/reference/README.md:36-44`): plain Spark
+  * tables are not transactional, so the engine owns the change log and the
+  * monotonically increasing `event_id` plays the role of Hive's
+  * `last_repl_id` transaction watermark (`/root/reference/HQL/replstatus.hql:2-4`).
+  *
+  * Scale notes: all reads/writes go through `spark.read.parquet` /
+  * `df.write.parquet` on Hadoop `FileSystem` paths, so the same code runs on
+  * HDFS/S3 with a real cluster; nothing ever collects table data to the
+  * driver. The event log is itself a parquet table, so "events since
+  * watermark" is a pushed-down filter scan, not a log replay on the driver.
+  */
+final case class DbCatalog(spark: SparkSession, root: String) {
+  import DbCatalog._
+
+  def dbPath(db: String): Path = new Path(root, db)
+  private def tablePath(db: String, table: String) = new Path(dbPath(db), table)
+  private def eventsPath(db: String) = new Path(dbPath(db), EventsTable)
+
+  private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  def createDb(db: String): Unit = fs.mkdirs(dbPath(db))
+  def dbExists(db: String): Boolean = fs.exists(dbPath(db))
+
+  /** User tables only (the change log and metadata dirs are engine-internal). */
+  def listTables(db: String): Seq[String] =
+    if (!dbExists(db)) Seq.empty
+    else fs.listStatus(dbPath(db)).toSeq
+      .filter(_.isDirectory)
+      .map(_.getPath.getName)
+      .filterNot(n => n.startsWith("_") || n == EventsTable)
+      .sorted
+
+  def tableExists(db: String, table: String): Boolean = fs.exists(tablePath(db, table))
+
+  def readTable(db: String, table: String): DataFrame =
+    spark.read.parquet(tablePath(db, table).toString)
+
+  /** Overwrite-write a table (bootstrap load / merge rewrite). */
+  def writeTable(db: String, table: String, df: DataFrame): Unit =
+    df.write.mode("overwrite").parquet(tablePath(db, table).toString)
+
+  def dropTable(db: String, table: String): Unit =
+    fs.delete(tablePath(db, table), true)
+
+  // ------------------------------------------------------------ change log
+
+  /** Ordered change log for a db; empty DataFrame with the right schema if
+    * nothing was ever logged.
+    */
+  def readEvents(db: String): DataFrame = {
+    val p = eventsPath(db)
+    if (fs.exists(p)) spark.read.schema(EventSchema).parquet(p.toString)
+    else spark.createDataFrame(spark.sparkContext.emptyRDD[Row], EventSchema)
+  }
+
+  /** Events strictly after `fromId` (pushed down to the parquet scan). */
+  def readEventsAfter(db: String, fromId: Long): DataFrame =
+    readEvents(db).filter(col("event_id") > fromId)
+
+  /** Current transaction watermark of a db = max logged event id, 0 if none.
+    * This is the source-side analogue of `REPL STATUS`
+    * (`/root/reference/beeline_functions.sh:3-25`).
+    */
+  def currentTxnId(db: String): Long = {
+    val r = readEvents(db).agg(max("event_id")).head()
+    if (r.isNullAt(0)) 0L else r.getLong(0)
+  }
+
+  /** Append DML/DDL events. Ids are assigned here, contiguously after the
+    * current watermark; callers hold the per-db writer lock (single writer,
+    * mirroring the reference's dump lock `beeline_functions.sh:92-101`).
+    */
+  def appendEvents(db: String, events: Seq[Event]): Long = {
+    val from = currentTxnId(db)
+    val rows = events.zipWithIndex.map { case (e, i) =>
+      Row(from + i + 1, e.table, e.op, e.key, e.rowJson)
+    }
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), EventSchema)
+    df.write.mode("append").parquet(eventsPath(db).toString)
+    from + events.size
+  }
+}
+
+object DbCatalog {
+  /** Reserved change-log table name. Deliberately NOT underscore-prefixed:
+    * Spark's file index treats leading `_`/`.` path components as hidden
+    * metadata and can silently skip them in globbed listings.
+    */
+  val EventsTable = "graft_events"
+
+  /** One change event. Engine DML semantics (documented divergence from
+    * Hive ACID row-ids, which are not reproducible outside Hive): every DML
+    * event carries a primary-key string; UPSERT inserts-or-replaces the row
+    * with that key, DELETE removes it. DDL events (`create_table` /
+    * `drop_table`) carry the schema/table in `row_json`. Replay of the same
+    * range is therefore idempotent — the property the reference's
+    * retry-until-converged loop depends on
+    * (`/root/reference/beeline_functions.sh:212-236`).
+    */
+  final case class Event(table: String, op: String, key: String, rowJson: String)
+
+  val OpUpsert = "UPSERT"
+  val OpDelete = "DELETE"
+  val OpCreateTable = "CREATE_TABLE"
+  val OpDropTable = "DROP_TABLE"
+
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType, nullable = false),
+    StructField("table", StringType, nullable = false),
+    StructField("op", StringType, nullable = false),
+    StructField("key", StringType, nullable = true),
+    StructField("row_json", StringType, nullable = true)))
+}

@@ -1,0 +1,146 @@
+package graft.repl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Dump replay — the engine's `REPL LOAD`
+  * (`/root/reference/HQL/replload.hql:1-5`, orchestrated with retries at
+  * `beeline_functions.sh:180-238`).
+  *
+  * Bootstrap: recreate every table from the snapshot (overwrite).
+  * Incremental: apply the event delta **as one distributed merge per table**,
+  * not an event-at-a-time loop — the Spark-first re-expression of Hive's
+  * ordered event replay (`/root/reference/README.md:38,43`):
+  *
+  *   1. events are compacted to their net effect: latest event per key
+  *      (`row_number` over a key-partitioned, event_id-descending window);
+  *   2. the target table is rewritten once: rows whose key has any event are
+  *      anti-joined away, then surviving UPSERT payloads are unioned in.
+  *
+  * Applying a delta is therefore idempotent (same delta twice ≡ once) and
+  * O(one shuffle per touched table) regardless of event count — at 100 TB
+  * the merge is a key-partitioned join that AQE can skew-split, and the
+  * anti-join key set is broadcast when the delta is small (the common case).
+  *
+  * Engine key convention: a table's primary key is its FIRST column, cast to
+  * string (matches [[DbCatalog.Event.key]]). Composite keys concatenate at
+  * event-emission time.
+  */
+final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
+
+  /** Replay a dump at the target; returns the manifest's toId on success.
+    * Incremental loads run under the reference's retry policy
+    * (`INCR_RERUN`/`RERUN_SLEEP`, `/root/reference/env.sh:24-26`); bootstrap
+    * loads do not retry (`hive3repl.sh:99-100`).
+    */
+  def replay(dumpPath: String, meta: MetadataStore): (DumpManifest, Int) = {
+    val m = Dump.readManifest(spark, dumpPath)
+    val attempts = m.kind match {
+      case DumpKind.Bootstrap =>
+        applyBootstrap(m, dumpPath); 1
+      case DumpKind.Incremental =>
+        Retry.retry(cfg.incrRerun, cfg.rerunSleepMs)(applyIncremental(m, dumpPath))
+    }
+    // Commit the watermark LAST — the atomicity boundary (see MetadataStore).
+    meta.commitWatermark(m.db, m.toId)
+    (m, attempts)
+  }
+
+  private def applyBootstrap(m: DumpManifest, dumpPath: String): Unit = {
+    target.createDb(m.db)
+    m.tables.foreach { t =>
+      target.writeTable(m.db, t,
+        spark.read.parquet(new Path(dumpPath, s"tables/$t").toString))
+    }
+  }
+
+  private def applyIncremental(m: DumpManifest, dumpPath: String): Unit = {
+    if (m.toId <= m.fromId) return // no-op delta (reference `hive3repl.sh:157-158`)
+    val eventsDir = new Path(dumpPath, "events")
+    val fs = eventsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(eventsDir)) return
+    val events = spark.read.schema(DbCatalog.EventSchema).parquet(eventsDir.toString)
+
+    // Tables touched + their DDL history — control-plane sized (a few rows
+    // per table), so collecting is fine; row payloads never leave executors.
+    val ddl = events
+      .filter(col("op").isin(DbCatalog.OpCreateTable, DbCatalog.OpDropTable))
+      .select("event_id", "table", "op", "row_json")
+      .collect().sortBy(_.getLong(0))
+    val touched = events.select("table").distinct().collect().map(_.getString(0))
+
+    touched.foreach { t =>
+      val tableDdl = ddl.filter(_.getString(1) == t)
+      // Portion of the DML stream that survives the last DDL action.
+      val lastDdl = tableDdl.lastOption
+      lastDdl.foreach { r =>
+        r.getString(2) match {
+          case DbCatalog.OpDropTable => target.dropTable(m.db, t)
+          case DbCatalog.OpCreateTable =>
+            val schema = StructType.fromDDL(r.getString(3))
+            target.writeTable(m.db, t, spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+        }
+      }
+      val minDml = lastDdl.map(_.getLong(0)).getOrElse(Long.MinValue)
+      val dml = events.filter(col("table") === t &&
+        col("op").isin(DbCatalog.OpUpsert, DbCatalog.OpDelete) &&
+        col("event_id") > minDml)
+      if (!dml.isEmpty && target.tableExists(m.db, t)) mergeTable(m.db, t, dml)
+    }
+  }
+
+  /** One distributed merge: net-effect compaction + anti-join + union. */
+  private def mergeTable(db: String, table: String, dml: DataFrame): Unit = {
+    val current = target.readTable(db, table)
+    val schema = current.schema
+    val keyCol = schema.fields.head.name
+
+    val latest = dml
+      .withColumn("_rn", row_number().over(
+        Window.partitionBy(col("key")).orderBy(col("event_id").desc)))
+      .filter(col("_rn") === 1)
+
+    val upserts = latest
+      .filter(col("op") === DbCatalog.OpUpsert)
+      .select(from_json(col("row_json"), schema).as("_r"))
+      .select(col("_r.*"))
+
+    val deadKeys = latest.select(col("key")) // every evented key is replaced or deleted
+
+    val merged = current
+      .join(deadKeys, current(keyCol).cast("string") === deadKeys("key"), "left_anti")
+      .unionByName(upserts)
+
+    // Parquet overwrite of the read path requires a materialization barrier:
+    // stage to a temp dir, then swap. On HDFS both steps are metadata renames.
+    val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val livePath = new Path(target.dbPath(db), table)
+    val tmpPath = new Path(target.dbPath(db), s"_tmp_$table")
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(livePath, true)
+    if (!fs.rename(tmpPath, livePath))
+      throw new IllegalStateException(s"merge swap failed for $db.$table")
+  }
+}
+
+/** Bounded retry with sleep — the reference's rerun loop
+  * (`/root/reference/beeline_functions.sh:212-236`). Returns the attempt
+  * count that succeeded.
+  */
+object Retry {
+  def retry[A](maxAttempts: Int, sleepMs: Long)(body: => A): Int = {
+    var attempt = 1
+    while (true) {
+      try { body; return attempt }
+      catch {
+        case e: Throwable if attempt < maxAttempts =>
+          Thread.sleep(sleepMs); attempt += 1
+      }
+    }
+    attempt // unreachable
+  }
+}

@@ -1,0 +1,72 @@
+package graft.repl
+
+import java.nio.charset.StandardCharsets
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Target-side replication metadata: the per-db watermark (`last_repl_id`)
+  * and the run log.
+  *
+  * The watermark read is the engine's `REPL STATUS`
+  * (`/root/reference/HQL/replstatus.hql:1-4`, parsed at
+  * `/root/reference/beeline_functions.sh:3-25`): `None` means "never
+  * replicated" — the reference's `NULL` branch that selects bootstrap
+  * (`/root/reference/hive3repl.sh:83-85`).
+  *
+  * The commit is atomic (write temp + rename) so a load that dies mid-way
+  * leaves the previous watermark intact and a retry replays the same delta —
+  * replay is idempotent (see [[DbCatalog.Event]]), so this gives
+  * exactly-once *effect* with at-least-once execution, the same contract the
+  * reference gets from Hive REPL + its rerun loop
+  * (`/root/reference/beeline_functions.sh:212-236`).
+  */
+final case class MetadataStore(spark: SparkSession, targetRoot: String) {
+
+  private def fs: FileSystem =
+    new Path(targetRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def wmPath(db: String) = new Path(targetRoot, s"_repl_metadata/$db/watermark")
+
+  /** Post/pre-load watermark; None = never replicated. */
+  def watermark(db: String): Option[Long] = {
+    val p = wmPath(db)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try {
+        val bytes = new Array[Byte](64)
+        val n = in.read(bytes)
+        Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim.toLong)
+      } finally in.close()
+    }
+  }
+
+  /** Atomically commit the watermark: write `watermark.tmp`, then rename over
+    * the old file. On HDFS rename is atomic within a directory; on object
+    * stores the engine would swap this for a conditional put — the call site
+    * contract (commit LAST, after all data is applied) is what matters.
+    */
+  def commitWatermark(db: String, id: Long): Unit = {
+    val p = wmPath(db)
+    val tmp = new Path(p.getParent, s"watermark.tmp")
+    fs.mkdirs(p.getParent)
+    val out = fs.create(tmp, true)
+    try out.write(id.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new IllegalStateException(s"watermark commit rename failed for $db")
+  }
+
+  /** Append a run report to the engine run log (newline-delimited JSON file
+    * per run — tiny control-plane records, kept out of the data plane).
+    */
+  def logRun(r: RunReport): Unit = {
+    val p = new Path(targetRoot, s"_repl_metadata/${r.db}/runs/${System.nanoTime()}.json")
+    fs.mkdirs(p.getParent)
+    val json =
+      s"""{"db":"${r.db}","kind":"${r.kind}","fromId":${r.fromId},"toId":${r.toId},""" +
+      s""""attempts":${r.attempts},"verify":"${r.verify}","durationMs":${r.durationMs}}"""
+    val out = fs.create(p, true)
+    try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
+  }
+}

@@ -58,11 +58,14 @@ object VerifyResult {
 
   def of(postLoadId: Option[Long], dumpTxnId: Long, priorId: Option[Long]): VerifyResult =
     postLoadId match {
-      case None                                     => Unknown
-      case Some(p) if p == dumpTxnId                => Success
-      case Some(p) if priorId.contains(p)           => NoOp
-      case Some(p) if p < dumpTxnId                 => Behind
-      case Some(_)                                  => Ahead
+      case None => Unknown
+      // The no-op check comes FIRST, as in the reference's incremental flow
+      // (`hive3repl.sh:157-158`): watermark unchanged from before the run
+      // AND equal to the dump txn id ⇒ nothing to apply.
+      case Some(p) if priorId.contains(p) && p == dumpTxnId => NoOp
+      case Some(p) if p == dumpTxnId                        => Success
+      case Some(p) if p < dumpTxnId                         => Behind
+      case Some(_)                                          => Ahead
     }
 }
 

@@ -1,0 +1,65 @@
+package graft.repl
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** The replication state machine — the Spark-native form of the reference
+  * driver `/root/reference/hive3repl.sh:37-187`:
+  *
+  *   validate db → read target watermark (REPL STATUS) →
+  *   branch: None ⇒ bootstrap dump, Some(id) ⇒ incremental dump FROM id →
+  *   replay at target (with retries for incremental) →
+  *   re-read watermark → five-way verify → run report.
+  *
+  * All beeline stdout parsing, pid locks and traps of the reference collapse
+  * into typed calls, FileSystem lock markers and try/finally.
+  */
+final case class ReplicationJob(
+    spark: SparkSession,
+    source: DbCatalog,
+    target: DbCatalog,
+    dumpRoot: String,
+    cfg: ReplConfig) {
+
+  private val meta = MetadataStore(spark, target.root)
+  private val dumper = Dump(spark, source, dumpRoot, cfg)
+  private val loader = Load(spark, target, cfg)
+
+  /** Count of source transactions not yet applied at the target — the
+    * reference's "There are N transactions to be synced", computed correctly
+    * as a real aggregation (fixing `/root/reference/TODO.md:3`, which notes
+    * the bash arithmetic version is wrong vs real numEvents).
+    */
+  def pendingEvents(db: String): Long = {
+    val wm = meta.watermark(db).getOrElse(0L)
+    source.readEventsAfter(db, wm).count()
+  }
+
+  /** Run one replication cycle; returns the run report. */
+  def run(db: String): RunReport = {
+    val t0 = System.nanoTime()
+    require(cfg.dbAllowlist.isEmpty || cfg.dbAllowlist.contains(db),
+      s"database $db not in allowlist") // reference misc_functions.sh:185-207
+    require(source.dbExists(db), s"source database $db does not exist")
+
+    // Per-db instance lock (reference hive3repl.sh:66-70).
+    val fs = new Path(dumpRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lock = Locks.acquire(fs, new Path(dumpRoot, s"$db/run.lock"),
+      java.util.UUID.randomUUID().toString, cfg.lockStaleMs)
+    try {
+      val priorId = meta.watermark(db) // REPL STATUS (None = never replicated)
+      val dump = priorId match {
+        case None     => dumper.bootstrap(db)
+        case Some(id) => dumper.incremental(db, id)
+      }
+      val (manifest, attempts) = loader.replay(dump.path, meta)
+      val postId = meta.watermark(db)
+      val verify = VerifyResult.of(postId, dump.txnId, priorId)
+      val report = RunReport(db, manifest.kind.name, manifest.fromId, manifest.toId,
+        attempts, verify.name, (System.nanoTime() - t0) / 1000000L)
+      meta.logRun(report)
+      report
+    } finally lock.release()
+  }
+}

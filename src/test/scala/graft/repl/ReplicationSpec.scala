@@ -1,0 +1,168 @@
+package graft.repl
+
+import graft.SparkSpec
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.DataFrame
+
+/** End-to-end replication round trip on the sf0.001 tables — the automated
+  * form of the reference's manual runbook (`/root/reference/ManualSteps.md:
+  * 15-33`): bootstrap, mutate, incremental, verify convergence; plus the
+  * idempotence/no-op/lock properties the bash relies on implicitly.
+  */
+class ReplicationSpec extends SparkSpec {
+
+  private def tmpRoot(): String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-repl").toString
+    d
+  }
+
+  private def rowSet(df: DataFrame): Set[String] =
+    df.collect().map(_.toString).toSet
+
+  private def freshWorld() = {
+    val root = tmpRoot()
+    val source = DbCatalog(spark, s"$root/src")
+    val target = DbCatalog(spark, s"$root/tgt")
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    (root, source, target, job)
+  }
+
+  private def seedDb(source: DbCatalog, db: String): Unit = {
+    source.createDb(db)
+    Seq("region", "nation", "supplier").foreach { t =>
+      source.writeTable(db, t, spark.read.parquet(s"${sf()}/$t.parquet"))
+    }
+  }
+
+  test("bootstrap replicates every table byte-for-byte") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db1")
+    val report = job.run("db1")
+    assert(report.kind == "bootstrap")
+    assert(report.verify == "SUCCESS")
+    assert(target.listTables("db1") == Seq("nation", "region", "supplier"))
+    Seq("region", "nation", "supplier").foreach { t =>
+      assert(rowSet(target.readTable("db1", t)) == rowSet(source.readTable("db1", t)), t)
+    }
+  }
+
+  test("incremental applies upserts and deletes; watermark advances") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db2")
+    assert(job.run("db2").verify == "SUCCESS")
+
+    // Mutate: rename region 0, delete region 1, insert region 90.
+    import DbCatalog._
+    source.appendEvents("db2", Seq(
+      Event("region", OpUpsert, "0", """{"r_regionkey":0,"r_name":"AFRICA-RENAMED"}"""),
+      Event("region", OpDelete, "1", null),
+      Event("region", OpUpsert, "90", """{"r_regionkey":90,"r_name":"MOON"}""")))
+
+    assert(job.pendingEvents("db2") == 3)
+    val r2 = job.run("db2")
+    assert(r2.kind == "incremental" && r2.verify == "SUCCESS")
+    assert(job.pendingEvents("db2") == 0)
+
+    val region = target.readTable("db2", "region").collect()
+      .map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    assert(region(0L) == "AFRICA-RENAMED")
+    assert(!region.contains(1L))
+    assert(region(90L) == "MOON")
+    // untouched table intact
+    assert(rowSet(target.readTable("db2", "nation")) == rowSet(source.readTable("db2", "nation")))
+  }
+
+  test("incremental with no new events is a verified no-op") {
+    val (_, source, _, job) = freshWorld()
+    seedDb(source, "db3")
+    job.run("db3")
+    val r = job.run("db3")
+    assert(r.kind == "incremental")
+    assert(r.verify == "NOOP") // reference hive3repl.sh:157-158
+  }
+
+  test("replaying the same delta twice is idempotent") {
+    val (root, source, target, job) = freshWorld()
+    seedDb(source, "db4")
+    job.run("db4")
+    import DbCatalog._
+    source.appendEvents("db4", Seq(
+      Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-v2"}"""),
+      Event("region", OpDelete, "3", null)))
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val dump = Dump(spark, source, s"$root/dumps", cfg).incremental("db4", 0L)
+    val loader = Load(spark, target, cfg)
+    val meta = MetadataStore(spark, target.root)
+    loader.replay(dump.path, meta)
+    val once = rowSet(target.readTable("db4", "region"))
+    loader.replay(dump.path, meta) // replay same dump again
+    val twice = rowSet(target.readTable("db4", "region"))
+    assert(once == twice)
+    assert(once.exists(_.contains("ASIA-v2")))
+  }
+
+  test("DDL replay: create and drop table through the event log") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db5")
+    job.run("db5")
+    import DbCatalog._
+    source.appendEvents("db5", Seq(
+      Event("extra", OpCreateTable, null, "id BIGINT, name STRING"),
+      Event("extra", OpUpsert, "1", """{"id":1,"name":"a"}"""),
+      Event("extra", OpUpsert, "2", """{"id":2,"name":"b"}""")))
+    job.run("db5")
+    assert(target.tableExists("db5", "extra"))
+    assert(target.readTable("db5", "extra").count() == 2)
+
+    source.appendEvents("db5", Seq(Event("extra", OpDropTable, null, null)))
+    job.run("db5")
+    assert(!target.tableExists("db5", "extra"))
+  }
+
+  test("five-way verify enum matches the reference's comparisons") {
+    import VerifyResult._
+    assert(of(Some(10), 10, Some(5)) == Success)
+    assert(of(Some(5), 5, Some(5)) == NoOp)   // watermark unchanged, no new txns
+    assert(of(Some(5), 10, Some(5)) == Behind) // events existed, none applied
+    assert(of(Some(7), 10, Some(5)) == Behind)
+    assert(of(Some(12), 10, Some(5)) == Ahead)
+    assert(of(None, 10, Some(5)) == Unknown)
+    assert(of(Some(10), 10, None) == Success) // bootstrap success
+  }
+
+  test("concurrent run refused by per-db lock; stale lock is stolen") {
+    val (root, source, _, job) = freshWorld()
+    seedDb(source, "db6")
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lockPath = new Path(s"$root/dumps/db6/run.lock")
+    val held = Locks.acquire(fs, lockPath, "someone-else", staleMs = 60000)
+    intercept[IllegalStateException](job.run("db6"))
+    held.release()
+    assert(job.run("db6").verify == "SUCCESS")
+    // stale steal
+    val l2 = Locks.acquire(fs, lockPath, "crashed-runner", staleMs = 60000)
+    Thread.sleep(30)
+    val stolen = Locks.tryAcquire(fs, lockPath, "new-runner", staleMs = 10)
+    assert(stolen.isDefined)
+    stolen.get.release()
+  }
+
+  test("db allowlist enforced") {
+    val (root, source, target, _) = freshWorld()
+    seedDb(source, "db7")
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", dbAllowlist = Set("other"))
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    intercept[IllegalArgumentException](job.run("db7"))
+  }
+
+  test("retry converges after transient failures") {
+    var calls = 0
+    val attempts = Retry.retry(3, 1) {
+      calls += 1
+      if (calls < 3) throw new RuntimeException("transient")
+    }
+    assert(attempts == 3)
+    intercept[RuntimeException](Retry.retry(2, 1) { throw new RuntimeException("hard") })
+  }
+}
