@@ -13,7 +13,9 @@ object SparkEntry {
 
   private val modules: Seq[Query] =
     graft.operators.Relational.queries ++
-    graft.operators.Dedup.queries
+    graft.operators.Dedup.queries ++
+    graft.operators.TextAnalysis.queries ++
+    graft.operators.Similarity.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,191 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.util.TextPrep._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for training-data pipelines: token statistics,
+  * quality scoring, language identification (stopword-profile heuristic),
+  * and winnowing document fingerprints (rolling min-hash).
+  *
+  * All four are purely per-row column pipelines — no shuffle at all except
+  * the final orderBy that only exists for oracle comparison. At 100 TB these
+  * run as a single whole-stage-codegen'd scan; the higher-order array
+  * functions (`transform`/`filter`/`aggregate`) are Catalyst expressions,
+  * not UDFs, so column pruning still reaches the parquet reader (only
+  * `doc_id`+`text` are read).
+  */
+object TextAnalysis {
+
+  /** Per-language stopword profiles for the lang-id heuristic. Fixed order =
+    * deterministic argmax tie-break (first max wins), mirrored in the SQL.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "ein", "ist", "das", "nicht"),
+    "en" -> Seq("the", "a", "and", "of", "to", "is", "in"),
+    "es" -> Seq("el", "la", "y", "de", "un", "es", "no"),
+    "fr" -> Seq("le", "la", "et", "de", "un", "est", "ne"),
+    "zh" -> Seq("de", "le", "shi", "he", "zai", "bu", "wo"))
+
+  private def inList(vals: Seq[String]): String =
+    vals.map("'" + _ + "'").mkString("(", ", ", ")")
+
+  /** Token statistics: counts, type-token ratio, mean token length,
+    * stopword ratio.
+    */
+  def tokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val en = langProfiles.toMap.apply("en")
+    docs.select(
+      col(idCol).as("doc"),
+      size(toks).as("n_tokens"),
+      size(array_distinct(toks)).as("n_types"),
+      round(size(array_distinct(toks)) * lit(1.0) / size(toks), 6).as("ttr"),
+      round(aggregate(toks, lit(0L), (acc, x) => acc + length(x)) * lit(1.0) / size(toks), 6)
+        .as("mean_tok_len"),
+      round(size(filter(toks, x => x.isin(en: _*))) * lit(1.0) / size(toks), 6)
+        .as("stopword_ratio"))
+  }
+
+  def tokenStatsOracleSql(table: String, textCol: String, idCol: String): String = {
+    val t = sqlTokens(textCol)
+    val en = inList(langProfiles.toMap.apply("en"))
+    s"""SELECT $idCol AS doc,
+          len($t) AS n_tokens,
+          len(list_distinct($t)) AS n_types,
+          round(len(list_distinct($t)) * 1.0 / len($t), 6) AS ttr,
+          round(list_sum(list_transform($t, x -> len(x))) * 1.0 / len($t), 6) AS mean_tok_len,
+          round(len(list_filter($t, x -> x IN $en)) * 1.0 / len($t), 6) AS stopword_ratio
+        FROM $table"""
+  }
+
+  /** Quality score in [0,1]: blend of length band, type-token ratio and
+    * stopword presence — the shape of production quality filters (exact
+    * weights are engine-defined; determinism is what is verified).
+    */
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val toks = tokens(col(textCol))
+    val nTok = size(toks)
+    val ttr = size(array_distinct(toks)) * lit(1.0) / nTok
+    val en = langProfiles.toMap.apply("en")
+    val stop = size(filter(toks, x => x.isin(en: _*))) * lit(1.0) / nTok
+    val lenScore = when(nTok.between(30, 500), 1.0)
+      .when(nTok.between(10, 1000), 0.5).otherwise(0.0)
+    val score = lenScore * 0.4 + least(ttr * lit(2.0), lit(1.0)) * 0.3 +
+      least(stop * lit(10.0), lit(1.0)) * 0.3
+    docs.select(col(idCol).as("doc"), round(score, 6).as("quality"),
+      (round(score, 6) >= 0.5).as("keep"))
+  }
+
+  def qualityOracleSql(table: String, textCol: String, idCol: String): String = {
+    val t = sqlTokens(textCol)
+    val en = inList(langProfiles.toMap.apply("en"))
+    val nTok = s"len($t)"
+    val ttr = s"(len(list_distinct($t)) * 1.0 / $nTok)"
+    val stop = s"(len(list_filter($t, x -> x IN $en)) * 1.0 / $nTok)"
+    val lenScore = s"(CASE WHEN $nTok BETWEEN 30 AND 500 THEN 1.0 " +
+      s"WHEN $nTok BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)"
+    val score = s"($lenScore * 0.4 + least($ttr * 2.0, 1.0) * 0.3 + least($stop * 10.0, 1.0) * 0.3)"
+    s"""SELECT $idCol AS doc, round($score, 6) AS quality,
+          (round($score, 6) >= 0.5) AS keep
+        FROM $table"""
+  }
+
+  /** Language id: distinct-token overlap with each profile, argmax with
+    * fixed-order tie-break. Returns the guess and the winning score.
+    */
+  def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val dtoks = array_distinct(tokens(col(textCol)))
+    val scores: Seq[(String, Column)] = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(dtoks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    val guess = scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+    // reverse fold ⇒ FIRST profile in langProfiles order wins ties
+    docs.select(col(idCol).as("doc"), guess.as("lang_guess"), best.as("lang_score"))
+  }
+
+  def langIdOracleSql(table: String, textCol: String, idCol: String): String = {
+    val dt = s"list_distinct(${sqlTokens(textCol)})"
+    val scoreExprs = langProfiles.map { case (lang, words) =>
+      lang -> s"len(list_intersect($dt, ${words.map("'" + _ + "'").mkString("[", ", ", "]")}))"
+    }
+    val best = scoreExprs.map(_._2).mkString("greatest(", ", ", ")")
+    val cases = scoreExprs.map { case (lang, s) =>
+      s"WHEN $s = best AND best > 0 THEN '$lang'"
+    }.mkString(" ")
+    s"""WITH s AS (SELECT $idCol AS doc, $best AS best,
+          ${scoreExprs.map { case (l, e) => s"$e AS sc_$l" }.mkString(", ")}
+        FROM $table)
+        SELECT doc,
+          CASE ${langProfiles.map { case (l, _) => s"WHEN sc_$l = best AND best > 0 THEN '$l'" }.mkString(" ")}
+               ELSE 'und' END AS lang_guess,
+          best AS lang_score
+        FROM s"""
+  }
+
+  /** Winnowing fingerprints: hash positional n-gram shingles, take the min
+    * hash of every w-length window, dedupe. Standard MOSS-style scheme; two
+    * docs sharing enough text share fingerprints. Emits per-doc summary
+    * (count / min / max) — join fingerprints for the pair-level use.
+    */
+  def fingerprints(docs: DataFrame, textCol: String, idCol: String,
+                   n: Int = 3, w: Int = 4): DataFrame = {
+    val hs = transform(shingles(tokens(col(textCol)), n), s => h48(s))
+    val mins = when(size(hs) >= w,
+        transform(sequence(lit(0), size(hs) - w),
+          i => array_min(slice(hs, i + 1, lit(w)))))
+      .otherwise(when(size(hs) > 0, array(array_min(hs))).otherwise(array().cast("array<long>")))
+    val fp = array_distinct(mins)
+    docs.select(col(idCol).as("doc"),
+      size(fp).as("n_fp"),
+      array_min(fp).as("min_fp"),
+      array_max(fp).as("max_fp"))
+  }
+
+  def fingerprintsOracleSql(table: String, textCol: String, idCol: String,
+                            n: Int = 3, w: Int = 4): String = {
+    val shs = sqlShingles(sqlTokens(textCol), n)
+    s"""WITH t AS (SELECT $idCol AS doc,
+          list_transform($shs, s -> ${sqlH48("s")}) AS hs FROM $table),
+        m AS (SELECT doc, CASE
+            WHEN len(hs) >= $w THEN list_distinct(
+              list_transform(range(1, len(hs) - $w + 2), i -> list_min(hs[i:i+${w - 1}])))
+            WHEN len(hs) > 0 THEN [list_min(hs)]
+            ELSE [] END AS fp
+          FROM t)
+        SELECT doc, len(fp) AS n_fp, list_min(fp) AS min_fp, list_max(fp) AS max_fp
+        FROM m"""
+  }
+
+  // ------------------------------------------------------------ query corpus
+
+  val queries: Seq[Query] = Seq(
+    Query(
+      "q29_text_token_stats",
+      Some(tokenStatsOracleSql("documents", "text", "doc_id") + " ORDER BY doc"))(
+      (spark, dir) =>
+        tokenStats(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc")),
+
+    Query(
+      "q30_text_quality",
+      Some(qualityOracleSql("documents", "text", "doc_id") + " ORDER BY doc"))(
+      (spark, dir) =>
+        qualityScore(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc")),
+
+    Query(
+      "q31_text_langid",
+      Some(langIdOracleSql("documents", "text", "doc_id") + " ORDER BY doc"))(
+      (spark, dir) =>
+        langId(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc")),
+
+    Query(
+      "q32_text_fingerprint",
+      Some(fingerprintsOracleSql("documents", "text", "doc_id") + " ORDER BY doc"))(
+      (spark, dir) =>
+        fingerprints(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc"))
+  )
+}

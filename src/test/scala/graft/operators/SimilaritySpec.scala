@@ -1,0 +1,30 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class SimilaritySpec extends SparkSpec {
+
+  private lazy val embs = Tables(spark, sf("sf0.001")).embeddings.cache()
+  private lazy val qs = embs.filter(col("vec_id") % 50 === 0)
+
+  test("two-phase brute-force top-k equals naive single-window top-k") {
+    val twoPhase = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    val naive = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5, nSalts = 1)
+      .select("query_id", "rank", "vec_id").collect()
+      .map(r => (r.get(0), r.get(1), r.get(2))).toSet
+    assert(twoPhase == naive)
+  }
+
+  test("LSH ANN: candidates are a subset of the corpus and recall is nontrivial") {
+    val brute = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
+    val ann = Similarity.annLsh(embs, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
+    val recall = if (brute.isEmpty) 1.0 else (ann intersect brute).size.toDouble / brute.size
+    info(f"LSH recall@5 = $recall%.3f (${ann.size} returned)")
+    assert(recall >= 0.2, f"recall $recall%.3f too low")
+  }
+}
