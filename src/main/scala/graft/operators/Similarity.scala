@@ -47,11 +47,14 @@ object Similarity {
   /** Exact top-k cosine neighbors for each query vector. */
   def topKBruteForce(corpus: DataFrame, queries: DataFrame, vecCol: String,
                      idCol: String, k: Int, nSalts: Int = 16): DataFrame = {
-    val c = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    import graft.functions.VectorFunctions._
+    val c = corpus.select(col(idCol).as("vec_id"), toDense(col(vecCol)).as("v"))
+      .withColumn("vn", norm2(col("v")))
+    val q = queries.select(col(idCol).as("query_id"), toDense(col(vecCol)).as("qv"))
+      .withColumn("qn", norm2(col("qv")))
     val scored = c.join(broadcast(q), col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"),
-        Dedup.cosine(col("qv"), col("v")).as("cos"))
+        (dotd(col("qv"), col("v")) / (col("qn") * col("vn"))).as("cos"))
     // Phase 1: salted partial top-k (bounds any single partition's work).
     val salted = scored.withColumn("salt", pmod(crc32(col("vec_id").cast("string")), lit(nSalts)))
     val w1 = Window.partitionBy(col("query_id"), col("salt"))
@@ -81,7 +84,9 @@ object Similarity {
       .select(col("query_id"), col("query_id_v"), col("vec_id"), col("vec_id_v"))
       .distinct()
     val scored = candidates.select(col("query_id"), col("vec_id"),
-      Dedup.cosine(col("query_id_v"), col("vec_id_v")).as("cos"))
+      graft.functions.VectorFunctions.cosineFast(
+        graft.functions.VectorFunctions.toDense(col("query_id_v")),
+        graft.functions.VectorFunctions.toDense(col("vec_id_v"))).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),

@@ -62,8 +62,15 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     val eventsDir = new Path(dumpPath, "events")
     val fs = eventsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(eventsDir)) return
-    val events = spark.read.schema(DbCatalog.EventSchema).parquet(eventsDir.toString)
+    applyEvents(m.db,
+      spark.read.schema(DbCatalog.EventSchema).parquet(eventsDir.toString))
+  }
 
+  /** Apply a batch of change events to the target db. Shared by batch
+    * incremental load and streaming replication's foreachBatch
+    * ([[graft.streaming.StreamingReplication]]).
+    */
+  def applyEvents(db: String, events: DataFrame): Unit = {
     // Tables touched + their DDL history — control-plane sized (a few rows
     // per table), so collecting is fine; row payloads never leave executors.
     val ddl = events
@@ -78,10 +85,10 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       val lastDdl = tableDdl.lastOption
       lastDdl.foreach { r =>
         r.getString(2) match {
-          case DbCatalog.OpDropTable => target.dropTable(m.db, t)
+          case DbCatalog.OpDropTable => target.dropTable(db, t)
           case DbCatalog.OpCreateTable =>
             val schema = StructType.fromDDL(r.getString(3))
-            target.writeTable(m.db, t, spark.createDataFrame(
+            target.writeTable(db, t, spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
         }
       }
@@ -89,7 +96,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       val dml = events.filter(col("table") === t &&
         col("op").isin(DbCatalog.OpUpsert, DbCatalog.OpDelete) &&
         col("event_id") > minDml)
-      if (!dml.isEmpty && target.tableExists(m.db, t)) mergeTable(m.db, t, dml)
+      if (!dml.isEmpty && target.tableExists(db, t)) mergeTable(db, t, dml)
     }
   }
 

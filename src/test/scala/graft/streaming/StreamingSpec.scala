@@ -1,0 +1,90 @@
+package graft.streaming
+
+import graft.{SparkSpec, Tables}
+import graft.repl.DbCatalog
+import org.apache.spark.sql.functions._
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming replication converges to the batch-replicated state") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream").toString
+    val source = DbCatalog(spark, s"$root/src")
+    val target = DbCatalog(spark, s"$root/tgt")
+    source.createDb("sdb")
+    source.writeTable("sdb", "region", spark.read.parquet(s"${sf()}/region.parquet"))
+    // Target starts from a bootstrap copy (streaming handles the delta).
+    target.createDb("sdb")
+    target.writeTable("sdb", "region", source.readTable("sdb", "region"))
+
+    import DbCatalog._
+    source.appendEvents("sdb", Seq(
+      Event("region", OpUpsert, "0", """{"r_regionkey":0,"r_name":"STREAMED"}"""),
+      Event("region", OpDelete, "4", null)))
+
+    val q = StreamingReplication.replicateStream(
+      spark, source, target, "sdb", s"$root/ckpt", oneShot = true)
+    q.awaitTermination(60000)
+
+    val names = target.readTable("sdb", "region").collect()
+      .map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    assert(names(0L) == "STREAMED")
+    assert(!names.contains(4L))
+
+    // Second batch of events, new one-shot run resumes from the checkpoint.
+    source.appendEvents("sdb", Seq(
+      Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-2"}""")))
+    val q2 = StreamingReplication.replicateStream(
+      spark, source, target, "sdb", s"$root/ckpt", oneShot = true)
+    q2.awaitTermination(60000)
+    val names2 = target.readTable("sdb", "region").collect()
+      .map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    assert(names2(2L) == "ASIA-2")
+    assert(names2(0L) == "STREAMED") // earlier delta not reapplied/undone
+  }
+
+  test("streaming hourly aggregate over a file stream matches the batch result") {
+    // Event-time ops need TIMESTAMP (tz-aware), not NTZ — cast up front
+    // (session tz is UTC so the instant is unchanged).
+    val events = Tables(spark, sf()).events
+      .withColumn("ts", col("ts").cast("timestamp")).cache()
+    // Stage events as a parquet dir and stream it with AvailableNow.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ev").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+    val q = EventStreams.hourlyByType(stream).writeStream
+      .format("memory").queryName("hourly_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("hourly_stream")
+      .select(col("hour").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toString).toSet
+    val batch = EventStreams.hourlyByType(events)
+      .select(col("hour").cast("string"), col("event_type"), col("n"))
+      .collect().map(_.toString).toSet
+    assert(streamed == batch)
+  }
+
+  test("session windows bound state and match gap semantics") {
+    val events = Tables(spark, sf()).events
+    val sessions = EventStreams.sessionize(events).cache()
+    // session count per user must equal the batch q21 computation
+    val bySession = sessions.groupBy("user_id")
+      .agg(count(lit(1)).as("n_sessions"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val tsUs = unix_micros(col("ts").cast("timestamp"))
+    val prevUs = lag(tsUs, 1).over(w)
+    val batch = events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        when(prevUs.isNull || tsUs - prevUs > 1800000000L, 1).otherwise(0).as("is_new"))
+      .groupBy("user_id").agg(sum("is_new").as("n_sessions"))
+    val diff = bySession.as("a").join(batch.as("b"), "user_id")
+      .filter(col("a.n_sessions") =!= col("b.n_sessions")).count()
+    assert(diff == 0)
+  }
+}
