@@ -35,9 +35,9 @@ object TextAnalysis {
     * stopword ratio.
     */
   def tokenStats(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("_toks") // materialized once per row (see below)
     val en = langProfiles.toMap.apply("en")
-    docs.select(
+    docs.withColumn("_toks", tokens(col(textCol))).select(
       col(idCol).as("doc"),
       size(toks).as("n_tokens"),
       size(array_distinct(toks)).as("n_types"),
@@ -65,7 +65,7 @@ object TextAnalysis {
     * weights are engine-defined; determinism is what is verified).
     */
   def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = tokens(col(textCol))
+    val toks = col("_toks")
     val nTok = size(toks)
     val ttr = size(array_distinct(toks)) * lit(1.0) / nTok
     val en = langProfiles.toMap.apply("en")
@@ -74,8 +74,9 @@ object TextAnalysis {
       .when(nTok.between(10, 1000), 0.5).otherwise(0.0)
     val score = lenScore * 0.4 + least(ttr * lit(2.0), lit(1.0)) * 0.3 +
       least(stop * lit(10.0), lit(1.0)) * 0.3
-    docs.select(col(idCol).as("doc"), round(score, 6).as("quality"),
-      (round(score, 6) >= 0.5).as("keep"))
+    docs.withColumn("_toks", tokens(col(textCol)))
+      .select(col(idCol).as("doc"), round(score, 6).as("quality"),
+        (round(score, 6) >= 0.5).as("keep"))
   }
 
   def qualityOracleSql(table: String, textCol: String, idCol: String): String = {
@@ -96,7 +97,7 @@ object TextAnalysis {
     * fixed-order tie-break. Returns the guess and the winning score.
     */
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val dtoks = array_distinct(tokens(col(textCol)))
+    val dtoks = col("_dtoks")
     val scores: Seq[(String, Column)] = langProfiles.map { case (lang, words) =>
       lang -> size(array_intersect(dtoks, array(words.map(lit): _*)))
     }
@@ -105,7 +106,8 @@ object TextAnalysis {
       when(s === best && best > 0, lang).otherwise(acc)
     }
     // reverse fold ⇒ FIRST profile in langProfiles order wins ties
-    docs.select(col(idCol).as("doc"), guess.as("lang_guess"), best.as("lang_score"))
+    docs.withColumn("_dtoks", array_distinct(tokens(col(textCol))))
+      .select(col(idCol).as("doc"), guess.as("lang_guess"), best.as("lang_score"))
   }
 
   def langIdOracleSql(table: String, textCol: String, idCol: String): String = {
@@ -134,16 +136,22 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, w: Int = 4): DataFrame = {
-    val hs = transform(shingles(tokens(col(textCol)), n), s => h48(s))
+    // Two materialization steps (toks, then hs): expressions captured in a
+    // HOF lambda re-evaluate per element, so hashing/window-min must see
+    // attribute references, not the inline split/hash pipelines.
+    val hs = col("_hs")
     val mins = when(size(hs) >= w,
         transform(sequence(lit(0), size(hs) - w),
           i => array_min(slice(hs, i + 1, lit(w)))))
       .otherwise(when(size(hs) > 0, array(array_min(hs))).otherwise(array().cast("array<long>")))
     val fp = array_distinct(mins)
-    docs.select(col(idCol).as("doc"),
-      size(fp).as("n_fp"),
-      array_min(fp).as("min_fp"),
-      array_max(fp).as("max_fp"))
+    docs
+      .withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_hs", transform(shingles(col("_toks"), n), s => h48(s)))
+      .select(col(idCol).as("doc"),
+        size(fp).as("n_fp"),
+        array_min(fp).as("min_fp"),
+        array_max(fp).as("max_fp"))
   }
 
   def fingerprintsOracleSql(table: String, textCol: String, idCol: String,
