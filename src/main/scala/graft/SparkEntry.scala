@@ -13,6 +13,7 @@ object SparkEntry {
 
   private val modules: Seq[Query] =
     graft.operators.Relational.queries ++
+    graft.operators.RelationalExt.queries ++
     graft.operators.Dedup.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Similarity.queries ++

@@ -1,0 +1,203 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.util.Exact._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, TimestampNTZType}
+
+/** Extended relational surface: as-of join, pivot, CUBE, exact percentiles,
+  * lateral posexplode, window frames (RANGE), first/last/nth window values,
+  * boolean/conditional aggregates. Completes the SURVEY.md §2.3 checklist
+  * beyond the base corpus in [[Relational]].
+  */
+object RelationalExt {
+
+  private val dec = DecimalType(18, 4)
+
+  val queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q39
+    // As-of join: each event picks the user's most recent order at/before
+    // the event time. Oracle uses DuckDB's native ASOF JOIN; the engine's
+    // union+window implementation (one shuffle) must produce the identical
+    // row set.
+    Query(
+      "q39_asof_join",
+      Some("""
+        WITH r AS (SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey
+                   FROM orders GROUP BY 1, 2)
+        SELECT e.event_id, e.user_id, r.o_orderdate AS asof_orderdate,
+               r.o_orderkey AS asof_orderkey
+        FROM events e
+        ASOF JOIN r ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate
+        ORDER BY e.event_id"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val right = t.orders.groupBy(col("o_custkey"), col("o_orderdate"))
+        .agg(max("o_orderkey").as("o_orderkey"))
+      AsOfJoin.backward(
+        t.events.select("event_id", "user_id", "ts"), right,
+        leftKey = "user_id", rightKey = "o_custkey",
+        leftTime = "ts", rightTime = "o_orderdate",
+        payload = Seq("o_orderkey"))
+        .select(col("event_id"), col("user_id"),
+          col("o_orderdate").as("asof_orderdate"),
+          col("o_orderkey").as("asof_orderkey"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------- q40
+    // Pivot: average order price per year × priority (fixed pivot columns).
+    Query(
+      "q40_pivot",
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr,
+               ${(1 to 5).map(i => s"${sqlAvg(s"CASE WHEN o_orderpriority LIKE '$i-%' THEN o_totalprice END")} AS p$i").mkString(",\n               ")}
+        FROM orders
+        GROUP BY 1
+        ORDER BY yr"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      // (avg via decimal detour for cross-engine determinism, as in Exact)
+      val aggs = (1 to 5).map { i =>
+        val c = when(col("o_orderpriority").like(s"$i-%"), col("o_totalprice"))
+        davg(c).as(s"p$i")
+      }
+      t.orders
+        .groupBy(year(col("o_orderdate")).as("yr"))
+        .agg(aggs.head, aggs.tail: _*)
+        .orderBy(col("yr"))
+    }),
+
+    // ---------------------------------------------------------------- q41
+    // CUBE: all grouping combinations incl. grand total.
+    Query(
+      "q41_cube",
+      Some(s"""
+        SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+               ${sqlSum("l_quantity")} AS sum_qty
+        FROM lineitem
+        GROUP BY CUBE (l_returnflag, l_linestatus)
+        ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), dsum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("l_returnflag").asc_nulls_first, col("l_linestatus").asc_nulls_first)
+    }),
+
+    // ---------------------------------------------------------------- q42
+    // Exact interpolated percentiles per group (Spark `percentile` ==
+    // DuckDB `quantile_cont`).
+    Query(
+      "q42_percentiles",
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50,
+               round(quantile_cont(value, 0.9), 6) AS p90,
+               round(quantile_cont(value, 0.99), 6) AS p99,
+               round(min(value), 6) AS vmin,
+               round(max(value), 6) AS vmax
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events.groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90"),
+          round(percentile(col("value"), lit(0.99)), 6).as("p99"),
+          round(min(col("value")), 6).as("vmin"),
+          round(max(col("value")), 6).as("vmax"))
+        .orderBy(col("event_type"))
+    }),
+
+    // ---------------------------------------------------------------- q43
+    // Lateral posexplode: token position table for a doc slice.
+    Query(
+      "q43_posexplode",
+      Some("""
+        SELECT * FROM (
+          SELECT doc_id,
+                 unnest(list_transform(range(1, len(toks) + 1),
+                   i -> {'pos': i - 1, 'token': toks[i]}), recursive := true)
+          FROM (SELECT doc_id, string_split_regex(lower(trim(text)), ' +') AS toks
+                FROM documents WHERE doc_id < 20))
+        ORDER BY doc_id, pos"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents.filter(col("doc_id") < 20)
+        .select(col("doc_id"), graft.util.TextPrep.tokens(col("text")).as("toks"))
+        .select(col("doc_id"), posexplode(col("toks")).as(Seq("pos", "token")))
+        .orderBy(col("doc_id"), col("pos"))
+    }),
+
+    // ---------------------------------------------------------------- q44
+    // RANGE window frame: per-user running 1-hour event-value sum keyed on
+    // epoch micros (decimal-routed for cross-engine bit equality).
+    Query(
+      "q44_range_frame",
+      Some("""
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(value AS DECIMAL(18,4))) OVER (
+                 PARTITION BY user_id ORDER BY epoch_us(CAST(ts AS TIMESTAMP))
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW) AS DOUBLE)
+                 AS hour_sum
+        FROM events
+        ORDER BY event_id"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts").cast("timestamp")))
+        .rangeBetween(-3600000000L, Window.currentRow)
+      t.events.select(col("event_id"), col("user_id"),
+        sum(col("value").cast(dec)).over(w).cast("double").as("hour_sum"))
+        .orderBy(col("event_id"))
+    }),
+
+    // ---------------------------------------------------------------- q45
+    // first/last/nth window values with explicit full-partition frames.
+    Query(
+      "q45_first_last_nth",
+      Some("""
+        SELECT o_orderkey, o_custkey,
+               first_value(o_orderkey) OVER w AS first_ok,
+               last_value(o_orderkey) OVER w AS last_ok,
+               nth_value(o_orderkey, 2) OVER w AS second_ok
+        FROM orders
+        WINDOW w AS (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        ORDER BY o_orderkey"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t.orders.select(col("o_orderkey"), col("o_custkey"),
+        first(col("o_orderkey")).over(w).as("first_ok"),
+        last(col("o_orderkey")).over(w).as("last_ok"),
+        nth_value(col("o_orderkey"), 2).over(w).as("second_ok"))
+        .orderBy(col("o_orderkey"))
+    }),
+
+    // ---------------------------------------------------------------- q46
+    // Boolean/conditional aggregates: any/every/count_if equivalents.
+    Query(
+      "q46_bool_aggs",
+      Some("""
+        SELECT c_mktsegment,
+               bool_or(c_acctbal < 0) AS has_negative,
+               bool_and(c_acctbal > -1000) AS all_above_neg1000,
+               CAST(count_if(c_acctbal > 5000) AS BIGINT) AS n_rich,
+               COUNT(*) AS n
+        FROM customer
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.groupBy(col("c_mktsegment"))
+        .agg(
+          max(col("c_acctbal") < 0).as("has_negative"),
+          min(col("c_acctbal") > -1000).as("all_above_neg1000"),
+          count_if(col("c_acctbal") > 5000).as("n_rich"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment"))
+    })
+  )
+}
