@@ -1,0 +1,84 @@
+package graft.plans
+
+import graft.functions.DotProductD
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
+
+/** Engine extensions, installed with
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
+  *
+  *  - SQL function `graft_dot(array, array)` → [[DotProductD]];
+  *  - optimizer rule [[FuseDotProduct]] that rewrites the declarative
+  *    higher-order-function dot-product idiom
+  *    `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)`
+  *    into the codegen'd native expression. Users (and the engine's own
+  *    reference implementations) can keep writing the composable HOF form;
+  *    the optimizer swaps in the ~40× faster fused loop. Identical result:
+  *    same left-to-right summation order.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      new FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProductD(children.head, children(1))))
+    ext.injectOptimizerRule(_ => FuseDotProduct)
+  }
+}
+
+/** Rewrite `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
+  * (and the self-product `aggregate(a, 0.0, (acc,x) -> acc + x*x)` norm
+  * idiom) to [[DotProductD]]. Conservative: fires only on float/double
+  * arrays and exactly the multiply-accumulate shapes, where the fused loop
+  * is bit-identical to the interpreted fold.
+  */
+object FuseDotProduct extends Rule[LogicalPlan] {
+
+  private def isVec(e: Expression): Boolean = e.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => true
+    case _ => false
+  }
+
+  /** x (possibly wrapped in a cast-to-double) resolves to lambda var `v`. */
+  private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId
+    case Cast(inner, DoubleType, _, _) => isVar(inner, v)
+    case _ => false
+  }
+
+  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformAllExpressions {
+    // aggregate(zip_with(a, b, (x, y) -> x * y), 0.0, (acc, v) -> acc + v)
+    case ArrayAggregate(
+        ZipWith(a, b, LambdaFunction(Multiply(mx, my, _), Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
+        DoubleLiteral(0.0),
+        LambdaFunction(Add(accRef: NamedLambdaVariable, vRef, _), Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
+        LambdaFunction(finishRef: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
+      if isVec(a) && isVec(b) &&
+        isVar(mx, x) && isVar(my, y) &&
+        accRef.exprId == acc.exprId && isVar(vRef, v) &&
+        finishRef.exprId == fin.exprId =>
+      DotProductD(a, b)
+
+    // aggregate(a, 0.0, (acc, x) -> acc + x * x)   (squared-norm idiom)
+    case ArrayAggregate(
+        a,
+        DoubleLiteral(0.0),
+        LambdaFunction(Add(accRef: NamedLambdaVariable, Multiply(mx, my, _), _), Seq(acc: NamedLambdaVariable, x: NamedLambdaVariable), _),
+        LambdaFunction(finishRef: NamedLambdaVariable, Seq(fin: NamedLambdaVariable), _))
+      if isVec(a) && isVar(mx, x) && isVar(my, x) &&
+        accRef.exprId == acc.exprId && finishRef.exprId == fin.exprId =>
+      DotProductD(a, a)
+  }
+}
+
+/** Extractor for a double literal value. */
+private object DoubleLiteral {
+  def unapply(e: Expression): Option[Double] = e match {
+    case Literal(d: Double, DoubleType) => Some(d)
+    case _ => None
+  }
+}

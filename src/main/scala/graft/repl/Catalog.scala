@@ -44,6 +44,13 @@ final case class DbCatalog(spark: SparkSession, root: String) {
 
   def tableExists(db: String, table: String): Boolean = fs.exists(tablePath(db, table))
 
+  /** Engine convention: `ext_`-prefixed tables are EXTERNAL — replicated by
+    * file-level copy (see [[ExtCopy]]), not parquet re-encode/event replay,
+    * mirroring the reference's managed/external split
+    * (`/root/reference/env.sh:8`, `README.md:4`).
+    */
+  def isExternal(table: String): Boolean = table.startsWith("ext_")
+
   def readTable(db: String, table: String): DataFrame =
     spark.read.parquet(tablePath(db, table).toString)
 

@@ -39,14 +39,23 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
     * Guarded by the global dump lock like the reference
     * (`beeline_functions.sh:92-101`).
     */
+  /** Tables included in a dump: external tables only when the include flag
+    * is on (reference default excludes them, `/root/reference/env.sh:8`).
+    */
+  private def dumpTables(db: String): Seq[String] =
+    source.listTables(db).filter(t => cfg.includeExternalTables || !source.isExternal(t))
+
   def bootstrap(db: String): DumpResult = withDumpLock(db) {
     val toId = source.currentTxnId(db)
     val dir = newDumpDir(db)
-    val tables = source.listTables(db)
-    tables.foreach { t =>
+    val tables = dumpTables(db)
+    // Managed tables snapshot into the dump; external tables are synced
+    // from the source db directly at load time (manifest carries the path).
+    tables.filterNot(source.isExternal).foreach { t =>
       source.readTable(db, t).write.parquet(new Path(dir, s"tables/$t").toString)
     }
-    writeManifest(dir, DumpManifest(db, DumpKind.Bootstrap, -1L, toId, tables))
+    writeManifest(dir, DumpManifest(db, DumpKind.Bootstrap, -1L, toId, tables,
+      source.dbPath(db).toString))
     DumpResult(dir.toString, toId)
   }
 
@@ -59,7 +68,8 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
         .filter(col("event_id") <= toId)
         .write.parquet(new Path(dir, "events").toString)
     }
-    writeManifest(dir, DumpManifest(db, DumpKind.Incremental, fromId, toId, source.listTables(db)))
+    writeManifest(dir, DumpManifest(db, DumpKind.Incremental, fromId, toId,
+      dumpTables(db), source.dbPath(db).toString))
     DumpResult(dir.toString, toId)
   }
 
@@ -72,7 +82,8 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
   private def writeManifest(dir: Path, m: DumpManifest): Unit = {
     val json =
       s"""{"db":"${m.db}","kind":"${m.kind.name}","fromId":${m.fromId},""" +
-      s""""toId":${m.toId},"tables":[${m.tables.map("\"" + _ + "\"").mkString(",")}]}"""
+      s""""toId":${m.toId},"src":"${m.sourceDbPath}",""" +
+      s""""tables":[${m.tables.map("\"" + _ + "\"").mkString(",")}]}"""
     val out = fs.create(new Path(dir, Dump.ManifestFile), true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -93,6 +104,7 @@ object Dump {
     def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
     val tables = """"tables":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
       .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
-    DumpManifest(str("db"), DumpKind.parse(str("kind")), num("fromId"), num("toId"), tables)
+    DumpManifest(str("db"), DumpKind.parse(str("kind")), num("fromId"), num("toId"),
+      tables, str("src"))
   }
 }

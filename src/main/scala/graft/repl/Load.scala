@@ -42,7 +42,12 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       case DumpKind.Bootstrap =>
         applyBootstrap(m, dumpPath); 1
       case DumpKind.Incremental =>
-        Retry.retry(cfg.incrRerun, cfg.rerunSleepMs)(applyIncremental(m, dumpPath))
+        Retry.retry(cfg.incrRerun, cfg.rerunSleepMs) {
+          applyIncremental(m, dumpPath)
+          // external tables have no event log; every incremental cycle
+          // re-syncs changed files (cheap: -update semantics)
+          m.tables.filter(target.isExternal).foreach(syncExternal(m, _))
+        }
     }
     // Commit the watermark LAST — the atomicity boundary (see MetadataStore).
     meta.commitWatermark(m.db, m.toId)
@@ -52,9 +57,20 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
   private def applyBootstrap(m: DumpManifest, dumpPath: String): Unit = {
     target.createDb(m.db)
     m.tables.foreach { t =>
-      target.writeTable(m.db, t,
+      if (target.isExternal(t)) syncExternal(m, t)
+      else target.writeTable(m.db, t,
         spark.read.parquet(new Path(dumpPath, s"tables/$t").toString))
     }
+  }
+
+  /** External tables: distcp-style copy-if-changed straight from the source
+    * db path in the manifest (see [[ExtCopy]]); parallelism follows the
+    * reference's copy-task knob (`HQL/replextload.hql:5-8`).
+    */
+  private def syncExternal(m: DumpManifest, table: String): Unit = {
+    val from = new Path(m.sourceDbPath, table).toString
+    val to = new Path(target.dbPath(m.db), table).toString
+    ExtCopy.sync(spark, from, to, cfg.extCopyParallelism)
   }
 
   private def applyIncremental(m: DumpManifest, dumpPath: String): Unit = {

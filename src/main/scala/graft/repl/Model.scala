@@ -37,7 +37,12 @@ final case class DumpManifest(
     kind: DumpKind,
     fromId: Long, // -1 for bootstrap
     toId: Long,
-    tables: Seq[String])
+    tables: Seq[String],
+    /** Source db directory — external tables are synced straight from here
+      * at load time (the reference's cross-cluster read via
+      * `SOURCE_HDFS_PREFIX`, `/root/reference/beeline_functions.sh:195-196`).
+      */
+    sourceDbPath: String = "")
 
 /** The five-way post-load watermark comparison of the reference
   * (`/root/reference/hive3repl.sh:106-120` bootstrap,
@@ -78,7 +83,8 @@ final case class ReplConfig(
     incrRerun: Int = 3,                     // env.sh:24
     rerunSleepMs: Long = 1000,              // env.sh:26 (60 s in prod)
     dbAllowlist: Set[String] = Set.empty,   // env.sh:14 (empty = allow all)
-    lockStaleMs: Long = 60 * 60 * 1000L)
+    lockStaleMs: Long = 60 * 60 * 1000L,
+    extCopyParallelism: Int = 32)           // HQL/replextload.hql:5-8 (128/500)
 
 /** One replication run's outcome, appended to the engine run log. */
 final case class RunReport(

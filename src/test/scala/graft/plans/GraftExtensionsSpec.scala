@@ -1,0 +1,43 @@
+package graft.plans
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class GraftExtensionsSpec extends SparkSpec {
+
+  private lazy val embs = Tables(spark, sf("sf0.001")).embeddings.cache()
+
+  test("graft_dot is registered as a SQL function") {
+    embs.createOrReplaceTempView("emb_ext")
+    val r = spark.sql(
+      "SELECT vec_id, graft_dot(embedding, embedding) AS d FROM emb_ext ORDER BY vec_id LIMIT 5")
+      .collect()
+    assert(r.length == 5 && r.forall(_.getDouble(1) > 0))
+  }
+
+  test("optimizer fuses the HOF dot-product idiom into graft_dot") {
+    // written in the composable HOF form...
+    val hof = embs.select(col("vec_id"),
+      graft.operators.Dedup.cosine(col("embedding"), col("embedding")).as("c"))
+    // ...the optimized plan must contain the fused native expression
+    val optimized = hof.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("graft_dot"), optimized)
+    assert(!optimized.contains("aggregate(zip_with"), optimized)
+    // and values must be exactly the cosine of a vector with itself ≈ 1
+    hof.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
+  }
+
+  test("fused and unfused paths agree bit-for-bit") {
+    val a = Tables(spark, sf("sf0.001")).embeddings.limit(50)
+      .select(col("vec_id"), col("embedding"))
+    val pairs = a.as("x").crossJoin(a.as("y"))
+      .filter(col("x.vec_id") < col("y.vec_id"))
+    val viaHof = pairs.select(col("x.vec_id"), col("y.vec_id"),
+      graft.operators.Dedup.cosine(col("x.embedding"), col("y.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val viaExpr = pairs.select(col("x.vec_id"), col("y.vec_id"),
+      graft.functions.VectorFunctions.cosineFast(col("x.embedding"), col("y.embedding")).as("c"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    viaHof.foreach { case (k, v) => assert(v == viaExpr(k), k) }
+  }
+}
