@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+
+/** Physical-plan quality gates: the properties that make these queries
+  * survive a 100× scale-up, asserted so a refactor can't silently lose
+  * them (`.explain` iteration, encoded).
+  */
+class PlanSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    SparkEntry.queries(name)(spark, sf("sf0.001"))
+
+  /** Execute (so AQE finalizes) and unwrap the adaptive plan. */
+  private def executed(df: DataFrame): SparkPlan = {
+    df.collect()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+  }
+
+  private def planString(name: String): String = executed(q(name)).toString
+
+  /** Traverse INTO AQE query stages (leaf wrappers) and reused exchanges. */
+  private def deepNodes(p: SparkPlan): Seq[SparkPlan] = {
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+    val extra = p match {
+      case qs: QueryStageExec => Seq(qs.plan)
+      case r: ReusedExchangeExec => Seq(r.child)
+      case _ => Seq.empty
+    }
+    p +: (p.children ++ extra).flatMap(deepNodes)
+  }
+
+  test("q1: shipdate filter is pushed down to the parquet scan") {
+    val p = planString("q1_pricing_summary")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q2: scan reads only the projected+filtered columns") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = deepNodes(executed(q("q2_filter_project"))).collect {
+      case f: FileSourceScanExec => f.requiredSchema.fieldNames.toSet
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head == Set("l_orderkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_shipdate"), scans.head)
+  }
+
+  test("q3: dimension joins broadcast; the fact table is never broadcast") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val plan = executed(q("q3_revenue_by_nation"))
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    val broadcastSubtrees = deepNodes(plan).collect {
+      case b: BroadcastExchangeExec => deepNodes(b).map(_.toString).mkString
+    }
+    assert(broadcastSubtrees.nonEmpty)
+    broadcastSubtrees.foreach(s =>
+      assert(!s.contains("lineitem"), "lineitem inside a broadcast subtree"))
+  }
+
+  test("q9: top-k plans as TakeOrderedAndProject, not a global sort") {
+    val p = planString("q9_topk_orders")
+    assert(p.contains("TakeOrderedAndProject"), p.take(1500))
+    assert(!p.contains("Sort [o_totalprice"), "global sort snuck in")
+  }
+
+  test("q22: exact dedup is a single-shuffle partial+final hash aggregate") {
+    val plan = executed(q("q22_dedup_exact"))
+    val shuffles = plan.collect { case s: ShuffleExchangeExec => s } ++
+      (plan match {
+        case a: AdaptiveSparkPlanExec =>
+          a.executedPlan.collect { case s: ShuffleExchangeExec => s }
+        case _ => Seq.empty
+      })
+    // one shuffle for the group-by hash, plus at most one for the orderBy
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles")
+    assert(plan.toString.contains("HashAggregate"), "expected hash aggregate")
+  }
+
+  test("q33: query side is broadcast (corpus never shuffles for the join)") {
+    val p = planString("q33_ann_bruteforce")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
+  test("no InMemory/Cartesian surprises across the whole corpus") {
+    val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+      val p = try planString(name) catch { case _: Throwable => "" }
+      // Cartesian products are only legitimate in the explicit all-pairs
+      // baselines (q28 embedding near-dup) and tiny broadcast crosses.
+      if (p.contains("CartesianProduct") && name != "q28_dedup_embedding")
+        Some(name)
+      else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: $offenders")
+  }
+}
