@@ -30,6 +30,10 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    // Warm up codegen/JIT/file-index paths so the first timed query does
+    // not absorb one-time session costs.
+    try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
+
     // Query corpus.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       results(name) = time {
