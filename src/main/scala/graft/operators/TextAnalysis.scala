@@ -136,9 +136,8 @@ object TextAnalysis {
     */
   def fingerprints(docs: DataFrame, textCol: String, idCol: String,
                    n: Int = 3, w: Int = 4): DataFrame = {
-    // Two materialization steps (toks, then hs): expressions captured in a
-    // HOF lambda re-evaluate per element, so hashing/window-min must see
-    // attribute references, not the inline split/hash pipelines.
+    // shingle hashes come from the native single-loop expression; the
+    // window-min lambda then sees a materialized attribute reference
     val hs = col("_hs")
     val mins = when(size(hs) >= w,
         transform(sequence(lit(0), size(hs) - w),
@@ -146,8 +145,7 @@ object TextAnalysis {
       .otherwise(when(size(hs) > 0, array(array_min(hs))).otherwise(array().cast("array<long>")))
     val fp = array_distinct(mins)
     docs
-      .withColumn("_toks", tokens(col(textCol)))
-      .withColumn("_hs", transform(shingles(col("_toks"), n), s => h48(s)))
+      .withColumn("_hs", graft.functions.TextHashFunctions.hashedShingles(col(textCol), n))
       .select(col(idCol).as("doc"),
         size(fp).as("n_fp"),
         array_min(fp).as("min_fp"),
