@@ -74,8 +74,61 @@ case class HashedShingles(child: Expression, n: Int)
     copy(child = newChild)
 }
 
+/** `SimHash48(text)`: the whole SimHash sketch as one expression — distinct
+  * whitespace tokens of lowercased text, 48-bit md5 hash per token, ±1 bit
+  * votes, sign → bits. Replaces an explode + 48-column groupBy aggregate
+  * (a full shuffle of every token) with a pure map-side loop: the sketch
+  * of a 100 TB corpus becomes a single scan with NO shuffle at all.
+  * Bit-identical to [[graft.operators.Dedup.simhash]]'s aggregate form and
+  * the DuckDB oracle (vote sums are integer, order-free).
+  */
+case class SimHash48(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs STRING, got $t")
+  }
+  override def dataType: DataType = LongType
+  override def prettyName: String = "graft_simhash48"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val text = input.asInstanceOf[UTF8String].trim().toLowerCase.toString
+    val toks: Array[String] = if (text.isEmpty) Array.empty else text.split(" +")
+    val distinct = new java.util.LinkedHashSet[String]()
+    toks.foreach(distinct.add)
+    val votes = new Array[Int](48)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val it = distinct.iterator()
+    while (it.hasNext) {
+      val t = it.next()
+      md.reset()
+      val digest = md.digest(t.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      var h = 0L
+      var b = 0
+      while (b < 6) { h = (h << 8) | (digest(b) & 0xffL); b += 1 }
+      var bit = 0
+      while (bit < 48) {
+        if (((h >> bit) & 1L) == 1L) votes(bit) += 1 else votes(bit) -= 1
+        bit += 1
+      }
+    }
+    var sim = 0L
+    var bit = 0
+    while (bit < 48) { if (votes(bit) > 0) sim |= (1L << bit); bit += 1 }
+    sim
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash48 =
+    copy(child = newChild)
+}
+
 object TextHashFunctions {
   /** Column form of [[HashedShingles]]. */
   def hashedShingles(text: Column, n: Int): Column =
     GraftInterop.column(HashedShingles(GraftInterop.expression(text), n))
+
+  /** Column form of [[SimHash48]]. */
+  def simhash48(text: Column): Column =
+    GraftInterop.column(SimHash48(GraftInterop.expression(text)))
 }

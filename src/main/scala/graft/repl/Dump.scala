@@ -51,7 +51,10 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
     val tables = dumpTables(db)
     // Managed tables snapshot into the dump; external tables are synced
     // from the source db directly at load time (manifest carries the path).
-    tables.filterNot(source.isExternal).foreach { t =>
+    // Tables copy as CONCURRENT Spark jobs (small tables leave the
+    // cluster idle otherwise — the reference's `hive.exec.parallel`,
+    // `/root/reference/HQL/replextload.hql:5-8`).
+    Parallel.foreach(tables.filterNot(source.isExternal)) { t =>
       source.readTable(db, t).write.parquet(new Path(dir, s"tables/$t").toString)
     }
     writeManifest(dir, DumpManifest(db, DumpKind.Bootstrap, -1L, toId, tables,

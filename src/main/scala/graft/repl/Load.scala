@@ -56,7 +56,8 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
 
   private def applyBootstrap(m: DumpManifest, dumpPath: String): Unit = {
     target.createDb(m.db)
-    m.tables.foreach { t =>
+    // concurrent per-table restore jobs (reference `hive.exec.parallel`)
+    Parallel.foreach(m.tables) { t =>
       if (target.isExternal(t)) syncExternal(m, t)
       else target.writeTable(m.db, t,
         spark.read.parquet(new Path(dumpPath, s"tables/$t").toString))
@@ -95,7 +96,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       .collect().sortBy(_.getLong(0))
     val touched = events.select("table").distinct().collect().map(_.getString(0))
 
-    touched.foreach { t =>
+    Parallel.foreach(touched.toSeq) { t =>
       val tableDdl = ddl.filter(_.getString(1) == t)
       // Portion of the DML stream that survives the last DDL action.
       val lastDdl = tableDdl.lastOption

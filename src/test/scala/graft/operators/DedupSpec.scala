@@ -30,6 +30,14 @@ class DedupSpec extends SparkSpec {
     assert(banded == all)
   }
 
+  test("fused SimHash48 expression equals the aggregate formulation") {
+    val fused = Dedup.simhash(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val agg = Dedup.simhashViaAggregate(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fused == agg)
+  }
+
   test("exact dedup keeps the minimum id per group") {
     val d = Dedup.exact(docs, substring(col("text"), 1, 100), col("doc_id"))
     val dups = d.filter(col("group_size") > 1)
