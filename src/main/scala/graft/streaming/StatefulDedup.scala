@@ -33,6 +33,46 @@ object StatefulDedup {
       }
   }
 
+  final case class Ev(user_id: Long, tsMs: Long)
+  final case class Session(user_id: Long, startMs: Long, endMs: Long, n: Long)
+
+  /** Gap-based session emitter via `flatMapGroupsWithState` (Append mode
+    * with processing-time timeout): per-user state holds the open
+    * session; a session row is EMITTED (not updated) once the gap or the
+    * timeout closes it — the custom-state form of `session_window` for
+    * when the session payload needs engine-defined logic. State per key
+    * is one open session (three longs), checkpointed.
+    */
+  def sessionEmitter(spark: SparkSession, in: Dataset[Ev], gapMs: Long): Dataset[Session] = {
+    import spark.implicits._
+    import org.apache.spark.sql.streaming.OutputMode
+    in.groupByKey(_.user_id)
+      .flatMapGroupsWithState[Session, Session](
+        OutputMode.Append(), GroupStateTimeout.ProcessingTimeTimeout()) {
+        (user: Long, rows: Iterator[Ev], state: GroupState[Session]) =>
+          if (rows.isEmpty && state.hasTimedOut) {
+            val s = state.get; state.remove(); Iterator.single(s)
+          } else {
+            val sorted = rows.toSeq.sortBy(_.tsMs)
+            var open = state.getOption
+            val closed = Seq.newBuilder[Session]
+            sorted.foreach { e =>
+              open match {
+                case Some(s) if e.tsMs - s.endMs <= gapMs =>
+                  open = Some(s.copy(endMs = e.tsMs, n = s.n + 1))
+                case Some(s) =>
+                  closed += s
+                  open = Some(Session(user, e.tsMs, e.tsMs, 1))
+                case None =>
+                  open = Some(Session(user, e.tsMs, e.tsMs, 1))
+              }
+            }
+            open.foreach { s => state.update(s); state.setTimeoutDuration(gapMs) }
+            closed.result().iterator
+          }
+      }
+  }
+
   /** Streaming entry: dedup a stream of (key, id) and keep only firsts. */
   def run(spark: SparkSession, in: Dataset[Keyed], checkpoint: String,
           queryName: String): org.apache.spark.sql.streaming.StreamingQuery = {

@@ -27,6 +27,24 @@ class StatefulDedupSpec extends SparkSpec {
     assert(out == Set(("a", 1L), ("b", 2L), ("c", 7L)), out)
   }
 
+  test("flatMapGroupsWithState session emitter closes sessions on gap") {
+    // Batch-mode execution of the same stateful function: state starts
+    // empty, timeouts never fire, so exactly the gap-CLOSED sessions are
+    // emitted (the open tail stays in discarded state). The streaming
+    // plumbing itself (checkpointed state across micro-batches) is proven
+    // by the dedup test above.
+    import spark.implicits._
+    import graft.streaming.StatefulDedup.{Ev, Session}
+    val in = Seq(
+      Ev(1, 1000), Ev(1, 1500), Ev(1, 1900), // session 1 (closed by the gap)
+      Ev(1, 7000), Ev(1, 7100),              // session 2 (still open -> not emitted)
+      Ev(2, 500), Ev(2, 5000), Ev(2, 5100)   // user 2: first session closed
+    ).toDS()
+    val closed = StatefulDedup.sessionEmitter(spark, in, gapMs = 1000)
+      .collect().toSet
+    assert(closed == Set(Session(1, 1000, 1900, 3), Session(2, 500, 500, 1)))
+  }
+
   test("TopKAggregator equals window top-k") {
     import spark.implicits._
     val agg = new graft.functions.TopKAggregator(3).toColumn
