@@ -17,7 +17,8 @@ object SparkEntry {
     graft.operators.Dedup.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Similarity.queries ++
-    graft.operators.Multimodal.queries
+    graft.operators.Multimodal.queries ++
+    graft.operators.Pipeline.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

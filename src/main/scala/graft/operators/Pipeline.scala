@@ -1,0 +1,131 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.util.TextPrep._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus-level pipeline analytics: n-gram statistics, cohort retention,
+  * and near-duplicate CLUSTERS (connected components over the near-dup
+  * pair graph — the step that turns pairwise dedup into "keep one doc per
+  * group" at corpus scale).
+  */
+object Pipeline {
+
+  /** Connected components by iterative min-label propagation over an
+    * undirected edge list (doc_a, doc_b): every member adopts the smallest
+    * doc id reachable from it; iterate until fixpoint. Iterations are
+    * bounded by the component diameter (O(log n) with doubling — here
+    * plain propagation, fine for dedup clusters which are tiny and dense);
+    * each round is one join + one aggregate, all distributed, and the loop
+    * ends by a driver-side convergence CHECK (a count), never by driver
+    * data.
+    */
+  def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    // symmetric edges incl. self-loops keep isolated-after-filter nodes
+    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .distinct().cache()
+    var labels = edges.select(col("src").as("doc")).distinct()
+      .withColumn("label", col("doc")).cache()
+    var iter = 0
+    var converged = false
+    while (iter < maxIters && !converged) {
+      val neighborMin = edges
+        .join(labels, edges("dst") === labels("doc"))
+        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+      val next = labels
+        .join(neighborMin, labels("doc") === neighborMin("src"), "left")
+        .select(col("doc"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cache()
+      val changed = next.as("n").join(labels.as("o"), "doc")
+        .filter(col("n.label") =!= col("o.label")).count()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    labels
+  }
+
+  val queries: Seq[Query] = Seq(
+
+    // Corpus-wide top 3-grams by document frequency.
+    Query(
+      "q47_ngram_top",
+      Some(s"""
+        WITH sh AS (SELECT doc_id, unnest(list_distinct(
+            ${sqlShingles(sqlTokens("text"), 3)})) AS shingle FROM documents)
+        SELECT shingle, COUNT(*) AS df
+        FROM sh GROUP BY shingle
+        ORDER BY df DESC, shingle
+        LIMIT 20"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.documents
+        .select(col("doc_id"), tokens(col("text")).as("toks"))
+        .select(col("doc_id"), explode(array_distinct(shingles(col("toks"), 3))).as("shingle"))
+        .groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+        .orderBy(col("df").desc, col("shingle"))
+        .limit(20)
+    }),
+
+    // Daily cohort retention over the events stream.
+    Query(
+      "q48_retention",
+      Some("""
+        WITH first AS (SELECT user_id, date_trunc('day', min(ts)) AS cohort
+                       FROM events GROUP BY user_id)
+        SELECT CAST(cohort AS DATE) AS cohort_day,
+               date_diff('day', cohort, date_trunc('day', e.ts)) AS day_n,
+               COUNT(DISTINCT e.user_id) AS active_users
+        FROM events e JOIN first f ON e.user_id = f.user_id
+        GROUP BY 1, 2
+        ORDER BY cohort_day, day_n"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val first = t.events.groupBy(col("user_id"))
+        .agg(date_trunc("day", min(col("ts"))).as("cohort"))
+      t.events.join(first, "user_id")
+        .groupBy(
+          col("cohort").cast("date").as("cohort_day"),
+          datediff(date_trunc("day", col("ts")), col("cohort")).cast("long").as("day_n"))
+        .agg(countDistinct(col("user_id")).as("active_users"))
+        .orderBy(col("cohort_day"), col("day_n"))
+    }),
+
+    // Near-dup clusters: connected components over the q24 pair graph;
+    // cluster id = min doc id in the component (the "keep" representative).
+    Query(
+      "q49_dedup_clusters",
+      Some(s"""
+        WITH RECURSIVE sh0 AS (SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                 ${sqlShingles(sqlTokens("text"), 3)}, s -> ${sqlH48("s")}))) AS sh
+             FROM documents),
+        ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20),
+        shf AS (SELECT doc, sh0.sh FROM sh0 JOIN ok USING (sh)),
+        sz AS (SELECT doc, COUNT(*) AS sz FROM shf GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+                  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+                  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT doc, least(doc, min(dst)) AS cluster_id
+        FROM (SELECT src AS doc, dst FROM reach)
+        GROUP BY doc
+        ORDER BY doc"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairs = Dedup.ngramJaccardPairs(t.documents, "text", "doc_id", 3, 0.5)
+      connectedComponents(pairs)
+        .select(col("doc"), col("label").as("cluster_id"))
+        .orderBy(col("doc"))
+    })
+  )
+}
