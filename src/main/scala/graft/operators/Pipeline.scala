@@ -22,30 +22,40 @@ object Pipeline {
     * data.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
-    // symmetric edges incl. self-loops keep isolated-after-filter nodes
-    val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .distinct().cache()
-    var labels = edges.select(col("src").as("doc")).distinct()
-      .withColumn("label", col("doc")).cache()
-    var iter = 0
-    var converged = false
-    while (iter < maxIters && !converged) {
-      val neighborMin = edges
-        .join(labels, edges("dst") === labels("doc"))
-        .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-      val next = labels
-        .join(neighborMin, labels("doc") === neighborMin("src"), "left")
-        .select(col("doc"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-        .cache()
-      val changed = next.as("n").join(labels.as("o"), "doc")
-        .filter(col("n.label") =!= col("o.label")).count()
-      labels = next
-      converged = changed == 0
-      iter += 1
-    }
-    labels
+    val spark = pairs.sparkSession
+    // The pair graph is tiny relative to the corpus (it is the output of a
+    // ≥-threshold near-dup filter); the loop's joins would otherwise pay
+    // full-width shuffles per iteration. Narrow the shuffle for the loop
+    // only, then restore. (On a cluster this would be a scheduler-pool +
+    // AQE-coalesce concern; locally the conf is the lever.)
+    val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", "8")
+    try {
+      // symmetric edges incl. self-loops keep isolated-after-filter nodes
+      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
+        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+        .distinct().cache()
+      var labels = edges.select(col("src").as("doc")).distinct()
+        .withColumn("label", col("doc")).cache()
+      var iter = 0
+      var converged = false
+      while (iter < maxIters && !converged) {
+        val neighborMin = edges
+          .join(labels, edges("dst") === labels("doc"))
+          .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        val next = labels
+          .join(neighborMin, labels("doc") === neighborMin("src"), "left")
+          .select(col("doc"),
+            least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint() // cut the growing lineage; also materializes
+        val changed = next.as("n").join(labels.as("o"), "doc")
+          .filter(col("n.label") =!= col("o.label")).count()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      labels
+    } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
   }
 
   val queries: Seq[Query] = Seq(
