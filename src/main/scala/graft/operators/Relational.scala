@@ -202,23 +202,27 @@ object Relational {
 
     // ---------------------------------------------------------------- q8
     // Window: running sum + lag over a fully-deterministic ordering.
+    // NOTE: (l_orderkey, l_linenumber) is NOT unique in the synthetic data
+    // at sf0.1+, and one pair even ties on shipdate with different
+    // quantities — a ROWS frame is order-ambiguous on ties, so l_quantity
+    // joins the sort key (identical leftover ties then can't change sums).
     Query(
       "q8_running_sum",
       Some("""
         SELECT l_suppkey, l_orderkey, l_linenumber,
                CAST(SUM(CAST(l_quantity AS DECIMAL(18,4))) OVER (
                  PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
                  AS running_qty,
                LAG(l_orderkey) OVER (
                  PARTITION BY l_suppkey
-                 ORDER BY l_shipdate, l_orderkey, l_linenumber) AS prev_orderkey
+                 ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity) AS prev_orderkey
         FROM lineitem
         ORDER BY l_suppkey, l_orderkey, l_linenumber"""))((spark, dir) => {
       val t = Tables(spark, dir)
       val w = Window.partitionBy(col("l_suppkey"))
-        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+        .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
       t.lineitem.select(
         col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         sum(col("l_quantity").cast(dec))
