@@ -102,6 +102,27 @@ object Pipeline {
         .orderBy(col("cohort_day"), col("day_n"))
     }),
 
+    // Deterministic stratified sampling: hash-Bernoulli per language —
+    // the reproducible-subset op of a training-data pipeline (same rows
+    // regardless of partitioning, cluster size, or execution order; no
+    // RNG state). Rates: downsample the majority language (en 10%),
+    // keep half of the rest.
+    Query(
+      "q50_stratified_sample",
+      Some(s"""
+        SELECT doc_id, lang
+        FROM documents
+        WHERE (${sqlH48("'graft-sample-1' || CAST(doc_id AS VARCHAR)")} % 10000)
+              < (CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END)
+        ORDER BY doc_id"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val bucket = h48(concat(lit("graft-sample-1"), col("doc_id").cast("string"))) % 10000
+      t.documents
+        .filter(bucket < when(col("lang") === "en", 1000).otherwise(5000))
+        .select(col("doc_id"), col("lang"))
+        .orderBy(col("doc_id"))
+    }),
+
     // Near-dup clusters: connected components over the q24 pair graph;
     // cluster id = min doc id in the component (the "keep" representative).
     Query(
