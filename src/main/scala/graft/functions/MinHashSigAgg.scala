@@ -1,0 +1,97 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, GraftInterop}
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
+
+/** MinHash signature as ONE imperative aggregate (`TypedImperativeAggregate`
+  * with a primitive `Array[Long]` buffer) — the sketch-aggregation shape the
+  * Catalyst aggregate framework is built for.
+  *
+  * Equivalent to `agg(min((h*a₀+b₀) % p), …, min((h*a₆₃+b₆₃) % p))` but with
+  * one buffer object per group instead of 64 separate min-aggregate slots,
+  * and one tight loop per input row. Partial aggregation works as usual:
+  * `update` folds rows map-side, `merge` combines two signature buffers by
+  * element-wise min (associative + commutative, so the result is identical
+  * under any partitioning — the 100 TB determinism rule).
+  *
+  * @param child 48-bit shingle hash column (see [[HashedShingles]])
+  * @param coeffs flattened (a, b) pairs of the k hash functions
+  * @param p modulus (Mersenne 2⁶¹-1)
+  */
+case class MinHashSigAgg(
+    child: Expression,
+    coeffs: Seq[(Long, Long)],
+    p: Long,
+    mutableAggBufferOffset: Int = 0,
+    inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[Array[Long]] {
+
+  private val k = coeffs.length
+  @transient private lazy val as: Array[Long] = coeffs.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = false
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig"
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case LongType => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs BIGINT, got $t")
+  }
+
+  override def createAggregationBuffer(): Array[Long] = Array.fill(k)(Long.MaxValue)
+
+  override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+    val v = child.eval(input)
+    if (v != null) {
+      val h = v.asInstanceOf[Long]
+      var j = 0
+      while (j < k) {
+        val m = (h * as(j) + bs(j)) % p
+        if (m < buf(j)) buf(j) = m
+        j += 1
+      }
+    }
+    buf
+  }
+
+  override def merge(a: Array[Long], b: Array[Long]): Array[Long] = {
+    var j = 0
+    while (j < k) { if (b(j) < a(j)) a(j) = b(j); j += 1 }
+    a
+  }
+
+  override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+
+  override def serialize(buf: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(k * 8)
+    buf.foreach(bb.putLong)
+    bb.array()
+  }
+
+  override def deserialize(bytes: Array[Byte]): Array[Long] = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    Array.fill(k)(bb.getLong)
+  }
+
+  override def withNewMutableAggBufferOffset(newOffset: Int): MinHashSigAgg =
+    copy(mutableAggBufferOffset = newOffset)
+  override def withNewInputAggBufferOffset(newOffset: Int): MinHashSigAgg =
+    copy(inputAggBufferOffset = newOffset)
+  override protected def withNewChildrenInternal(newChildren: IndexedSeq[Expression]): MinHashSigAgg =
+    copy(child = newChildren.head)
+}
+
+object MinHashSigAgg {
+  /** Aggregate Column producing the k-long signature array of a group. */
+  def sig(shingleHash: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
+    GraftInterop.column(
+      MinHashSigAgg(GraftInterop.expression(shingleHash), coeffs, p)
+        .toAggregateExpression())
+}

@@ -30,6 +30,15 @@ class DedupSpec extends SparkSpec {
     assert(banded == all)
   }
 
+  test("imperative MinHash signature aggregate equals 64 separate mins") {
+    val viaAgg = Dedup.minhashSignatures(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1).toVector).toMap
+    val viaMins = Dedup.minhashSignaturesViaMins(docs, "text", "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        (1 to Dedup.MinHashK).map(j => r.getLong(j)).toVector).toMap
+    assert(viaAgg == viaMins)
+  }
+
   test("fused SimHash48 expression equals the aggregate formulation") {
     val fused = Dedup.simhash(docs, "text", "doc_id")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
