@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.DotProductD
+import graft.functions.{DotProductD, HashedShingles, SimHash48}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -26,6 +26,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductD(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_simhash48"),
+      new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
+      (children: Seq[Expression]) => SimHash48(children.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hashed_shingles"),
+      new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
+      (children: Seq[Expression]) => HashedShingles(children.head,
+        children(1).eval().asInstanceOf[Int])))
     ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }

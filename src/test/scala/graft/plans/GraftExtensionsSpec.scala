@@ -15,6 +15,15 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.length == 5 && r.forall(_.getDouble(1) > 0))
   }
 
+  test("graft_simhash48 and graft_hashed_shingles are SQL-callable") {
+    Tables(spark, sf("sf0.001")).documents.createOrReplaceTempView("docs_ext")
+    val r = spark.sql("""
+      SELECT doc_id, graft_simhash48(text) AS sh,
+             size(graft_hashed_shingles(text, 3)) AS n_sh
+      FROM docs_ext ORDER BY doc_id LIMIT 3""").collect()
+    assert(r.length == 3 && r.forall(x => x.getLong(1) > 0 && x.getInt(2) > 0))
+  }
+
   test("optimizer fuses the HOF dot-product idiom into graft_dot") {
     // written in the composable HOF form...
     val hof = embs.select(col("vec_id"),
