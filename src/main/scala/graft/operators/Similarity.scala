@@ -67,6 +67,52 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells around
+    * deterministic centroid vectors, then search only the query's `nProbe`
+    * nearest cells. The scale path complementing [[annLsh]]: assignment is a
+    * map-side-combinable `max(struct(cos, -cid, v))` aggregation (partial
+    * aggregation bounds reducer input to one row per (vec_id) group), the
+    * centroid table is broadcast everywhere, and the candidate join keys on
+    * the cell id — at 100 TB the corpus is scanned once to build the index
+    * and each query touches `nProbe / nCells` of the data.
+    *
+    * Centroids here are the first `nCells` corpus vectors (deterministic, so
+    * the DuckDB oracle can reproduce the exact cells); a production build
+    * would plug k-means centroids into the same plan shape.
+    */
+  def annIvf(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
+             k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cent = corpus.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    // Nearest-centroid assignment: argmax cosine, ties to the smaller cid.
+    // max(struct(cos, -cid, v)) is partially aggregatable, so the corpus
+    // never shuffles its vectors — only one candidate struct per group.
+    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("cv")).as("cos"),
+        (-col("cid")).as("ncid"),
+        col("v").as("v"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    // Probe list: each query's nProbe nearest centroids (query side is small).
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").as("cell"))
+    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"), cosineFast(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Approximate top-k via multi-table hyperplane LSH. */
   def annLsh(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
              k: Int, tables: Int = 8, planes: Int = 6, dim: Int = 64): DataFrame = {
@@ -124,6 +170,45 @@ object Similarity {
       val t = Tables(spark, dir)
       val qs = t.embeddings.filter(col("vec_id") % 100 === 0)
       annLsh(t.embeddings, qs, "embedding", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // IVF ANN: deterministic centroids make the cells (and therefore the
+    // whole result) exactly reproducible in SQL — a full hash-match oracle,
+    // unlike LSH's recall-style check.
+    Query(
+      "q51_ann_ivf",
+      Some("""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                      WHERE vec_id < 16),
+        a AS (SELECT e.vec_id, c.cid, e.embedding,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c),
+        cells AS (SELECT vec_id, cid AS cell, embedding FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id % 100 = 0),
+        p AS (SELECT q.query_id, q.qv, c.cid AS cell,
+                ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM q CROSS JOIN cent c),
+        probes AS (SELECT query_id, qv, cell FROM p WHERE rn <= 2),
+        scored AS (SELECT pr.query_id, ce.vec_id,
+                     list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]) AS cos
+                   FROM probes pr JOIN cells ce ON ce.cell = pr.cell
+                   WHERE ce.vec_id <> pr.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val qs = t.embeddings.filter(col("vec_id") % 100 === 0)
+      annIvf(t.embeddings, qs, "embedding", "vec_id", k = 5)
         .orderBy(col("query_id"), col("rank"))
     })
   )

@@ -27,4 +27,21 @@ class SimilaritySpec extends SparkSpec {
     info(f"LSH recall@5 = $recall%.3f (${ann.size} returned)")
     assert(recall >= 0.2, f"recall $recall%.3f too low")
   }
+
+  test("IVF ANN: per-query results bounded by k, ranks contiguous, recall nontrivial") {
+    val brute = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
+    val ivf = Similarity.annIvf(embs, qs, "embedding", "vec_id", k = 5)
+    val rows = ivf.select("query_id", "rank", "vec_id").collect()
+    val byQuery = rows.groupBy(_.get(0))
+    byQuery.foreach { case (q, rs) =>
+      assert(rs.length <= 5, s"query $q returned ${rs.length} > k rows")
+      assert(rs.map(_.getInt(1)).sorted.sameElements(1 to rs.length),
+        s"query $q ranks not contiguous from 1")
+    }
+    val got = rows.map(r => (r.get(0), r.get(2))).toSet
+    val recall = if (brute.isEmpty) 1.0 else (got intersect brute).size.toDouble / brute.size
+    info(f"IVF recall@5 (nProbe=2/16 cells) = $recall%.3f")
+    assert(recall >= 0.2, f"recall $recall%.3f too low")
+  }
 }
