@@ -89,6 +89,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q51: IVF assignment is a partial+final agg over a broadcast of centroids") {
+    val p = planString("q51_ann_ivf")
+    // centroid/probe sides broadcast — corpus vectors never shuffle for a join
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
+    // argmax-by-struct assignment keeps map-side combine (partial_max)
+    assert(p.contains("partial_max") || p.contains("partial max"), p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
