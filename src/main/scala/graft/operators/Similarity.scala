@@ -128,11 +128,16 @@ object Similarity {
     val candidates = cb.join(broadcast(qb), Seq("t", "b"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("query_id_v"), col("vec_id"), col("vec_id_v"))
-      .distinct()
+    // Score BEFORE deduplicating the ≤`tables` bucket collisions per pair:
+    // a 64-float dot product per duplicate is cheap, while a distinct() on
+    // the vector columns would shuffle every candidate's two embeddings.
+    // This way the dedup aggregate shuffles only (query_id, vec_id, cos)
+    // scalars, with map-side partial aggregation.
     val scored = candidates.select(col("query_id"), col("vec_id"),
       graft.functions.VectorFunctions.cosineFast(
         graft.functions.VectorFunctions.toDense(col("query_id_v")),
         graft.functions.VectorFunctions.toDense(col("vec_id_v"))).as("cos"))
+      .groupBy(col("query_id"), col("vec_id")).agg(max(col("cos")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("vec_id"),
