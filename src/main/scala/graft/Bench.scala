@@ -29,19 +29,29 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val errors = scala.collection.mutable.ListBuffer[String]()
 
     // Warm up codegen/JIT/file-index paths so the first timed query does
     // not absorb one-time session costs.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
 
-    // Query corpus: best of two runs per query — the machine hosting the
-    // bench shows multi-second background-load spikes, and min-of-N is the
-    // standard way to report the code's cost rather than the neighbors'.
+    // Query corpus, two runs per query. "queries" reports the best of the
+    // two (the machine hosting the bench shows multi-second background-load
+    // spikes; min-of-N reports the code's cost rather than the neighbors'),
+    // and "queries_first" the cold first run, so warm-cache flattery is
+    // visible side by side. A query that throws goes to "errors" and is
+    // EXCLUDED from the total instead of being folded in as a near-zero
+    // time.
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def once = time {
-        try { fn(spark, sfDir).count(); () } catch { case _: Throwable => () }
+      def once: Option[Double] =
+        try Some(time { fn(spark, sfDir).count(); () })
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: $e"); None }
+      (once, once) match {
+        case (Some(a), Some(b)) => firstRun(name) = a; results(name) = math.min(a, b)
+        case _ => errors += name
       }
-      results(name) = math.min(once, once)
     }
 
     // Replication end-to-end (the BASELINE.md metrics).
@@ -65,9 +75,13 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     } catch { case e: Throwable => System.err.println(s"[bench] repl failed: $e") }
 
-    val qs = results.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    def jmap(m: scala.collection.Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + f"\":$v%.3f" }.mkString("{", ",", "}")
+    val qs = jmap(results)
+    val qsFirst = jmap(firstRun)
+    val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"queries_first":$qsFirst,"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -94,4 +94,52 @@ object MinHashSigAgg {
     GraftInterop.column(
       MinHashSigAgg(GraftInterop.expression(shingleHash), coeffs, p)
         .toAggregateExpression())
+
+  /** Row-level Column form of [[MinHashSigArr]]. */
+  def sigArr(shingleHashes: Column, coeffs: Seq[(Long, Long)], p: Long): Column =
+    GraftInterop.column(MinHashSigArr(GraftInterop.expression(shingleHashes), coeffs, p))
+}
+
+/** MinHash signature of ONE row's shingle-hash array — the map-side twin of
+  * [[MinHashSigAgg]] for pipelines that already hold each document's shingle
+  * set as an array column (one tight loop per row, no aggregation). Same
+  * hash family, bit-identical output: `sig[j] = min over h of (h·aⱼ+bⱼ) mod p`.
+  * Docs whose array is empty yield `Long.MaxValue` slots — callers filter
+  * empty sets upstream (an empty shingle set has no Jaccard neighbors).
+  */
+case class MinHashSigArr(child: Expression, coeffs: Seq[(Long, Long)], p: Long)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+
+  private val k = coeffs.length
+  @transient private lazy val as: Array[Long] = coeffs.map(_._1).toArray
+  @transient private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(s"$prettyName needs ARRAY<BIGINT>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_minhash_sig_arr"
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val sig = Array.fill(k)(Long.MaxValue)
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      val h = arr.getLong(i)
+      var j = 0
+      while (j < k) {
+        val m = (h * as(j) + bs(j)) % p
+        if (m < sig(j)) sig(j) = m
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MinHashSigArr =
+    copy(child = newChild)
 }

@@ -388,11 +388,16 @@ object Relational {
     // Math + CASE: abs/sqrt/round/ceil/floor/ln with a bucketing CASE.
     // sqrt is IEEE-correctly-rounded (bitwise portable); ln is rounded to
     // 6dp to absorb possible 1-ulp libm differences across engines.
+    // round() on a raw DOUBLE is engine-divergent at exact .x5 ties (Spark
+    // rounds the true binary value via BigDecimal HALF_UP; DuckDB scales by
+    // 10 in floating point first), so both sides widen to DECIMAL(12,2) —
+    // the input's true scale — before rounding, then cast back to DOUBLE.
+    // Same pattern as util/Exact for sums.
     Query(
       "q15_math_case",
       Some("""
         SELECT c_custkey,
-               round(c_acctbal, 1) AS bal_r1,
+               CAST(round(CAST(c_acctbal AS DECIMAL(12,2)), 1) AS DOUBLE) AS bal_r1,
                abs(c_acctbal) AS bal_abs,
                sqrt(abs(c_acctbal)) AS bal_sqrt,
                round(ln(abs(c_acctbal) + 1), 6) AS bal_ln,
@@ -406,7 +411,7 @@ object Relational {
       val t = Tables(spark, dir)
       t.customer.select(
         col("c_custkey"),
-        round(col("c_acctbal"), 1).as("bal_r1"),
+        round(col("c_acctbal").cast(DecimalType(12, 2)), 1).cast("double").as("bal_r1"),
         abs(col("c_acctbal")).as("bal_abs"),
         sqrt(abs(col("c_acctbal"))).as("bal_sqrt"),
         round(log(abs(col("c_acctbal")) + 1), 6).as("bal_ln"),
