@@ -20,10 +20,16 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
   * the surrounding filter/project inside one codegen stage.
   *
   * Element nulls are not expected (embedding vectors are dense); a null
-  * ARRAY input yields null via BinaryExpression's default null handling.
+  * ARRAY input yields null via BinaryExpression's default null handling,
+  * and mismatched-length arrays yield null — the same result as the HOF
+  * form, whose `zip_with` pads the shorter array with nulls and so
+  * poisons the aggregate (keeping the [[graft.plans.FuseDotProduct]]
+  * rewrite a true no-op on results).
   */
 case class DotProductD(left: Expression, right: Expression)
     extends BinaryExpression {
+
+  override def nullable: Boolean = true
 
   private def elemType(e: Expression): Option[DataType] = e.dataType match {
     case ArrayType(t @ (DoubleType | FloatType), _) => Some(t)
@@ -51,8 +57,9 @@ case class DotProductD(left: Expression, right: Expression)
   override protected def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
+    if (x.numElements() != y.numElements()) return null
     val (lt, rt) = (elemType(left).get, elemType(right).get)
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
     var s = 0.0
     var i = 0
     while (i < n) { s += get(x, lt, i) * get(y, rt, i); i += 1 }
@@ -69,12 +76,16 @@ case class DotProductD(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val s = ctx.freshName("s")
       s"""
-        int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-        double $s = 0.0;
-        for (int $i = 0; $i < $n; $i++) {
-          $s += ${acc(a, elemType(left).get, i)} * ${acc(b, elemType(right).get, i)};
+        if ($a.numElements() != $b.numElements()) {
+          ${ev.isNull} = true;
+        } else {
+          int $n = $a.numElements();
+          double $s = 0.0;
+          for (int $i = 0; $i < $n; $i++) {
+            $s += ${acc(a, elemType(left).get, i)} * ${acc(b, elemType(right).get, i)};
+          }
+          ${ev.value} = $s;
         }
-        ${ev.value} = $s;
       """
     })
 

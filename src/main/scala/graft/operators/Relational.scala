@@ -316,13 +316,30 @@ object Relational {
         .orderBy(col("l_returnflag"))
     }),
 
-    // approx_count_distinct is HLL-based and engine-specific → no oracle.
-    Query("q12b_approx_distinct", None)((spark, dir) => {
+    // approx_count_distinct is HLL++-based and engine-specific, so its raw
+    // estimate has no cross-engine oracle; the checkable contract is the
+    // estimator's accuracy bound. The query emits the exact distinct count
+    // plus a boolean asserting the HLL estimate lands within 5× the
+    // configured 1-sigma rsd (0.05) — deterministic for a working sketch
+    // (HLL merge is associative/commutative, so the estimate is identical
+    // at any partitioning) — and the oracle expects the flag TRUE.
+    Query(
+      "q12b_approx_distinct",
+      Some("""
+        SELECT l_returnflag,
+               COUNT(DISTINCT l_partkey) AS n_part,
+               COUNT(*) AS n_rows,
+               TRUE AS approx_within_tol
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))((spark, dir) => {
       val t = Tables(spark, dir)
       t.lineitem.groupBy(col("l_returnflag"))
         .agg(
-          approx_count_distinct(col("l_partkey")).as("approx_part"),
-          count(lit(1)).as("n_rows"))
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n_rows"),
+          (abs(approx_count_distinct(col("l_partkey"), 0.05).cast("double") /
+            countDistinct(col("l_partkey")) - 1.0) <= 0.25).as("approx_within_tol"))
         .orderBy(col("l_returnflag"))
     }),
 

@@ -42,8 +42,16 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 /** Rewrite `aggregate(zip_with(a, b, (x,y) -> x*y), 0.0, (acc,v) -> acc+v)`
   * (and the self-product `aggregate(a, 0.0, (acc,x) -> acc + x*x)` norm
   * idiom) to [[DotProductD]]. Conservative: fires only on float/double
-  * arrays and exactly the multiply-accumulate shapes, where the fused loop
-  * is bit-identical to the interpreted fold.
+  * arrays and exactly the multiply-accumulate shapes where the fused loop
+  * is bit-identical to the interpreted fold:
+  *
+  *  - each multiply operand must be DOUBLE at the multiply — either the
+  *    lambda var is already double-typed or it is explicitly cast to
+  *    double. A bare FLOAT var multiplies in float precision in the HOF
+  *    form, which the fused loop (per-element double promotion) would not
+  *    replicate, so that shape is left alone;
+  *  - mismatched-length arrays return null on both paths ([[DotProductD]]
+  *    mirrors zip_with's null padding poisoning the aggregate).
   */
 object FuseDotProduct extends Rule[LogicalPlan] {
 
@@ -52,10 +60,13 @@ object FuseDotProduct extends Rule[LogicalPlan] {
     case _ => false
   }
 
-  /** x (possibly wrapped in a cast-to-double) resolves to lambda var `v`. */
+  /** e resolves to lambda var `v` AND is double-valued at the multiply:
+    * either the var itself is double-typed, or it is wrapped in an
+    * explicit cast to double.
+    */
   private def isVar(e: Expression, v: NamedLambdaVariable): Boolean = e match {
-    case nv: NamedLambdaVariable => nv.exprId == v.exprId
-    case Cast(inner, DoubleType, _, _) => isVar(inner, v)
+    case nv: NamedLambdaVariable => nv.exprId == v.exprId && nv.dataType == DoubleType
+    case Cast(nv: NamedLambdaVariable, DoubleType, _, _) => nv.exprId == v.exprId
     case _ => false
   }
 

@@ -18,14 +18,14 @@ class SimilaritySpec extends SparkSpec {
     assert(twoPhase == naive)
   }
 
-  test("LSH ANN: candidates are a subset of the corpus and recall is nontrivial") {
+  test("LSH ANN: recall@5 vs brute force is >= 0.8 at tuned defaults") {
     val brute = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
       .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
     val ann = Similarity.annLsh(embs, qs, "embedding", "vec_id", k = 5)
       .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
     val recall = if (brute.isEmpty) 1.0 else (ann intersect brute).size.toDouble / brute.size
     info(f"LSH recall@5 = $recall%.3f (${ann.size} returned)")
-    assert(recall >= 0.2, f"recall $recall%.3f too low")
+    assert(recall >= 0.8, f"recall $recall%.3f below the 0.8 gate")
   }
 
   test("IVF ANN: per-query results bounded by k, ranks contiguous, recall nontrivial") {
