@@ -61,6 +61,54 @@ final case class DbCatalog(spark: SparkSession, root: String) {
   def dropTable(db: String, table: String): Unit =
     fs.delete(tablePath(db, table), true)
 
+  // ------------------------------------------------------------------ views
+
+  /** Views (`/root/reference/README.md:4` — "managed, external tables and
+    * views" all replicate) are control-plane objects: a name + SQL text over
+    * the db's tables, stored one file per view under `_views/` (the `_`
+    * prefix hides the dir from table listings and Spark file indexes).
+    * Replication therefore moves definitions, never materialized rows —
+    * the same contract as Hive's view replication.
+    */
+  private def viewsPath(db: String) = new Path(dbPath(db), ViewsDir)
+  private def viewPath(db: String, name: String) = new Path(viewsPath(db), s"$name.sql")
+
+  def createView(db: String, name: String, sql: String): Unit = {
+    val out = fs.create(viewPath(db, name), true)
+    try out.write(sql.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  def dropView(db: String, name: String): Unit = fs.delete(viewPath(db, name), false)
+
+  def viewExists(db: String, name: String): Boolean = fs.exists(viewPath(db, name))
+
+  def listViews(db: String): Seq[String] =
+    if (!fs.exists(viewsPath(db))) Seq.empty
+    else fs.listStatus(viewsPath(db)).toSeq
+      .filter(_.isFile).map(_.getPath.getName)
+      .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql")).sorted
+
+  def viewSql(db: String, name: String): Option[String] =
+    if (!viewExists(db, name)) None
+    else {
+      val in = fs.open(viewPath(db, name))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    }
+
+  /** Evaluate a view: its SQL runs over the db's tables, which are
+    * registered as session temp views for resolution (single-level views —
+    * a view referencing another view is out of scope, as in the dump
+    * format).
+    */
+  def readView(db: String, name: String): DataFrame = {
+    val sql = viewSql(db, name).getOrElse(
+      throw new NoSuchElementException(s"view $db.$name"))
+    listTables(db).foreach(t => readTable(db, t).createOrReplaceTempView(t))
+    spark.sql(sql)
+  }
+
   // ------------------------------------------------------------ change log
 
   /** Ordered change log for a db; empty DataFrame with the right schema if
@@ -108,6 +156,9 @@ object DbCatalog {
     */
   val EventsTable = "graft_events"
 
+  /** Per-db directory of view definition files (`<name>.sql`). */
+  val ViewsDir = "_views"
+
   /** One change event. Engine DML semantics (documented divergence from
     * Hive ACID row-ids, which are not reproducible outside Hive): every DML
     * event carries a primary-key string; UPSERT inserts-or-replaces the row
@@ -123,6 +174,8 @@ object DbCatalog {
   val OpDelete = "DELETE"
   val OpCreateTable = "CREATE_TABLE"
   val OpDropTable = "DROP_TABLE"
+  val OpCreateView = "CREATE_VIEW" // row_json carries the view's SQL text
+  val OpDropView = "DROP_VIEW"
 
   val EventSchema: StructType = StructType(Seq(
     StructField("event_id", LongType, nullable = false),

@@ -57,6 +57,14 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
     Parallel.foreach(tables.filterNot(source.isExternal)) { t =>
       source.readTable(db, t).write.parquet(new Path(dir, s"tables/$t").toString)
     }
+    // View definitions snapshot alongside the tables (control-plane files:
+    // one SQL text per view — `/root/reference/README.md:4` replicates
+    // "managed, external tables and views").
+    source.listViews(db).foreach { v =>
+      val out = fs.create(new Path(dir, s"views/$v.sql"), true)
+      try out.write(source.viewSql(db, v).get.getBytes(StandardCharsets.UTF_8))
+      finally out.close()
+    }
     writeManifest(dir, DumpManifest(db, DumpKind.Bootstrap, -1L, toId, tables,
       source.dbPath(db).toString))
     DumpResult(dir.toString, toId)

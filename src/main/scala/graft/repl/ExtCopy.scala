@@ -2,7 +2,7 @@ package graft.repl
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.Path
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.util.SerializableConfiguration
 
@@ -14,17 +14,19 @@ import org.apache.spark.util.SerializableConfiguration
   * `INCLUDE_EXTERNAL_TABLES=true`).
   *
   * Semantics of `-update` (copy only if changed) are re-created by
-  * comparing (size, mtime) manifests of source and target; the copy itself
-  * runs as Spark tasks over the file list (`parallelize(files).map(copy)`),
-  * so parallelism is the cluster's task parallelism — the knob the
-  * reference sets to 128/500 is just `numSlices` here. File lists are
-  * DataFrames end-to-end: at 100 TB a directory can hold millions of
-  * files, and the diff is a join, not a driver loop; only the final copy
-  * list for THIS delta is materialized to tasks.
+  * comparing (size, mtime) manifests of source and target; the diff is a
+  * join and the copy runs as `foreachPartition` tasks over the diff
+  * DataFrame. File lists are DataFrames end-to-end: the driver only ever
+  * lists the FIRST directory level (each subtree is walked lazily inside an
+  * executor task), and the copy list is never collected — at millions of
+  * changed files nothing driver-side grows with the file count.
   */
 object ExtCopy {
 
-  /** Recursive file manifest of a directory as (rel_path, size, mtime). */
+  /** Recursive file manifest of a directory as (rel_path, size, mtime).
+    * Distributed: the driver lists one level to find subtrees, then each
+    * subtree streams through `fs.listFiles(_, recursive)` inside a task.
+    */
   def listFiles(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -33,17 +35,32 @@ object ExtCopy {
     // silently returns the ABSOLUTE uri when the base lacks a trailing
     // slash, which would make the copy write sources onto themselves.
     val prefix = base.toString + "/"
-    val out = Seq.newBuilder[(String, Long, Long)]
-    if (fs.exists(base)) {
-      val it = fs.listFiles(base, true)
-      while (it.hasNext) {
-        val f = it.next()
-        val full = f.getPath.toString
-        require(full.startsWith(prefix), s"$full outside $prefix")
-        out += ((full.substring(prefix.length), f.getLen, f.getModificationTime))
+    if (!fs.exists(base))
+      return Seq.empty[(String, Long, Long)].toDF("rel_path", "size", "mtime")
+    val top = fs.listStatus(base).toSeq
+    val topFiles = top.filter(_.isFile)
+      .map(f => (f.getPath.getName, f.getLen, f.getModificationTime))
+      .toDF("rel_path", "size", "mtime")
+    val subDirs = top.filter(_.isDirectory).map(_.getPath.toString)
+    if (subDirs.isEmpty) return topFiles
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val subFiles = spark.sparkContext
+      .parallelize(subDirs, math.min(subDirs.length, 64))
+      .flatMap { d =>
+        val p = new Path(d)
+        val it = p.getFileSystem(conf.value).listFiles(p, true)
+        new Iterator[(String, Long, Long)] { // stream, never buffer a subtree
+          override def hasNext: Boolean = it.hasNext
+          override def next(): (String, Long, Long) = {
+            val f = it.next()
+            val full = f.getPath.toString
+            require(full.startsWith(prefix), s"$full outside $prefix")
+            (full.substring(prefix.length), f.getLen, f.getModificationTime)
+          }
+        }
       }
-    }
-    out.result().toDF("rel_path", "size", "mtime")
+      .toDF("rel_path", "size", "mtime")
+    topFiles.unionByName(subFiles)
   }
 
   /** Files present in `src` but missing or different (size or newer mtime)
@@ -55,42 +72,50 @@ object ExtCopy {
         col("s.size") =!= col("d.size") || col("s.mtime") > col("d.mtime"))
       .select(col("s.rel_path").as("rel_path"))
 
-  /** Distributed copy of `files` (rel paths) from srcDir to dstDir.
+  /** Distributed copy of the `-update` delta from srcDir to dstDir.
     * Returns (copied, skipped) counts. Idempotent: re-running after a
-    * partial failure re-diffs and copies only what is still missing.
+    * partial failure re-diffs and copies only what is still missing. The
+    * delta stays distributed: repartitioned to `parallelism` copy tasks and
+    * executed with `foreachPartition` — the reference's 128-thread/500-task
+    * knobs collapse to this one task-parallelism setting.
     */
   def sync(spark: SparkSession, srcDir: String, dstDir: String,
            parallelism: Int = 32): (Long, Long) = {
     val src = listFiles(spark, srcDir)
-    val dst = listFiles(spark, dstDir)
-    val toCopy = diff(src, dst).collect().map(_.getString(0)) // delta only
     val total = src.count()
-    if (toCopy.nonEmpty) {
-      val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
-      val srcB = srcDir
-      val dstB = dstDir
-      spark.sparkContext
-        .parallelize(toCopy.toIndexedSeq, math.min(parallelism, toCopy.length))
-        .foreach { rel =>
+    val toCopy = diff(src, listFiles(spark, dstDir))
+      .repartition(math.max(1, parallelism))
+      .persist() // one listing feeds both the count and the copy job
+    try {
+      val n = toCopy.count()
+      if (n > 0) {
+        val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+        val srcB = srcDir
+        val dstB = dstDir
+        toCopy.foreachPartition { (rows: Iterator[Row]) =>
           val c: Configuration = conf.value
-          val from = new Path(srcB, rel)
-          val to = new Path(dstB, rel)
-          val sfs = from.getFileSystem(c)
-          val tfs = to.getFileSystem(c)
-          tfs.mkdirs(to.getParent)
-          val in = sfs.open(from)
-          try {
-            val out = tfs.create(to, true)
+          rows.foreach { row =>
+            val rel = row.getString(0)
+            val from = new Path(srcB, rel)
+            val to = new Path(dstB, rel)
+            val sfs = from.getFileSystem(c)
+            val tfs = to.getFileSystem(c)
+            tfs.mkdirs(to.getParent)
+            val in = sfs.open(from)
             try {
-              val buf = new Array[Byte](1 << 20)
-              var n = in.read(buf)
-              while (n >= 0) { if (n > 0) out.write(buf, 0, n); n = in.read(buf) }
-            } finally out.close()
-          } finally in.close()
-          // preserve mtime so the next -update diff sees them equal
-          tfs.setTimes(to, sfs.getFileStatus(from).getModificationTime, -1)
+              val out = tfs.create(to, true)
+              try {
+                val buf = new Array[Byte](1 << 20)
+                var k = in.read(buf)
+                while (k >= 0) { if (k > 0) out.write(buf, 0, k); k = in.read(buf) }
+              } finally out.close()
+            } finally in.close()
+            // preserve mtime so the next -update diff sees them equal
+            tfs.setTimes(to, sfs.getFileStatus(from).getModificationTime, -1)
+          }
         }
-    }
-    (toCopy.length.toLong, total - toCopy.length)
+      }
+      (n, total - n)
+    } finally toCopy.unpersist()
   }
 }

@@ -62,6 +62,14 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       else target.writeTable(m.db, t,
         spark.read.parquet(new Path(dumpPath, s"tables/$t").toString))
     }
+    // Recreate the snapshot's views (definitions, not rows).
+    val viewsDir = new Path(dumpPath, "views")
+    val fs = viewsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(viewsDir)) fs.listStatus(viewsDir).filter(_.isFile).foreach { st =>
+      val in = fs.open(st.getPath)
+      val sql = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+      target.createView(m.db, st.getPath.getName.stripSuffix(".sql"), sql)
+    }
   }
 
   /** External tables: distcp-style copy-if-changed straight from the source
@@ -96,6 +104,19 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       .collect().sortBy(_.getLong(0))
     val touched = events.select("table").distinct().collect().map(_.getString(0))
 
+    // View DDL replays by definition text — latest event per view wins
+    // (control-plane sized, like table DDL above).
+    events
+      .filter(col("op").isin(DbCatalog.OpCreateView, DbCatalog.OpDropView))
+      .select("event_id", "table", "op", "row_json")
+      .collect().sortBy(_.getLong(0))
+      .groupBy(_.getString(1)).foreach { case (v, evs) =>
+        evs.last.getString(2) match {
+          case DbCatalog.OpCreateView => target.createView(db, v, evs.last.getString(3))
+          case DbCatalog.OpDropView => target.dropView(db, v)
+        }
+      }
+
     Parallel.foreach(touched.toSeq) { t =>
       val tableDdl = ddl.filter(_.getString(1) == t)
       // Portion of the DML stream that survives the last DDL action.
@@ -113,7 +134,36 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       val dml = events.filter(col("table") === t &&
         col("op").isin(DbCatalog.OpUpsert, DbCatalog.OpDelete) &&
         col("event_id") > minDml)
-      if (!dml.isEmpty && target.tableExists(db, t)) mergeTable(db, t, dml)
+      if (!dml.isEmpty) {
+        recoverSwap(db, t)
+        // A missing table here is NOT skippable: with no CREATE_TABLE in the
+        // delta the DML has nowhere to land, and silently dropping it would
+        // let a crashed swap (or an out-of-order log) "succeed" and commit
+        // the watermark past lost events. recoverSwap above already restored
+        // any interrupted swap, so existence is now authoritative.
+        if (!target.tableExists(db, t))
+          throw new IllegalStateException(
+            s"delta carries DML for missing table $db.$t and no CREATE_TABLE " +
+            "event — refusing to skip (possible lost table)")
+        mergeTable(db, t, dml)
+      }
+    }
+  }
+
+  /** Repair a merge swap interrupted between its two renames: if the live
+    * dir was renamed to `_bak_<table>` but the staged dir never became live,
+    * restore the backup; if the crash hit after the new live landed, the
+    * leftover backup is cleared. Idempotent — safe on every retry entry.
+    */
+  private def recoverSwap(db: String, table: String): Unit = {
+    val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(target.dbPath(db), table)
+    val bak = new Path(target.dbPath(db), s"_bak_$table")
+    if (fs.exists(bak)) {
+      if (!fs.exists(live)) {
+        if (!fs.rename(bak, live))
+          throw new IllegalStateException(s"backup restore failed for $db.$table")
+      } else fs.delete(bak, true)
     }
   }
 
@@ -140,14 +190,24 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       .unionByName(upserts)
 
     // Parquet overwrite of the read path requires a materialization barrier:
-    // stage to a temp dir, then swap. On HDFS both steps are metadata renames.
+    // stage to a temp dir, then swap. The swap is crash-recoverable: live is
+    // renamed aside to `_bak_<table>` (atomic), the staged dir renamed in,
+    // then the backup dropped — at no point is the table unrecoverable, and
+    // [[recoverSwap]] repairs any window a crash can hit. On HDFS all steps
+    // are metadata renames.
     val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val livePath = new Path(target.dbPath(db), table)
     val tmpPath = new Path(target.dbPath(db), s"_tmp_$table")
+    val bakPath = new Path(target.dbPath(db), s"_bak_$table")
     merged.write.mode("overwrite").parquet(tmpPath.toString)
-    fs.delete(livePath, true)
-    if (!fs.rename(tmpPath, livePath))
+    fs.delete(bakPath, true) // stale leftover from an earlier completed swap
+    if (!fs.rename(livePath, bakPath))
+      throw new IllegalStateException(s"backup rename failed for $db.$table")
+    if (!fs.rename(tmpPath, livePath)) {
+      fs.rename(bakPath, livePath) // restore before failing
       throw new IllegalStateException(s"merge swap failed for $db.$table")
+    }
+    fs.delete(bakPath, true)
   }
 }
 

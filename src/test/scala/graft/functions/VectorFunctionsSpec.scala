@@ -28,15 +28,18 @@ class VectorFunctionsSpec extends SparkSpec {
     assert(df.count() == embs.count())
   }
 
-  test("null vector yields null, mismatched lengths use the shorter") {
+  test("null vector yields null; mismatched lengths yield null (zip_with parity)") {
     import spark.implicits._
     val df = Seq(
       (1L, Seq(1.0, 2.0), Seq(3.0, 4.0)),
       (2L, Seq(1.0, 2.0, 5.0), Seq(3.0, 4.0))
     ).toDF("id", "a", "b")
-    val out = df.select(col("id"), dotd(col("a"), col("b")).as("d"))
-      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
-    assert(out(1L) == 11.0 && out(2L) == 11.0)
+    val out = df.select(col("id"), dotd(col("a"), col("b")).as("d")).collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(out(1L).contains(11.0))
+    // Same result as the HOF form, where zip_with null-pads the shorter
+    // array and the aggregate goes null — not a silent partial sum.
+    assert(out(2L).isEmpty)
     val withNull = df.withColumn("c", when(col("id") === 1, col("a")))
       .select(dotd(col("c"), col("b")).as("d")).collect()
     assert(withNull.count(_.isNullAt(0)) == 1)

@@ -156,6 +156,58 @@ class ReplicationSpec extends SparkSpec {
     intercept[IllegalArgumentException](job.run("db7"))
   }
 
+  test("views replicate at bootstrap and through incremental replay") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db9")
+    source.createView("db9", "v_regions",
+      "SELECT r_name FROM region ORDER BY r_name")
+    job.run("db9") // bootstrap carries the definition
+    assert(target.listViews("db9") == Seq("v_regions"))
+    assert(
+      target.readView("db9", "v_regions").collect().map(_.getString(0)).toSeq ==
+      source.readView("db9", "v_regions").collect().map(_.getString(0)).toSeq)
+
+    // Incremental: create a second view and drop the first via the event log.
+    import DbCatalog._
+    val vSql = "SELECT count(*) AS n FROM nation"
+    source.createView("db9", "v_count", vSql)
+    source.appendEvents("db9", Seq(
+      Event("v_count", OpCreateView, null, vSql),
+      Event("v_regions", OpDropView, null, null)))
+    assert(job.run("db9").verify == "SUCCESS")
+    assert(target.listViews("db9") == Seq("v_count"))
+    assert(target.readView("db9", "v_count").head().getLong(0) == 25L)
+  }
+
+  test("crashed merge swap is restored from backup; lost table is a hard error") {
+    val (root, source, target, job) = freshWorld()
+    seedDb(source, "db8")
+    job.run("db8")
+    import DbCatalog._
+    source.appendEvents("db8", Seq(
+      Event("region", OpUpsert, "0", """{"r_regionkey":0,"r_name":"AFRICA-X"}""")))
+    // Simulate a crash between the swap's two renames: live was moved aside
+    // to _bak_ but the staged dir never landed.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(target.dbPath("db8"), "region")
+    val bak = new Path(target.dbPath("db8"), "_bak_region")
+    assert(fs.rename(live, bak))
+    assert(!target.tableExists("db8", "region"))
+    val r = job.run("db8")
+    assert(r.verify == "SUCCESS")
+    val region = target.readTable("db8", "region").collect()
+      .map(x => x.get(0).toString.toLong -> x.getString(1)).toMap
+    assert(region(0L) == "AFRICA-X")
+    assert(!fs.exists(bak))
+
+    // A genuinely lost table (no backup, no CREATE_TABLE in the delta) must
+    // refuse to replay rather than silently skip and commit the watermark.
+    source.appendEvents("db8", Seq(
+      Event("region", OpUpsert, "1", """{"r_regionkey":1,"r_name":"AMERICA-X"}""")))
+    target.dropTable("db8", "region")
+    intercept[IllegalStateException](job.run("db8"))
+  }
+
   test("retry converges after transient failures") {
     var calls = 0
     val attempts = Retry.retry(3, 1) {
