@@ -294,6 +294,31 @@ object Relational {
         .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
     }),
 
+    // ---------------------------------------------------------------- q52
+    // GROUPING SETS — the third grouping-analytics form beside rollup (q11)
+    // and cube (q41): an explicit, non-hierarchical list of grouping keys.
+    // Same single-pass Expand-based plan as rollup/cube — each input row
+    // fans out once per set, partial aggregation stays map-side.
+    Query(
+      "q52_grouping_sets",
+      Some(s"""
+        SELECT CAST(year(o_orderdate) AS INTEGER) AS yr, o_orderpriority,
+               COUNT(*) AS n_orders,
+               ${sqlSum("o_totalprice")} AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((CAST(year(o_orderdate) AS INTEGER)), (o_orderpriority), ())
+        ORDER BY yr NULLS FIRST, o_orderpriority NULLS FIRST"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.orders
+        .select(year(col("o_orderdate")).as("yr"), col("o_orderpriority"),
+          col("o_totalprice"))
+        .groupingSets(
+          Seq(Seq(col("yr")), Seq(col("o_orderpriority")), Seq.empty),
+          col("yr"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"), dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("yr").asc_nulls_first, col("o_orderpriority").asc_nulls_first)
+    }),
+
     // ---------------------------------------------------------------- q12
     // Distinct aggregation (exact). The HLL approximate variant is
     // q12b below (rows-only check: approx output is engine-specific).

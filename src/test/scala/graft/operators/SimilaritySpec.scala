@@ -44,4 +44,19 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@5 (nProbe=2/16 cells) = $recall%.3f")
     assert(recall >= 0.2, f"recall $recall%.3f too low")
   }
+
+  test("k-means centroids beat first-N centroids on IVF recall") {
+    val brute = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
+    def recallOf(cent: Option[org.apache.spark.sql.DataFrame]): Double = {
+      val got = Similarity.annIvf(embs, qs, "embedding", "vec_id", k = 5,
+          centroids = cent)
+        .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
+      if (brute.isEmpty) 1.0 else (got intersect brute).size.toDouble / brute.size
+    }
+    val km = Similarity.kmeansCentroids(embs, "embedding", "vec_id", k = 16, iters = 3)
+    val (rFirst, rKm) = (recallOf(None), recallOf(Some(km)))
+    info(f"IVF recall@5: first-16 = $rFirst%.3f, k-means = $rKm%.3f")
+    assert(rKm >= rFirst, f"k-means recall $rKm%.3f below first-N $rFirst%.3f")
+  }
 }
