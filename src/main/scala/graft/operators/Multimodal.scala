@@ -41,6 +41,46 @@ object Multimodal {
         (col("n_chars") % 1080 + 16).cast("int").as("height"),
         (col("n_chars") * 40).cast("long").as("duration_ms")).as("meta"))
 
+  /** Media table whose image rows carry REAL PNG payloads: pixel (x,y)
+    * channels are linear-congruent functions of (doc_id, x, y) mod 256,
+    * encoded with JDK `javax.imageio`. PNG is lossless, so a real decode
+    * recovers these exact pixels — which is what makes the q36 oracle
+    * possible without a decoder in DuckDB: the expected features are the
+    * same closed-form pixel math aggregated in SQL. Audio/video rows keep
+    * the opaque payload (the JDK has no codecs for them; md5 stub stands).
+    */
+  def mediaTableWithImages(docs: DataFrame): DataFrame = {
+    val png = udf((d: Long) => makePng(d, imgW(d), imgH(d)))
+    mediaTable(docs).withColumn("payload",
+      when(col("kind") === "image", png(col("media_id"))).otherwise(col("payload")))
+  }
+
+  /** Actual (decoded) image dims — deliberately independent of the metadata
+    * struct's claimed width/height, as in real corpora.
+    */
+  def imgW(d: Long): Int = (d % 24 + 8).toInt
+  def imgH(d: Long): Int = (d % 16 + 8).toInt
+
+  def makePng(d: Long, w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val r = ((x * 31 + y * 17 + d * 7) % 256).toInt
+        val g = ((x * 13 + y * 29 + d * 3) % 256).toInt
+        val b = ((x * 7 + y * 11 + d) % 256).toInt
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
   /** STUB decode: pseudo image features from the payload hash — stands in
     * for a real `decode(bytes) → (width, height, channels, hist…)`.
     */
@@ -89,6 +129,52 @@ object Multimodal {
     }.toDF()
   }
 
+  final case class ImageFeatures(media_id: Long, img_w: Int, img_h: Int,
+                                 mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL image decode through JDK `javax.imageio` (PNG/BMP/JPEG readers
+    * ship with the JDK — no new dependency): width/height + per-channel
+    * means. Channel sums accumulate in Long (exact), so the mean is one
+    * double division — bit-identical to the oracle's integer-avg.
+    */
+  final class ImageCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Double, Double, Double) = {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
+      require(img != null, "undecodable image payload")
+      val (w, h) = (img.getWidth, img.getHeight)
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val p = img.getRGB(x, y)
+          sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      val n = (w.toLong * h).toDouble
+      (w, h, sr / n, sg / n, sb / n)
+    }
+  }
+
+  /** Batch decode of image rows — the same once-per-partition codec shape
+    * as [[decodeViaMapPartitions]], but with the REAL [[ImageCodec]].
+    */
+  def decodeImages(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val codec = new ImageCodec // once per partition: codec init is the expensive part
+        it.map { m =>
+          val (w, h, r, g, b) = codec.decode(m.payload)
+          ImageFeatures(m.media_id, w, h, r, g, b)
+        }
+      }.toDF()
+  }
+
   /** Deterministic stand-in for a codec library (md5-seeded, matches the
     * SQL/Column path bit-for-bit).
     */
@@ -134,22 +220,57 @@ object Multimodal {
         .orderBy(col("kind"))
     }),
 
-    // Decode + feature extraction (stubbed decode, real pipeline shape).
+    // Decode + feature extraction. Image rows run a REAL javax.imageio PNG
+    // decode in the once-per-partition codec batch path; the oracle
+    // recomputes the expected pixel statistics from the same closed-form
+    // pixel function in SQL (PNG losslessness makes them equal). Audio /
+    // video rows stay on the md5 stub (no JDK codecs exist for them).
     Query(
       "q36_media_decode_features",
       Some("""
+        WITH img AS (
+          SELECT doc_id AS media_id,
+                 ((doc_id % 24) + 8)::INT AS w, ((doc_id % 16) + 8)::INT AS h
+          FROM documents WHERE doc_id % 3 = 0),
+        px AS (
+          SELECT media_id, w, h, x, unnest(range(0, h)) AS y
+          FROM (SELECT media_id, w, h, unnest(range(0, w)) AS x FROM img)),
+        means AS (
+          SELECT media_id, w, h,
+                 avg((x*31 + y*17 + media_id*7) % 256) AS mr,
+                 avg((x*13 + y*29 + media_id*3) % 256) AS mg,
+                 avg((x*7 + y*11 + media_id) % 256) AS mb
+          FROM px GROUP BY media_id, w, h)
+        SELECT media_id, 'image' AS kind, NULL::DOUBLE AS f0,
+               w AS img_w, h AS img_h,
+               round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+               round(mb, 6) AS mean_b
+        FROM means
+        UNION ALL
         SELECT doc_id AS media_id,
+               (['image', 'audio', 'video'])[(doc_id % 3 + 1)::INT] AS kind,
                round((('0x' || substr(md5(text), 1, 4))::BIGINT) / 65535.0, 6) AS f0,
-               round((('0x' || substr(md5(text), 5, 4))::BIGINT) / 65535.0, 6) AS f1,
-               round((('0x' || substr(md5(text), 9, 4))::BIGINT) / 65535.0, 6) AS f2
-        FROM documents ORDER BY media_id"""))((spark, dir) => {
-      val m = mediaTable(Tables(spark, dir).documents)
-      val f = fakeDecodeFeatures(col("payload"))
-      m.select(col("media_id"),
-        round(element_at(f, 1), 6).as("f0"),
-        round(element_at(f, 2), 6).as("f1"),
-        round(element_at(f, 3), 6).as("f2"))
-        .orderBy(col("media_id"))
+               NULL::INT AS img_w, NULL::INT AS img_h,
+               NULL::DOUBLE AS mean_r, NULL::DOUBLE AS mean_g,
+               NULL::DOUBLE AS mean_b
+        FROM documents WHERE doc_id % 3 <> 0
+        ORDER BY media_id"""))((spark, dir) => {
+      val m = mediaTableWithImages(Tables(spark, dir).documents)
+      val images = decodeImages(spark, m)
+        .select(col("media_id"), lit("image").as("kind"),
+          lit(null).cast("double").as("f0"),
+          col("img_w"), col("img_h"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+      val av = m.filter(col("kind") =!= "image")
+        .select(col("media_id"), col("kind"),
+          round(element_at(fakeDecodeFeatures(col("payload")), 1), 6).as("f0"),
+          lit(null).cast("int").as("img_w"), lit(null).cast("int").as("img_h"),
+          lit(null).cast("double").as("mean_r"),
+          lit(null).cast("double").as("mean_g"),
+          lit(null).cast("double").as("mean_b"))
+      images.unionByName(av).orderBy(col("media_id"))
     }),
 
     // Aspect-preserving resize metadata.

@@ -17,6 +17,35 @@ class MultimodalSpec extends SparkSpec {
     exprPath.foreach { case (id, f) => assert(f == batchPath(id), s"media $id") }
   }
 
+  test("PNG roundtrip: real ImageIO decode recovers the closed-form pixel stats") {
+    // Encode with makePng, decode with the real codec, compare against the
+    // pixel function computed directly — proves losslessness end to end.
+    val codec = new Multimodal.ImageCodec
+    for (d <- Seq(0L, 3L, 42L, 999L)) {
+      val (w, h) = (Multimodal.imgW(d), Multimodal.imgH(d))
+      val (dw, dh, mr, mg, mb) = codec.decode(Multimodal.makePng(d, w, h))
+      assert((dw, dh) == (w, h))
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      for (y <- 0 until h; x <- 0 until w) {
+        sr += (x * 31 + y * 17 + d * 7) % 256
+        sg += (x * 13 + y * 29 + d * 3) % 256
+        sb += (x * 7 + y * 11 + d) % 256
+      }
+      val n = (w * h).toDouble
+      assert(mr == sr / n && mg == sg / n && mb == sb / n, s"doc $d")
+    }
+  }
+
+  test("image rows of the media table decode through the batch codec path") {
+    val withImages = Multimodal.mediaTableWithImages(Tables(spark, sf("sf0.001")).documents)
+    val decoded = Multimodal.decodeImages(spark, withImages)
+    val nImages = withImages.filter(col("kind") === "image").count()
+    assert(decoded.count() == nImages && nImages > 0)
+    val r = decoded.orderBy("media_id").head()
+    assert(r.getInt(1) == Multimodal.imgW(r.getLong(0)))
+    assert(r.getInt(2) == Multimodal.imgH(r.getLong(0)))
+  }
+
   test("metadata-only query prunes the binary payload from the parquet scan") {
     // Write media as parquet, then check the scan schema of a metadata query.
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString
