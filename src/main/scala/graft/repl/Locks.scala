@@ -17,6 +17,11 @@ import org.apache.hadoop.fs.{FileSystem, Path}
 object Locks {
 
   final case class Lock(fs: FileSystem, path: Path, ownerId: String) {
+    /** Delete only a marker we still own; a marker stolen after staleness
+      * is left alone. The read-then-delete pair is still a (tiny) race —
+      * acceptable for an ADVISORY lock: the worst case is deleting a marker
+      * stolen in the last few ms, which the thief's own release tolerates.
+      */
     def release(): Unit =
       if (fs.exists(path) && readOwner(fs, path) == ownerId) fs.delete(path, false)
   }
@@ -48,8 +53,28 @@ object Locks {
       val st = try Some(fs.getFileStatus(path)) catch { case _: java.io.IOException => None }
       val stale = st.exists(s => System.currentTimeMillis() - s.getModificationTime > staleMs)
       if (stale) {
-        fs.delete(path, false)
-        if (create()) Some(Lock(fs, path, ownerId)) else None
+        // Atomic takeover: rename the stale marker ASIDE (to a per-contender
+        // name) rather than delete-then-create — rename succeeds for at most
+        // one contender, so two racers can never both clear the way and both
+        // create. After the rename, verify the captured marker is the SAME
+        // one judged stale (mtime is preserved by rename); if the holder
+        // replaced it in between, put it back and lose.
+        val aside = new Path(path.getParent, s"_stale_${path.getName}_$ownerId")
+        val renamed = try fs.rename(path, aside)
+          catch { case _: java.io.IOException => false }
+        if (!renamed) None
+        else {
+          val mt = try Some(fs.getFileStatus(aside).getModificationTime)
+            catch { case _: java.io.IOException => None }
+          if (!mt.contains(st.get.getModificationTime)) {
+            try { fs.rename(aside, path); () }
+            catch { case _: java.io.IOException => () }
+            None
+          } else {
+            fs.delete(aside, false)
+            if (create()) Some(Lock(fs, path, ownerId)) else None
+          }
+        }
       } else None
     }
   }
