@@ -2,11 +2,11 @@ package graft.functions
 
 import org.apache.spark.sql.{Column, GraftInterop}
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, LongType}
 
 /** Native vector expressions for the similarity/dedup hot path.
   *
@@ -93,6 +93,109 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** All hyperplane-LSH bucket ids of a vector in ONE pass.
+  *
+  * `annLsh` needs `tables × planes` signed dot products per vector; as
+  * composable columns that is (24 × 4 =) 96 separate expressions, each
+  * re-reading the array with its own loop. This expression copies the
+  * vector once and walks a flat weight matrix in a single fused loop nest —
+  * the same sequential multiply-add order per plane as [[DotProductD]], so
+  * the sign bits (and therefore every bucket id) are bit-identical to the
+  * composed form and to the generated DuckDB oracle
+  * ([[graft.operators.Similarity.q34OracleSql]]).
+  *
+  * A vector whose length differs from the planes' dimension yields null
+  * (the composed form would degenerate to bucket 0 via null-padded
+  * zip_with; embeddings are fixed-dim so neither path is ever taken).
+  */
+case class HyperplaneBuckets(child: Expression, flatPlanes: Seq[Double],
+                             tables: Int, planes: Int)
+    extends UnaryExpression {
+
+  private val dim = flatPlanes.length / (tables * planes)
+
+  override def nullable: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType | FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName needs array<float|double>, got $t")
+  }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "graft_hyperplane_buckets"
+
+  @transient private lazy val w: Array[Double] = flatPlanes.toArray
+
+  private def elemIsDouble: Boolean =
+    child.dataType.asInstanceOf[ArrayType].elementType == DoubleType
+
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    if (arr.numElements() != dim) return null
+    val v = new Array[Double](dim)
+    var i = 0
+    while (i < dim) {
+      v(i) = if (elemIsDouble) arr.getDouble(i) else arr.getFloat(i).toDouble
+      i += 1
+    }
+    val out = new Array[Long](tables)
+    var t = 0
+    while (t < tables) {
+      var b = 0L
+      var p = 0
+      while (p < planes) {
+        var s = 0.0
+        val off = (t * planes + p) * dim
+        var d = 0
+        while (d < dim) { s += v(d) * w(off + d); d += 1 }
+        if (s >= 0) b |= (1L << p)
+        p += 1
+      }
+      out(t) = b
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val wRef = ctx.addReferenceObj("hyperplanes", w, "double[]")
+    nullSafeCodeGen(ctx, ev, a => {
+      val v = ctx.freshName("v")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val b = ctx.freshName("b")
+      val off = ctx.freshName("off")
+      val get = if (elemIsDouble) s"$a.getDouble($d)" else s"((double) $a.getFloat($d))"
+      s"""
+        if ($a.numElements() != $dim) {
+          ${ev.isNull} = true;
+        } else {
+          double[] $v = new double[$dim];
+          for (int $d = 0; $d < $dim; $d++) { $v[$d] = $get; }
+          long[] $out = new long[$tables];
+          for (int $t = 0; $t < $tables; $t++) {
+            long $b = 0L;
+            for (int $p = 0; $p < $planes; $p++) {
+              double $s = 0.0;
+              int $off = (($t * $planes) + $p) * $dim;
+              for (int $d = 0; $d < $dim; $d++) { $s += $v[$d] * $wRef[$off + $d]; }
+              if ($s >= 0.0) { $b |= (1L << $p); }
+            }
+            $out[$t] = $b;
+          }
+          ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+        }
+      """
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): HyperplaneBuckets =
+    copy(child = newChild)
+}
+
 object VectorFunctions {
 
   /** Codegen'd dot product of two array<float|double> columns. */
@@ -115,4 +218,11 @@ object VectorFunctions {
     */
   def cosineFast(a: Column, b: Column): Column =
     dotd(a, b) / (norm2(a) * norm2(b))
+
+  /** All `hp` LSH bucket ids of `v` as one array<long> (fused loop). */
+  def hyperplaneBuckets(v: Column, hp: Seq[Seq[Seq[Double]]]): Column = {
+    val (tables, planes) = (hp.length, hp.head.length)
+    GraftInterop.column(HyperplaneBuckets(
+      GraftInterop.expression(v), hp.flatten.flatten, tables, planes))
+  }
 }
