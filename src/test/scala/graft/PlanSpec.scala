@@ -97,6 +97,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_max") || p.contains("partial max"), p.take(1500))
   }
 
+  test("q52: grouping sets is one Expand pass with partial+final aggregation") {
+    val plan = executed(q("q52_grouping_sets"))
+    val p = plan.toString
+    assert(p.contains("Expand"), p.take(1500))
+    assert(p.contains("partial_"), "map-side partial aggregation missing")
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    // one shuffle for the grouping hash + one for the final orderBy
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles")
+  }
+
+  test("q34: bucket assignment is the fused expression and the query side broadcasts") {
+    val df = q("q34_ann_lsh")
+    // logical plan carries ONE fused bucket expression per side, not
+    // tables x planes separate dot-product columns
+    val analyzed = df.queryExecution.analyzed.toString
+    assert(analyzed.contains("graft_hyperplane_buckets"), analyzed.take(1500))
+    val p = executed(df).toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
