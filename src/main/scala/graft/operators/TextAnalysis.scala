@@ -167,6 +167,45 @@ object TextAnalysis {
         FROM m"""
   }
 
+  /** Gopher-style repetition signals: the share of a document's word
+    * bigrams taken by its single most frequent bigram, and the fraction of
+    * trigrams that are duplicates. Boilerplate, crawler loops and template
+    * spam light both up; clean prose stays low. Like the other text ops
+    * this is a pure per-row column pipeline — zero shuffle, and the
+    * per-row cost is O(distinct-bigrams × bigrams) on ~60-token docs.
+    */
+  def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val bi = col("_bi")
+    val tri = col("_tri")
+    docs.withColumn("_toks", tokens(col(textCol)))
+      .withColumn("_bi", shingles(col("_toks"), 2))
+      .withColumn("_tri", shingles(col("_toks"), 3))
+      .select(
+        col(idCol).as("doc"),
+        round(when(size(bi) > 0,
+          array_max(transform(array_distinct(bi), g =>
+            size(filter(bi, x => x === g)))) * lit(1.0) / size(bi))
+          .otherwise(0.0), 6).as("top_bigram_frac"),
+        round(when(size(tri) > 0,
+          (size(tri) - size(array_distinct(tri))) * lit(1.0) / size(tri))
+          .otherwise(0.0), 6).as("dup_trigram_frac"))
+  }
+
+  def repetitionOracleSql(table: String, textCol: String, idCol: String): String = {
+    val bi = sqlShingles(sqlTokens(textCol), 2)
+    val tri = sqlShingles(sqlTokens(textCol), 3)
+    s"""WITH g AS (SELECT $idCol AS doc, $bi AS bi, $tri AS tri FROM $table)
+        SELECT doc,
+          round(CASE WHEN len(bi) > 0 THEN
+              list_max(list_transform(list_distinct(bi),
+                g -> len(list_filter(bi, x -> x = g)))) * 1.0 / len(bi)
+            ELSE 0.0 END, 6) AS top_bigram_frac,
+          round(CASE WHEN len(tri) > 0 THEN
+              (len(tri) - len(list_distinct(tri))) * 1.0 / len(tri)
+            ELSE 0.0 END, 6) AS dup_trigram_frac
+        FROM g"""
+  }
+
   // ------------------------------------------------------------ query corpus
 
   val queries: Seq[Query] = Seq(
@@ -192,6 +231,12 @@ object TextAnalysis {
       "q32_text_fingerprint",
       Some(fingerprintsOracleSql("documents", "text", "doc_id") + " ORDER BY doc"))(
       (spark, dir) =>
-        fingerprints(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc"))
+        fingerprints(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc")),
+
+    Query(
+      "q54_text_repetition",
+      Some(repetitionOracleSql("documents", "text", "doc_id") + " ORDER BY doc"))(
+      (spark, dir) =>
+        repetitionSignals(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc"))
   )
 }

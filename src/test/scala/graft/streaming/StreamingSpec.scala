@@ -30,9 +30,12 @@ class StreamingSpec extends SparkSpec {
     assert(names(0L) == "STREAMED")
     assert(!names.contains(4L))
 
-    // Second batch of events, new one-shot run resumes from the checkpoint.
+    // Second batch of events (incl. a view DDL), new one-shot run resumes
+    // from the checkpoint.
     source.appendEvents("sdb", Seq(
-      Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-2"}""")))
+      Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-2"}"""),
+      Event("v_names", OpCreateView, null,
+        "SELECT r_name FROM region ORDER BY r_name")))
     val q2 = StreamingReplication.replicateStream(
       spark, source, target, "sdb", s"$root/ckpt", oneShot = true)
     q2.awaitTermination(60000)
@@ -40,6 +43,10 @@ class StreamingSpec extends SparkSpec {
       .map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
     assert(names2(2L) == "ASIA-2")
     assert(names2(0L) == "STREAMED") // earlier delta not reapplied/undone
+    // view DDL replicated through the same micro-batch path
+    assert(target.listViews("sdb") == Seq("v_names"))
+    assert(target.readView("sdb", "v_names").collect().map(_.getString(0))
+      .contains("STREAMED"))
   }
 
   test("streaming hourly aggregate over a file stream matches the batch result") {
