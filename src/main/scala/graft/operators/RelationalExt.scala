@@ -111,6 +111,37 @@ object RelationalExt {
         .orderBy(col("event_type"))
     }),
 
+    // ---------------------------------------------------------------- q55
+    // Approximate percentiles (Greenwald-Khanna sketch) with a
+    // rank-tolerance property oracle, the q12b pattern for estimators: the
+    // sketch value must land between the EXACT interpolated percentiles at
+    // rank ± 0.02 (accuracy 10000 bounds rank error at 1e-4, so the flag
+    // has ~200x margin at any partitioning); exact columns + TRUE flags
+    // are what the oracle reproduces.
+    Query(
+      "q55_approx_percentile",
+      Some("""
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 6) AS p50_exact,
+               round(quantile_cont(value, 0.9), 6) AS p90_exact,
+               TRUE AS p50_ok, TRUE AS p90_ok
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.events.groupBy(col("event_type"))
+        .agg(
+          round(percentile(col("value"), lit(0.5)), 6).as("p50_exact"),
+          round(percentile(col("value"), lit(0.9)), 6).as("p90_exact"),
+          percentile_approx(col("value"), lit(0.5), lit(10000))
+            .between(percentile(col("value"), lit(0.48)),
+              percentile(col("value"), lit(0.52))).as("p50_ok"),
+          percentile_approx(col("value"), lit(0.9), lit(10000))
+            .between(percentile(col("value"), lit(0.88)),
+              percentile(col("value"), lit(0.92))).as("p90_ok"))
+        .orderBy(col("event_type"))
+    }),
+
     // ---------------------------------------------------------------- q43
     // Lateral posexplode: token position table for a doc slice.
     Query(

@@ -76,7 +76,12 @@ object Similarity {
     import graft.functions.VectorFunctions._
     val spark = corpus.sparkSession
     import spark.implicits._
+    // Persist the projected (id, vector) frame for the duration of the loop
+    // — each Lloyd round re-reads it, and MEMORY_AND_DISK keeps the pattern
+    // valid when the projection outgrows executor memory (same policy as
+    // Spark MLlib's own KMeans).
     val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var cent: Map[Long, Seq[Double]] = vecs.filter(col("vec_id") < k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()))
@@ -102,6 +107,7 @@ object Similarity {
         .map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
       cent = cent.map { case (cid, old) => cid -> updated.getOrElse(cid, old) }
     }
+    vecs.unpersist()
     cent.toSeq.sortBy(_._1).toDF("cid", "cv")
   }
 
