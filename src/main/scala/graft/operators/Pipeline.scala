@@ -157,6 +157,53 @@ object Pipeline {
       connectedComponents(pairs)
         .select(col("doc"), col("label").as("cluster_id"))
         .orderBy(col("doc"))
+    }),
+
+    // The END PRODUCT of the dedup family: the deduped corpus itself. Every
+    // near-dup cluster keeps only its representative (min doc id = the
+    // component label); all other docs pass through. The drop list is tiny
+    // (cluster members minus representatives), so the anti-join broadcasts
+    // — the corpus is scanned once and never shuffles.
+    Query(
+      "q56_corpus_dedup",
+      Some(s"""
+        WITH RECURSIVE sh0 AS (SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                 ${sqlShingles(sqlTokens("text"), 3)}, s -> ${sqlH48("s")}))) AS sh
+             FROM documents),
+        ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20),
+        shf AS (SELECT doc, sh0.sh FROM sh0 JOIN ok USING (sh)),
+        sz AS (SELECT doc, COUNT(*) AS sz FROM shf GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+                  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+                  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        removed AS (
+          SELECT doc FROM (
+            SELECT doc, least(doc, min(dst)) AS cluster_id
+            FROM (SELECT src AS doc, dst FROM reach) GROUP BY doc)
+          WHERE cluster_id < doc)
+        SELECT d.doc_id, d.n_chars
+        FROM documents d LEFT JOIN removed r ON r.doc = d.doc_id
+        WHERE r.doc IS NULL
+        ORDER BY d.doc_id"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairs = Dedup.ngramJaccardPairs(t.documents, "text", "doc_id", 3, 0.5)
+      val drop = connectedComponents(pairs)
+        .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
+      t.documents.join(broadcast(drop),
+          col("doc_id") === col("drop_doc"), "left_anti")
+        .select(col("doc_id"), col("n_chars"))
+        .orderBy(col("doc_id"))
     })
   )
 }
