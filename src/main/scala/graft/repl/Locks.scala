@@ -24,6 +24,15 @@ object Locks {
       */
     def release(): Unit =
       if (fs.exists(path) && readOwner(fs, path) == ownerId) fs.delete(path, false)
+
+    /** Heartbeat: touch the marker's mtime so a long-running holder is not
+      * judged stale and stolen mid-run. Callers refresh between phases
+      * (`staleMs` then only needs to exceed the longest single phase, not
+      * the whole run).
+      */
+    def refresh(): Unit =
+      if (fs.exists(path) && readOwner(fs, path) == ownerId)
+        fs.setTimes(path, System.currentTimeMillis(), -1)
   }
 
   private def readOwner(fs: FileSystem, p: Path): String = {

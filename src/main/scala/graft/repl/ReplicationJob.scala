@@ -53,6 +53,7 @@ final case class ReplicationJob(
         case None     => dumper.bootstrap(db)
         case Some(id) => dumper.incremental(db, id)
       }
+      lock.refresh() // heartbeat between the dump and load phases
       val (manifest, attempts) = loader.replay(dump.path, meta)
       val postId = meta.watermark(db)
       val verify = VerifyResult.of(postId, dump.txnId, priorId)

@@ -117,6 +117,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
+  test("q54: repetition signals are a shuffle-free scan (plus the oracle sort)") {
+    val plan = executed(q("q54_text_repetition"))
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    // only the final orderBy's range exchange — no groupBy/join anywhere
+    assert(shuffles.size <= 1, s"${shuffles.size} shuffles")
+  }
+
+  test("q56: deduped corpus drops members via a broadcast anti-join") {
+    val p = planString("q56_corpus_dedup")
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

@@ -179,6 +179,29 @@ class ReplicationSpec extends SparkSpec {
     assert(target.readView("db9", "v_count").head().getLong(0) == 25L)
   }
 
+  test("view edge cases: redefinition wins, bootstrap overwrites, drop of absent is a no-op") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db10")
+    source.createView("db10", "v", "SELECT r_name FROM region")
+    job.run("db10")
+    import DbCatalog._
+    // Redefine + drop-absent in one delta: latest definition wins, the
+    // absent-view drop changes nothing.
+    source.appendEvents("db10", Seq(
+      Event("v", OpCreateView, null, "SELECT count(*) AS n FROM region"),
+      Event("ghost", OpDropView, null, null)))
+    assert(job.run("db10").verify == "SUCCESS")
+    assert(target.listViews("db10") == Seq("v"))
+    assert(target.readView("db10", "v").head().getLong(0) == 5L)
+    // A fresh bootstrap to a second target overwrites with current defs.
+    val root2 = tmpRoot()
+    val target2 = DbCatalog(spark, s"$root2/tgt2")
+    val cfg2 = ReplConfig(dumpRoot = s"$root2/dumps", rerunSleepMs = 10)
+    val job2 = ReplicationJob(spark, source, target2, s"$root2/dumps", cfg2)
+    assert(job2.run("db10").verify == "SUCCESS")
+    assert(target2.viewSql("db10", "v").contains("SELECT r_name FROM region"))
+  }
+
   test("crashed merge swap is restored from backup; lost table is a hard error") {
     val (root, source, target, job) = freshWorld()
     seedDb(source, "db8")
