@@ -198,6 +198,36 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Deterministic random-projection matrix (same LCG family as
+    * [[hyperplanes]], different seed), rows in [-1, 1).
+    */
+  private[operators] def projectionMatrix(k: Int, dim: Int): Seq[Seq[Double]] = {
+    var s = 0x9E3779B97F4A7C15L
+    def next(): Double = {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      ((s >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0
+    }
+    Seq.fill(k)(Seq.fill(dim)(next()))
+  }
+
+  /** Johnson-Lindenstrauss random projection: compress `dim`-D embeddings to
+    * `k`-D with a deterministic matrix, scaled 1/sqrt(k). With k=16 the
+    * scale is exactly 0.25 (representable), so every projected value is
+    * bit-reproducible in SQL from the embedded literal rows. Pure per-row
+    * map over codegen'd [[graft.functions.DotProductD]] expressions — no
+    * shuffle; at 100 TB this is the cheap pre-step that shrinks ANN index
+    * storage 4x.
+    */
+  def randomProjection(df: DataFrame, vecCol: String, idCol: String,
+                       k: Int = 16, dim: Int = 64): DataFrame = {
+    require(k == 16, "scale 1/sqrt(k) must stay exactly representable")
+    import graft.functions.VectorFunctions._
+    val m = projectionMatrix(k, dim)
+    df.select(col(idCol).as("vec_id") +: m.zipWithIndex.map { case (row, i) =>
+      (dotd(col(vecCol), typedlit(row)) * 0.25).as(s"p$i")
+    }: _*)
+  }
+
   /** DuckDB oracle for q34. The LCG hyperplanes are deterministic literals,
     * so the whole LSH pipeline — per-table sign-bit bucket assignment,
     * multi-table candidate union, cosine rank — is exactly reproducible in
@@ -347,6 +377,29 @@ object Similarity {
         .groupBy(col("t.query_id").as("query_id"))
         .agg((count(col("a.vec_id")) >= 2).as("recall_ok"))
         .orderBy(col("query_id"))
+    }),
+
+    // Random projection with a full exact oracle: the LCG matrix rows are
+    // embedded as SQL literals (q34's pattern), and the 1/sqrt(16) = 0.25
+    // scale is exactly representable, so every projected coordinate
+    // hash-matches. First 4 of the 16 components are emitted.
+    Query(
+      "q57_random_projection", {
+        val m = projectionMatrix(16, 64)
+        def arr(p: Seq[Double]): String = p.mkString("[", ", ", "]")
+        Some(s"""
+          SELECT vec_id,
+                 ${(0 until 4).map(i =>
+                   s"round(list_inner_product(embedding::DOUBLE[], ${arr(m(i))}) * 0.25, 6) AS p$i")
+                   .mkString(",\n")}
+          FROM embeddings WHERE vec_id % 50 = 0
+          ORDER BY vec_id""")
+      })((spark, dir) => {
+      val t = Tables(spark, dir)
+      randomProjection(t.embeddings.filter(col("vec_id") % 50 === 0),
+          "embedding", "vec_id")
+        .select(col("vec_id") +: (0 until 4).map(i => round(col(s"p$i"), 6).as(s"p$i")): _*)
+        .orderBy(col("vec_id"))
     })
   )
 }
