@@ -18,7 +18,8 @@ object SparkEntry {
     graft.operators.TextAnalysis.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++
-    graft.operators.Pipeline.queries
+    graft.operators.Pipeline.queries ++
+    graft.operators.RangeJoin.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -129,6 +129,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p.take(2000))
   }
 
+  test("q58: binned range join plans as a hash join, never nested-loop") {
+    val p = planString("q58_range_join_binned")
+    assert(!p.contains("BroadcastNestedLoopJoin"),
+      "raw BETWEEN condition leaked into a nested-loop join")
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
