@@ -229,6 +229,67 @@ object RelationalExt {
           count_if(col("c_acctbal") > 5000).as("n_rich"),
           count(lit(1)).as("n"))
         .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---------------------------------------------------------------- q59
+    // Salted two-stage aggregation (util.Skew): the manual mitigation for a
+    // hot GROUP BY key drowning one reducer — partial on (key, salt), final
+    // merge on key. l_returnflag has 3 values over the whole fact table:
+    // exactly the shape that needs it at 100 TB. Algebraic aggregates +
+    // decimal routing make the two-stage result EQUAL the direct group-by,
+    // which is what the oracle (a plain GROUP BY) proves.
+    Query(
+      "q59_salted_agg",
+      Some(s"""
+        SELECT l_returnflag,
+               ${sqlSum("l_quantity")} AS sum_qty,
+               COUNT(*) AS n
+        FROM lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.util.Skew.saltedAggregate(
+          t.lineitem, Seq("l_returnflag"), col("l_orderkey"), n = 32,
+          partial = Seq(sum(col("l_quantity").cast(dec)).as("sq"),
+            count(lit(1)).as("c")),
+          merge = Seq(round(sum(col("sq")).cast("double"), 4).as("sum_qty"),
+            sum(col("c")).as("n")))
+        .orderBy(col("l_returnflag"))
+    }),
+
+    // ---------------------------------------------------------------- q60
+    // Typed UDAF top-k (functions.TopKAggregator): bounded k-sorted buffer
+    // with partial aggregation — per-key top-k WITHOUT the per-key window
+    // sort of q7 (whose partitionBy sort is the thing that dies on a hot
+    // key at scale). Oracle is the ROW_NUMBER form; deterministic
+    // tie-break (price DESC, orderkey ASC) on both sides.
+    Query(
+      "q60_topk_aggregator",
+      Some("""
+        SELECT o_orderpriority, rank, o_orderkey, price FROM (
+          SELECT o_orderpriority,
+                 ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rank,
+                 o_orderkey, o_totalprice AS price
+          FROM orders)
+        WHERE rank <= 3
+        ORDER BY o_orderpriority, rank"""))((spark, dir) => {
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.orders
+        .select(col("o_orderpriority"), col("o_totalprice").cast("double"),
+          col("o_orderkey").cast("long"))
+        .as[(String, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(r => (r._2, r._3))
+        .agg(new graft.functions.TopKAggregator(3).toColumn.name("tops"))
+        .flatMap { case (prio, tops) =>
+          tops.zipWithIndex.map { case ((price, key), i) =>
+            (prio, i + 1, key, price)
+          }
+        }
+        .toDF("o_orderpriority", "rank", "o_orderkey", "price")
+        .orderBy(col("o_orderpriority"), col("rank"))
     })
   )
 }
