@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
 object Similarity {
 
   /** Deterministic pseudo-random hyperplanes (LCG), values in [-1, 1). */
-  private[operators] def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
+  private[graft] def hyperplanes(tables: Int, planes: Int, dim: Int): Seq[Seq[Seq[Double]]] = {
     var s = 0x2545F4914F6CDD1DL
     def next(): Double = {
       s = s * 6364136223846793005L + 1442695040888963407L

@@ -1,6 +1,6 @@
 package graft.plans
 
-import graft.functions.{DotProductD, HashedShingles, SimHash48}
+import graft.functions.{DotProductD, HashedShingles, HyperplaneBuckets, MinHashSigArr, SimHash48}
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions._
@@ -9,9 +9,17 @@ import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
 
 /** Engine extensions, installed with
-  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`:
+  * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")` — the
+  * SQL surface a Hive-SQL user gets after switching to this library:
   *
-  *  - SQL function `graft_dot(array, array)` → [[DotProductD]];
+  *  - `graft_dot(array, array)` → [[DotProductD]];
+  *  - `graft_cosine(array, array)` → fused cosine similarity;
+  *  - `graft_simhash48(text)` / `graft_hashed_shingles(text, n)` → the
+  *    text-sketch expressions;
+  *  - `graft_minhash_sig(hashes)` → the standard 64-slot MinHash signature
+  *    (same coefficient family the dedup operators use);
+  *  - `graft_hyperplane_buckets(vec, tables, planes, dim)` → all LSH
+  *    bucket ids of a vector in one fused pass;
   *  - optimizer rule [[FuseDotProduct]] that rewrites the declarative
   *    higher-order-function dot-product idiom
   *    `aggregate(zip_with(a, b, (x, y) -> x * y), 0D, (acc, v) -> acc + v)`
@@ -22,10 +30,19 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, FloatType}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def intArg(e: Expression): Int = e.eval().asInstanceOf[Number].intValue()
     ext.injectFunction((
       new FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProductD].getName, "graft_dot"),
       (children: Seq[Expression]) => DotProductD(children.head, children(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_cosine"),
+      new ExpressionInfo(classOf[DotProductD].getName, "graft_cosine"),
+      (children: Seq[Expression]) => {
+        val (a, b) = (children.head, children(1))
+        Divide(DotProductD(a, b),
+          Multiply(Sqrt(DotProductD(a, a)), Sqrt(DotProductD(b, b))))
+      }))
     ext.injectFunction((
       new FunctionIdentifier("graft_simhash48"),
       new ExpressionInfo(classOf[SimHash48].getName, "graft_simhash48"),
@@ -34,7 +51,20 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("graft_hashed_shingles"),
       new ExpressionInfo(classOf[HashedShingles].getName, "graft_hashed_shingles"),
       (children: Seq[Expression]) => HashedShingles(children.head,
-        children(1).eval().asInstanceOf[Int])))
+        intArg(children(1)))))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSigArr].getName, "graft_minhash_sig"),
+      (children: Seq[Expression]) => MinHashSigArr(children.head,
+        graft.operators.Dedup.minhashCoeffs, graft.operators.Dedup.MersenneP)))
+    ext.injectFunction((
+      new FunctionIdentifier("graft_hyperplane_buckets"),
+      new ExpressionInfo(classOf[HyperplaneBuckets].getName, "graft_hyperplane_buckets"),
+      (children: Seq[Expression]) => {
+        val (t, p, d) = (intArg(children(1)), intArg(children(2)), intArg(children(3)))
+        HyperplaneBuckets(children.head,
+          graft.operators.Similarity.hyperplanes(t, p, d).flatten.flatten, t, p)
+      }))
     ext.injectOptimizerRule(_ => FuseDotProduct)
   }
 }

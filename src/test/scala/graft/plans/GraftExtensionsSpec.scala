@@ -24,6 +24,28 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(r.length == 3 && r.forall(x => x.getLong(1) > 0 && x.getInt(2) > 0))
   }
 
+  test("graft_cosine, graft_minhash_sig and graft_hyperplane_buckets are SQL-callable") {
+    embs.createOrReplaceTempView("emb_ext2")
+    val cos = spark.sql(
+      "SELECT graft_cosine(embedding, embedding) AS c FROM emb_ext2 LIMIT 3").collect()
+    cos.foreach(r => assert(math.abs(r.getDouble(0) - 1.0) < 1e-12))
+    // SQL bucket ids must equal the operator path's fused expression output
+    val sqlBuckets = spark.sql(
+      """SELECT vec_id, graft_hyperplane_buckets(embedding, 24, 4, 64) AS b
+         FROM emb_ext2 ORDER BY vec_id LIMIT 5""").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val opBuckets = embs.orderBy("vec_id").limit(5)
+      .select(col("vec_id"), graft.functions.VectorFunctions.hyperplaneBuckets(
+        col("embedding"), graft.operators.Similarity.hyperplanes(24, 4, 64)).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(sqlBuckets == opBuckets)
+    Tables(spark, sf("sf0.001")).documents.createOrReplaceTempView("docs_ext2")
+    val sig = spark.sql("""
+      SELECT size(graft_minhash_sig(graft_hashed_shingles(text, 3))) AS k
+      FROM docs_ext2 WHERE length(text) > 50 LIMIT 3""").collect()
+    sig.foreach(r => assert(r.getInt(0) == 64))
+  }
+
   test("optimizer fuses the HOF dot-product idiom into graft_dot") {
     // written in the composable HOF form...
     val hof = embs.select(col("vec_id"),
