@@ -9,14 +9,16 @@ import org.apache.spark.sql.types._
   * typed metadata struct, plus the operators a training-data pipeline runs
   * over them — decode, feature-extract, resize, frame-sample.
   *
-  * The DECODE STEP IS A STUB: this container has no image/audio codecs, so
-  * `fakeDecode*` derive deterministic pseudo-features from the bytes (md5-
-  * seeded). Everything AROUND the stub is real and tested: the schema
-  * (binary + struct), the single-scan column pipeline, the partition-size
-  * balancing before the expensive step, and the mapPartitions batch shape
-  * with once-per-partition decoder initialization (the pattern a real codec
-  * integration uses — swap `FakeCodec` for the real library and nothing
-  * else changes).
+  * Decode status by kind: IMAGE and AUDIO are REAL — PNG via
+  * `javax.imageio` ([[ImageCodec]], q36) and WAV PCM via
+  * `javax.sound.sampled` ([[AudioCodec]], q61), both over deterministic
+  * generated payloads whose decoded features have closed-form SQL oracles
+  * (the formats are lossless, so decode recovers the exact source data).
+  * VIDEO is the one remaining stub ([[FakeCodec]], md5-seeded — the JDK
+  * ships no video codec and this container has no codec libraries); its
+  * batch path shape (once-per-partition decoder init, streamed rows) is
+  * identical to the real codecs', so swapping in a library changes nothing
+  * else.
   *
   * At 100 TB the payload column dominates I/O: the pipeline projects
   * metadata-only columns wherever possible (column pruning keeps the binary
@@ -79,6 +81,76 @@ object Multimodal {
     val bos = new java.io.ByteArrayOutputStream()
     javax.imageio.ImageIO.write(img, "png", bos)
     bos.toByteArray
+  }
+
+  /** Actual audio sample count — like [[imgW]]/[[imgH]], independent of the
+    * metadata struct's claims.
+    */
+  def audioN(d: Long): Int = (d % 400 + 100).toInt
+
+  /** Deterministic 16-bit mono PCM WAV (8 kHz): sample i of doc d is the
+    * closed form `((i*37 + d*11) mod 2001) - 1000`, encoded through the
+    * JDK's `javax.sound.sampled` writer. WAV PCM is lossless, so a real
+    * decode recovers the exact samples — the same oracle trick as
+    * [[makePng]], applied to audio.
+    */
+  def makeWav(d: Long, n: Int): Array[Byte] = {
+    val samples = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val v = ((i * 37 + d * 11) % 2001 - 1000).toInt
+      samples(i * 2) = (v & 0xff).toByte
+      samples(i * 2 + 1) = ((v >> 8) & 0xff).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(samples), fmt, n.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** REAL audio decode through `javax.sound.sampled`: sample rate, frame
+    * count, and RMS amplitude. The squared-sample sum accumulates in Long
+    * (exact), so the RMS is one double division + sqrt — bit-identical to
+    * the oracle's integer aggregation.
+    */
+  final class AudioCodec {
+    def decode(payload: Array[Byte]): (Int, Int, Double) = {
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(payload))
+      val rate = ais.getFormat.getSampleRate.toInt
+      val bytes = ais.readAllBytes()
+      ais.close()
+      val n = bytes.length / 2
+      var ss = 0L
+      var i = 0
+      while (i < n) {
+        val v = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8)).toShort.toInt
+        ss += v.toLong * v
+        i += 1
+      }
+      (rate, n, math.sqrt(ss.toDouble / n))
+    }
+  }
+
+  final case class AudioFeatures(media_id: Long, sample_rate: Int,
+                                 n_samples: Int, rms: Double)
+
+  /** Batch decode of audio rows — once-per-partition [[AudioCodec]]. */
+  def decodeAudio(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val codec = new AudioCodec
+        it.map { m =>
+          val (rate, n, rms) = codec.decode(m.payload)
+          AudioFeatures(m.media_id, rate, n, rms)
+        }
+      }.toDF()
   }
 
   /** STUB decode: pseudo image features from the payload hash — stands in
@@ -291,6 +363,31 @@ object Multimodal {
       val m = resizeMeta(mediaTable(Tables(spark, dir).documents), 256, 256)
       m.select(col("media_id"), col("resized.width").as("new_w"),
         col("resized.height").as("new_h"))
+        .orderBy(col("media_id"))
+    }),
+
+    // REAL audio decode: WAV payloads (deterministic PCM) through the
+    // once-per-partition javax.sound codec; oracle recomputes the sample
+    // closed form and its RMS in SQL. Video remains the one stub kind (the
+    // JDK ships no video codec).
+    Query(
+      "q61_media_audio_decode",
+      Some("""
+        WITH a AS (SELECT doc_id AS media_id, ((doc_id % 400) + 100)::INT AS n
+                   FROM documents WHERE doc_id % 3 = 1),
+        s AS (SELECT media_id, n, unnest(range(0, n)) AS i FROM a),
+        v AS (SELECT media_id, n, (i*37 + media_id*11) % 2001 - 1000 AS val FROM s)
+        SELECT media_id, 8000 AS sample_rate, n AS n_samples,
+               round(sqrt(SUM(val*val) * 1.0 / n), 6) AS rms
+        FROM v GROUP BY media_id, n
+        ORDER BY media_id"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      val m = mediaTable(docs).filter(col("kind") === "audio")
+        .withColumn("payload", wav(col("media_id")))
+      decodeAudio(spark, m)
+        .select(col("media_id"), col("sample_rate"), col("n_samples"),
+          round(col("rms"), 6).as("rms"))
         .orderBy(col("media_id"))
     }),
 

@@ -36,6 +36,21 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("WAV roundtrip: real javax.sound decode recovers the closed-form sample stats") {
+    val codec = new Multimodal.AudioCodec
+    for (d <- Seq(1L, 4L, 301L, 1000L)) {
+      val n = Multimodal.audioN(d)
+      val (rate, dn, rms) = codec.decode(Multimodal.makeWav(d, n))
+      assert(rate == 8000 && dn == n)
+      var ss = 0L
+      for (i <- 0 until n) {
+        val v = (i * 37 + d * 11) % 2001 - 1000
+        ss += v * v
+      }
+      assert(rms == math.sqrt(ss.toDouble / n), s"doc $d")
+    }
+  }
+
   test("image rows of the media table decode through the batch codec path") {
     val withImages = Multimodal.mediaTableWithImages(Tables(spark, sf("sf0.001")).documents)
     val decoded = Multimodal.decodeImages(spark, withImages)
