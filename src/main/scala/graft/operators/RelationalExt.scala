@@ -290,6 +290,44 @@ object RelationalExt {
         }
         .toDF("o_orderpriority", "rank", "o_orderkey", "price")
         .orderBy(col("o_orderpriority"), col("rank"))
+    }),
+
+    // ---------------------------------------------------------------- q62
+    // Six-table star join (TPC-H Q5 shape): the flagship multi-join —
+    // Catalyst reorders the joins, broadcasts every dimension, and keeps
+    // the lineitem fact as the probe side of a broadcast-hash chain; the
+    // date filter pushes to the orders scan. Declared as plain joins, no
+    // hints except the region broadcast: the optimizer does the physical
+    // planning, which is the point.
+    Query(
+      "q62_star_join",
+      Some(s"""
+        SELECT n_name, ${sqlSum2("l_extendedprice", "(1 - l_discount)")} AS revenue
+        FROM customer
+        JOIN orders ON c_custkey = o_custkey
+        JOIN lineitem ON l_orderkey = o_orderkey
+        JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'ASIA'
+          AND o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY n_name
+        ORDER BY revenue DESC, n_name"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer
+        .join(t.orders, col("c_custkey") === col("o_custkey"))
+        .join(t.lineitem, col("l_orderkey") === col("o_orderkey"))
+        .join(t.supplier, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(t.nation, col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(t.region), col("n_regionkey") === col("r_regionkey"))
+        .filter(col("r_name") === "ASIA" &&
+          col("o_orderdate") >= to_timestamp(lit("1996-01-01")) &&
+          col("o_orderdate") < to_timestamp(lit("1997-01-01")))
+        .groupBy(col("n_name"))
+        .agg(dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
     })
   )
 }

@@ -136,6 +136,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(2000))
   }
 
+  test("q62: star join pushes the date filter and never broadcasts the fact table") {
+    import org.apache.spark.sql.execution.exchange.BroadcastExchangeExec
+    val plan = executed(q("q62_star_join"))
+    val p = plan.toString
+    assert(p.contains("PushedFilters: [IsNotNull(o_orderdate), GreaterThanOrEqual(o_orderdate"),
+      p.take(2000))
+    assert(p.contains("BroadcastHashJoin"), p.take(2000))
+    deepNodes(plan).collect { case b: BroadcastExchangeExec => b }
+      .foreach(b => assert(!deepNodes(b).map(_.toString).mkString.contains("lineitem"),
+        "fact table inside a broadcast subtree"))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
