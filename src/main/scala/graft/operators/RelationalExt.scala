@@ -292,6 +292,38 @@ object RelationalExt {
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
 
+    // ---------------------------------------------------------------- q63
+    // Ranking-function completion: dense_rank / percent_rank / cume_dist /
+    // ntile (q7/q8/q44/q45 cover row_number, running frames, RANGE frames
+    // and first/last/nth). Order key includes the unique o_orderkey, so
+    // every function is tie-free deterministic; percent_rank and cume_dist
+    // are exact small rationals, identical as doubles in both engines.
+    Query(
+      "q63_window_ranks",
+      Some("""
+        SELECT o_orderkey, o_orderpriority, dr, pr, cd, quartile FROM (
+          SELECT o_orderkey, o_orderpriority,
+                 dense_rank() OVER w AS dr,
+                 round(percent_rank() OVER w, 6) AS pr,
+                 round(cume_dist() OVER w, 6) AS cd,
+                 ntile(4) OVER w AS quartile
+          FROM orders
+          WINDOW w AS (PARTITION BY o_orderpriority
+                       ORDER BY o_totalprice DESC, o_orderkey))
+        WHERE o_orderkey % 20 = 0
+        ORDER BY o_orderkey"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val w = Window.partitionBy(col("o_orderpriority"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t.orders.select(col("o_orderkey"), col("o_orderpriority"),
+          dense_rank().over(w).as("dr"),
+          round(percent_rank().over(w), 6).as("pr"),
+          round(cume_dist().over(w), 6).as("cd"),
+          ntile(4).over(w).as("quartile"))
+        .filter(col("o_orderkey") % 20 === 0)
+        .orderBy(col("o_orderkey"))
+    }),
+
     // ---------------------------------------------------------------- q62
     // Six-table star join (TPC-H Q5 shape): the flagship multi-join —
     // Catalyst reorders the joins, broadcasts every dimension, and keeps
