@@ -237,6 +237,33 @@ object TextAnalysis {
       "q54_text_repetition",
       Some(repetitionOracleSql("documents", "text", "doc_id") + " ORDER BY doc"))(
       (spark, dir) =>
-        repetitionSignals(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc"))
+        repetitionSignals(Tables(spark, dir).documents, "text", "doc_id").orderBy("doc")),
+
+    // Map-function coverage (§2.3 array/map/JSON row): a per-doc token →
+    // count MAP built with map_from_entries, then queried through
+    // map_keys / element_at / map_contains_key. The oracle recomputes the
+    // same VALUES from the token list directly — the map is the engine's
+    // representation under test, not part of the output schema.
+    Query(
+      "q64_map_fns",
+      Some(s"""
+        SELECT doc_id AS doc,
+               len(list_distinct(t)) AS n_types,
+               len(list_filter(t, x -> x = 'the')) AS n_the,
+               list_contains(t, 'data') AS has_data
+        FROM (SELECT doc_id, ${sqlTokens("text")} AS t FROM documents)
+        ORDER BY doc"""))((spark, dir) => {
+      val m = col("_m")
+      Tables(spark, dir).documents
+        .withColumn("_toks", tokens(col("text")))
+        .withColumn("_m", map_from_entries(
+          transform(array_distinct(col("_toks")),
+            t => struct(t, size(filter(col("_toks"), x => x === t))))))
+        .select(col("doc_id").as("doc"),
+          size(map_keys(m)).as("n_types"),
+          coalesce(element_at(m, "the"), lit(0)).as("n_the"),
+          map_contains_key(m, "data").as("has_data"))
+        .orderBy(col("doc"))
+    })
   )
 }
