@@ -65,13 +65,23 @@ object Bench {
       val job = ReplicationJob(spark, source, target, s"$root/dumps",
         ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
       results("repl_bootstrap") = time { assert(job.run("bench").verify == "SUCCESS") }
-      // ~1000 upsert txns against lineitem-sized table, like the README run.
+      // ~1000 upsert txns against the small dimension, like the README run.
       val ev = (1 to 1000).map { i =>
         DbCatalog.Event("nation", DbCatalog.OpUpsert, (i % 25).toString,
           s"""{"n_nationkey":${i % 25},"n_name":"N$i","n_regionkey":${i % 5}}""")
       }
       source.appendEvents("bench", ev)
       results("repl_incremental_1000txn") = time { assert(job.run("bench").verify == "SUCCESS") }
+      // ...and against the FACT table: the merge has to rewrite the full
+      // lineitem (anti-join + union + swap), which is the cost that
+      // dominates real incremental loads — reported separately so dimension
+      // merges can't flatter the number.
+      val evFact = (1 to 1000).map { i =>
+        DbCatalog.Event("lineitem", DbCatalog.OpUpsert, (i * 7).toString,
+          s"""{"l_orderkey":${i * 7},"l_linenumber":1,"l_quantity":$i}""")
+      }
+      source.appendEvents("bench", evFact)
+      results("repl_incremental_fact_1000txn") = time { assert(job.run("bench").verify == "SUCCESS") }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     } catch { case e: Throwable => System.err.println(s"[bench] repl failed: $e") }
 

@@ -231,6 +231,24 @@ class ReplicationSpec extends SparkSpec {
     intercept[IllegalStateException](job.run("db8"))
   }
 
+  test("partial dump without a manifest is inert; manifest is the atomicity boundary") {
+    val (root, source, target, _) = freshWorld()
+    seedDb(source, "db11")
+    // Simulate a dump crashed before its manifest write: tables copied,
+    // no _dumpmetadata.json. Replay must refuse it (not silently apply),
+    // and a later healthy run is unaffected by the leftover dir.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val dead = new Path(s"$root/dumps/db11/${java.util.UUID.randomUUID()}")
+    fs.mkdirs(new Path(dead, "tables/region"))
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val loader = Load(spark, target, cfg)
+    val meta = MetadataStore(spark, target.root)
+    intercept[Exception](loader.replay(dead.toString, meta))
+    assert(meta.watermark("db11").isEmpty) // nothing committed
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    assert(job.run("db11").verify == "SUCCESS")
+  }
+
   test("retry converges after transient failures") {
     var calls = 0
     val attempts = Retry.retry(3, 1) {
