@@ -12,14 +12,16 @@ import org.apache.spark.sql.functions._
   */
 object Pipeline {
 
-  /** Connected components by iterative min-label propagation over an
-    * undirected edge list (doc_a, doc_b): every member adopts the smallest
-    * doc id reachable from it; iterate until fixpoint. Iterations are
-    * bounded by the component diameter (O(log n) with doubling — here
-    * plain propagation, fine for dedup clusters which are tiny and dense);
-    * each round is one join + one aggregate, all distributed, and the loop
-    * ends by a driver-side convergence CHECK (a count), never by driver
-    * data.
+  /** Connected components by iterative min-label propagation PLUS pointer
+    * doubling over an undirected edge list (doc_a, doc_b): every member
+    * adopts the smallest doc id reachable from it. Each round does (1) a
+    * neighbor-min step and (2) a shortcut step `label ← label(label)`
+    * (every label is itself a node, so the composition is one self-join) —
+    * the doubling halves the distance any label still has to travel, so
+    * convergence is O(log diameter) rounds instead of O(diameter): a
+    * 1M-node chain needs ~20 rounds, not 1M. Each round is two joins + one
+    * aggregate, all distributed; the loop ends by a driver-side convergence
+    * CHECK (a count), never by driver data.
     */
   def connectedComponents(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
     val spark = pairs.sparkSession
@@ -43,10 +45,18 @@ object Pipeline {
         val neighborMin = edges
           .join(labels, edges("dst") === labels("doc"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        val next = labels
+        val stepped = labels
           .join(neighborMin, labels("doc") === neighborMin("src"), "left")
           .select(col("doc"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        // Pointer doubling: label ← min(label, label's own label). Labels
+        // only ever decrease toward the component min, so this is safe and
+        // cuts convergence to O(log diameter).
+        val next = stepped.as("a")
+          .join(stepped.select(col("doc").as("ldoc"), col("label").as("llabel")).as("b"),
+            col("a.label") === col("b.ldoc"), "left")
+          .select(col("a.doc").as("doc"),
+            least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
           .localCheckpoint() // cut the growing lineage; also materializes
         val changed = next.as("n").join(labels.as("o"), "doc")
           .filter(col("n.label") =!= col("o.label")).count()

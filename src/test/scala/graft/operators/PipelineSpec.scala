@@ -1,0 +1,46 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class PipelineSpec extends SparkSpec {
+
+  private def unionFind(edges: Seq[(Long, Long)]): Map[Long, Long] = {
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = {
+      val p = parent.getOrElseUpdate(x, x)
+      if (p == x) x else { val r = find(p); parent(x) = r; r }
+    }
+    edges.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+    }
+    parent.keys.map(k => k -> find(k)).toMap
+  }
+
+  test("connected components match union-find on chains, stars and random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val chain = (0L until 60L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val star = (1L to 40L).map(i => (0L + 100, i + 100))
+    val random = Seq.fill(80)((rnd.nextLong().abs % 50 + 200, rnd.nextLong().abs % 50 + 200))
+      .filter(e => e._1 != e._2)
+    for ((name, edges) <- Seq(("chain", chain), ("star", star), ("random", random),
+        ("all", chain ++ star ++ random))) {
+      val expected = unionFind(edges)
+      val got = Pipeline.connectedComponents(
+          edges.toDF("doc_a", "doc_b"), maxIters = 20)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(got == expected, name)
+    }
+  }
+
+  test("pointer doubling converges on a long chain within O(log n) rounds") {
+    import spark.implicits._
+    // 120-node chain: plain propagation needs ~120 rounds; doubling must
+    // finish inside the 20-iteration budget or labels would be wrong.
+    val chain = (0L until 120L).sliding(2).map(s => (s(0), s(1))).toSeq
+    val got = Pipeline.connectedComponents(chain.toDF("doc_a", "doc_b"), maxIters = 20)
+      .collect().map(r => r.getLong(1)).toSet
+    assert(got == Set(0L), s"chain did not fully converge: labels $got")
+  }
+}
