@@ -97,15 +97,17 @@ final case class DbCatalog(spark: SparkSession, root: String) {
       finally in.close()
     }
 
-  /** Evaluate a view: its SQL runs over the db's tables, which are
+  /** Evaluate a view: its SQL runs over the db's MANAGED tables, which are
     * registered as session temp views for resolution (single-level views —
     * a view referencing another view is out of scope, as in the dump
-    * format).
+    * format). External (`ext_`) tables are raw file trees synced by
+    * [[ExtCopy]], not parquet relations, so they are not registered.
     */
   def readView(db: String, name: String): DataFrame = {
     val sql = viewSql(db, name).getOrElse(
       throw new NoSuchElementException(s"view $db.$name"))
-    listTables(db).foreach(t => readTable(db, t).createOrReplaceTempView(t))
+    listTables(db).filterNot(isExternal)
+      .foreach(t => readTable(db, t).createOrReplaceTempView(t))
     spark.sql(sql)
   }
 

@@ -38,4 +38,41 @@ class EndToEndSpec extends SparkSpec {
         source.readTable("repltest", t).collect().map(_.toString).sorted.toSeq, t)
     }
   }
+
+  test("full lifecycle: managed + view + external through bootstrap and incremental") {
+    val root = java.nio.file.Files.createTempDirectory("graft-e2e2").toString
+    def write(p: String, s: String): Unit = {
+      java.nio.file.Files.createDirectories(java.nio.file.Paths.get(p).getParent)
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), s)
+    }
+    val source = DbCatalog(spark, s"$root/src")
+    val target = DbCatalog(spark, s"$root/tgt")
+    source.createDb("life")
+    source.writeTable("life", "region", spark.read.parquet(s"${sf()}/region.parquet"))
+    source.createView("life", "v_regions", "SELECT r_name FROM region ORDER BY r_name")
+    write(s"$root/src/life/ext_logs/p0.txt", "raw-0")
+
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps",
+      includeExternalTables = true, rerunSleepMs = 10)
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    assert(job.run("life").verify == "SUCCESS")
+    // every object kind is live at the target and answers queries
+    assert(target.readTable("life", "region").count() == 5)
+    assert(target.readView("life", "v_regions").collect().map(_.getString(0)).head == "AFRICA")
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/tgt/life/ext_logs/p0.txt")))
+
+    // mutate all three kinds, one incremental cycle converges them together
+    Thread.sleep(20)
+    import DbCatalog._
+    source.appendEvents("life", Seq(
+      Event("region", OpUpsert, "0", """{"r_regionkey":0,"r_name":"ZFRICA"}"""),
+      Event("v_regions", OpCreateView, null,
+        "SELECT r_name FROM region ORDER BY r_name DESC")))
+    write(s"$root/src/life/ext_logs/p1.txt", "raw-1")
+    val r = job.run("life")
+    assert(r.kind == "incremental" && r.verify == "SUCCESS")
+    val names = target.readView("life", "v_regions").collect().map(_.getString(0))
+    assert(names.head == "ZFRICA") // new view order + replayed upsert visible
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$root/tgt/life/ext_logs/p1.txt")))
+  }
 }
