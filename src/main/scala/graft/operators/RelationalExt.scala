@@ -292,6 +292,37 @@ object RelationalExt {
         .orderBy(col("o_orderpriority"), col("rank"))
     }),
 
+    // ---------------------------------------------------------------- q65
+    // Null semantics, pinned: null grouping keys form their own group,
+    // COUNT(col) skips nulls while COUNT(*) does not, null-safe equality
+    // (`<=>` / IS NOT DISTINCT FROM) treats null==null as true where plain
+    // `=` yields null (excluded by count_if), and NULLS FIRST ordering.
+    // These distinctions silently change results at any scale — the oracle
+    // locks every one of them.
+    Query(
+      "q65_null_semantics",
+      Some("""
+        WITH x AS (SELECT
+            CASE WHEN c_acctbal < 0 THEN NULL ELSE c_mktsegment END AS seg,
+            CASE WHEN c_acctbal < 2500 THEN NULL ELSE c_mktsegment END AS seg2
+          FROM customer)
+        SELECT seg, COUNT(*) AS n_rows, COUNT(seg2) AS n_seg2,
+               CAST(count_if(seg IS NOT DISTINCT FROM seg2) AS BIGINT) AS n_nullsafe_eq,
+               CAST(count_if(seg = seg2) AS BIGINT) AS n_plain_eq
+        FROM x GROUP BY seg
+        ORDER BY seg NULLS FIRST"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.select(
+          when(col("c_acctbal") < 0, lit(null)).otherwise(col("c_mktsegment")).as("seg"),
+          when(col("c_acctbal") < 2500, lit(null)).otherwise(col("c_mktsegment")).as("seg2"))
+        .groupBy(col("seg"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("seg2")).as("n_seg2"),
+          count_if(col("seg") <=> col("seg2")).as("n_nullsafe_eq"),
+          count_if(col("seg") === col("seg2")).as("n_plain_eq"))
+        .orderBy(col("seg").asc_nulls_first)
+    }),
+
     // ---------------------------------------------------------------- q63
     // Ranking-function completion: dense_rank / percent_rank / cume_dist /
     // ntile (q7/q8/q44/q45 cover row_number, running frames, RANGE frames
