@@ -58,6 +58,26 @@ class GraftExtensionsSpec extends SparkSpec {
     hof.collect().foreach(r => assert(math.abs(r.getDouble(1) - 1.0) < 1e-12))
   }
 
+  test("rewrite does NOT fire on a bare-float multiply (different rounding)") {
+    // aggregate(zip_with(a, b, (x, y) -> x * y), 0D, ...) over array<float>
+    // WITHOUT casting x/y to double multiplies in FLOAT precision; the fused
+    // loop promotes per element, so rewriting would change results. The rule
+    // must leave this shape alone.
+    embs.createOrReplaceTempView("emb_guard")
+    val df = spark.sql("""
+      SELECT vec_id,
+             aggregate(zip_with(embedding, embedding, (x, y) -> x * y),
+                       0D, (acc, v) -> acc + v) AS d
+      FROM emb_guard ORDER BY vec_id LIMIT 5""")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("graft_dot"), optimized)
+    // and the engine's own cosine idiom (which casts) still fuses
+    val fused = embs.select(
+      graft.operators.Dedup.cosine(col("embedding"), col("embedding")))
+      .queryExecution.optimizedPlan.toString
+    assert(fused.contains("graft_dot"), fused)
+  }
+
   test("fused and unfused paths agree bit-for-bit") {
     val a = Tables(spark, sf("sf0.001")).embeddings.limit(50)
       .select(col("vec_id"), col("embedding"))
