@@ -1,0 +1,179 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.util.Exact._
+import org.apache.spark.sql.functions._
+
+/** Operators whose point is the EXECUTION STRATEGY at 100 TB, exposed as
+  * oracled queries like every other operator family:
+  *
+  *  - q66: correlated EXISTS / NOT EXISTS subqueries — Catalyst decorrelates
+  *    both into semi/anti joins (one pass over orders each, no per-row
+  *    re-execution; the reference's Hive surface accepts the same SQL);
+  *  - q67: bucketed co-located join — both sides pre-bucketed on the join
+  *    key, so the join runs with NO shuffle exchange on either side (the
+  *    bucketing/`CLUSTERED BY` story of a Hive warehouse, and the way a
+  *    100 TB fact-fact join avoids re-shuffling per query);
+  *  - q68: salted skew join — a deterministic salt spreads each hot key
+  *    across n reducers ([[graft.util.Skew.saltedJoin]]), row-identical to
+  *    the plain join;
+  *  - q69: the end-to-end training-data cleaning pipeline — language
+  *    filter → quality filter → exact dedup → per-source corpus stats, the
+  *    composition every LLM-data pipeline runs. Map-only filters fused into
+  *    the scan, then exactly two shuffles (dedup group + final group).
+  */
+object ScaleOps {
+
+  /** Bucket count for q67's co-located tables: fixed so the plan (and the
+    * no-exchange gate in PlanSpec) is deterministic.
+    */
+  val Buckets = 8
+
+  /** Bucketed copies live under java.io.tmpdir, NOT the session warehouse —
+    * `option("path", …)` makes them external tables so repeated runs
+    * (Verify then Bench in separate sessions) overwrite the same location.
+    */
+  private def bucketPath(name: String): String =
+    new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_buckets/$name").toString
+
+  val queries: Seq[Query] = Seq(
+
+    // ---------------------------------------------------------------- q66
+    // Correlated EXISTS + NOT EXISTS through the SQL parser: customers with
+    // at least one big order and no urgent one. Decorrelation is the
+    // optimization under test: the optimized plan must be two joins (semi +
+    // anti), not a per-customer subquery re-execution — PlanSpec gates it.
+    Query(
+      "q66_exists_subquery",
+      Some("""
+        SELECT c_mktsegment, COUNT(*) AS n_cust
+        FROM customer c
+        WHERE EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("g66_customer")
+      t.orders.createOrReplaceTempView("g66_orders")
+      spark.sql("""
+        SELECT c_mktsegment, COUNT(*) AS n_cust
+        FROM g66_customer c
+        WHERE EXISTS (SELECT 1 FROM g66_orders o
+                      WHERE o.o_custkey = c.c_custkey
+                        AND o.o_totalprice > 150000)
+          AND NOT EXISTS (SELECT 1 FROM g66_orders o2
+                          WHERE o2.o_custkey = c.c_custkey
+                            AND o2.o_orderpriority = '1-URGENT')
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment""")
+    }),
+
+    // ---------------------------------------------------------------- q67
+    // Co-located join over bucketed tables. Both sides are written
+    // `bucketBy(Buckets, key)` + sorted, so the equi-join needs NO shuffle
+    // exchange on either side: each task zips bucket i with bucket i. At
+    // 100 TB this is the difference between re-shuffling the fact table on
+    // every query and shuffling it once at write time. The write step here
+    // is part of the operator under test (idempotent overwrite); the oracle
+    // sees only the query semantics.
+    Query(
+      "q67_bucketed_join",
+      Some(s"""
+        SELECT c_mktsegment, COUNT(*) AS n_orders,
+               ${sqlSum("o_totalprice")} AS total_price
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY c_mktsegment
+        ORDER BY c_mktsegment"""))((spark, dir) => {
+      bucketedPair(spark, dir)
+      spark.table("g67_orders_b")
+        .join(spark.table("g67_customer_b"),
+          col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_orders"),
+          dsum(col("o_totalprice")).as("total_price"))
+        .orderBy(col("c_mktsegment"))
+    }),
+
+    // ---------------------------------------------------------------- q68
+    // Salted skew join: lineitem ⋈ supplier on l_suppkey with an 8-way
+    // deterministic salt (supplier replicated 8×). Row-identical to the
+    // plain join — the oracle IS the plain join — while every supplier
+    // key's lineitems spread over 8 reducers.
+    Query(
+      "q68_salted_join",
+      Some(s"""
+        SELECT s_nationkey, COUNT(*) AS n_items,
+               ${sqlSum2("l_extendedprice", "1 - l_discount")} AS revenue
+        FROM lineitem l JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        GROUP BY s_nationkey
+        ORDER BY s_nationkey"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      graft.util.Skew.saltedJoin(
+          t.lineitem, t.supplier,
+          col("l_suppkey"), col("s_suppkey"),
+          saltFrom = col("l_orderkey") * 8 + col("l_linenumber"), n = 8)
+        .groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_items"),
+          dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
+        .orderBy(col("s_nationkey"))
+    }),
+
+    // ---------------------------------------------------------------- q69
+    // The whole cleaning pipeline, composed from the operator library:
+    //   1. language filter  (TextAnalysis.langId = 'en')       — map-only
+    //   2. quality filter   (TextAnalysis.qualityScore keep)   — map-only
+    //   3. exact dedup      (Dedup.exact, keep min doc_id)     — 1 shuffle
+    //   4. per-source stats (count + total chars)              — 1 shuffle
+    // Both filters are per-row column pipelines over the same scan, so the
+    // whole job is scan → 2 shuffles at any corpus size.
+    Query(
+      "q69_clean_pipeline",
+      Some(s"""
+        WITH lid AS (${graft.operators.TextAnalysis.langIdOracleSql("documents", "text", "doc_id")}),
+             q AS (${graft.operators.TextAnalysis.qualityOracleSql("documents", "text", "doc_id")}),
+             eligible AS (
+               SELECT d.* FROM documents d
+               JOIN lid ON lid.doc = d.doc_id AND lid.lang_guess = 'en'
+               JOIN q ON q.doc = d.doc_id AND q.keep),
+             kept AS (SELECT min(doc_id) AS doc_id FROM eligible GROUP BY md5(text))
+        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        FROM eligible JOIN kept USING (doc_id)
+        GROUP BY source
+        ORDER BY source"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val en = TextAnalysis.langId(docs, "text", "doc_id")
+        .filter(col("lang_guess") === "en").select(col("doc"))
+      val good = TextAnalysis.qualityScore(docs, "text", "doc_id")
+        .filter(col("keep")).select(col("doc"))
+      val eligible = docs
+        .join(en, docs("doc_id") === en("doc"), "left_semi")
+        .join(good, docs("doc_id") === good("doc"), "left_semi")
+      val kept = Dedup.exact(eligible, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      eligible.join(kept, "doc_id")
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }))
+
+  /** Write the bucketed copies of orders/customer (idempotent overwrite) and
+    * register them in the session catalog. Public so PlanSpec can set up the
+    * same tables for its no-exchange gate.
+    */
+  def bucketedPair(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
+    val t = Tables(spark, dir)
+    t.orders.write.mode("overwrite")
+      .option("path", bucketPath("g67_orders"))
+      .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("g67_orders_b")
+    t.customer.write.mode("overwrite")
+      .option("path", bucketPath("g67_customer"))
+      .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("g67_customer_b")
+  }
+}

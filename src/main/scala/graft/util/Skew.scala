@@ -18,6 +18,27 @@ object Skew {
   /** Deterministic salt in [0, n) derived from stable row content. */
   def salt(c: Column, n: Int): Column = pmod(crc32(c.cast("string")), lit(n))
 
+  /** Salted equi-join for a skewed join key. The probe (large/skewed) side
+    * gets a deterministic content-derived salt in [0, n); the build side is
+    * replicated n times, one copy per salt value; the join keys on
+    * (key, salt). Each hot key's rows therefore spread across n reducers
+    * instead of drowning one — the manual form of AQE's skew-join split,
+    * for when the build side is too big to broadcast but small enough to
+    * replicate n×, or when the engine must guarantee the spread at plan
+    * time (AQE only reacts to skew it can see in map output sizes).
+    * Row-for-row identical to `probe.join(build, probeKey === buildKey)`.
+    */
+  def saltedJoin(probe: DataFrame, build: DataFrame,
+                 probeKey: Column, buildKey: Column,
+                 saltFrom: Column, n: Int): DataFrame = {
+    val salted = probe.withColumn("_salt_p", salt(saltFrom, n).cast("int"))
+    val replicated = build.withColumn("_salt_b",
+      explode(typedLit((0 until n).toArray)))
+    salted
+      .join(replicated, probeKey === buildKey && col("_salt_p") === col("_salt_b"))
+      .drop("_salt_p", "_salt_b")
+  }
+
   /** Two-stage salted aggregation.
     *
     * @param df        input
