@@ -434,7 +434,10 @@ object Relational {
     // rounds the true binary value via BigDecimal HALF_UP; DuckDB scales by
     // 10 in floating point first), so both sides widen to DECIMAL(12,2) —
     // the input's true scale — before rounding, then cast back to DOUBLE.
-    // Same pattern as util/Exact for sums.
+    // Same pattern as util/Exact for sums. Spark's ceil/floor on DOUBLE
+    // return BIGINT while DuckDB's return DOUBLE — the oracle casts to
+    // BIGINT so the driver's value-string hash sees "1011" on both sides,
+    // not "1011" vs "1011.0" (r1–r3 hash-fail root cause).
     Query(
       "q15_math_case",
       Some("""
@@ -443,8 +446,8 @@ object Relational {
                abs(c_acctbal) AS bal_abs,
                sqrt(abs(c_acctbal)) AS bal_sqrt,
                round(ln(abs(c_acctbal) + 1), 6) AS bal_ln,
-               ceil(c_acctbal) AS bal_ceil,
-               floor(c_acctbal) AS bal_floor,
+               CAST(ceil(c_acctbal) AS BIGINT) AS bal_ceil,
+               CAST(floor(c_acctbal) AS BIGINT) AS bal_floor,
                CASE WHEN c_acctbal < 0 THEN 'neg'
                     WHEN c_acctbal < 5000 THEN 'mid'
                     ELSE 'high' END AS bucket

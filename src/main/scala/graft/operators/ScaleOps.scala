@@ -141,7 +141,7 @@ object ScaleOps {
                JOIN lid ON lid.doc = d.doc_id AND lid.lang_guess = 'en'
                JOIN q ON q.doc = d.doc_id AND q.keep),
              kept AS (SELECT min(doc_id) AS doc_id FROM eligible GROUP BY md5(text))
-        SELECT source, COUNT(*) AS n_docs, SUM(n_chars) AS total_chars
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars
         FROM eligible JOIN kept USING (doc_id)
         GROUP BY source
         ORDER BY source"""))((spark, dir) => {

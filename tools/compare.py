@@ -36,6 +36,18 @@ def main(sf_dir, out_dir):
             print(f"FAIL {name}: columns {gcols} != {wcols}")
             n_fail += 1
             continue
+        # The driver hashes value STRINGS, so int64 vs float64 ("1011" vs
+        # "1011.0") fails its gate even when values compare numerically
+        # equal. Flag dtype drift (DuckDB ceil→DOUBLE, SUM(int)→HUGEINT→
+        # float) as a hard fail here too.
+        # Width drift (int32 vs int64) strs identically; only KIND drift
+        # (int vs float vs object/bool/datetime) changes the string.
+        dt = [(c, str(got[c].dtype), str(want[c].dtype)) for c in gcols
+              if got[c].dtype.kind != want[c].dtype.kind]
+        if dt:
+            print(f"FAIL {name}: dtype drift (spark vs oracle): {dt}")
+            n_fail += 1
+            continue
         g = norm(got[gcols].values.tolist())
         w = norm(want[wcols].values.tolist())
         if len(g) != len(w):
