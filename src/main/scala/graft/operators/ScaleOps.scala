@@ -29,13 +29,19 @@ object ScaleOps {
     */
   val Buckets = 8
 
-  /** Bucketed copies live under java.io.tmpdir, NOT the session warehouse —
-    * `option("path", …)` makes them external tables so repeated runs
-    * (Verify then Bench in separate sessions) overwrite the same location.
+  /** Bucketed copies live in a PER-JVM temp directory, NOT the session
+    * warehouse — `option("path", …)` makes them external tables so repeated
+    * `bucketedPair` calls within a run overwrite idempotently, while two
+    * concurrent JVMs (Verify and Bench at once, parallel CI, two users on a
+    * shared host) can never clobber each other's files between write and
+    * read. The copies are small (orders+customer) and die with the tmpfs /
+    * OS temp cleaner.
     */
+  private lazy val bucketRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_buckets_").toString
+
   private def bucketPath(name: String): String =
-    new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_buckets/$name").toString
+    new java.io.File(bucketRoot, name).toString
 
   val queries: Seq[Query] = Seq(
 

@@ -26,17 +26,24 @@ object Skew {
     * for when the build side is too big to broadcast but small enough to
     * replicate n×, or when the engine must guarantee the spread at plan
     * time (AQE only reacts to skew it can see in map output sizes).
-    * Row-for-row identical to `probe.join(build, probeKey === buildKey)`.
+    * Row-for-row identical to `probe.join(build, probeKey === buildKey)` —
+    * including when `saltFrom` is null: crc32(null) is null, which would
+    * make the salt equality never match and silently DROP the row, so null
+    * salts are routed to reducer 0 (correct, just unspread).
     */
   def saltedJoin(probe: DataFrame, build: DataFrame,
                  probeKey: Column, buildKey: Column,
                  saltFrom: Column, n: Int): DataFrame = {
-    val salted = probe.withColumn("_salt_p", salt(saltFrom, n).cast("int"))
-    val replicated = build.withColumn("_salt_b",
+    val (saltP, saltB) = ("_graft_salt_p", "_graft_salt_b")
+    require(!probe.columns.contains(saltP) && !build.columns.contains(saltB),
+      s"input already has a $saltP/$saltB column")
+    val salted = probe.withColumn(saltP,
+      coalesce(salt(saltFrom, n), lit(0)).cast("int"))
+    val replicated = build.withColumn(saltB,
       explode(typedLit((0 until n).toArray)))
     salted
-      .join(replicated, probeKey === buildKey && col("_salt_p") === col("_salt_b"))
-      .drop("_salt_p", "_salt_b")
+      .join(replicated, probeKey === buildKey && col(saltP) === col(saltB))
+      .drop(saltP, saltB)
   }
 
   /** Two-stage salted aggregation.
@@ -51,8 +58,10 @@ object Skew {
     */
   def saltedAggregate(df: DataFrame, keys: Seq[String], saltFrom: Column, n: Int,
                       partial: Seq[Column], merge: Seq[Column]): DataFrame = {
-    val stage1 = df.withColumn("_salt", salt(saltFrom, n))
-      .groupBy((keys.map(col) :+ col("_salt")): _*)
+    require(!df.columns.contains("_graft_salt"),
+      "input already has a _graft_salt column")
+    val stage1 = df.withColumn("_graft_salt", salt(saltFrom, n))
+      .groupBy((keys.map(col) :+ col("_graft_salt")): _*)
       .agg(partial.head, partial.tail: _*)
     stage1.groupBy(keys.map(col): _*).agg(merge.head, merge.tail: _*)
   }

@@ -164,6 +164,43 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q66: EXISTS/NOT EXISTS decorrelate into one semi + one anti join") {
+    val plan = executed(q("q66_exists_subquery"))
+    val joins = deepNodes(plan).map(_.nodeName).filter(_.contains("Join"))
+    val p = plan.toString
+    // Decorrelation means the subqueries became exactly two join passes
+    // over orders — not per-customer re-execution (no residual subquery
+    // nodes in the physical plan).
+    assert(p.contains("LeftSemi"), p.take(2000))
+    assert(p.contains("LeftAnti"), p.take(2000))
+    assert(joins.size == 2, s"expected 2 joins, got $joins")
+    assert(!p.contains("Subquery"), "correlated subquery survived to the physical plan")
+  }
+
+  test("q67: bucketed join has no shuffle exchange on either join side") {
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    operators.ScaleOps.bucketedPair(spark, sf("sf0.001"))
+    // At sf0.001 the dimension fits the broadcast threshold and Spark
+    // rightly skips the bucket-aware path; pin it off to assert the shape
+    // the 100 TB fact-fact regime gets (same technique as the q62 gate).
+    val thresholdKey = "spark.sql.autoBroadcastJoinThreshold"
+    val oldT = spark.conf.get(thresholdKey)
+    spark.conf.set(thresholdKey, "-1")
+    try {
+      import org.apache.spark.sql.functions.col
+      val df = spark.table("g67_orders_b")
+        .join(spark.table("g67_customer_b"), col("o_custkey") === col("c_custkey"))
+      val plan = executed(df)
+      val smj = deepNodes(plan).collect { case j: SortMergeJoinExec => j }
+      assert(smj.nonEmpty, s"expected a sort-merge join over bucketed tables:\n${plan.toString.take(2000)}")
+      // Bucket-aware scan: each task zips bucket i with bucket i — zero
+      // exchanges anywhere under the join.
+      val shufflesBelow = smj.flatMap(deepNodes).collect { case s: ShuffleExchangeExec => s }
+      assert(shufflesBelow.isEmpty,
+        s"bucketed join still shuffles:\n${plan.toString.take(2000)}")
+    } finally spark.conf.set(thresholdKey, oldT)
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
