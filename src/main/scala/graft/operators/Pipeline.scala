@@ -30,25 +30,51 @@ object Pipeline {
     // full-width shuffles per iteration. Narrow the shuffle for the loop
     // only, then restore. (On a cluster this would be a scheduler-pool +
     // AQE-coalesce concern; locally the conf is the lever.)
+    // symmetric edges incl. self-loops keep isolated-after-filter nodes.
+    // CRITICAL ordering: `pairs` is usually the output of a corpus-scale
+    // near-dup join — materialize it (cache + count) at the session's FULL
+    // shuffle parallelism BEFORE narrowing the conf for the loop, or the
+    // expensive upstream join silently runs at the loop's tiny partition
+    // count (an 8× regression observed at sf0.1).
+    // Symmetrize with ONE pass over `pairs` (explode emits both directions
+    // per row) — a union of two selects would re-run the whole upstream
+    // near-dup join once per branch.
+    val edges = pairs
+      .select(explode(array(
+        struct(col("doc_a").as("src"), col("doc_b").as("dst")),
+        struct(col("doc_b").as("src"), col("doc_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+      .distinct().cache()
+    edges.count()
     val oldParts = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", "8")
     try {
-      // symmetric edges incl. self-loops keep isolated-after-filter nodes
-      val edges = pairs.select(col("doc_a").as("src"), col("doc_b").as("dst"))
-        .union(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-        .distinct().cache()
       var labels = edges.select(col("src").as("doc")).distinct()
-        .withColumn("label", col("doc")).cache()
+        .withColumn("label", col("doc")).localCheckpoint()
+      // Convergence by a MONOTONE WITNESS instead of a change-count join:
+      // labels only ever decrease, so sum(label) strictly decreases until
+      // the fixpoint — one map-side-combinable aggregate over the already-
+      // materialized step replaces a per-iteration join + count of the
+      // previous implementation (which re-shuffled both label tables every
+      // round). decimal(38,0) keeps the witness overflow-proof at any
+      // corpus size.
+      def labelSum(df: DataFrame): java.math.BigDecimal =
+        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+      var prevSum = labelSum(labels)
       var iter = 0
       var converged = false
       while (iter < maxIters && !converged) {
         val neighborMin = edges
           .join(labels, edges("dst") === labels("doc"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
+        // Materialize the propagation step once — the doubling self-join
+        // below reads it twice, and without this it would recompute the
+        // edges-join on both sides.
         val stepped = labels
           .join(neighborMin, labels("doc") === neighborMin("src"), "left")
           .select(col("doc"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+          .localCheckpoint()
         // Pointer doubling: label ← min(label, label's own label). Labels
         // only ever decrease toward the component min, so this is safe and
         // cuts convergence to O(log diameter).
@@ -58,12 +84,13 @@ object Pipeline {
           .select(col("a.doc").as("doc"),
             least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
           .localCheckpoint() // cut the growing lineage; also materializes
-        val changed = next.as("n").join(labels.as("o"), "doc")
-          .filter(col("n.label") =!= col("o.label")).count()
+        val s = labelSum(next)
+        converged = s.compareTo(prevSum) == 0
+        prevSum = s
         labels = next
-        converged = changed == 0
         iter += 1
       }
+      edges.unpersist() // labels is checkpoint-backed; edges no longer needed
       labels
     } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
   }
