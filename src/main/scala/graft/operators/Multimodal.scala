@@ -9,16 +9,16 @@ import org.apache.spark.sql.types._
   * typed metadata struct, plus the operators a training-data pipeline runs
   * over them — decode, feature-extract, resize, frame-sample.
   *
-  * Decode status by kind: IMAGE and AUDIO are REAL — PNG via
-  * `javax.imageio` ([[ImageCodec]], q36) and WAV PCM via
-  * `javax.sound.sampled` ([[AudioCodec]], q61), both over deterministic
-  * generated payloads whose decoded features have closed-form SQL oracles
+  * Decode status by kind: IMAGE, AUDIO and VIDEO all decode REAL payloads
+  * — PNG via `javax.imageio` ([[ImageCodec]], q36), WAV PCM via
+  * `javax.sound.sampled` ([[AudioCodec]], q61), and video via GRFV
+  * container demux + per-frame `javax.imageio` decode ([[VideoCodec]],
+  * q70; the container is bespoke because the JDK ships no video codec,
+  * but every frame is a genuine PNG). All payloads are deterministic
+  * generated media whose decoded features have closed-form SQL oracles
   * (the formats are lossless, so decode recovers the exact source data).
-  * VIDEO is the one remaining stub ([[FakeCodec]], md5-seeded — the JDK
-  * ships no video codec and this container has no codec libraries); its
-  * batch path shape (once-per-partition decoder init, streamed rows) is
-  * identical to the real codecs', so swapping in a library changes nothing
-  * else.
+  * [[FakeCodec]] (md5-seeded) remains only as the documented baseline for
+  * opaque binaries with no decoder, and as q36's audio/video f0 feature.
   *
   * At 100 TB the payload column dominates I/O: the pipeline projects
   * metadata-only columns wherever possible (column pruning keeps the binary
@@ -26,6 +26,11 @@ import org.apache.spark.sql.types._
   * before decode so one task never gets all the 4K videos.
   */
 object Multimodal {
+
+  // ImageIO defaults to a disk-backed stream cache (one temp file per
+  // encode/decode); in-memory streams are strictly faster for these small
+  // frames and avoid per-row filesystem traffic on executors.
+  javax.imageio.ImageIO.setUseCache(false)
 
   /** Deterministic synthetic media table derived from `documents`: payload =
     * UTF-8 bytes of the text, kind cycles image/audio/video, metadata from
@@ -87,6 +92,56 @@ object Multimodal {
     * metadata struct's claims.
     */
   def audioN(d: Long): Int = (d % 400 + 100).toInt
+
+  // --------------------------------------------------------------- video
+
+  /** Actual video frame count / frame dims — independent of metadata. */
+  def vidFrames(d: Long): Int = (d % 4 + 2).toInt
+  def vidW(d: Long): Int = (d % 12 + 8).toInt
+  def vidH(d: Long): Int = (d % 10 + 8).toInt
+
+  /** Deterministic video payload in a minimal MJPEG-style container
+    * ("GRFV" magic, int32 frame count, then length-prefixed REAL PNG
+    * frames): frame f's pixel (x,y) channels are linear-congruent
+    * functions of (d, f, x, y) mod 256. Every frame is a genuine PNG the
+    * JDK can decode, so the video path exercises real container parsing
+    * plus real per-frame image decode — the same closed-form-oracle trick
+    * as [[makePng]]/[[makeWav]], extended with a frame axis. (The
+    * container itself is bespoke because no standard video codec ships
+    * with the JDK; the frame payloads are not.)
+    */
+  def makeVideo(d: Long): Array[Byte] = {
+    val (nf, w, h) = (vidFrames(d), vidW(d), vidH(d))
+    val bos = new java.io.ByteArrayOutputStream()
+    val out = new java.io.DataOutputStream(bos)
+    out.writeBytes("GRFV")
+    out.writeInt(nf)
+    var f = 0
+    while (f < nf) {
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val r = ((x * 31 + y * 17 + d * 7 + f * 23) % 256).toInt
+          val g = ((x * 13 + y * 29 + d * 3 + f * 19) % 256).toInt
+          val b = ((x * 7 + y * 11 + d + f * 5) % 256).toInt
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          x += 1
+        }
+        y += 1
+      }
+      val fb = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", fb)
+      val bytes = fb.toByteArray
+      out.writeInt(bytes.length)
+      out.write(bytes)
+      f += 1
+    }
+    out.flush()
+    bos.toByteArray
+  }
 
   /** Deterministic 16-bit mono PCM WAV (8 kHz): sample i of doc d is the
     * closed form `((i*37 + d*11) mod 2001) - 1000`, encoded through the
@@ -201,6 +256,51 @@ object Multimodal {
     }.toDF()
   }
 
+  /** REAL video decode: parses the GRFV container and runs every frame
+    * through `javax.imageio` — container demux + per-frame pixel decode,
+    * the actual work a video feature-extraction pass does (modulo the
+    * bespoke container). One codec per partition, one output row per frame.
+    */
+  final class VideoCodec {
+    private val img = new ImageCodec
+    def decode(payload: Array[Byte]): Seq[(Int, Int, Int, Double, Double, Double)] = {
+      val in = new java.io.DataInputStream(new java.io.ByteArrayInputStream(payload))
+      val magic = new Array[Byte](4)
+      in.readFully(magic)
+      require(new String(magic, "US-ASCII") == "GRFV", "bad video magic")
+      val nf = in.readInt()
+      (0 until nf).map { f =>
+        val len = in.readInt()
+        val bytes = new Array[Byte](len)
+        in.readFully(bytes)
+        val (w, h, r, g, b) = img.decode(bytes)
+        (f, w, h, r, g, b)
+      }
+    }
+  }
+
+  final case class VideoFrameFeatures(media_id: Long, frame_idx: Int,
+                                      fr_w: Int, fr_h: Int,
+                                      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** Batch decode of video rows — once-per-partition [[VideoCodec]],
+    * flatMap: one row per decoded frame.
+    */
+  def decodeVideo(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val codec = new VideoCodec
+        it.flatMap { m =>
+          codec.decode(m.payload).map { case (f, w, h, r, g, b) =>
+            VideoFrameFeatures(m.media_id, f, w, h, r, g, b)
+          }
+        }
+      }.toDF()
+  }
+
   final case class ImageFeatures(media_id: Long, img_w: Int, img_h: Int,
                                  mean_r: Double, mean_g: Double, mean_b: Double)
 
@@ -210,6 +310,9 @@ object Multimodal {
     * double division — bit-identical to the oracle's integer-avg.
     */
   final class ImageCodec {
+    // executors construct codecs without touching the Multimodal object,
+    // so repeat the (idempotent) cache opt-out here
+    javax.imageio.ImageIO.setUseCache(false)
     def decode(payload: Array[Byte]): (Int, Int, Double, Double, Double) = {
       val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload))
       require(img != null, "undecodable image payload")
@@ -368,8 +471,7 @@ object Multimodal {
 
     // REAL audio decode: WAV payloads (deterministic PCM) through the
     // once-per-partition javax.sound codec; oracle recomputes the sample
-    // closed form and its RMS in SQL. Video remains the one stub kind (the
-    // JDK ships no video codec).
+    // closed form and its RMS in SQL.
     Query(
       "q61_media_audio_decode",
       Some("""
@@ -389,6 +491,43 @@ object Multimodal {
         .select(col("media_id"), col("sample_rate"), col("n_samples"),
           round(col("rms"), 6).as("rms"))
         .orderBy(col("media_id"))
+    }),
+
+    // REAL video decode: GRFV container demux + per-frame javax.imageio
+    // PNG decode in the once-per-partition codec path; the oracle
+    // recomputes each frame's closed-form pixel means in SQL (PNG
+    // losslessness makes them equal). One row per (video, frame).
+    Query(
+      "q70_media_video_decode",
+      Some("""
+        WITH v AS (
+          SELECT doc_id AS media_id, ((doc_id % 4) + 2)::INT AS nf,
+                 ((doc_id % 12) + 8)::INT AS w, ((doc_id % 10) + 8)::INT AS h
+          FROM documents WHERE doc_id % 3 = 2),
+        fr AS (SELECT media_id, w, h, unnest(range(0, nf)) AS f FROM v),
+        px AS (
+          SELECT media_id, f, w, h, x, unnest(range(0, h)) AS y
+          FROM (SELECT media_id, f, w, h, unnest(range(0, w)) AS x FROM fr)),
+        m AS (
+          SELECT media_id, f, w, h,
+                 avg((x*31 + y*17 + media_id*7 + f*23) % 256) AS mr,
+                 avg((x*13 + y*29 + media_id*3 + f*19) % 256) AS mg,
+                 avg((x*7 + y*11 + media_id + f*5) % 256) AS mb
+          FROM px GROUP BY media_id, f, w, h)
+        SELECT media_id, f::INT AS frame_idx, w AS fr_w, h AS fr_h,
+               round(mr, 6) AS mean_r, round(mg, 6) AS mean_g,
+               round(mb, 6) AS mean_b
+        FROM m ORDER BY media_id, frame_idx"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val vid = udf((d: Long) => makeVideo(d))
+      val m = mediaTable(docs).filter(col("kind") === "video")
+        .withColumn("payload", vid(col("media_id")))
+      decodeVideo(spark, m)
+        .select(col("media_id"), col("frame_idx"), col("fr_w"), col("fr_h"),
+          round(col("mean_r"), 6).as("mean_r"),
+          round(col("mean_g"), 6).as("mean_g"),
+          round(col("mean_b"), 6).as("mean_b"))
+        .orderBy(col("media_id"), col("frame_idx"))
     }),
 
     // Frame sampling: one row per sampled frame of each video.

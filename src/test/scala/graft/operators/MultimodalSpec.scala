@@ -51,6 +51,26 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("GRFV roundtrip: container demux + per-frame ImageIO decode recover the closed form") {
+    val codec = new Multimodal.VideoCodec
+    for (d <- Seq(2L, 5L, 47L, 998L)) {
+      val (nf, w, h) = (Multimodal.vidFrames(d), Multimodal.vidW(d), Multimodal.vidH(d))
+      val frames = codec.decode(Multimodal.makeVideo(d))
+      assert(frames.size == nf)
+      for (((fi, dw, dh, mr, mg, mb), f) <- frames.zipWithIndex) {
+        assert(fi == f && dw == w && dh == h)
+        var (sr, sg, sb) = (0L, 0L, 0L)
+        for (y <- 0 until h; x <- 0 until w) {
+          sr += (x * 31 + y * 17 + d * 7 + f * 23) % 256
+          sg += (x * 13 + y * 29 + d * 3 + f * 19) % 256
+          sb += (x * 7 + y * 11 + d + f * 5) % 256
+        }
+        val n = (w * h).toDouble
+        assert(mr == sr / n && mg == sg / n && mb == sb / n, s"doc $d frame $f")
+      }
+    }
+  }
+
   test("image rows of the media table decode through the batch codec path") {
     val withImages = Multimodal.mediaTableWithImages(Tables(spark, sf("sf0.001")).documents)
     val decoded = Multimodal.decodeImages(spark, withImages)
