@@ -2,7 +2,7 @@ package graft.operators
 
 import graft.{Query, Tables}
 import graft.util.TextPrep._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Corpus-level pipeline analytics: n-gram statistics, cohort retention,
@@ -241,6 +241,60 @@ object Pipeline {
           col("doc_id") === col("drop_doc"), "left_anti")
         .select(col("doc_id"), col("n_chars"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Train/eval CONTAMINATION detection — the decontamination pass every
+    // LLM training pipeline runs before a benchmark eval: find training
+    // docs whose 5-gram shingle CONTAINMENT of an eval doc (|T∩E| / |E|)
+    // clears 0.5. Eval set = every 11th doc. The eval side is tiny by
+    // construction, so its shingle set broadcasts and the training corpus
+    // is scanned exactly once — no corpus self-join.
+    Query(
+      "q72_contamination",
+      Some(s"""
+        WITH esh AS (SELECT doc_id AS edoc,
+                       unnest(list_distinct(list_transform(
+                         ${sqlShingles(sqlTokens("text"), 5)}, s -> ${sqlH48("s")}))) AS sh
+                     FROM documents WHERE doc_id % 11 = 0),
+        tsh AS (SELECT doc_id AS tdoc,
+                  unnest(list_distinct(list_transform(
+                    ${sqlShingles(sqlTokens("text"), 5)}, s -> ${sqlH48("s")}))) AS sh
+                FROM documents WHERE doc_id % 11 <> 0),
+        esz AS (SELECT edoc, COUNT(*) AS sz FROM esh GROUP BY edoc),
+        inter AS (SELECT tdoc, edoc, COUNT(*) AS i
+                  FROM tsh JOIN esh USING (sh) GROUP BY 1, 2)
+        SELECT edoc AS eval_doc, tdoc AS train_doc,
+               round(i * 1.0 / sz, 6) AS containment
+        FROM inter JOIN esz USING (edoc)
+        WHERE i * 1.0 / sz >= 0.5
+        ORDER BY eval_doc, train_doc"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      contamination(t.documents, "text", "doc_id",
+          isEval = col("doc_id") % 11 === 0, n = 5, threshold = 0.5)
+        .orderBy(col("eval_doc"), col("train_doc"))
     })
   )
+
+  /** Find training docs that contain eval-set content (shingle containment
+    * |T∩E| / |E| ≥ threshold). The eval shingle set is broadcast — at any
+    * corpus scale the benchmark suite stays MBs — so the training corpus
+    * is scanned once with zero self-joins; the only shuffle is the
+    * per-(train,eval)-pair intersection count.
+    */
+  def contamination(docs: DataFrame, textCol: String, idCol: String,
+                    isEval: Column, n: Int = 5, threshold: Double = 0.5): DataFrame = {
+    def sh(part: DataFrame, as: String) = part.select(col(idCol).as(as),
+      explode(array_distinct(
+        graft.functions.TextHashFunctions.hashedShingles(col(textCol), n))).as("sh"))
+    val eSh = sh(docs.filter(isEval), "edoc")
+    val tSh = sh(docs.filter(!isEval), "tdoc")
+    val esz = eSh.groupBy("edoc").agg(count(lit(1)).as("sz"))
+    tSh.join(broadcast(eSh), "sh")
+      .groupBy(col("tdoc"), col("edoc"))
+      .agg(count(lit(1)).as("i"))
+      .join(broadcast(esz), "edoc")
+      .filter(col("i") / col("sz") >= threshold)
+      .select(col("edoc").as("eval_doc"), col("tdoc").as("train_doc"),
+        round(col("i") / col("sz"), 6).as("containment"))
+  }
 }

@@ -264,6 +264,42 @@ object TextAnalysis {
           coalesce(element_at(m, "the"), lit(0)).as("n_the"),
           map_contains_key(m, "data").as("has_data"))
         .orderBy(col("doc"))
+    }),
+
+    // PII scrubbing — the redaction pass a training pipeline runs before
+    // text reaches a model. The synthetic corpus carries no PII, so each
+    // doc first gets 1 + (doc_id % 3) deterministic contact addresses
+    // APPENDED (same construction in both engines — the injection is part
+    // of the fixture, the scrub is the operator under test), then emails
+    // are redacted to <EMAIL>. Per-row regex pipeline: zero shuffles,
+    // whole-stage codegen, column-pruned scan. The scrubbed text is
+    // compared by md5 so the oracle row stays narrow. (DuckDB's
+    // regexp_replace needs the 'g' flag to match Spark's replace-all.)
+    Query(
+      "q73_pii_scrub",
+      Some(s"""
+        WITH pii AS (
+          SELECT doc_id,
+                 text || ' ' || array_to_string(
+                   list_transform(range(1, (doc_id % 3) + 2),
+                     i -> 'user' || doc_id || '-' || i || '@example.com'),
+                   ' ') AS t
+          FROM documents)
+        SELECT doc_id,
+               len(regexp_extract_all(t, '[a-z0-9-]+@[a-z]+\\.[a-z]+')) AS n_emails,
+               md5(regexp_replace(t, '[a-z0-9-]+@[a-z]+\\.[a-z]+', '<EMAIL>', 'g')) AS scrub_md5
+        FROM pii ORDER BY doc_id"""))((spark, dir) => {
+      val emailRe = "[a-z0-9-]+@[a-z]+\\.[a-z]+"
+      val pii = concat(col("text"), lit(" "),
+        concat_ws(" ", transform(
+          sequence(lit(1), (col("doc_id") % 3 + 1).cast("int")),
+          i => concat(lit("user"), col("doc_id").cast("string"), lit("-"),
+            i.cast("string"), lit("@example.com")))))
+      Tables(spark, dir).documents
+        .select(col("doc_id"),
+          regexp_count(pii, lit(emailRe)).as("n_emails"),
+          md5(regexp_replace(pii, emailRe, "<EMAIL>").cast("binary")).as("scrub_md5"))
+        .orderBy(col("doc_id"))
     })
   )
 }
