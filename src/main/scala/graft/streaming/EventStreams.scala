@@ -34,4 +34,38 @@ object EventStreams {
       .agg(count(lit(1)).as("n_events"))
       .select(col("user_id"), col("w.start").as("session_start"),
         col("w.end").as("session_end"), col("n_events"))
+
+  /** Stream-stream INTERVAL join: attribute each click to every view by the
+    * same user in the preceding hour. The time-bound condition is what
+    * makes this runnable as a streaming join — it lets the engine expire
+    * view-side state once the click-side watermark passes `view.ts + 1h`,
+    * so state is bounded regardless of stream length. The same code path
+    * is batch-testable (the join is just a join on a batch frame).
+    *
+    * Inputs are pre-split event streams; on the streaming path both must
+    * carry `.withWatermark("ts", …)` before calling.
+    */
+  def attributedClicks(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views.select(col("event_id").as("view_id"),
+      col("user_id").as("v_user"), col("ts").as("view_ts"))
+    val c = clicks.select(col("event_id").as("click_id"),
+      col("user_id").as("c_user"), col("ts").as("click_ts"))
+    v.join(c,
+        col("v_user") === col("c_user") &&
+        col("click_ts") >= col("view_ts") &&
+        col("click_ts") <= col("view_ts") + expr("INTERVAL 1 HOUR"))
+      .select(col("c_user").as("user_id"), col("click_id"), col("view_id"),
+        (unix_micros(col("click_ts")) - unix_micros(col("view_ts")))
+          .as("delay_us"))
+  }
+
+  /** Cross-batch exact dedup with BOUNDED state:
+    * `dropDuplicatesWithinWatermark` keeps a key's dedup state only until
+    * the watermark passes its event time + the allowed lateness, unlike
+    * `dropDuplicates` whose streaming state grows forever. The streaming
+    * twin of batch q22 for the ingest front door (at-least-once sources
+    * re-deliver; this de-dups them with O(watermark-window) state).
+    */
+  def dedupWithinWatermark(events: DataFrame): DataFrame =
+    events.dropDuplicatesWithinWatermark(Seq("event_id"))
 }

@@ -76,6 +76,52 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-stream interval join matches the batch join") {
+    val events = Tables(spark, sf()).events
+      .withColumn("ts", col("ts").cast("timestamp")).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-ssj").toString
+    events.filter(col("event_type") === "view").write.parquet(s"$dir/views")
+    events.filter(col("event_type") === "click").write.parquet(s"$dir/clicks")
+    def read(p: String) =
+      spark.readStream.schema(events.schema).parquet(s"$dir/$p")
+        .withWatermark("ts", "2 hours")
+    val q = EventStreams.attributedClicks(read("views"), read("clicks"))
+      .writeStream.format("memory").queryName("attr_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("attr_stream").collect().map(_.toString).toSet
+    val batch = EventStreams.attributedClicks(
+        events.filter(col("event_type") === "view"),
+        events.filter(col("event_type") === "click"))
+      .collect().map(_.toString).toSet
+    assert(batch.nonEmpty, "no view→click attributions in the fixture")
+    assert(streamed == batch)
+  }
+
+  test("dropDuplicatesWithinWatermark removes re-deliveries with bounded state") {
+    val events = Tables(spark, sf()).events
+      .withColumn("ts", col("ts").cast("timestamp")).limit(200).cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-dd").toString
+    // simulate an at-least-once source: every event delivered twice
+    events.union(events).write.parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+      .withWatermark("ts", "1 hour")
+    val q = EventStreams.dedupWithinWatermark(stream)
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val ids = spark.table("dedup_stream").select("event_id")
+      .collect().map(_.getLong(0))
+    assert(ids.length == ids.distinct.length, "duplicates survived")
+    assert(ids.length == events.count(), "legitimate events were dropped")
+  }
+
   test("session windows bound state and match gap semantics") {
     val events = Tables(spark, sf()).events
     val sessions = EventStreams.sessionize(events).cache()
