@@ -58,6 +58,60 @@ final case class DbCatalog(spark: SparkSession, root: String) {
   def writeTable(db: String, table: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(tablePath(db, table).toString)
 
+  /** Rewrite a table whose current files are an INPUT of `df` — parquet
+    * cannot overwrite its own read path, so stage to a temp dir and swap
+    * by rename (the same crash-ordered sequence as the merge swap in
+    * [[Load]]: live is never gone without a backup existing).
+    */
+  def rewriteTable(db: String, table: String, df: DataFrame): Unit = {
+    val live = tablePath(db, table)
+    val tmp = new Path(dbPath(db), s"_tmp_$table")
+    val bak = new Path(dbPath(db), s"_bak_$table")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    fs.delete(bak, true)
+    if (!fs.rename(live, bak))
+      throw new IllegalStateException(s"backup rename failed for $db.$table")
+    if (!fs.rename(tmp, live)) {
+      fs.rename(bak, live)
+      throw new IllegalStateException(s"rewrite swap failed for $db.$table")
+    }
+    fs.delete(bak, true)
+  }
+
+  /** Widen `df` to `newSchema`: missing columns appear as typed nulls,
+    * column order follows the new schema. Existing columns must keep their
+    * type (this models Hive's metadata-only ADD COLUMNS, the ALTER the
+    * reference's REPL stream replicates; type changes are a rewrite job,
+    * not an ALTER).
+    */
+  private def widenTo(df: DataFrame, newSchema: StructType): DataFrame = {
+    val have = df.columns.toSet
+    newSchema.fields.filter(f => have(f.name)).foreach { f =>
+      val cur = df.schema(f.name).dataType
+      require(cur == f.dataType,
+        s"ALTER cannot change ${f.name}: $cur -> ${f.dataType}")
+    }
+    val widened = newSchema.fields.foldLeft(df) { (d, f) =>
+      if (have(f.name)) d else d.withColumn(f.name, lit(null).cast(f.dataType))
+    }
+    widened.select(newSchema.fieldNames.map(col).toIndexedSeq: _*)
+  }
+
+  /** Source-side ALTER TABLE (add columns): migrate the stored table to the
+    * new schema and log an ALTER_TABLE event carrying the full new schema
+    * DDL, so replicas replay the same migration from the event stream.
+    */
+  def alterTable(db: String, table: String, newSchema: StructType): Long = {
+    rewriteTable(db, table, widenTo(readTable(db, table), newSchema))
+    appendEvents(db, Seq(Event(table, OpAlterTable, null, newSchema.toDDL)))
+  }
+
+  /** Replay-side schema migration (no event append — the event already
+    * exists in the stream being applied).
+    */
+  def migrateTable(db: String, table: String, newSchema: StructType): Unit =
+    rewriteTable(db, table, widenTo(readTable(db, table), newSchema))
+
   def dropTable(db: String, table: String): Unit =
     fs.delete(tablePath(db, table), true)
 
@@ -176,6 +230,7 @@ object DbCatalog {
   val OpDelete = "DELETE"
   val OpCreateTable = "CREATE_TABLE"
   val OpDropTable = "DROP_TABLE"
+  val OpAlterTable = "ALTER_TABLE" // row_json carries the full NEW schema DDL
   val OpCreateView = "CREATE_VIEW" // row_json carries the view's SQL text
   val OpDropView = "DROP_VIEW"
 

@@ -99,7 +99,8 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     // Tables touched + their DDL history — control-plane sized (a few rows
     // per table), so collecting is fine; row payloads never leave executors.
     val ddl = events
-      .filter(col("op").isin(DbCatalog.OpCreateTable, DbCatalog.OpDropTable))
+      .filter(col("op").isin(DbCatalog.OpCreateTable, DbCatalog.OpDropTable,
+        DbCatalog.OpAlterTable))
       .select("event_id", "table", "op", "row_json")
       .collect().sortBy(_.getLong(0))
     val touched = events.select("table").distinct().collect().map(_.getString(0))
@@ -119,9 +120,14 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
 
     Parallel.foreach(touched.toSeq) { t =>
       val tableDdl = ddl.filter(_.getString(1) == t)
-      // Portion of the DML stream that survives the last DDL action.
-      val lastDdl = tableDdl.lastOption
-      lastDdl.foreach { r =>
+      // CREATE/DROP reset a table's history — DML before them is dead.
+      // ALTER does NOT: pre-ALTER upserts still apply (their row_json
+      // simply parses to null for the added columns), so the DML floor
+      // comes from the last reset only, and every ALTER after that reset
+      // replays as an in-place schema migration, in event order.
+      val lastReset = tableDdl
+        .filter(_.getString(2) != DbCatalog.OpAlterTable).lastOption
+      lastReset.foreach { r =>
         r.getString(2) match {
           case DbCatalog.OpDropTable => target.dropTable(db, t)
           case DbCatalog.OpCreateTable =>
@@ -130,7 +136,14 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
         }
       }
-      val minDml = lastDdl.map(_.getLong(0)).getOrElse(Long.MinValue)
+      val minDml = lastReset.map(_.getLong(0)).getOrElse(Long.MinValue)
+      tableDdl
+        .filter(r => r.getString(2) == DbCatalog.OpAlterTable &&
+          r.getLong(0) > minDml)
+        .foreach { r =>
+          recoverSwap(db, t) // an earlier crash mid-rewrite is repairable here too
+          target.migrateTable(db, t, StructType.fromDDL(r.getString(3)))
+        }
       val dml = events.filter(col("table") === t &&
         col("op").isin(DbCatalog.OpUpsert, DbCatalog.OpDelete) &&
         col("event_id") > minDml)

@@ -120,6 +120,42 @@ class ReplicationSpec extends SparkSpec {
     assert(!target.tableExists("db5", "extra"))
   }
 
+  test("ALTER TABLE replays: added column lands at the replica, old rows null") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db_alter")
+    assert(job.run("db_alter").verify == "SUCCESS")
+
+    import DbCatalog._
+    import org.apache.spark.sql.types._
+    // Source-side migration: region gains a population column, then both
+    // a pre-existing row is updated and a new row arrives with the field.
+    val cur = source.readTable("db_alter", "region").schema
+    val newSchema = StructType(cur.fields :+ StructField("population", LongType))
+    source.alterTable("db_alter", "region", newSchema)
+    source.appendEvents("db_alter", Seq(
+      Event("region", OpUpsert, "0",
+        """{"r_regionkey":0,"r_name":"AFRICA","population":1400}"""),
+      Event("region", OpUpsert, "91",
+        """{"r_regionkey":91,"r_name":"ATLANTIS","population":7}""")))
+
+    val report = job.run("db_alter")
+    assert(report.kind == "incremental")
+    assert(report.verify == "SUCCESS")
+
+    val rep = target.readTable("db_alter", "region")
+    assert(rep.schema.fieldNames.toSeq == cur.fieldNames.toSeq :+ "population")
+    val pIdx = rep.schema.fieldIndex("population")
+    val byKey = rep.collect().map(r => r.get(0).toString.toLong -> r).toMap
+    assert(byKey(0L).getLong(pIdx) == 1400L)
+    assert(byKey(91L).getString(1) == "ATLANTIS" && byKey(91L).getLong(pIdx) == 7L)
+    // untouched pre-ALTER rows survive with a null in the added column
+    assert(byKey(2L).isNullAt(pIdx))
+    // a second run is a verified no-op and leaves the migrated table intact
+    val before = rowSet(rep)
+    assert(job.run("db_alter").verify == "NOOP")
+    assert(rowSet(target.readTable("db_alter", "region")) == before)
+  }
+
   test("five-way verify enum matches the reference's comparisons") {
     import VerifyResult._
     assert(of(Some(10), 10, Some(5)) == Success)
