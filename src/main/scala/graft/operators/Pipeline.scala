@@ -272,6 +272,36 @@ object Pipeline {
       contamination(t.documents, "text", "doc_id",
           isEval = col("doc_id") % 11 === 0, n = 5, threshold = 0.5)
         .orderBy(col("eval_doc"), col("train_doc"))
+    }),
+
+    // Ordered funnel over the event stream: signup → click → purchase,
+    // each stage's first occurrence must FOLLOW the previous stage's.
+    // One groupBy + one global aggregate — conditional-min pivoting, no
+    // self-joins or windows over the raw events.
+    Query(
+      "q76_funnel",
+      Some("""
+        WITH st AS (
+          SELECT user_id,
+                 min(ts) FILTER (event_type = 'signup') AS t_signup,
+                 min(ts) FILTER (event_type = 'click') AS t_click,
+                 min(ts) FILTER (event_type = 'purchase') AS t_purchase
+          FROM events GROUP BY user_id)
+        SELECT count(t_signup) AS n_signup,
+               count(*) FILTER (t_click > t_signup) AS n_then_click,
+               count(*) FILTER (t_purchase > t_click AND t_click > t_signup)
+                 AS n_then_purchase
+        FROM st"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val st = t.events.groupBy(col("user_id")).agg(
+        min(when(col("event_type") === "signup", col("ts"))).as("t_signup"),
+        min(when(col("event_type") === "click", col("ts"))).as("t_click"),
+        min(when(col("event_type") === "purchase", col("ts"))).as("t_purchase"))
+      st.agg(
+        count(col("t_signup")).as("n_signup"),
+        count(when(col("t_click") > col("t_signup"), 1)).as("n_then_click"),
+        count(when(col("t_purchase") > col("t_click") &&
+          col("t_click") > col("t_signup"), 1)).as("n_then_purchase"))
     })
   )
 
