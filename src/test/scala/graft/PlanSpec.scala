@@ -201,6 +201,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set(thresholdKey, oldT)
   }
 
+  test("q71/q72: the small side (batch / eval shingles) broadcasts; no SMJ of the corpus") {
+    for (name <- Seq("q71_incremental_dedup", "q72_contamination")) {
+      val p = planString(name)
+      assert(p.contains("BroadcastHashJoin"), s"$name: ${p.take(1500)}")
+    }
+  }
+
+  test("q75: fuzzy join is an equi-join on the blocking key, never nested-loop") {
+    val p = planString("q75_fuzzy_join")
+    assert(!p.contains("NestedLoopJoin"), p.take(1500))
+    assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
