@@ -333,6 +333,39 @@ object Multimodal {
     }
   }
 
+  final case class SafeImageFeatures(media_id: Long, decode_ok: Boolean,
+                                     img_w: Option[Int], img_h: Option[Int],
+                                     mean_r: Option[Double], mean_g: Option[Double],
+                                     mean_b: Option[Double])
+
+  /** Corrupt-tolerant batch decode: a payload the codec rejects yields a
+    * `decode_ok = false` row with null features instead of failing the
+    * task. At 100 TB some fraction of a crawled corpus IS corrupt, and a
+    * codec exception that kills the stage (and, after 4 retries, the whole
+    * job) is the wrong policy for one bad file; the flag keeps the failure
+    * observable (count, quarantine, re-fetch) instead of silent.
+    * [[decodeImages]] remains the strict form for trusted inputs.
+    */
+  def decodeImagesSafe(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        val codec = new ImageCodec
+        it.map { m =>
+          try {
+            val (w, h, r, g, b) = codec.decode(m.payload)
+            SafeImageFeatures(m.media_id, decode_ok = true,
+              Some(w), Some(h), Some(r), Some(g), Some(b))
+          } catch { case _: Exception =>
+            SafeImageFeatures(m.media_id, decode_ok = false,
+              None, None, None, None, None)
+          }
+        }
+      }.toDF()
+  }
+
   /** Batch decode of image rows — the same once-per-partition codec shape
     * as [[decodeViaMapPartitions]], but with the REAL [[ImageCodec]].
     */

@@ -112,6 +112,29 @@ final case class DbCatalog(spark: SparkSession, root: String) {
   def migrateTable(db: String, table: String, newSchema: StructType): Unit =
     rewriteTable(db, table, widenTo(readTable(db, table), newSchema))
 
+  /** Small-file compaction. Every incremental merge rewrites a table with
+    * one file per shuffle partition, so a frequently-replicated table
+    * accumulates files until scan planning (and the NameNode/object-store
+    * listing) is the bottleneck — the standard maintenance job of any
+    * streaming-ingest warehouse. Rewrites through the same staged swap as
+    * ALTER, sized to ~`targetBytesPerFile` per output file; row content is
+    * untouched. Returns (filesBefore, filesAfter).
+    */
+  def compactTable(db: String, table: String,
+                   targetBytesPerFile: Long = 128L << 20): (Int, Int) = {
+    val path = tablePath(db, table)
+    def dataFiles: Seq[Path] = fs.listStatus(path).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map(_.getPath)
+    val before = dataFiles.size
+    val totalBytes = fs.listStatus(path).toSeq
+      .filter(_.isFile).map(_.getLen).sum
+    val nOut = math.max(1, math.ceil(totalBytes.toDouble / targetBytesPerFile).toInt)
+    if (nOut < before) // never split files to reach a target — only merge
+      rewriteTable(db, table, readTable(db, table).repartition(nOut))
+    (before, dataFiles.size)
+  }
+
   def dropTable(db: String, table: String): Unit =
     fs.delete(tablePath(db, table), true)
 

@@ -81,6 +81,25 @@ class MultimodalSpec extends SparkSpec {
     assert(r.getInt(2) == Multimodal.imgH(r.getLong(0)))
   }
 
+  test("corrupt payloads flag decode_ok=false; good rows still decode") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val good = Multimodal.makePng(7L, 10, 10)
+    val rows = Seq(
+      (1L, "image", good),
+      (2L, "image", good.take(20)),          // truncated PNG
+      (3L, "image", "not a png".getBytes),   // garbage
+      (4L, "image", Multimodal.makePng(4L, 8, 8)))
+    val media = rows.toDF("media_id", "kind", "payload")
+    val out = Multimodal.decodeImagesSafe(spark, media)
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(out == Map(1L -> true, 2L -> false, 3L -> false, 4L -> true))
+    val ok = Multimodal.decodeImagesSafe(spark, media)
+      .filter(col("decode_ok")).select("media_id", "img_w")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(ok == Map(1L -> 10, 4L -> 8))
+  }
+
   test("metadata-only query prunes the binary payload from the parquet scan") {
     // Write media as parquet, then check the scan schema of a metadata query.
     val dir = java.nio.file.Files.createTempDirectory("graft-media").toString

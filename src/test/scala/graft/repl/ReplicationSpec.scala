@@ -156,6 +156,21 @@ class ReplicationSpec extends SparkSpec {
     assert(rowSet(target.readTable("db_alter", "region")) == before)
   }
 
+  test("compaction merges small files without changing rows") {
+    val (_, source, _, _) = freshWorld()
+    source.createDb("db_c")
+    // simulate many incremental merges: 40 tiny files
+    source.writeTable("db_c", "nation",
+      spark.read.parquet(s"${sf()}/nation.parquet").repartition(40))
+    val before = rowSet(source.readTable("db_c", "nation"))
+    val (nBefore, nAfter) = source.compactTable("db_c", "nation")
+    assert(nBefore >= 20, s"expected >=20 files, saw $nBefore")
+    assert(nAfter == 1, s"tiny table should compact to 1 file, got $nAfter")
+    assert(rowSet(source.readTable("db_c", "nation")) == before)
+    // compacting an already-compact table is a no-op (no pointless rewrite)
+    assert(source.compactTable("db_c", "nation") == (1, 1))
+  }
+
   test("five-way verify enum matches the reference's comparisons") {
     import VerifyResult._
     assert(of(Some(10), 10, Some(5)) == Success)
