@@ -266,6 +266,33 @@ object TextAnalysis {
         .orderBy(col("doc"))
     }),
 
+    // BPE-style token counting: the pretokenizer split every byte-pair
+    // tokenizer starts from — runs of letters, runs of digits, single
+    // punctuation marks (an RE2/Java-portable simplification of the GPT-2
+    // pattern, which needs lookahead). The chars-per-token ratio is the
+    // budget metric every training pipeline tracks next to the whitespace
+    // token count (q29). Per-row regex, zero shuffle, codegen.
+    Query(
+      "q77_bpe_tokens",
+      Some(s"""
+        SELECT doc_id AS doc,
+               len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]'))
+                 AS n_bpe,
+               len(${sqlTokens("text")}) AS n_ws,
+               round(n_chars * 1.0 /
+                 len(regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9\\s]')),
+                 4) AS chars_per_tok
+        FROM documents ORDER BY doc"""))((spark, dir) => {
+      val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+      val nBpe = regexp_count(lower(col("text")), lit(re))
+      Tables(spark, dir).documents
+        .select(col("doc_id").as("doc"),
+          nBpe.cast("long").as("n_bpe"),
+          size(tokens(col("text"))).cast("long").as("n_ws"),
+          round(col("n_chars") / nBpe, 4).as("chars_per_tok"))
+        .orderBy(col("doc"))
+    }),
+
     // PII scrubbing — the redaction pass a training pipeline runs before
     // text reaches a model. The synthetic corpus carries no PII, so each
     // doc first gets 1 + (doc_id % 3) deterministic contact addresses

@@ -112,6 +112,27 @@ final case class DbCatalog(spark: SparkSession, root: String) {
   def migrateTable(db: String, table: String, newSchema: StructType): Unit =
     rewriteTable(db, table, widenTo(readTable(db, table), newSchema))
 
+  /** Replay-side table rename: a pure metadata move (one fs rename).
+    * Idempotent for replayed deltas — if the old name is already gone and
+    * the new one exists, the rename has been applied and this is a no-op.
+    */
+  def renameTableFs(db: String, from: String, to: String): Unit = {
+    val (src, dst) = (tablePath(db, from), tablePath(db, to))
+    if (!fs.exists(src) && fs.exists(dst)) return
+    require(fs.exists(src), s"rename source missing: $db.$from")
+    require(!fs.exists(dst), s"rename target exists: $db.$to")
+    if (!fs.rename(src, dst))
+      throw new IllegalStateException(s"rename failed: $db.$from -> $to")
+  }
+
+  /** Source-side RENAME TABLE: apply locally and log the event so replicas
+    * replay the same move (row_json carries the new name).
+    */
+  def renameTable(db: String, from: String, to: String): Long = {
+    renameTableFs(db, from, to)
+    appendEvents(db, Seq(Event(from, OpRenameTable, null, to)))
+  }
+
   /** Small-file compaction. Every incremental merge rewrites a table with
     * one file per shuffle partition, so a frequently-replicated table
     * accumulates files until scan planning (and the NameNode/object-store
@@ -254,6 +275,7 @@ object DbCatalog {
   val OpCreateTable = "CREATE_TABLE"
   val OpDropTable = "DROP_TABLE"
   val OpAlterTable = "ALTER_TABLE" // row_json carries the full NEW schema DDL
+  val OpRenameTable = "RENAME_TABLE" // row_json carries the new table name
   val OpCreateView = "CREATE_VIEW" // row_json carries the view's SQL text
   val OpDropView = "DROP_VIEW"
 

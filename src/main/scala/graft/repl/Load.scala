@@ -94,8 +94,29 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
   /** Apply a batch of change events to the target db. Shared by batch
     * incremental load and streaming replication's foreachBatch
     * ([[graft.streaming.StreamingReplication]]).
+    *
+    * RENAME splits the delta into epochs: everything before the rename is
+    * merged under the OLD name, the rename applies as one metadata move,
+    * then the remainder merges under the NEW name — the only way net-effect
+    * compaction stays correct when one table's DML stream crosses a rename
+    * (renames are control-plane rare, so epochs are too).
     */
   def applyEvents(db: String, events: DataFrame): Unit = {
+    val renames = events.filter(col("op") === DbCatalog.OpRenameTable)
+      .select("event_id", "table", "row_json")
+      .collect().sortBy(_.getLong(0))
+    if (renames.isEmpty) { applyEpoch(db, events); return }
+    var lo = Long.MinValue
+    renames.foreach { r =>
+      applyEpoch(db, events.filter(
+        col("event_id") > lo && col("event_id") < r.getLong(0)))
+      target.renameTableFs(db, r.getString(1), r.getString(2))
+      lo = r.getLong(0)
+    }
+    applyEpoch(db, events.filter(col("event_id") > lo))
+  }
+
+  private def applyEpoch(db: String, events: DataFrame): Unit = {
     // Tables touched + their DDL history — control-plane sized (a few rows
     // per table), so collecting is fine; row payloads never leave executors.
     val ddl = events

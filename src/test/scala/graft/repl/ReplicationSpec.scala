@@ -156,6 +156,34 @@ class ReplicationSpec extends SparkSpec {
     assert(rowSet(target.readTable("db_alter", "region")) == before)
   }
 
+  test("RENAME TABLE replays; DML on both sides of the rename lands correctly") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db_ren")
+    assert(job.run("db_ren").verify == "SUCCESS")
+
+    import DbCatalog._
+    // pre-rename DML under the old name, the rename, post-rename DML under
+    // the new name — all in ONE delta, exercising the epoch split.
+    source.appendEvents("db_ren", Seq(
+      Event("supplier", OpUpsert, "0",
+        """{"s_suppkey":0,"s_name":"Supplier#000000000-v2"}""")))
+    source.renameTable("db_ren", "supplier", "vendor")
+    source.appendEvents("db_ren", Seq(
+      Event("vendor", OpUpsert, "1",
+        """{"s_suppkey":1,"s_name":"Vendor#000000001"}""")))
+
+    assert(job.run("db_ren").verify == "SUCCESS")
+    assert(!target.tableExists("db_ren", "supplier"))
+    assert(target.tableExists("db_ren", "vendor"))
+    val names = target.readTable("db_ren", "vendor").collect()
+      .map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    assert(names(0L) == "Supplier#000000000-v2") // pre-rename upsert survived the move
+    assert(names(1L) == "Vendor#000000001")      // post-rename upsert landed at new name
+    // second run: verified no-op, rename not re-applied
+    assert(job.run("db_ren").verify == "NOOP")
+    assert(target.tableExists("db_ren", "vendor"))
+  }
+
   test("compaction merges small files without changing rows") {
     val (_, source, _, _) = freshWorld()
     source.createDb("db_c")
