@@ -36,6 +36,36 @@ class SkewSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits a skewed join partition at runtime (automatic saltedJoin)") {
+    import spark.implicits._
+    // One giant key on the probe side. With the skew thresholds forced low
+    // AQE must mark the partition skewed and split it across tasks — the
+    // runtime counterpart of the plan-time salting in Skew.saltedJoin.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "1.0",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val old = confs.map { case (k, _) => k -> spark.conf.get(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val probe = spark.range(300000)
+        .select((col("id") % 50).as("k"), col("id").as("payload"))
+        .withColumn("k", when(col("k") < 25, 1L).otherwise(col("k"))) // hot key 1
+      val build = (0L until 50L).toDF("bk")
+      val joined = probe.join(build, col("k") === col("bk"))
+      // execute THIS frame (count() would plan a separate query) and read
+      // the finalized adaptive plan
+      assert(joined.collect().length == 300000)
+      val plan = joined.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(plan.contains("skew=true"), s"AQE skew split missing:\n${plan.take(2000)}")
+    } finally old.foreach { case (k, v) => spark.conf.set(k, v) }
+  }
+
   test("saltedAggregate matches direct groupBy for algebraic aggregates") {
     import spark.implicits._
     val df = (1 to 1000).map(i => (i % 3, i.toLong)).toDF("k", "x")
