@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{Query, Tables}
 import graft.util.Exact._
+import graft.util.TextPrep.{sqlH48, sqlShingles, sqlTokens}
 import org.apache.spark.sql.functions._
 
 /** Operators whose point is the EXECUTION STRATEGY at 100 TB, exposed as
@@ -164,6 +165,118 @@ object ScaleOps {
       eligible.join(kept, "doc_id")
         .groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("source"))
+    }),
+
+    // ---------------------------------------------------------------- q78
+    // The FULL ingest pipeline, raw crawl → training-ready corpus stats —
+    // every stage is a library operator, composed:
+    //   0. eval split        (every 11th doc is benchmark, never trained on)
+    //   1. language filter   (TextAnalysis.langId = 'en')          map-only
+    //   2. quality filter    (TextAnalysis.qualityScore keep)      map-only
+    //   3. exact dedup       (Dedup.exact, min doc survives)       1 shuffle
+    //   4. near-dup clusters (ngramJaccardPairs → components →
+    //                         drop non-representatives)            bucketed
+    //   5. decontamination   (Pipeline.contamination vs the eval
+    //                         split, containment ≥ 0.5)            broadcast
+    //   6. token budget      (BPE-ish counts per source)           1 shuffle
+    // The oracle recomputes all six stages in one DuckDB CTE chain from the
+    // same fragments that oracle the individual operators.
+    Query(
+      "q78_ingest_pipeline",
+      Some(s"""
+        WITH RECURSIVE
+        lid AS (${graft.operators.TextAnalysis.langIdOracleSql("documents", "text", "doc_id")}),
+        q AS (${graft.operators.TextAnalysis.qualityOracleSql("documents", "text", "doc_id")}),
+        eligible AS (
+          SELECT d.* FROM documents d
+          JOIN lid ON lid.doc = d.doc_id AND lid.lang_guess = 'en'
+          JOIN q ON q.doc = d.doc_id AND q.keep
+          WHERE d.doc_id % 11 <> 0),
+        kept AS (SELECT min(doc_id) AS doc_id FROM eligible GROUP BY md5(text)),
+        e2 AS (SELECT e.* FROM eligible e JOIN kept USING (doc_id)),
+        sh0 AS (SELECT doc_id AS doc,
+                  unnest(list_distinct(list_transform(
+                    ${sqlShingles(sqlTokens("text"), 3)}, s -> ${sqlH48("s")}))) AS sh
+                FROM e2),
+        ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20),
+        shf AS (SELECT doc, sh0.sh FROM sh0 JOIN ok USING (sh)),
+        sz AS (SELECT doc, COUNT(*) AS sz FROM shf GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+                  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc
+                  GROUP BY 1, 2),
+        prs AS (SELECT doc_a, doc_b FROM inter
+                JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
+                  UNION SELECT doc_b, doc_a FROM prs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        removed AS (
+          SELECT doc FROM (
+            SELECT doc, least(doc, min(dst)) AS cluster_id
+            FROM (SELECT src AS doc, dst FROM reach) GROUP BY doc)
+          WHERE cluster_id < doc),
+        e3 AS (SELECT e2.* FROM e2 LEFT JOIN removed r ON r.doc = e2.doc_id
+               WHERE r.doc IS NULL),
+        esh AS (SELECT doc_id AS edoc,
+                  unnest(list_distinct(list_transform(
+                    ${sqlShingles(sqlTokens("text"), 5)}, s -> ${sqlH48("s")}))) AS sh
+                FROM documents WHERE doc_id % 11 = 0),
+        tsh AS (SELECT doc_id AS tdoc,
+                  unnest(list_distinct(list_transform(
+                    ${sqlShingles(sqlTokens("text"), 5)}, s -> ${sqlH48("s")}))) AS sh
+                FROM e3),
+        esz AS (SELECT edoc, COUNT(*) AS sz FROM esh GROUP BY edoc),
+        contam AS (SELECT DISTINCT tdoc FROM
+                     (SELECT tdoc, edoc, COUNT(*) AS i
+                      FROM tsh JOIN esh USING (sh) GROUP BY 1, 2) iv
+                   JOIN esz USING (edoc)
+                   WHERE iv.i * 1.0 / esz.sz >= 0.5),
+        fin AS (SELECT e3.* FROM e3 LEFT JOIN contam c ON c.tdoc = e3.doc_id
+                WHERE c.tdoc IS NULL)
+        SELECT source, COUNT(*) AS n_docs,
+               CAST(SUM(len(regexp_extract_all(lower(text),
+                 '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpe,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM fin GROUP BY source ORDER BY source"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val isEval = col("doc_id") % 11 === 0
+      val train = docs.filter(!isEval)
+      val en = TextAnalysis.langId(train, "text", "doc_id")
+        .filter(col("lang_guess") === "en").select(col("doc"))
+      val good = TextAnalysis.qualityScore(train, "text", "doc_id")
+        .filter(col("keep")).select(col("doc"))
+      val eligible = train
+        .join(en, train("doc_id") === en("doc"), "left_semi")
+        .join(good, train("doc_id") === good("doc"), "left_semi")
+      val kept = Dedup.exact(eligible, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      // Persist each stage boundary: every stage is REUSED by ≥2 downstream
+      // consumers (near-dup pairing, decontamination, the final aggregate),
+      // and without a barrier the lazy DAG recomputes language-id + quality
+      // + dedup per consumer (observed 3× the runtime). MEMORY_AND_DISK is
+      // the 100 TB-safe level — the working set spills instead of OOMing.
+      val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+      eligible.persist(lvl)
+      val e2 = eligible.join(kept, Seq("doc_id"), "left_semi").persist(lvl)
+      val pairs = Dedup.ngramJaccardPairs(e2, "text", "doc_id", n = 3, threshold = 0.5)
+      val drop = Pipeline.connectedComponents(pairs)
+        .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
+      val e3 = e2.join(broadcast(drop), col("doc_id") === col("drop_doc"), "left_anti")
+        .persist(lvl)
+      val contam = Pipeline.contamination(
+          docs.filter(isEval).unionByName(e3), "text", "doc_id",
+          isEval = col("doc_id") % 11 === 0, n = 5, threshold = 0.5)
+        .select(col("train_doc").as("bad_doc")).distinct()
+      val clean = e3.join(broadcast(contam), col("doc_id") === col("bad_doc"), "left_anti")
+      val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+      clean.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(regexp_count(lower(col("text")), lit(re)).cast("long")).as("total_bpe"),
+          sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"))
     }))
 
