@@ -47,6 +47,25 @@ class DedupSpec extends SparkSpec {
     assert(fused == agg)
   }
 
+  test("semanticDedup: no two same-cell survivors are near-dups; partition holds") {
+    val embs = Tables(spark, sf("sf0.001")).embeddings.cache()
+    val t = 0.3 // lower threshold than q74's so the sf0.001 slice has drops
+    val res = Dedup.semanticDedup(embs, "embedding", "vec_id", nCells = 8,
+      threshold = t).cache()
+    // every input vector appears exactly once (partition property)
+    assert(res.count() == embs.count())
+    assert(res.select("vec_id").distinct().count() == embs.count())
+    // greedy min-id rule invariant: among SURVIVORS of the same cell, no
+    // pair can reach the threshold (else the larger id would be dropped)
+    val surv = res.filter(!col("dropped"))
+      .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+    val offenders = surv.as("a").join(surv.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorFunctions.cosineFast(
+        col("a.embedding"), col("b.embedding")) >= t)
+    assert(offenders.count() == 0)
+  }
+
   test("exact dedup keeps the minimum id per group") {
     val d = Dedup.exact(docs, substring(col("text"), 1, 100), col("doc_id"))
     val dups = d.filter(col("group_size") > 1)
