@@ -3,6 +3,7 @@ package graft.operators
 import graft.{Query, Tables}
 import graft.util.TextPrep._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Corpus-level pipeline analytics: n-gram statistics, cohort retention,
@@ -302,8 +303,83 @@ object Pipeline {
         count(when(col("t_click") > col("t_signup"), 1)).as("n_then_click"),
         count(when(col("t_purchase") > col("t_click") &&
           col("t_click") > col("t_signup"), 1)).as("n_then_purchase"))
+    }),
+
+    // Sequence packing for pretraining: per-(source, chunk) stats of the
+    // greedy 512-token concatenation batcher. The oracle replays the packing
+    // with a plain sequential window — the distributed two-level scan must
+    // agree exactly (and PipelineSpec pins it at several partition counts).
+    Query(
+      "q79_sequence_packing",
+      Some("""
+        WITH t AS (SELECT source, doc_id,
+                     len(regexp_extract_all(lower(text),
+                       '[a-z]+|[0-9]+|[^a-z0-9\s]')) AS tok
+                   FROM documents),
+        c AS (SELECT source, doc_id, tok,
+                COALESCE(SUM(tok) OVER (PARTITION BY source ORDER BY doc_id
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS st
+              FROM t)
+        SELECT source, CAST(st // 512 AS BIGINT) AS chunk,
+               COUNT(*) AS n_docs, CAST(SUM(tok) AS BIGINT) AS chunk_tokens,
+               MIN(doc_id) AS first_doc
+        FROM c GROUP BY source, chunk
+        ORDER BY source, chunk"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      packSequences(t.documents, "text", "doc_id", "source", ctxTokens = 512)
+        .groupBy(col("source"), col("chunk"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("chunk_tokens"),
+          min(col("doc_id")).as("first_doc"))
+        .orderBy(col("source"), col("chunk"))
     })
   )
+
+  /** Pack documents into fixed token-budget training chunks: stream each
+    * source's docs in doc_id order into a contiguous token tape and cut it
+    * every `ctxTokens` tokens — each doc lands in chunk
+    * `floor(tokens_before_it / ctxTokens)` (greedy concatenation packing,
+    * the standard pretraining batcher).
+    *
+    * The prefix sum is DISTRIBUTED (classic two-level scan), because the
+    * naive `Window.partitionBy(source)` puts an entire source — billions of
+    * docs at 100 TB — into ONE window partition. Instead: range-partition
+    * by (source, doc_id), run the running sum within each partition
+    * (bounded by partition size, not source size), and add a per-(partition,
+    * source) carry offset computed from a tiny totals frame (n_partitions ×
+    * n_sources rows — broadcast). The chunk ids are exactly the sequential
+    * answer regardless of where the range boundaries fall, so the result is
+    * partition-count independent. `ctxTokens` must be a power of two so the
+    * final `start / ctx` division is exact in double.
+    */
+  def packSequences(docs: DataFrame, textCol: String, idCol: String,
+                    sourceCol: String, ctxTokens: Int, nParts: Int = 8): DataFrame = {
+    require((ctxTokens & (ctxTokens - 1)) == 0, "ctxTokens must be a power of 2")
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    val toks = docs.select(col(sourceCol).as("source"), col(idCol).as("doc_id"),
+      regexp_count(lower(col(textCol)), lit(re)).cast("long").as("tok"))
+    val parted = toks.repartitionByRange(nParts, col("source"), col("doc_id"))
+      .withColumn("pid", spark_partition_id())
+    // Running sum of PRECEDING docs within this partition's slice of the
+    // source. The window groups are (pid, source) — never larger than one
+    // range partition.
+    val wIn = Window.partitionBy(col("pid"), col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withIn = parted.withColumn("cum_in",
+      coalesce(sum(col("tok")).over(wIn), lit(0L)))
+    // Carry: for each (pid, source), total tokens in EARLIER partitions of
+    // the same source. The totals frame is tiny; its window is over
+    // n_partitions rows per source.
+    val wOff = Window.partitionBy(col("source")).orderBy(col("pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = parted.groupBy(col("pid"), col("source"))
+      .agg(sum(col("tok")).as("psum"))
+      .withColumn("off", coalesce(sum(col("psum")).over(wOff), lit(0L)))
+      .select(col("pid"), col("source"), col("off"))
+    withIn.join(broadcast(offsets), Seq("pid", "source"))
+      .select(col("source"), col("doc_id"), col("tok"),
+        ((col("off") + col("cum_in")) / lit(ctxTokens.toDouble)).cast("long")
+          .as("chunk"))
+  }
 
   /** Find training docs that contain eval-set content (shingle containment
     * |T∩E| / |E| ≥ threshold). The eval shingle set is broadcast — at any

@@ -43,4 +43,26 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => r.getLong(1)).toSet
     assert(got == Set(0L), s"chain did not fully converge: labels $got")
   }
+
+  test("sequence packing: distributed scan equals the sequential answer at any partition count") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf("sf0.001")).documents.cache()
+    // sequential reference: one global window per source
+    val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
+    val toks = docs.select(col("source"), col("doc_id"),
+      regexp_count(lower(col("text")), lit(re)).cast("long").as("tok"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val ref = toks
+      .withColumn("chunk",
+        (coalesce(sum(col("tok")).over(w), lit(0L)) / lit(512.0)).cast("long"))
+      .select("source", "doc_id", "tok", "chunk")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    for (nParts <- Seq(1, 3, 8)) {
+      val got = Pipeline.packSequences(docs, "text", "doc_id", "source", 512, nParts)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got == ref, s"nParts=$nParts diverged from sequential packing")
+    }
+  }
 }
