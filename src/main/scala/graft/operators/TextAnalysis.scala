@@ -174,6 +174,116 @@ object TextAnalysis {
     * this is a pure per-row column pipeline — zero shuffle, and the
     * per-row cost is O(distinct-bigrams × bigrams) on ~60-token docs.
     */
+  /** Fixed query set for q80 (literal on both engine and oracle sides).
+    * 'dup' is the corpus's one rare term (df ≈ 5%), so query 0 exercises a
+    * genuinely selective idf; the other two are dense-term queries where
+    * length normalization decides the ranking.
+    */
+  val Bm25Queries: Seq[(Long, String)] = Seq(
+    0L -> "dup merge",
+    1L -> "spark hash join",
+    2L -> "window sort stream")
+
+  /** BM25 keyword retrieval: top-`k` docs per query, Okapi BM25 with the
+    * standard k1/b. The 100 TB shape is ONE corpus scan and no inverted
+    * index at all: with a literal query set, each term's tf is a per-row
+    * `size(filter(tokens, _ == term))` column (codegen'd, fused into the
+    * scan), corpus stats (N, avgdl, every term's document frequency) are a
+    * SINGLE 1-row aggregate broadcast back, and per-query scores are plain
+    * column arithmetic — so the only shuffles are the 1-row stats aggregate
+    * and the final top-k. The top-k itself is the salted two-phase pattern
+    * ([[Similarity.topKBruteForce]]): per-(query, salt) partial top-k, then
+    * the exact top-k over `k × nSalts` survivors, so no reducer ever sees a
+    * whole query's candidate list. Term contributions are summed through
+    * DECIMAL(18,9), making the score — and therefore the ranking —
+    * independent of partitioning and exactly reproducible in the oracle.
+    */
+  def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
+               queries: Seq[(Long, String)], k: Int = 10,
+               k1: Double = 1.2, b: Double = 0.75, nSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val allTerms = queries.flatMap(_._2.toLowerCase.trim.split(" +")).distinct
+    val d = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))
+      .select(Seq(col("doc"), size(col("tk")).cast("long").as("dl")) ++
+        allTerms.zipWithIndex.map { case (t, i) =>
+          size(filter(col("tk"), x => x === t)).cast("long").as(s"tf_$i")
+        }: _*)
+    val statCols = Seq(count(lit(1)).cast("double").as("n"),
+      (sum(col("dl")).cast("double") / count(lit(1))).as("avgdl")) ++
+      allTerms.indices.map(i =>
+        sum(when(col(s"tf_$i") > 0, 1L).otherwise(0L)).as(s"df_$i"))
+    val stats = d.agg(statCols.head, statCols.tail: _*)
+    def contrib(i: Int) =
+      (log(lit(1) + (col("n") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5)) *
+        (col(s"tf_$i") * (k1 + 1)) /
+        (col(s"tf_$i") + lit(k1) * (lit(1 - b) + lit(b) * col("dl") / col("avgdl"))))
+        .cast(DecimalType(18, 9))
+    val qScores = queries.map { case (qid, text) =>
+      val idxs = text.toLowerCase.trim.split(" +").distinct.map(allTerms.indexOf)
+      struct(lit(qid).as("query_id"),
+        idxs.map(contrib).reduce(_ + _).cast(DecimalType(18, 9)).as("s"))
+    }
+    val scored = d.crossJoin(broadcast(stats))
+      .select(col("doc"), explode(array(qScores: _*)).as("qs"))
+      .select(col("qs.query_id").as("query_id"), col("doc"), col("qs.s").as("s"))
+      .filter(col("s") > 0)
+    val salted = scored.withColumn("salt",
+      pmod(crc32(col("doc").cast("string")), lit(nSalts)))
+    val w1 = Window.partitionBy(col("query_id"), col("salt"))
+      .orderBy(col("s").desc, col("doc"))
+    val partial = salted.withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= k)
+    val w2 = Window.partitionBy(col("query_id")).orderBy(col("s").desc, col("doc"))
+    partial.withColumn("rank", row_number().over(w2)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank").cast("long").as("rank"),
+        col("doc").as("doc_id"),
+        round(col("s").cast("double"), 6).as("score"))
+  }
+
+  /** DuckDB twin of [[bm25TopK]]: same single-pass tf columns, 1-row stats,
+    * decimal-routed per-term contributions, plain-window top-k (the salted
+    * two-phase top-k is exact, so the sequential window is its oracle).
+    */
+  def bm25OracleSql(table: String, textCol: String, idCol: String,
+                    queries: Seq[(Long, String)], k: Int = 10,
+                    k1: Double = 1.2, b: Double = 0.75): String = {
+    val allTerms = queries.flatMap(_._2.toLowerCase.trim.split(" +")).distinct
+    val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
+    }.mkString(",\n")
+    val dfCols = allTerms.indices.map(i =>
+      s"SUM(CASE WHEN tf_$i > 0 THEN 1 ELSE 0 END) AS df_$i").mkString(",\n")
+    def contrib(i: Int) =
+      s"""CAST(ln(1 + (st.n - st.df_$i + 0.5) / (st.df_$i + 0.5)) *
+          (tf_$i * ${k1 + 1}) /
+          (tf_$i + $k1 * (${1 - b} + $b * dl / st.avgdl)) AS DECIMAL(18,9))"""
+    val branches = queries.map { case (qid, text) =>
+      val idxs = text.toLowerCase.trim.split(" +").distinct.map(allTerms.indexOf)
+      s"""SELECT CAST($qid AS BIGINT) AS query_id, doc,
+            CAST(${idxs.map(contrib).mkString(" + ")} AS DECIMAL(18,9)) AS s
+          FROM dd, st"""
+    }.mkString("\nUNION ALL\n")
+    s"""
+      WITH dd AS (
+        SELECT $idCol AS doc, CAST(len(tk) AS BIGINT) AS dl,
+               $tfCols
+        FROM (SELECT $idCol, ${sqlTokens(textCol)} AS tk FROM $table)),
+      st AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+                    CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl,
+                    $dfCols
+             FROM dd),
+      sc AS ($branches),
+      r AS (SELECT query_id, doc, s,
+              ROW_NUMBER() OVER (PARTITION BY query_id
+                ORDER BY s DESC, doc) AS rank
+            FROM sc WHERE s > 0)
+      SELECT query_id, rank, doc AS doc_id,
+             round(CAST(s AS DOUBLE), 6) AS score
+      FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+  }
+
   def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val bi = col("_bi")
     val tri = col("_tri")
@@ -292,6 +402,18 @@ object TextAnalysis {
           round(col("n_chars") / nBpe, 4).as("chars_per_tok"))
         .orderBy(col("doc"))
     }),
+
+    // BM25 keyword retrieval: top-10 docs for three fixed queries (one
+    // carrying the corpus's only rare term, 'dup'). The query-term slice of
+    // the inverted index is the only thing materialized; decimal-routed
+    // contribution sums make the ranking engine-exact.
+    Query(
+      "q80_bm25",
+      Some(bm25OracleSql("documents", "text", "doc_id", Bm25Queries)))(
+      (spark, dir) => {
+        bm25TopK(Tables(spark, dir).documents, "text", "doc_id", Bm25Queries)
+          .orderBy(col("query_id"), col("rank"))
+      }),
 
     // PII scrubbing — the redaction pass a training pipeline runs before
     // text reaches a model. The synthetic corpus carries no PII, so each
