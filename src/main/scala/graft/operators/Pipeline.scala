@@ -331,8 +331,54 @@ object Pipeline {
         .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("chunk_tokens"),
           min(col("doc_id")).as("first_doc"))
         .orderBy(col("source"), col("chunk"))
+    }),
+
+    // Quality-weighted sampling: each doc keeps with probability equal to
+    // its quality score, via the deterministic h48 coin. Per-source counts
+    // let the oracle verify the exact sample AND show it tracks the
+    // expected size (sum of weights).
+    Query(
+      "q81_weighted_sample",
+      Some(s"""
+        WITH q AS (${graft.operators.TextAnalysis.qualityOracleSql("documents", "text", "doc_id")}),
+        j AS (SELECT d.source, q.quality,
+                CASE WHEN ${sqlH48("CAST(d.doc_id AS VARCHAR) || ':ws'")}
+                     < q.quality * 281474976710656 THEN 1 ELSE 0 END AS s
+              FROM documents d JOIN q ON q.doc = d.doc_id)
+        SELECT source, COUNT(*) AS n_docs, CAST(SUM(s) AS BIGINT) AS n_sampled,
+               round(CAST(SUM(CAST(quality AS DECIMAL(18,6))) AS DOUBLE), 4)
+                 AS expected
+        FROM j GROUP BY source ORDER BY source"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val q = TextAnalysis.qualityScore(docs, "text", "doc_id")
+      val j = docs.join(q, docs("doc_id") === q("doc"))
+      weightedSample(j, col("quality"), col("doc_id"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("sampled"), 1L).otherwise(0L)).as("n_sampled"),
+          round(sum(col("quality").cast(
+            org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 4)
+            .as("expected"))
+        .orderBy(col("source"))
     })
   )
+
+  /** Quality-weighted (importance) sampling: keep each row with probability
+    * `weightCol` (∈ [0,1]) using a DETERMINISTIC hash coin —
+    * `h48(id || salt) < weight · 2⁴⁸` — instead of `rand()`. Same contract
+    * as q50's stratified sampler, generalized to per-row rates: the sample
+    * is reproducible at any parallelism (no RNG state per partition), the
+    * salt gives independent draws for repeated sampling passes, and the
+    * whole thing is a per-row codegen'd predicate — zero shuffle. This is
+    * the quality-proportional downsampling step of modern pretraining
+    * pipelines (sample high-quality docs preferentially rather than hard
+    * thresholding).
+    */
+  def weightedSample(df: DataFrame, weightCol: Column, idCol: Column,
+                     salt: String = "ws"): DataFrame =
+    df.withColumn("sampled",
+      h48(concat(idCol.cast("string"), lit(":" + salt))) <
+        weightCol * lit(math.pow(2, 48)))
 
   /** Pack documents into fixed token-budget training chunks: stream each
     * source's docs in doc_id order into a contiguous token tape and cut it
