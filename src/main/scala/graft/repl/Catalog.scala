@@ -58,6 +58,36 @@ final case class DbCatalog(spark: SparkSession, root: String) {
   def writeTable(db: String, table: String, df: DataFrame): Unit =
     df.write.mode("overwrite").parquet(tablePath(db, table).toString)
 
+  // ------------------------------------------------------- partitioned tables
+
+  /** Physical partition column of a parquet dir laid out `col=value/`, if
+    * any. The LAYOUT is the metadata: dumps and replicas recover the spec
+    * from directory names, so nothing extra has to travel in the manifest.
+    * One partition level (the warehouse-standard date/bucket column);
+    * values must be filesystem-safe (no escaping is attempted).
+    */
+  def partitionColOf(path: Path): Option[String] =
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+      .find(n => n.contains("=") && !n.startsWith("_"))
+      .map(_.split("=")(0))
+
+  /** Partition column of a table, if it is partitioned. */
+  def partitionSpec(db: String, table: String): Option[String] =
+    partitionColOf(tablePath(db, table))
+
+  /** Overwrite-write a table partitioned by `partCol` (`col=value/`
+    * subdirs). Incremental merges on such a table rewrite ONLY partitions
+    * the delta touches ([[Load]]) — the difference between a per-batch
+    * full-table rewrite and a bounded one at 100 TB. The partition column
+    * must be carried in upsert payloads; the table key stays the first
+    * DATA column.
+    */
+  def writeTablePartitioned(db: String, table: String, df: DataFrame,
+                            partCol: String): Unit =
+    df.write.mode("overwrite").partitionBy(partCol)
+      .parquet(tablePath(db, table).toString)
+
   /** Rewrite a table whose current files are an INPUT of `df` — parquet
     * cannot overwrite its own read path, so stage to a temp dir and swap
     * by rename (the same crash-ordered sequence as the merge swap in
@@ -131,6 +161,21 @@ final case class DbCatalog(spark: SparkSession, root: String) {
   def renameTable(db: String, from: String, to: String): Long = {
     renameTableFs(db, from, to)
     appendEvents(db, Seq(Event(from, OpRenameTable, null, to)))
+  }
+
+  /** Replay-side TRUNCATE: rewrite the table to zero rows, keeping its
+    * CURRENT schema (Hive's TRUNCATE contract — data gone, metadata kept).
+    */
+  def truncateTableFs(db: String, table: String): Unit = {
+    val schema = readTable(db, table).schema
+    rewriteTable(db, table, spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+  }
+
+  /** Source-side TRUNCATE TABLE: apply locally and log the event. */
+  def truncateTable(db: String, table: String): Long = {
+    truncateTableFs(db, table)
+    appendEvents(db, Seq(Event(table, OpTruncateTable, null, null)))
   }
 
   /** Small-file compaction. Every incremental merge rewrites a table with
@@ -276,6 +321,7 @@ object DbCatalog {
   val OpDropTable = "DROP_TABLE"
   val OpAlterTable = "ALTER_TABLE" // row_json carries the full NEW schema DDL
   val OpRenameTable = "RENAME_TABLE" // row_json carries the new table name
+  val OpTruncateTable = "TRUNCATE_TABLE" // no payload; schema survives
   val OpCreateView = "CREATE_VIEW" // row_json carries the view's SQL text
   val OpDropView = "DROP_VIEW"
 

@@ -55,7 +55,13 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
     // cluster idle otherwise — the reference's `hive.exec.parallel`,
     // `/root/reference/HQL/replextload.hql:5-8`).
     Parallel.foreach(tables.filterNot(source.isExternal)) { t =>
-      source.readTable(db, t).write.parquet(new Path(dir, s"tables/$t").toString)
+      val out = new Path(dir, s"tables/$t").toString
+      // A partitioned source snapshots partitioned — the dump's directory
+      // layout carries the spec to the replica (no manifest field needed).
+      source.partitionSpec(db, t) match {
+        case Some(p) => source.readTable(db, t).write.partitionBy(p).parquet(out)
+        case None => source.readTable(db, t).write.parquet(out)
+      }
     }
     // View definitions snapshot alongside the tables (control-plane files:
     // one SQL text per view — `/root/reference/README.md:4` replicates

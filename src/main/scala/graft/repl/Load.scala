@@ -59,8 +59,16 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     // concurrent per-table restore jobs (reference `hive.exec.parallel`)
     Parallel.foreach(m.tables) { t =>
       if (target.isExternal(t)) syncExternal(m, t)
-      else target.writeTable(m.db, t,
-        spark.read.parquet(new Path(dumpPath, s"tables/$t").toString))
+      else {
+        val src = new Path(dumpPath, s"tables/$t")
+        val df = spark.read.parquet(src.toString)
+        // The dump dir's layout carries the partition spec (see Dump):
+        // a partitioned snapshot restores partitioned at the replica.
+        target.partitionColOf(src) match {
+          case Some(p) => target.writeTablePartitioned(m.db, t, df, p)
+          case None => target.writeTable(m.db, t, df)
+        }
+      }
     }
     // Recreate the snapshot's views (definitions, not rows).
     val viewsDir = new Path(dumpPath, "views")
@@ -121,7 +129,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     // per table), so collecting is fine; row payloads never leave executors.
     val ddl = events
       .filter(col("op").isin(DbCatalog.OpCreateTable, DbCatalog.OpDropTable,
-        DbCatalog.OpAlterTable))
+        DbCatalog.OpAlterTable, DbCatalog.OpTruncateTable))
       .select("event_id", "table", "op", "row_json")
       .collect().sortBy(_.getLong(0))
     val touched = events.select("table").distinct().collect().map(_.getString(0))
@@ -141,8 +149,8 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
 
     Parallel.foreach(touched.toSeq) { t =>
       val tableDdl = ddl.filter(_.getString(1) == t)
-      // CREATE/DROP reset a table's history — DML before them is dead.
-      // ALTER does NOT: pre-ALTER upserts still apply (their row_json
+      // CREATE/DROP/TRUNCATE reset a table's history — DML before them is
+      // dead. ALTER does NOT: pre-ALTER upserts still apply (their row_json
       // simply parses to null for the added columns), so the DML floor
       // comes from the last reset only, and every ALTER after that reset
       // replays as an in-place schema migration, in event order.
@@ -155,6 +163,16 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
             val schema = StructType.fromDDL(r.getString(3))
             target.writeTable(db, t, spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+          case DbCatalog.OpTruncateTable =>
+            // Data gone, schema kept (Hive's TRUNCATE contract). The table
+            // must already exist at the target — same lost-table refusal as
+            // the DML path below.
+            recoverSwap(db, t)
+            if (!target.tableExists(db, t))
+              throw new IllegalStateException(
+                s"delta carries TRUNCATE for missing table $db.$t — " +
+                "refusing to skip (possible lost table)")
+            target.truncateTableFs(db, t)
         }
       }
       val minDml = lastReset.map(_.getLong(0)).getOrElse(Long.MinValue)
@@ -187,21 +205,39 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
   /** Repair a merge swap interrupted between its two renames: if the live
     * dir was renamed to `_bak_<table>` but the staged dir never became live,
     * restore the backup; if the crash hit after the new live landed, the
-    * leftover backup is cleared. Idempotent — safe on every retry entry.
+    * leftover backup is cleared. A PARTITIONED backup (a bak dir holding
+    * `col=value` subdirs) repairs per partition the same way — each
+    * partition dir is its own swap unit. Idempotent — safe on every retry
+    * entry.
     */
   private def recoverSwap(db: String, table: String): Unit = {
     val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val live = new Path(target.dbPath(db), table)
     val bak = new Path(target.dbPath(db), s"_bak_$table")
-    if (fs.exists(bak)) {
-      if (!fs.exists(live)) {
-        if (!fs.rename(bak, live))
-          throw new IllegalStateException(s"backup restore failed for $db.$table")
-      } else fs.delete(bak, true)
+    if (!fs.exists(bak)) return
+    target.partitionColOf(bak) match {
+      case Some(_) =>
+        fs.listStatus(bak).filter(_.isDirectory).foreach { st =>
+          val lp = new Path(live, st.getPath.getName)
+          if (!fs.exists(lp)) {
+            if (!fs.rename(st.getPath, lp))
+              throw new IllegalStateException(
+                s"partition backup restore failed for $db.$table/${st.getPath.getName}")
+          } else fs.delete(st.getPath, true)
+        }
+        fs.delete(bak, true)
+      case None =>
+        if (!fs.exists(live)) {
+          if (!fs.rename(bak, live))
+            throw new IllegalStateException(s"backup restore failed for $db.$table")
+        } else fs.delete(bak, true)
     }
   }
 
-  /** One distributed merge: net-effect compaction + anti-join + union. */
+  /** One distributed merge: net-effect compaction + anti-join + union.
+    * A PARTITIONED table takes the partition-scoped path instead: only the
+    * partitions the delta touches are rewritten and swapped.
+    */
   private def mergeTable(db: String, table: String, dml: DataFrame): Unit = {
     val current = target.readTable(db, table)
     val schema = current.schema
@@ -218,6 +254,13 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       .select(col("_r.*"))
 
     val deadKeys = latest.select(col("key")) // every evented key is replaced or deleted
+
+    target.partitionSpec(db, table) match {
+      case Some(p) =>
+        mergePartitions(db, table, p, current, keyCol, upserts, deadKeys)
+        return
+      case None => ()
+    }
 
     val merged = current
       .join(deadKeys, current(keyCol).cast("string") === deadKeys("key"), "left_anti")
@@ -242,6 +285,69 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       throw new IllegalStateException(s"merge swap failed for $db.$table")
     }
     fs.delete(bakPath, true)
+  }
+
+  /** Partition-scoped merge for a table laid out `partCol=value/`: rewrite
+    * ONLY the partitions the delta touches. At 100 TB this is the load-path
+    * optimization that matters most — a date-partitioned fact with a
+    * recent-date delta rewrites a bounded slice per batch instead of the
+    * whole table.
+    *
+    * Affected set = partitions where upserts land (payload value) ∪
+    * partitions currently holding a dead key (a column-pruned key+partition
+    * scan — parquet reads two columns). The affected VALUES come to the
+    * driver, but that list is bounded by the delta's partition spread
+    * (control-plane sized, like the touched-table list); row data never
+    * leaves executors. The staged slice swaps in per partition dir — each
+    * `col=value` dir is its own crash-recoverable swap unit
+    * ([[recoverSwap]] repairs partition-level backups).
+    */
+  private def mergePartitions(db: String, table: String, partCol: String,
+                              current: DataFrame, keyCol: String,
+                              upserts: DataFrame, deadKeys: DataFrame): Unit = {
+    val upVals = upserts.select(col(partCol)).distinct().collect().map(_.get(0))
+    // An upsert without the partition column has no home partition — that is
+    // a malformed payload, not a skippable row (silently dropping it would
+    // commit the watermark past lost data, like the missing-table case).
+    if (upVals.contains(null))
+      throw new IllegalStateException(
+        s"upsert payload for partitioned table $db.$table lacks $partCol")
+    val deadVals = current.select(col(keyCol).cast("string").as("_k"), col(partCol))
+      .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
+      .select(col(partCol)).distinct().collect().map(_.get(0))
+    val affected = (upVals ++ deadVals).distinct.filter(_ != null)
+    if (affected.isEmpty) return
+
+    val slice = current.filter(col(partCol).isin(affected.toIndexedSeq: _*))
+    val merged = slice
+      .join(deadKeys, slice(keyCol).cast("string") === deadKeys("key"), "left_anti")
+      .unionByName(upserts.filter(col(partCol).isin(affected.toIndexedSeq: _*)))
+
+    val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val livePath = new Path(target.dbPath(db), table)
+    val tmpPath = new Path(target.dbPath(db), s"_tmp_$table")
+    val bakPath = new Path(target.dbPath(db), s"_bak_$table")
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
+    fs.delete(bakPath, true)
+    fs.mkdirs(bakPath)
+    // Swap each affected partition dir: live aside to bak (if present), then
+    // staged in (if present — a fully-deleted partition has no staged dir
+    // and simply disappears). Dir names come from the written values, which
+    // round-trip exactly for the filesystem-safe values this layout requires.
+    affected.foreach { v =>
+      val dirName = s"$partCol=$v"
+      val liveDir = new Path(livePath, dirName)
+      val tmpDir = new Path(tmpPath, dirName)
+      if (fs.exists(liveDir) &&
+          !fs.rename(liveDir, new Path(bakPath, dirName)))
+        throw new IllegalStateException(
+          s"partition backup rename failed for $db.$table/$dirName")
+      if (fs.exists(tmpDir) && !fs.rename(tmpDir, new Path(livePath, dirName)))
+        throw new IllegalStateException(
+          s"partition swap failed for $db.$table/$dirName")
+    }
+    fs.delete(bakPath, true)
+    fs.delete(tmpPath, true)
   }
 }
 

@@ -3,6 +3,7 @@ package graft.repl
 import graft.SparkSpec
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 
 /** End-to-end replication round trip on the sf0.001 tables — the automated
   * form of the reference's manual runbook (`/root/reference/ManualSteps.md:
@@ -182,6 +183,80 @@ class ReplicationSpec extends SparkSpec {
     // second run: verified no-op, rename not re-applied
     assert(job.run("db_ren").verify == "NOOP")
     assert(target.tableExists("db_ren", "vendor"))
+  }
+
+  test("TRUNCATE TABLE replays: pre-truncate DML dead, post-truncate DML lands, schema kept") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db_tr")
+    assert(job.run("db_tr").verify == "SUCCESS")
+
+    import DbCatalog._
+    // dead pre-truncate upsert, the truncate, then one surviving upsert —
+    // all in ONE delta, exercising the reset floor.
+    source.appendEvents("db_tr", Seq(
+      Event("supplier", OpUpsert, "0",
+        """{"s_suppkey":0,"s_name":"DeadBeforeTruncate"}""")))
+    source.truncateTable("db_tr", "supplier")
+    source.appendEvents("db_tr", Seq(
+      Event("supplier", OpUpsert, "1",
+        """{"s_suppkey":1,"s_name":"AliveAfterTruncate"}""")))
+
+    assert(job.run("db_tr").verify == "SUCCESS")
+    val rows = target.readTable("db_tr", "supplier").collect()
+    assert(rows.length == 1, s"expected 1 surviving row, got ${rows.length}")
+    assert(rows.head.getString(1) == "AliveAfterTruncate")
+    // schema survived the truncate (Hive contract: metadata kept)
+    assert(target.readTable("db_tr", "supplier").schema ==
+      source.readTable("db_tr", "supplier").schema)
+    // a rerun is a verified no-op and leaves the surviving row intact
+    assert(job.run("db_tr").verify == "NOOP")
+    assert(target.readTable("db_tr", "supplier").count() == 1)
+  }
+
+  test("partitioned table: bootstrap keeps layout; merge rewrites ONLY touched partitions") {
+    val (_, source, target, job) = freshWorld()
+    source.createDb("db_p")
+    val sup = spark.read.parquet(s"${sf()}/supplier.parquet")
+    source.writeTablePartitioned("db_p", "supplier", sup, "s_nationkey")
+    assert(job.run("db_p").verify == "SUCCESS")
+    // layout replicated: the target table is partitioned the same way
+    assert(target.partitionSpec("db_p", "supplier").contains("s_nationkey"))
+    assert(rowSet(target.readTable("db_p", "supplier")) ==
+      rowSet(source.readTable("db_p", "supplier")))
+
+    // snapshot the files of an UNTOUCHED partition at the target
+    val fs = target.dbPath("db_p")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def partFiles(nk: Int): Map[String, Long] =
+      fs.listStatus(new Path(target.dbPath("db_p"), s"supplier/s_nationkey=$nk"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val nations = source.readTable("db_p", "supplier")
+      .select("s_nationkey").distinct().collect().map(_.getInt(0)).sorted
+    val (hot, cold) = (nations.head, nations.last)
+    val coldBefore = partFiles(cold)
+
+    // delta touching ONLY the hot partition: one upsert + one delete there
+    import DbCatalog._
+    val delKey = source.readTable("db_p", "supplier")
+      .where(col("s_nationkey") === hot).select("s_suppkey")
+      .orderBy(col("s_suppkey")).head().get(0).toString
+    source.appendEvents("db_p", Seq(
+      Event("supplier", OpUpsert, "900001",
+        s"""{"s_suppkey":900001,"s_name":"PartUpsert","s_nationkey":$hot}"""),
+      Event("supplier", OpDelete, delKey, null)))
+    assert(job.run("db_p").verify == "SUCCESS")
+
+    // rows correct: delete applied, upsert landed in the hot partition
+    val after = target.readTable("db_p", "supplier")
+    assert(after.where(col("s_suppkey") === delKey.toLong).isEmpty)
+    assert(after.where(col("s_suppkey") === 900001 &&
+      col("s_nationkey") === hot).count() == 1)
+    // and the cold partition's files were NOT rewritten (names + mtimes)
+    assert(partFiles(cold) == coldBefore,
+      s"cold partition s_nationkey=$cold was rewritten by a merge that never touched it")
+    // idempotent rerun
+    assert(job.run("db_p").verify == "NOOP")
+    assert(after.where(col("s_suppkey") === 900001).count() == 1)
   }
 
   test("compaction merges small files without changing rows") {
