@@ -391,6 +391,38 @@ object RelationalExt {
         .groupBy(col("n_name"))
         .agg(dsum2(col("l_extendedprice"), lit(1) - col("l_discount")).as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
+    }),
+
+    // ANALYZE-style column profiling: per-column row/null/distinct counts
+    // and min/max in ONE pass over the fact table. `stack` widens each row
+    // to (col_name, value) pairs, and map-side partial aggregation collapses
+    // the 4x row blow-up before the single shuffle — the plan any stats
+    // collector needs at 100 TB (one scan, one agg, no per-column jobs).
+    Query(
+      "q82_profile",
+      Some("""
+        WITH s AS (
+          SELECT 'l_quantity' AS col_name, l_quantity AS v FROM lineitem
+          UNION ALL SELECT 'l_extendedprice', l_extendedprice FROM lineitem
+          UNION ALL SELECT 'l_discount', l_discount FROM lineitem
+          UNION ALL SELECT 'l_tax', l_tax FROM lineitem)
+        SELECT col_name, COUNT(*) AS n_rows,
+               CAST(COUNT(*) - COUNT(v) AS BIGINT) AS n_null,
+               CAST(COUNT(DISTINCT v) AS BIGINT) AS n_distinct,
+               MIN(v) AS min_v, MAX(v) AS max_v
+        FROM s GROUP BY col_name
+        ORDER BY col_name"""))((spark, dir) => {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+      val stackExpr = s"stack(${cols.length}, " +
+        cols.map(c => s"'$c', $c").mkString(", ") + ") AS (col_name, v)"
+      Tables(spark, dir).lineitem
+        .select(expr(stackExpr))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          (count(lit(1)) - count(col("v"))).as("n_null"),
+          count_distinct(col("v")).as("n_distinct"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))
     })
   )
 }
