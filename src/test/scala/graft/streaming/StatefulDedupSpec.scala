@@ -27,6 +27,40 @@ class StatefulDedupSpec extends SparkSpec {
     assert(out == Set(("a", 1L), ("b", 2L), ("c", 7L)), out)
   }
 
+  test("transformWithState progress monitor accumulates per-table counts and watermarks") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ProgressMonitor.{Applied, Progress}
+    val dir = java.nio.file.Files.createTempDirectory("graft-pm").toString
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Applied]
+      val q = ProgressMonitor.progress(spark, mem.toDS())
+        .writeStream.format("memory").queryName("pm_out")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      mem.addData(Applied("nation", 3), Applied("nation", 7), Applied("orders", 5))
+      q.processAllAvailable()
+      mem.addData(Applied("nation", 9))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("pm_out").as[Progress].collect()
+      // last emission per table carries the running totals across batches
+      val last = out.groupBy(_.table).map { case (t, rows) =>
+        t -> rows.maxBy(_.totalEvents) }
+      assert(last("nation") == Progress("nation", 3, 9, 1), last("nation"))
+      assert(last("orders") == Progress("orders", 1, 5, 1), last("orders"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState session emitter closes sessions on gap") {
     // Batch-mode execution of the same stateful function: state starts
     // empty, timeouts never fire, so exactly the gap-CLOSED sessions are
