@@ -56,6 +56,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
 
   private def applyBootstrap(m: DumpManifest, dumpPath: String): Unit = {
     target.createDb(m.db)
+    cleanFailedBootstrap(m, dumpPath)
     // concurrent per-table restore jobs (reference `hive.exec.parallel`)
     Parallel.foreach(m.tables) { t =>
       if (target.isExternal(t)) syncExternal(m, t)
@@ -78,6 +79,37 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       val sql = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
       target.createView(m.db, st.getPath.getName.stripSuffix(".sql"), sql)
     }
+  }
+
+  /** Clean target-db debris from a failed earlier bootstrap — the
+    * reference's open issue `/root/reference/TODO.md:2` ("In case of failed
+    * full dump runs, clean target before restarting"), resolved here the way
+    * B18 resolved `TODO.md:3`. Bootstrap runs only when the watermark is
+    * NULL (`hive3repl.sh:85`), so any object already in the target db is a
+    * partial prior load, never live replicated state. Objects the new
+    * manifest will overwrite are left for the restore to replace; everything
+    * else — tables and views absent from the snapshot, plus `_tmp_`/`_bak_`
+    * staging dirs a crashed swap left behind — is removed so the restored db
+    * exactly mirrors the snapshot.
+    */
+  private def cleanFailedBootstrap(m: DumpManifest, dumpPath: String): Unit = {
+    val keep = m.tables.toSet
+    target.listTables(m.db).filterNot(keep).foreach(target.dropTable(m.db, _))
+    val viewsDir = new Path(dumpPath, "views")
+    val fs = viewsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val snapViews: Set[String] =
+      if (!fs.exists(viewsDir)) Set.empty
+      else fs.listStatus(viewsDir).filter(_.isFile).map(
+        _.getPath.getName.stripSuffix(".sql")).toSet
+    target.listViews(m.db).filterNot(snapViews).foreach(target.dropView(m.db, _))
+    // staging debris from a crash mid-swap (recoverSwap handles the
+    // incremental path; bootstrap replaces wholesale, so both dirs go)
+    val dbDir = target.dbPath(m.db)
+    val dfs = dbDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    dfs.listStatus(dbDir).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("_tmp_") || p.getName.startsWith("_bak_"))
+      .foreach(dfs.delete(_, true))
   }
 
   /** External tables: distcp-style copy-if-changed straight from the source

@@ -48,6 +48,28 @@ class ReplicationSpec extends SparkSpec {
     }
   }
 
+  test("bootstrap cleans debris from a failed prior bootstrap (reference TODO.md:2)") {
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "db1b")
+    // Simulate a prior bootstrap that died partway: the target db holds a
+    // table and a view that the source has since dropped, plus a staging
+    // dir from a crashed swap. None committed a watermark.
+    target.createDb("db1b")
+    target.writeTable("db1b", "zombie", spark.read.parquet(s"${sf()}/region.parquet"))
+    target.createView("db1b", "zombie_v", "SELECT 1 AS one")
+    val fs = target.dbPath("db1b").getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new org.apache.hadoop.fs.Path(target.dbPath("db1b"), "_tmp_region"))
+    val report = job.run("db1b")
+    assert(report.kind == "bootstrap")
+    assert(report.verify == "SUCCESS")
+    // The restored db mirrors the snapshot exactly — debris gone.
+    assert(target.listTables("db1b") == Seq("nation", "region", "supplier"))
+    assert(target.listViews("db1b").isEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(target.dbPath("db1b"), "_tmp_region")))
+    assert(rowSet(target.readTable("db1b", "nation")) ==
+      rowSet(source.readTable("db1b", "nation")))
+  }
+
   test("incremental applies upserts and deletes; watermark advances") {
     val (_, source, target, job) = freshWorld()
     seedDb(source, "db2")
