@@ -68,14 +68,16 @@ object Pipeline {
         val neighborMin = edges
           .join(labels, edges("dst") === labels("doc"))
           .groupBy(col("src")).agg(min(col("label")).as("nlabel"))
-        // Materialize the propagation step once — the doubling self-join
-        // below reads it twice, and without this it would recompute the
-        // edges-join on both sides.
+        // The doubling self-join below reads the propagation step twice —
+        // a LAZY cache dedupes that work inside the single materialization
+        // job that `next.localCheckpoint()` runs. (An eager localCheckpoint
+        // here would add a whole extra job per round; at this loop's tiny
+        // per-round data the fixed job latency IS the cost that matters.)
         val stepped = labels
           .join(neighborMin, labels("doc") === neighborMin("src"), "left")
           .select(col("doc"),
             least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
-          .localCheckpoint()
+          .cache()
         // Pointer doubling: label ← min(label, label's own label). Labels
         // only ever decrease toward the component min, so this is safe and
         // cuts convergence to O(log diameter).
@@ -84,7 +86,8 @@ object Pipeline {
             col("a.label") === col("b.ldoc"), "left")
           .select(col("a.doc").as("doc"),
             least(col("a.label"), coalesce(col("llabel"), col("a.label"))).as("label"))
-          .localCheckpoint() // cut the growing lineage; also materializes
+          .localCheckpoint() // cut the growing lineage; the round's ONE job
+        stepped.unpersist()
         val s = labelSum(next)
         converged = s.compareTo(prevSum) == 0
         prevSum = s

@@ -153,13 +153,11 @@ object ScaleOps {
         GROUP BY source
         ORDER BY source"""))((spark, dir) => {
       val docs = Tables(spark, dir).documents
-      val en = TextAnalysis.langId(docs, "text", "doc_id")
-        .filter(col("lang_guess") === "en").select(col("doc"))
-      val good = TextAnalysis.qualityScore(docs, "text", "doc_id")
-        .filter(col("keep")).select(col("doc"))
-      val eligible = docs
-        .join(en, docs("doc_id") === en("doc"), "left_semi")
-        .join(good, docs("doc_id") === good("doc"), "left_semi")
+      // Language and quality are per-row predicates — filter inline in the
+      // scan (one pass, no shuffle) rather than semi-joining side frames.
+      val eligible = docs.filter(
+        TextAnalysis.langGuessExpr(col("text")) === "en" &&
+        TextAnalysis.qualityKeepExpr(col("text")))
       val kept = Dedup.exact(eligible, col("text"), col("doc_id"))
         .select(col("keep_id").as("doc_id"))
       eligible.join(kept, "doc_id")
@@ -245,13 +243,11 @@ object ScaleOps {
       val docs = Tables(spark, dir).documents
       val isEval = col("doc_id") % 11 === 0
       val train = docs.filter(!isEval)
-      val en = TextAnalysis.langId(train, "text", "doc_id")
-        .filter(col("lang_guess") === "en").select(col("doc"))
-      val good = TextAnalysis.qualityScore(train, "text", "doc_id")
-        .filter(col("keep")).select(col("doc"))
-      val eligible = train
-        .join(en, train("doc_id") === en("doc"), "left_semi")
-        .join(good, train("doc_id") === good("doc"), "left_semi")
+      // Stages 1+2 are per-row predicates — one fused codegen'd scan pass,
+      // no side frames, no semi-join shuffles.
+      val eligible = train.filter(
+        TextAnalysis.langGuessExpr(col("text")) === "en" &&
+        TextAnalysis.qualityKeepExpr(col("text")))
       val kept = Dedup.exact(eligible, col("text"), col("doc_id"))
         .select(col("keep_id").as("doc_id"))
       // Persist each stage boundary: every stage is REUSED by ≥2 downstream

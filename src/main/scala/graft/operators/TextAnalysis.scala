@@ -64,8 +64,13 @@ object TextAnalysis {
     * stopword presence — the shape of production quality filters (exact
     * weights are engine-defined; determinism is what is verified).
     */
-  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val toks = col("_toks")
+  /** The quality score as a plain column expression over the raw text —
+    * exposed so pipeline composers (q69/q78) can FILTER inline instead of
+    * computing a side frame and semi-joining it back (two extra shuffles
+    * and a second corpus scan for what is a per-row predicate).
+    */
+  def qualityScoreExpr(text: Column): Column = {
+    val toks = tokens(text)
     val nTok = size(toks)
     val ttr = size(array_distinct(toks)) * lit(1.0) / nTok
     val en = langProfiles.toMap.apply("en")
@@ -74,10 +79,15 @@ object TextAnalysis {
       .when(nTok.between(10, 1000), 0.5).otherwise(0.0)
     val score = lenScore * 0.4 + least(ttr * lit(2.0), lit(1.0)) * 0.3 +
       least(stop * lit(10.0), lit(1.0)) * 0.3
-    docs.withColumn("_toks", tokens(col(textCol)))
-      .select(col(idCol).as("doc"), round(score, 6).as("quality"),
-        (round(score, 6) >= 0.5).as("keep"))
+    round(score, 6)
   }
+
+  def qualityKeepExpr(text: Column): Column = qualityScoreExpr(text) >= 0.5
+
+  def qualityScore(docs: DataFrame, textCol: String, idCol: String): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      qualityScoreExpr(col(textCol)).as("quality"),
+      qualityKeepExpr(col(textCol)).as("keep"))
 
   def qualityOracleSql(table: String, textCol: String, idCol: String): String = {
     val t = sqlTokens(textCol)
@@ -96,6 +106,21 @@ object TextAnalysis {
   /** Language id: distinct-token overlap with each profile, argmax with
     * fixed-order tie-break. Returns the guess and the winning score.
     */
+  /** Language guess as a plain column expression (see [[qualityScoreExpr]]
+    * for why expression-level access matters to pipeline composers).
+    */
+  def langGuessExpr(text: Column): Column = {
+    val dtoks = array_distinct(tokens(text))
+    val scores: Seq[(String, Column)] = langProfiles.map { case (lang, words) =>
+      lang -> size(array_intersect(dtoks, array(words.map(lit): _*)))
+    }
+    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
+    // reverse fold ⇒ FIRST profile in langProfiles order wins ties
+    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
+      when(s === best && best > 0, lang).otherwise(acc)
+    }
+  }
+
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val dtoks = col("_dtoks")
     val scores: Seq[(String, Column)] = langProfiles.map { case (lang, words) =>
