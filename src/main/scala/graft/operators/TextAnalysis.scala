@@ -343,6 +343,54 @@ object TextAnalysis {
 
   // ------------------------------------------------------------ query corpus
 
+  /** Corpus-LM quality scoring: score every document against a unigram
+    * model LEARNED FROM THE CORPUS ITSELF — the two-pass shape of
+    * production quality filters (CCNet's LM perplexity filter, Gopher's
+    * frequency heuristics): pass 1 aggregates token document frequencies,
+    * pass 2 scores each token occurrence by how common its token is and
+    * how much of the doc falls outside the learned vocabulary.
+    *
+    * Per doc: `lm_commonness` = mean df-fraction of its in-vocab token
+    * occurrences (high = fluent/common language, low = gibberish), and
+    * `oov_rate` = fraction of occurrences whose token fell below the
+    * `minDf` vocabulary cut.
+    *
+    * Scale shape: pass 1 is one map-side-combinable shuffle (distinct
+    * tokens per doc → `groupBy(token).count`); the vocabulary (bounded by
+    * the `minDf` cut — production vocabs are ~100k entries) broadcasts to
+    * pass 2's occurrence scan, which re-aggregates per doc in one more
+    * shuffle. The corpus-size scalar rides a 1-row broadcast cross join
+    * (q80's pattern), never a driver round-trip. Engine-exactness: df sums
+    * are INTEGER sums (exact at any partitioning); division happens once
+    * per doc, after the sums.
+    *
+    * `carry` columns (e.g. `source`) pass through the per-doc aggregate so
+    * callers don't need a join to recover them.
+    */
+  def lmScore(docs: DataFrame, textCol: String, idCol: String,
+              minDf: Int = 5, carry: Seq[String] = Nil): DataFrame = {
+    val occ = docs.select(
+      (col(idCol).as("doc") +: carry.map(col) :+
+        explode(tokens(col(textCol))).as("tok")): _*)
+    val vocab = docs
+      .select(col(idCol).as("doc"),
+        explode(array_distinct(tokens(col(textCol)))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+    val nDocs = docs.agg(count(lit(1)).as("n_corpus"))
+    occ.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy((col("doc") +: carry.map(col)): _*)
+      .agg(count(lit(1)).as("n_occ"), count(col("df")).as("n_in"),
+        coalesce(sum(col("df")), lit(0L)).as("s_df"))
+      .crossJoin(broadcast(nDocs))
+      .select((col("doc") +: carry.map(col) :+ col("n_occ") :+
+        when(col("n_in") > 0,
+          round(col("s_df") * lit(1.0) / (col("n_in") * col("n_corpus")), 6))
+          .otherwise(0.0).as("lm_commonness") :+
+        round((col("n_occ") - col("n_in")) * lit(1.0) / col("n_occ"), 6)
+          .as("oov_rate")): _*)
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q29_text_token_stats",
@@ -474,6 +522,48 @@ object TextAnalysis {
           regexp_count(pii, lit(emailRe)).as("n_emails"),
           md5(regexp_replace(pii, emailRe, "<EMAIL>").cast("binary")).as("scrub_md5"))
         .orderBy(col("doc_id"))
+    }),
+
+    // Corpus-LM quality: learn a unigram model from the corpus (pass 1),
+    // score every doc against it (pass 2). Doc scores land in [0,1]; the
+    // per-source roll-up sums them through DECIMAL(18,6) so the aggregate
+    // is exact at any partition count (q81's pattern).
+    Query(
+      "q83_lm_quality",
+      Some(s"""
+        WITH occ AS (SELECT doc_id AS doc, source,
+                       unnest(${sqlTokens("text")}) AS tok
+                     FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS df
+                  FROM (SELECT DISTINCT doc, tok FROM occ)
+                  GROUP BY tok HAVING COUNT(*) >= 5),
+        n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+        per AS (SELECT o.doc, o.source, COUNT(*) AS n_occ,
+                       COUNT(v.df) AS n_in, COALESCE(SUM(v.df), 0) AS s_df
+                FROM occ o LEFT JOIN vocab v USING (tok)
+                GROUP BY o.doc, o.source),
+        sc AS (SELECT source,
+                 CASE WHEN n_in > 0
+                      THEN round(s_df * 1.0 / (n_in * n_corpus), 6)
+                      ELSE 0.0 END AS lm_commonness,
+                 round((n_occ - n_in) * 1.0 / n_occ, 6) AS oov_rate
+               FROM per CROSS JOIN n)
+        SELECT source, COUNT(*) AS n_docs,
+               round(CAST(SUM(CAST(lm_commonness AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_commonness,
+               round(CAST(SUM(CAST(oov_rate AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_oov
+        FROM sc GROUP BY source ORDER BY source"""))((spark, dir) => {
+      val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+      lmScore(Tables(spark, dir).documents, "text", "doc_id",
+          minDf = 5, carry = Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          round(sum(col("lm_commonness").cast(d6)).cast("double")
+            / count(lit(1)), 6).as("avg_commonness"),
+          round(sum(col("oov_rate").cast(d6)).cast("double")
+            / count(lit(1)), 6).as("avg_oov"))
+        .orderBy(col("source"))
     })
   )
 }

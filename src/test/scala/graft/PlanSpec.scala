@@ -214,6 +214,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin") || p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q83: the learned vocabulary broadcasts to the occurrence scan") {
+    val p = planString("q83_lm_quality")
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), "occurrence stream shuffled for the vocab join: " + p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
