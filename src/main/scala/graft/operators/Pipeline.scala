@@ -363,8 +363,86 @@ object Pipeline {
             org.apache.spark.sql.types.DecimalType(18, 6))).cast("double"), 4)
             .as("expected"))
         .orderBy(col("source"))
+    }),
+
+    // Leakage-safe train/test split: the coin is tossed per near-dup
+    // CLUSTER (h48 on the cluster id, test fraction 1/8), so near-twins
+    // never straddle the boundary. Oracle recomputes clusters via the
+    // recursive-CTE closure (q49's fragment) and the identical coin.
+    Query(
+      "q84_leakage_split",
+      Some(s"""
+        WITH RECURSIVE sh0 AS (SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                 ${sqlShingles(sqlTokens("text"), 3)}, s -> ${sqlH48("s")}))) AS sh
+             FROM documents),
+        ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20),
+        shf AS (SELECT doc, sh0.sh FROM sh0 JOIN ok USING (sh)),
+        sz AS (SELECT doc, COUNT(*) AS sz FROM shf GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+                  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+                  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        comp AS (SELECT doc, least(doc, min(dst)) AS cluster_id
+                 FROM (SELECT src AS doc, dst FROM reach) GROUP BY doc),
+        lab AS (SELECT d.doc_id, d.n_chars,
+                       COALESCE(c.cluster_id, d.doc_id) AS cluster
+                FROM documents d LEFT JOIN comp c ON c.doc = d.doc_id),
+        sp AS (SELECT *,
+                 CASE WHEN ${sqlH48("CAST(cluster AS VARCHAR) || ':split'")}
+                      < 35184372088832 THEN 'test' ELSE 'train' END AS split
+               FROM lab)
+        SELECT split, COUNT(*) AS n_docs,
+               COUNT(DISTINCT cluster) AS n_clusters,
+               CAST(SUM(n_chars) AS BIGINT) AS total_chars
+        FROM sp GROUP BY split ORDER BY split"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairs = graft.operators.Dedup.ngramJaccardPairs(
+        t.documents, "text", "doc_id", 3, 0.5)
+      leakageSafeSplit(t.documents, "doc_id", connectedComponents(pairs))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          count_distinct(col("cluster")).as("n_clusters"),
+          sum(col("n_chars")).as("total_chars"))
+        .orderBy(col("split"))
     })
   )
+
+  /** Leakage-safe train/test split: the split coin is tossed per NEAR-DUP
+    * CLUSTER, not per document — h48(cluster ‖ salt) < 2⁴⁸·testFrac — so
+    * two near-duplicate documents can never straddle the train/test
+    * boundary (the classic eval-leakage failure of row-wise splitting:
+    * a test doc's near-twin in train inflates every benchmark number).
+    * Docs in no cluster are their own singleton (coalesce to own id).
+    *
+    * Scale shape: the cluster map is the (tiny) connected-components
+    * output, broadcast-joined onto the corpus scan; the coin is a per-row
+    * codegen'd predicate. One corpus scan, zero extra shuffles beyond the
+    * near-dup pairing that produced the clusters. testNum/testDen keep the
+    * threshold an exact integer (2⁴⁸·num/den), reproducible in any engine.
+    */
+  def leakageSafeSplit(docs: DataFrame, idCol: String, clusters: DataFrame,
+                       testNum: Long = 1, testDen: Long = 8,
+                       salt: String = "split"): DataFrame = {
+    require(281474976710656L % testDen == 0, "testDen must divide 2^48 exactly")
+    val threshold = 281474976710656L / testDen * testNum
+    docs.join(broadcast(clusters.select(col("doc"), col("label"))),
+        docs(idCol) === col("doc"), "left")
+      .withColumn("cluster", coalesce(col("label"), docs(idCol)))
+      .drop("doc", "label")
+      .withColumn("split",
+        when(h48(concat(col("cluster").cast("string"), lit(":" + salt))) <
+          threshold, "test").otherwise("train"))
+  }
 
   /** Quality-weighted (importance) sampling: keep each row with probability
     * `weightCol` (∈ [0,1]) using a DETERMINISTIC hash coin —

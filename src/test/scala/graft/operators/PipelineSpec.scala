@@ -34,6 +34,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("leakage-safe split: near-dup pairs never straddle the train/test boundary") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf("sf0.001")).documents
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5).cache()
+    val split = Pipeline.leakageSafeSplit(docs, "doc_id",
+        Pipeline.connectedComponents(pairs))
+      .select(col("doc_id"), col("split"))
+    val sa = split.withColumnRenamed("doc_id", "doc_a")
+      .withColumnRenamed("split", "split_a")
+    val sb = split.withColumnRenamed("doc_id", "doc_b")
+      .withColumnRenamed("split", "split_b")
+    val straddling = pairs.join(sa, "doc_a").join(sb, "doc_b")
+      .filter(col("split_a") =!= col("split_b")).count()
+    assert(straddling == 0L)
+    // and the split actually splits: both sides populated
+    val sides = split.select("split").distinct().collect().map(_.getString(0)).toSet
+    assert(sides == Set("train", "test"), sides)
+  }
+
   test("pointer doubling converges on a long chain within O(log n) rounds") {
     import spark.implicits._
     // 120-node chain: plain propagation needs ~120 rounds; doubling must
