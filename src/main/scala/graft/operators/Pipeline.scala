@@ -414,8 +414,90 @@ object Pipeline {
           count_distinct(col("cluster")).as("n_clusters"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("split"))
+    }),
+
+    // Fixed-point PageRank (3 rounds, damping 0.85) over the undirected
+    // customer–supplier interaction graph. Integer fixed-point arithmetic
+    // makes every round exact, so the oracle is 3 unrolled CTEs — a full
+    // hash-match check on an iterative graph algorithm.
+    Query(
+      "q85_pagerank",
+      Some {
+        def round(i: Int): String = s"""
+        r$i AS (SELECT nd.node,
+                 (150000000000 // mx.n_nodes)
+                   + (85 * COALESCE(s.m, 0)) // 100 AS r
+               FROM nodes nd CROSS JOIN n mx
+               LEFT JOIN (SELECT e.dst AS node, SUM(r${i - 1}.r // o.odeg) AS m
+                          FROM edges e JOIN r${i - 1} ON r${i - 1}.node = e.src
+                          JOIN odeg o ON o.src = e.src
+                          GROUP BY e.dst) s ON s.node = nd.node)"""
+        s"""
+        WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                           's' || CAST(l_suppkey AS VARCHAR) AS b
+                    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        n AS (SELECT COUNT(*) AS n_nodes FROM nodes),
+        odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+        r0 AS (SELECT node, 1000000000000 // n_nodes AS r
+               FROM nodes CROSS JOIN n),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)}
+        SELECT node, CAST(r AS BIGINT) AS pr
+        FROM r3 ORDER BY pr DESC, node LIMIT 20"""
+      })((spark, dir) => {
+      val t = Tables(spark, dir)
+      val base = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val edges = base.select(col("a").as("src"), col("b").as("dst"))
+        .union(base.select(col("b").as("src"), col("a").as("dst")))
+      pageRankFixedPoint(edges, iters = 3)
+        .select(col("node"), col("r").as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
     })
   )
+
+  /** Fixed-point PageRank over a directed edge list, `iters` synchronous
+    * rounds. Ranks are held as INTEGER fixed-point (rank · 10¹²) and every
+    * step is integer arithmetic — `r div outdeg` per edge, exact LONG sums,
+    * `(85·Σ) div 100` damping — so the result is bit-identical at any
+    * partition count and in any engine (no double-sum ordering, no decimal
+    * scale rules). The deliberate trade: ~1e-12 quantization per step,
+    * irrelevant for ranking, in exchange for exact distributed determinism.
+    *
+    * Scale shape: per round, one join of the edge list with the rank table
+    * (both hash-partitioned on src — the edge side's exchange is reused
+    * across rounds from the cached frame) and one map-side-combinable
+    * groupBy(dst) sum. Dangling mass is dropped (engine-defined, mirrored
+    * in the oracle); nodes with no in-edges keep the teleport base.
+    */
+  def pageRankFixedPoint(edges0: DataFrame, iters: Int = 3): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst"))
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().cache()
+    val nFrame = nodes.agg(count(lit(1)).as("n_nodes"))
+    val ej = edges.join(odeg, "src").cache() // (src, dst, odeg)
+    var ranks = nodes.crossJoin(broadcast(nFrame))
+      .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ej.join(ranks, ej("src") === ranks("node"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = nodes.crossJoin(broadcast(nFrame))
+        .join(contrib, col("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (expr("150000000000 div n_nodes") +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
+    }
+    ranks
+  }
 
   /** Leakage-safe train/test split: the split coin is tossed per NEAR-DUP
     * CLUSTER, not per document — h48(cluster ‖ salt) < 2⁴⁸·testFrac — so

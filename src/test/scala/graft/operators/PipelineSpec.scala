@@ -53,6 +53,27 @@ class PipelineSpec extends SparkSpec {
     assert(sides == Set("train", "test"), sides)
   }
 
+  test("fixed-point PageRank equals the sequential reference on a random graph") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(300)((rnd.nextInt(60).toLong, rnd.nextInt(60).toLong))
+      .filter(e => e._1 != e._2).distinct
+    // sequential fixed-point reference: identical integer arithmetic
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct.sorted
+    val n = nodes.size.toLong
+    val odeg = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    var r = nodes.map(_ -> 1000000000000L / n).toMap
+    for (_ <- 1 to 3) {
+      val in = edges.groupBy(_._2).view.mapValues(
+        _.map { case (s, _) => r(s) / odeg(s) }.sum).toMap
+      r = nodes.map(v => v -> (150000000000L / n + 85 * in.getOrElse(v, 0L) / 100)).toMap
+    }
+    val got = Pipeline.pageRankFixedPoint(
+        edges.toDF("src", "dst"), iters = 3)
+      .collect().map(row => row.getLong(0) -> row.getLong(1)).toMap
+    assert(got == r)
+  }
+
   test("pointer doubling converges on a long chain within O(log n) rounds") {
     import spark.implicits._
     // 120-node chain: plain propagation needs ~120 rounds; doubling must
