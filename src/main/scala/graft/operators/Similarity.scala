@@ -218,6 +218,39 @@ object Similarity {
     * shuffle; at 100 TB this is the cheap pre-step that shrinks ANN index
     * storage 4x.
     */
+  /** KNN self-join (k=1): every vector's nearest neighbor by cosine,
+    * bounded to its Voronoi cell (deterministic centroids, q74's cells) —
+    * the all-corpus companion of the query-set ANN ops: pairwise work drops
+    * from n² to Σ|cell|², and each cell's join is an equi-join on the cell
+    * id that AQE can skew-split. Deterministic winner: highest cosine,
+    * smallest neighbor id on ties, picked by a map-side-combinable
+    * max(struct) — no per-key window sort. Singleton cells emit nothing
+    * (no neighbor exists in-cell).
+    */
+  def knnJoinInCell(embs: DataFrame, vecCol: String, idCol: String,
+                    nCells: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cent = embs.filter(col(idCol) < nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val assigned = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("cv")).as("cos"),
+        (-col("cid")).as("ncid"),
+        col("v").as("v"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_id"),
+        struct(cosineFast(col("a.v"), col("b.v")).as("cos"),
+          (-col("b.vec_id")).as("nid")).as("cand"))
+      .groupBy(col("vec_id"))
+      .agg(max(col("cand")).as("best"))
+      .select(col("vec_id"), (-col("best.nid")).as("nn_id"),
+        round(col("best.cos"), 6).as("cos_sim"))
+  }
+
   def randomProjection(df: DataFrame, vecCol: String, idCol: String,
                        k: Int = 16, dim: Int = 64): DataFrame = {
     require(k == 16, "scale 1/sqrt(k) must stay exactly representable")
@@ -399,6 +432,35 @@ object Similarity {
       randomProjection(t.embeddings.filter(col("vec_id") % 50 === 0),
           "embedding", "vec_id")
         .select(col("vec_id") +: (0 until 4).map(i => round(col(s"p$i"), 6).as(s"p$i")): _*)
+        .orderBy(col("vec_id"))
+    }),
+
+    // KNN self-join (k=1) bounded to deterministic Voronoi cells — the
+    // all-corpus nearest-neighbor table, fully hash-match oracled (q74's
+    // cells fragment + a windowed argmax with the same tie-break).
+    Query(
+      "q86_knn_join",
+      Some("""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                      WHERE vec_id < 16),
+        a AS (SELECT e.vec_id, c.cid, e.embedding,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c),
+        cells AS (SELECT vec_id, cid AS cell, embedding FROM a WHERE rn = 1),
+        nn AS (SELECT x.vec_id, y.vec_id AS cand,
+                      list_cosine_similarity(x.embedding::DOUBLE[], y.embedding::DOUBLE[]) AS cs
+               FROM cells x JOIN cells y
+                 ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        best AS (SELECT vec_id, cand, cs,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY cs DESC, cand) AS rn
+                 FROM nn)
+        SELECT vec_id, cand AS nn_id, round(cs, 6) AS cos_sim
+        FROM best WHERE rn = 1
+        ORDER BY vec_id"""))((spark, dir) => {
+      knnJoinInCell(Tables(spark, dir).embeddings, "embedding", "vec_id")
         .orderBy(col("vec_id"))
     })
   )
