@@ -61,6 +61,55 @@ class StatefulDedupSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close sessions exactly when the watermark passes the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.SessionTimers.{Ev, Session}
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val dir = java.nio.file.Files.createTempDirectory("graft-st").toString
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val withWm = mem.toDS().withWatermark("ts", "0 seconds")
+      val q = graft.streaming.SessionTimers.sessions(spark, withWm, gapMs = 60000L)
+        .writeStream.format("memory").queryName("st_out")
+        .outputMode("append")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      // batch 1: two users; batch 2 only advances the watermark a little —
+      // no session may close; batch 3 pushes the watermark past both gaps.
+      mem.addData(Ev("a", ts("2026-01-01 10:00:00"), 1.0),
+        Ev("a", ts("2026-01-01 10:00:30"), 2.0),
+        Ev("b", ts("2026-01-01 10:00:10"), 5.0))
+      q.processAllAvailable()
+      mem.addData(Ev("c", ts("2026-01-01 10:01:00"), 9.0))
+      q.processAllAvailable()
+      val early = spark.table("st_out").as[Session].collect()
+      assert(early.isEmpty, s"sessions closed before the watermark: ${early.toSeq}")
+      mem.addData(Ev("c", ts("2026-01-01 10:10:00"), 1.0))
+      q.processAllAvailable()
+      // one more batch so timers registered at the last watermark fire
+      mem.addData(Ev("c", ts("2026-01-01 10:20:00"), 1.0))
+      q.processAllAvailable()
+      q.stop()
+      val out = spark.table("st_out").as[Session].collect().map(s => s.user -> s).toMap
+      assert(out.contains("a") && out.contains("b"), s"missing sessions: $out")
+      assert(out("a").nEvents == 2 && out("a").totalValue == 3.0, out("a"))
+      assert(out("a").startMs == ts("2026-01-01 10:00:00").getTime)
+      assert(out("a").endMs == ts("2026-01-01 10:00:30").getTime)
+      assert(out("b").nEvents == 1 && out("b").totalValue == 5.0, out("b"))
+      // c's session is still open: its gap has not been passed by the watermark
+      assert(!out.contains("c"), out.get("c").toString)
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("flatMapGroupsWithState session emitter closes sessions on gap") {
     // Batch-mode execution of the same stateful function: state starts
     // empty, timeouts never fire, so exactly the gap-CLOSED sessions are
