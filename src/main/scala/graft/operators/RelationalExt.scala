@@ -423,6 +423,63 @@ object RelationalExt {
           count_distinct(col("v")).as("n_distinct"),
           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
         .orderBy(col("col_name"))
+    }),
+
+    // Native recursive CTE (Spark 4.x WITH RECURSIVE): sessionization by
+    // walking each event's prev-pointer chain back to its session anchor.
+    // The recursion is over a FUNCTIONAL graph (each event has exactly one
+    // predecessor), so UNION ALL reaches each event once and terminates in
+    // max-session-length rounds (bounded by the gap rule — 4 in this
+    // data). Same gap semantics as q21 (epoch-µs, 30 min); the oracle is
+    // DuckDB's recursive CTE of the identical shape — two engines running
+    // the same declarative recursion.
+    Query(
+      "q88_recursive_sessions",
+      Some("""
+        WITH RECURSIVE evs AS (
+          SELECT user_id, event_id,
+                 epoch_us(CAST(ts AS TIMESTAMP)) AS us,
+                 LAG(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pus,
+                 LAG(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pid
+          FROM events),
+        chain (event_id, user_id, us, root) AS (
+          SELECT event_id, user_id, us, event_id AS root FROM evs
+          WHERE pus IS NULL OR us - pus > 1800000000
+          UNION ALL
+          SELECT e.event_id, e.user_id, e.us, c.root
+          FROM evs e JOIN chain c
+            ON e.pid = c.event_id AND e.user_id = c.user_id
+          WHERE e.pus IS NOT NULL AND e.us - e.pus <= 1800000000)
+        SELECT root AS session_id, user_id, COUNT(*) AS n_events,
+               CAST(min(us) AS BIGINT) AS start_us,
+               CAST(max(us) AS BIGINT) AS end_us
+        FROM chain GROUP BY root, user_id
+        ORDER BY session_id"""))((spark, dir) => {
+      Tables(spark, dir).events.createOrReplaceTempView("g88_events")
+      spark.sql("""
+        WITH RECURSIVE evs AS (
+          SELECT user_id, event_id,
+                 unix_micros(CAST(ts AS TIMESTAMP)) AS us,
+                 LAG(unix_micros(CAST(ts AS TIMESTAMP))) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pus,
+                 LAG(event_id) OVER (
+                   PARTITION BY user_id ORDER BY ts, event_id) AS pid
+          FROM g88_events),
+        chain (event_id, user_id, us, root) AS (
+          SELECT event_id, user_id, us, event_id AS root FROM evs
+          WHERE pus IS NULL OR us - pus > 1800000000
+          UNION ALL
+          SELECT e.event_id, e.user_id, e.us, c.root
+          FROM evs e JOIN chain c
+            ON e.pid = c.event_id AND e.user_id = c.user_id
+          WHERE e.pus IS NOT NULL AND e.us - e.pus <= 1800000000)
+        SELECT root AS session_id, user_id, COUNT(*) AS n_events,
+               CAST(min(us) AS BIGINT) AS start_us,
+               CAST(max(us) AS BIGINT) AS end_us
+        FROM chain GROUP BY root, user_id
+        ORDER BY session_id""")
     })
   )
 }
