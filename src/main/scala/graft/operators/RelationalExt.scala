@@ -480,6 +480,34 @@ object RelationalExt {
                CAST(max(us) AS BIGINT) AS end_us
         FROM chain GROUP BY root, user_id
         ORDER BY session_id""")
+    }),
+
+    // Last-observation-carried-forward backfill: per-user running
+    // `last(value) IGNORE NULLS` window — the gap-fill every telemetry /
+    // feature pipeline runs. Nulls are planted deterministically
+    // (event_id % 7) so both engines fill the same holes; values are
+    // carried verbatim (no arithmetic), so the match is exact. Leading
+    // nulls (nothing to carry) stay null.
+    Query(
+      "q90_locf",
+      Some("""
+        WITH ev AS (SELECT user_id, event_id, ts,
+                      CASE WHEN event_id % 7 = 0 THEN NULL ELSE value END AS v
+                    FROM events)
+        SELECT user_id, event_id, v,
+               last_value(v IGNORE NULLS) OVER (
+                 PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS v_filled
+        FROM ev
+        ORDER BY user_id, event_id"""))((spark, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val ev = Tables(spark, dir).events.select(col("user_id"), col("event_id"),
+        col("ts"), when(col("event_id") % 7 === 0, lit(null)).otherwise(col("value")).as("v"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
+        .select(col("user_id"), col("event_id"), col("v"), col("v_filled"))
+        .orderBy(col("user_id"), col("event_id"))
     })
   )
 }

@@ -564,6 +564,31 @@ object TextAnalysis {
           round(sum(col("oov_rate").cast(d6)).cast("double")
             / count(lit(1)), 6).as("avg_oov"))
         .orderBy(col("source"))
+    }),
+
+    // The first merge step of BPE tokenizer TRAINING: count adjacent
+    // character pairs across all word occurrences and rank — the argmax
+    // is the pair BPE would merge first. One explode → one map-side-
+    // combinable count shuffle → TakeOrderedAndProject; at 100 TB the
+    // pair alphabet is tiny (≤ charset²), so the final top-k is cheap.
+    Query(
+      "q89_bpe_merge",
+      Some(s"""
+        WITH w AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+        p AS (SELECT unnest(list_transform(range(1, len(w)),
+                i -> substr(w, i, 2))) AS pair
+              FROM w WHERE len(w) >= 2)
+        SELECT pair, COUNT(*) AS cnt
+        FROM p GROUP BY pair
+        ORDER BY cnt DESC, pair LIMIT 20"""))((spark, dir) => {
+      Tables(spark, dir).documents
+        .select(explode(tokens(col("text"))).as("w"))
+        .filter(length(col("w")) >= 2)
+        .select(explode(transform(
+          sequence(lit(1), length(col("w")) - 1),
+          i => col("w").substr(i, lit(2)))).as("pair"))
+        .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(20)
     })
   )
 }
