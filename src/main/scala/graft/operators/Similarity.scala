@@ -218,6 +218,78 @@ object Similarity {
     * shuffle; at 100 TB this is the cheap pre-step that shrinks ANN index
     * storage 4x.
     */
+  /** The persisted-index form of [[annIvf]] — the "build offline, serve
+    * online" ANN pattern that actually runs at 100 TB: the cell assignment
+    * is written ONCE as a parquet table partitioned by `cell=`, and the
+    * query path reads ONLY the probed cells: the probe list is
+    * control-plane sized (≤ nProbe·|queries| values over ≤ nCells distinct
+    * cells), so its distinct cells come to the driver and prune the index
+    * scan STATICALLY (`PartitionFilters: cell IN (…)` — gated in
+    * PlanSpec), exactly what an ANN serving tier does with its known
+    * probes. Serving cost is O(probed cells), not O(corpus). Same
+    * deterministic centroids and tie rules as q51, so the persisted path
+    * answers bit-identically.
+    *
+    * The index lives in a per-JVM temp dir keyed by corpus dir (same
+    * concurrency contract as the bucketed-join tables: concurrent JVMs
+    * never clobber each other; rebuilds within a JVM are memoized).
+    */
+  private lazy val indexRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_ivf_").toString
+  private val builtIndexes = new scala.collection.concurrent.TrieMap[String, String]
+
+  def ivfIndexFor(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                  nCells: Int = 16): String =
+    builtIndexes.getOrElseUpdate(sfDir, {
+      import graft.functions.VectorFunctions._
+      val corpus = Tables(spark, sfDir).embeddings
+      val cent = corpus.filter(col("vec_id") < nCells)
+        .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+      val assigned = corpus.select(col("vec_id"), col("embedding").as("v"))
+        .join(broadcast(cent))
+        .groupBy(col("vec_id"))
+        .agg(max(struct(
+          cosineFast(col("v"), col("cv")).as("cos"),
+          (-col("cid")).as("ncid"),
+          col("v").as("v"))).as("m"))
+        .select(col("vec_id"), col("m.v").as("v"),
+          (-col("m.ncid")).cast("int").as("cell"))
+      val path = new java.io.File(indexRoot,
+        "idx_" + Integer.toHexString(sfDir.hashCode)).toString
+      assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+      path
+    })
+
+  def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                    k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val idx = spark.read.parquet(ivfIndexFor(spark, sfDir, nCells))
+    val t = Tables(spark, sfDir)
+    val cent = t.embeddings.filter(col("vec_id") < nCells)
+      .select(col("vec_id").as("cid"), col("embedding").as("cv"))
+    val probes = t.embeddings.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+      .join(broadcast(cent))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("qv"), col("cid").cast("int").as("cell"))
+      .cache()
+    // control-plane round-trip: ≤ nCells ints prune the partitioned scan
+    val probedCells = probes.select(col("cell")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val scored = idx.filter(col("cell").isin(probedCells: _*))
+      .join(broadcast(probes), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineFast(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** KNN self-join (k=1): every vector's nearest neighbor by cosine,
     * bounded to its Voronoi cell (deterministic centroids, q74's cells) —
     * the all-corpus companion of the query-set ANN ops: pairwise work drops
@@ -462,6 +534,41 @@ object Similarity {
         ORDER BY vec_id"""))((spark, dir) => {
       knnJoinInCell(Tables(spark, dir).embeddings, "embedding", "vec_id")
         .orderBy(col("vec_id"))
-    })
+    }),
+
+    // Persisted-index IVF serving: same answer as q51 (the oracle is the
+    // identical SQL) through an on-disk cell-partitioned index whose scan
+    // is dynamically pruned to the probed cells.
+    Query(
+      "q91_ann_indexed",
+      Some("""
+        WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                      WHERE vec_id < 16),
+        a AS (SELECT e.vec_id, c.cid, e.embedding,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c),
+        cells AS (SELECT vec_id, cid AS cell, embedding FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+              WHERE vec_id % 100 = 0),
+        p AS (SELECT q.query_id, q.qv, c.cid AS cell,
+                ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM q CROSS JOIN cent c),
+        probes AS (SELECT query_id, qv, cell FROM p WHERE rn <= 2),
+        scored AS (SELECT pr.query_id, ce.vec_id,
+                     list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]) AS cos
+                   FROM probes pr JOIN cells ce ON ce.cell = pr.cell
+                   WHERE ce.vec_id <> pr.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))((spark, dir) =>
+      annIvfIndexed(spark, dir, k = 5).orderBy(col("query_id"), col("rank")))
   )
 }

@@ -220,6 +220,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), "occurrence stream shuffled for the vocab join: " + p.take(1500))
   }
 
+  test("q91: the persisted IVF index scan is partition-pruned to the probed cells") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pruned = deepNodes(executed(q("q91_ann_indexed"))).collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty =>
+        f.partitionFilters.mkString(",")
+    }
+    assert(pruned.exists(s => s.contains("cell") && s.contains(" IN (")),
+      s"no cell IN (...) partition filter on the index scan: $pruned")
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
