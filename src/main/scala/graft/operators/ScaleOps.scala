@@ -267,7 +267,13 @@ object ScaleOps {
           docs.filter(isEval).unionByName(e3), "text", "doc_id",
           isEval = col("doc_id") % 11 === 0, n = 5, threshold = 0.5)
         .select(col("train_doc").as("bad_doc")).distinct()
+      // One-pass observability: the final corpus size/chars ride the same
+      // action as the aggregate via `observe` (a CollectMetrics node — no
+      // extra scan, no .count() side trips); readable from
+      // queryExecution.observedMetrics after any action on the result.
       val clean = e3.join(broadcast(contam), col("doc_id") === col("bad_doc"), "left_anti")
+        .observe("g78_clean", count(lit(1)).as("rows"),
+          sum(col("n_chars")).as("chars"))
       val re = "[a-z]+|[0-9]+|[^a-z0-9\\s]"
       clean.groupBy(col("source"))
         .agg(count(lit(1)).as("n_docs"),
