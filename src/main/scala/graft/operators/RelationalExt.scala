@@ -508,6 +508,33 @@ object RelationalExt {
       ev.withColumn("v_filled", last(col("v"), ignoreNulls = true).over(w))
         .select(col("user_id"), col("event_id"), col("v"), col("v_filled"))
         .orderBy(col("user_id"), col("event_id"))
+    }),
+
+    // Correlated LATERAL subquery with ORDER BY + LIMIT: top-2 orders per
+    // customer expressed as the SQL-standard lateral join (both engines run
+    // the same declarative text). Catalyst decorrelates this into a
+    // window-rank under the hood — the per-key-LIMIT shape that would be a
+    // hand-written row_number otherwise. Customers without orders drop
+    // (inner lateral) in both engines.
+    Query(
+      "q92_lateral_topn",
+      Some("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.customer.createOrReplaceTempView("g92_customer")
+      t.orders.createOrReplaceTempView("g92_orders")
+      spark.sql("""
+        SELECT c.c_custkey, t.o_orderkey, t.o_totalprice
+        FROM g92_customer c, LATERAL (
+          SELECT o_orderkey, o_totalprice FROM g92_orders
+          WHERE o_custkey = c.c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
+        ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
     })
   )
 }
