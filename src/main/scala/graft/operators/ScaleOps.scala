@@ -282,6 +282,61 @@ object ScaleOps {
         .orderBy(col("source"))
     }))
 
+  val extraQueries: Seq[Query] = Seq(
+
+    // Explicit SHUFFLE_HASH join: for a mid-size dimension too big to
+    // broadcast comfortably but small enough to hash per partition,
+    // building a hash map beats sorting BOTH sides (SMJ, the default).
+    // The hint is the join-strategy surface under test; PlanSpec gates
+    // that the executed plan is a ShuffledHashJoin with no sort.
+    Query(
+      "q93_shuffle_hash_join",
+      Some("""
+        SELECT o.o_orderpriority, COUNT(*) AS n_lines,
+               CAST(SUM(l.l_quantity) AS DOUBLE) AS sum_qty
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        GROUP BY o.o_orderpriority
+        ORDER BY o.o_orderpriority"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      t.lineitem.join(t.orders.hint("SHUFFLE_HASH"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(col("l_quantity")).cast("double").as("sum_qty"))
+        .orderBy(col("o_orderpriority"))
+    }),
+
+    // Overlapping document chunking — the RAG/embedding-prep operator:
+    // fixed 500-char windows sliding by 400 (100 overlap), emitted as
+    // (doc, chunk_idx, start, md5 of the chunk text). Pure per-row explode
+    // arithmetic: zero shuffle, codegen'd, scales linearly with corpus
+    // bytes; the md5 proves the actual text slices match byte-for-byte.
+    Query(
+      "q94_chunking",
+      Some("""
+        WITH c AS (SELECT doc_id, text, n_chars,
+                     CAST(CASE WHEN n_chars <= 500 THEN 1
+                          ELSE CEIL((n_chars - 100) / 400.0) END AS BIGINT) AS n_chunks
+                   FROM documents),
+        u AS (SELECT doc_id, text, unnest(range(0, n_chunks)) AS i FROM c)
+        SELECT doc_id, i AS chunk_idx, i * 400 AS start,
+               md5(substr(text, CAST(i * 400 + 1 AS BIGINT), 500)) AS chunk_md5
+        FROM u
+        ORDER BY doc_id, chunk_idx"""))((spark, dir) => {
+      val nChunks = when(col("n_chars") <= 500, lit(1L))
+        .otherwise(ceil((col("n_chars") - 100) / lit(400.0)).cast("long"))
+      Tables(spark, dir).documents
+        .select(col("doc_id"), col("text"), nChunks.as("n_chunks"))
+        .select(col("doc_id"), col("text"),
+          explode(sequence(lit(0L), col("n_chunks") - 1)).as("chunk_idx"))
+        .select(col("doc_id"), col("chunk_idx"),
+          (col("chunk_idx") * 400).as("start"),
+          md5(col("text").substr(col("chunk_idx") * 400 + 1, lit(500))
+            .cast("binary")).as("chunk_md5"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+    })
+  )
+
   /** Write the bucketed copies of orders/customer (idempotent overwrite) and
     * register them in the session catalog. Public so PlanSpec can set up the
     * same tables for its no-exchange gate.

@@ -230,6 +230,12 @@ class PlanSpec extends SparkSpec {
       s"no cell IN (...) partition filter on the index scan: $pruned")
   }
 
+  test("q93: the hint yields a ShuffledHashJoin, not a sort-merge join") {
+    val p = planString("q93_shuffle_hash_join")
+    assert(p.contains("ShuffledHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
