@@ -334,6 +334,31 @@ object ScaleOps {
           md5(col("text").substr(col("chunk_idx") * 400 + 1, lit(500))
             .cast("binary")).as("chunk_md5"))
         .orderBy(col("doc_id"), col("chunk_idx"))
+    }),
+
+    // Dedicated melt API (`Dataset.unpivot`, Spark 3.4+) — the typed
+    // wide→long reshape, complementing q82's SQL-level `stack`: part's
+    // numeric columns to (key, col_name, v) rows, re-aggregated per column.
+    Query(
+      "q95_unpivot",
+      Some("""
+        WITH m AS (
+          SELECT 'p_retailprice' AS col_name, CAST(p_retailprice AS DOUBLE) AS v FROM part
+          UNION ALL SELECT 'p_size', CAST(p_size AS DOUBLE) FROM part)
+        SELECT col_name, COUNT(*) AS n, round(CAST(SUM(CAST(v AS DECIMAL(28,6))) AS DOUBLE), 4) AS sum_v,
+               MIN(v) AS min_v, MAX(v) AS max_v
+        FROM m GROUP BY col_name ORDER BY col_name"""))((spark, dir) => {
+      Tables(spark, dir).part
+        .select(col("p_partkey"), col("p_size").cast("double").as("p_size"),
+          col("p_retailprice").cast("double").as("p_retailprice"))
+        .unpivot(Array(col("p_partkey")),
+          Array(col("p_retailprice"), col("p_size")), "col_name", "v")
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("v").cast(
+            org.apache.spark.sql.types.DecimalType(28, 6))).cast("double"), 4).as("sum_v"),
+          min(col("v")).as("min_v"), max(col("v")).as("max_v"))
+        .orderBy(col("col_name"))
     })
   )
 
