@@ -359,6 +359,31 @@ object ScaleOps {
             org.apache.spark.sql.types.DecimalType(28, 6))).cast("double"), 4).as("sum_v"),
           min(col("v")).as("min_v"), max(col("v")).as("max_v"))
         .orderBy(col("col_name"))
+    }),
+
+    // Mergeable-sketch cardinality (Datasketches HLL): per-source sketches
+    // built in one pass, UNIONED to a global estimate — the way distinct
+    // counts actually compose at 100 TB (per-partition/per-day sketches
+    // merged at read time; re-aggregation never rescans). q12b's
+    // estimator-flag oracle pattern: the driver checks the flag is TRUE.
+    Query(
+      "q96_hll_union",
+      Some("""
+        SELECT CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+               COUNT(DISTINCT doc_id % 5000) AS n_exact,
+               TRUE AS union_within_tol
+        FROM documents"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val perSource = docs.groupBy(col("source"))
+        .agg(hll_sketch_agg(col("doc_id") % 5000).as("sk"))
+      val merged = perSource.agg(
+        count(lit(1)).as("n_sources"),
+        hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      val exact = docs.agg(count_distinct(col("doc_id") % 5000).as("n_exact"))
+      merged.crossJoin(exact)
+        .select(col("n_sources"), col("n_exact"),
+          (abs(col("est").cast("double") / col("n_exact") - 1.0) <= 0.05)
+            .as("union_within_tol"))
     })
   )
 
