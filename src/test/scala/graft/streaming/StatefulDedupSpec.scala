@@ -61,6 +61,40 @@ class StatefulDedupSpec extends SparkSpec {
     }
   }
 
+  test("MapState + ListState activity monitor: bounded recent buffer, per-kind counts") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.ActivityMonitor.{Activity, Ev}
+    val dir = java.nio.file.Files.createTempDirectory("graft-am").toString
+    val prior = spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val mem = MemoryStream[Ev]
+      val q = graft.streaming.ActivityMonitor.activity(spark, mem.toDS(), keepK = 3)
+        .writeStream.format("memory").queryName("am_out")
+        .outputMode("update")
+        .option("checkpointLocation", s"$dir/ckpt")
+        .start()
+      mem.addData(Ev("u1", "view", 1.0), Ev("u1", "view", 2.0), Ev("u1", "click", 3.0))
+      q.processAllAvailable()
+      // 4 more values for u1: recent buffer must hold only the LAST 3
+      mem.addData(Ev("u1", "view", 10.0), Ev("u1", "buy", 20.0),
+        Ev("u1", "view", 30.0), Ev("u2", "view", 7.0))
+      q.processAllAvailable()
+      q.stop()
+      val last = spark.table("am_out").as[Activity].collect()
+        .groupBy(_.user).map { case (u, rows) => u -> rows.maxBy(_.totalEvents) }
+      assert(last("u1") == Activity("u1", 3, 6, 60.0), last("u1")) // 10+20+30
+      assert(last("u2") == Activity("u2", 1, 1, 7.0), last("u2"))
+    } finally {
+      prior match {
+        case Some(v) => spark.conf.set("spark.sql.streaming.stateStore.providerClass", v)
+        case None => spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("event-time timers close sessions exactly when the watermark passes the gap") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
