@@ -24,6 +24,16 @@ object Files {
   def readJson(spark: SparkSession, path: String, ddl: String): DataFrame =
     spark.read.schema(ddl).json(path)
 
+  /** Schema-explicit XML read (built-in datasource since Spark 4.0);
+    * `rowTag` names the per-record element.
+    */
+  def readXml(spark: SparkSession, path: String, ddl: String,
+              rowTag: String): DataFrame =
+    spark.read.schema(ddl).option("rowTag", rowTag).xml(path)
+
+  def writeXml(df: DataFrame, path: String, rowTag: String): Unit =
+    df.write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
   def writeParquet(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").parquet(path)
 

@@ -21,6 +21,10 @@ class FilesSpec extends SparkSpec {
 
     Files.writeJson(nation, s"$dir/json")
     assert(Files.readJson(spark, s"$dir/json", ddl).collect().map(_.toString).toSet == want)
+
+    Files.writeXml(nation, s"$dir/xml", rowTag = "nation")
+    assert(Files.readXml(spark, s"$dir/xml", ddl, rowTag = "nation")
+      .collect().map(_.toString).toSet == want)
   }
 
   test("salted two-stage aggregation equals direct groupBy exactly") {
