@@ -384,6 +384,25 @@ object ScaleOps {
         .select(col("n_sources"), col("n_exact"),
           (abs(col("est").cast("double") / col("n_exact") - 1.0) <= 0.05)
             .as("union_within_tol"))
+    }),
+
+    // Bucketed content digest (the replica-verification primitive in
+    // repl/Digest): 48-bit row hashes XOR-folded per key bucket —
+    // order- and partition-independent, so the oracle matches exactly.
+    Query(
+      "q97_table_digest",
+      Some(s"""
+        SELECT ${sqlH48("CAST(o_orderkey AS VARCHAR)")} % 64 AS bucket,
+               COUNT(*) AS n_rows,
+               bit_xor(${sqlH48(
+                 "CAST(o_orderkey AS VARCHAR) || '|' || CAST(o_custkey AS VARCHAR) || '|' || o_orderpriority || '|' || CAST(o_orderdate AS VARCHAR)")}) AS xor_digest
+        FROM orders
+        GROUP BY 1 ORDER BY bucket"""))((spark, dir) => {
+      graft.repl.Digest.tableDigest(Tables(spark, dir).orders,
+          col("o_orderkey"),
+          Seq(col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
+            col("o_orderpriority"), col("o_orderdate").cast("string")))
+        .orderBy(col("bucket"))
     })
   )
 

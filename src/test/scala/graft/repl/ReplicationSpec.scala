@@ -70,6 +70,27 @@ class ReplicationSpec extends SparkSpec {
       rowSet(source.readTable("db1b", "nation")))
   }
 
+  test("content digests verify a replica beyond the watermark; divergence is bucket-scoped") {
+    import org.apache.spark.sql.functions._
+    val (_, source, target, job) = freshWorld()
+    seedDb(source, "dbd")
+    job.run("dbd")
+    def dig(cat: DbCatalog) = Digest.tableDigest(
+      cat.readTable("dbd", "nation"), col("n_nationkey"),
+      Seq(col("n_nationkey").cast("string"), col("n_name")), buckets = 8)
+    // equal watermarks AND equal content ⇒ no divergent buckets
+    assert(Digest.divergentBuckets(dig(source), dig(target)).count() == 0L)
+    // an out-of-band corruption the watermark can NOT see...
+    val corrupted = target.readTable("dbd", "nation")
+      .withColumn("n_name", when(col("n_nationkey") === 3, lit("CORRUPT"))
+        .otherwise(col("n_name")))
+    target.rewriteTable("dbd", "nation", corrupted)
+    // ...shows up, scoped to exactly the corrupted key's bucket
+    val div = Digest.divergentBuckets(dig(source), dig(target))
+      .collect().map(_.getLong(0)).toSeq
+    assert(div.length == 1, s"divergence not bucket-scoped: $div")
+  }
+
   test("incremental applies upserts and deletes; watermark advances") {
     val (_, source, target, job) = freshWorld()
     seedDb(source, "db2")
