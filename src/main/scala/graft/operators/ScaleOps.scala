@@ -403,6 +403,37 @@ object ScaleOps {
           Seq(col("o_orderkey").cast("string"), col("o_custkey").cast("string"),
             col("o_orderpriority"), col("o_orderdate").cast("string")))
         .orderBy(col("bucket"))
+    }),
+
+    // Sequence-integrity check at scale (replication log auditing): does
+    // an event-id sequence have holes? The naive lag() over a GLOBAL
+    // order is one giant partition; instead ids aggregate into fixed
+    // blocks (id div 1000) — one map-side-combinable shuffle — and a
+    // block has internal holes iff count != span(min..max). Holes are
+    // planted deterministically (id % 97) so both engines find the same
+    // incomplete blocks.
+    Query(
+      "q98_sequence_gaps",
+      Some("""
+        WITH ids AS (SELECT event_id FROM events WHERE event_id % 97 <> 0),
+        blocks AS (SELECT event_id // 1000 AS blk, COUNT(*) AS n,
+                          MIN(event_id) AS lo, MAX(event_id) AS hi
+                   FROM ids GROUP BY 1)
+        SELECT blk, n, lo, hi,
+               (n = hi - lo + 1) AS internally_complete
+        FROM blocks
+        WHERE n <> hi - lo + 1
+        ORDER BY blk"""))((spark, dir) => {
+      Tables(spark, dir).events
+        .filter(col("event_id") % 97 =!= 0)
+        .select(col("event_id"), (col("event_id") / 1000).cast("long").as("blk"))
+        .groupBy(col("blk"))
+        .agg(count(lit(1)).as("n"), min(col("event_id")).as("lo"),
+          max(col("event_id")).as("hi"))
+        .filter(col("n") =!= col("hi") - col("lo") + 1)
+        .select(col("blk"), col("n"), col("lo"), col("hi"),
+          (col("n") === col("hi") - col("lo") + 1).as("internally_complete"))
+        .orderBy(col("blk"))
     })
   )
 
