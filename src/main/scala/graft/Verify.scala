@@ -30,6 +30,10 @@ object Verify {
       } catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      // operators that persist intermediates must not accumulate across
+      // ~100 queries and squeeze the later ones' memory (Bench does the
+      // same; see the round-2 repl-timing incident in its scaladoc)
+      spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
