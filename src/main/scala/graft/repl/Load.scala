@@ -38,6 +38,20 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     */
   def replay(dumpPath: String, meta: MetadataStore): (DumpManifest, Int) = {
     val m = Dump.readManifest(spark, dumpPath)
+    // Ordering guard: an incremental delta must START at the replica's
+    // current watermark. Applying a later dump first would commit its toId
+    // and silently orphan the skipped events (the divergence the
+    // reference's ahead/behind verify can only notice after the fact,
+    // `hive3repl.sh:110-115` — here it is refused up front). A delta
+    // ENDING at or below the watermark is the idempotent-retry case and
+    // replays harmlessly (merge + same-watermark commit are no-ops).
+    if (m.kind == DumpKind.Incremental) {
+      val wm = meta.watermark(m.db).getOrElse(0L)
+      if (m.fromId > wm)
+        throw new IllegalStateException(
+          s"out-of-order delta for ${m.db}: dump starts at ${m.fromId} but " +
+          s"replica watermark is $wm — events in ($wm, ${m.fromId}] would be lost")
+    }
     val attempts = m.kind match {
       case DumpKind.Bootstrap =>
         applyBootstrap(m, dumpPath); 1

@@ -91,6 +91,34 @@ class ReplicationSpec extends SparkSpec {
     assert(div.length == 1, s"divergence not bucket-scoped: $div")
   }
 
+  test("out-of-order delta application is refused, not silently committed") {
+    import DbCatalog._
+    val (root, source, target, job) = freshWorld()
+    seedDb(source, "dbo")
+    job.run("dbo") // bootstrap
+    val meta = MetadataStore(spark, target.root)
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10, incrRerun = 1)
+    val dumper = Dump(spark, source, s"$root/dumps", cfg)
+    val loader = Load(spark, target, cfg)
+    // two consecutive deltas; try to apply only the SECOND one
+    source.appendEvents("dbo", Seq(Event("nation", OpUpsert, "25",
+      """{"n_nationkey":25,"n_name":"A","n_regionkey":1}""")))
+    val w0 = meta.watermark("dbo").get
+    val d1 = dumper.incremental("dbo", w0)
+    source.appendEvents("dbo", Seq(Event("nation", OpUpsert, "26",
+      """{"n_nationkey":26,"n_name":"B","n_regionkey":1}""")))
+    val d2 = dumper.incremental("dbo", d1.txnId)
+    val e = intercept[IllegalStateException] { loader.replay(d2.path, meta) }
+    assert(e.getMessage.contains("out-of-order"), e.getMessage)
+    assert(meta.watermark("dbo").contains(w0)) // untouched
+    // applying in order still works and converges: both upserts land
+    loader.replay(d1.path, meta)
+    loader.replay(d2.path, meta)
+    val keys = target.readTable("dbo", "nation").collect()
+      .map(_.get(0).toString.toLong).toSet
+    assert(keys.contains(25L) && keys.contains(26L), keys.toSeq.sorted)
+  }
+
   test("incremental applies upserts and deletes; watermark advances") {
     val (_, source, target, job) = freshWorld()
     seedDb(source, "db2")
