@@ -569,6 +569,31 @@ object Similarity {
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos_sim
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""))((spark, dir) =>
-      annIvfIndexed(spark, dir, k = 5).orderBy(col("query_id"), col("rank")))
+      annIvfIndexed(spark, dir, k = 5).orderBy(col("query_id"), col("rank"))),
+
+    // Per-label embedding centroids (mean-pooling — the class-prototype
+    // vector aggregate): posexplode to (label, dim) cells, one
+    // map-side-combinable shuffle, sums routed through DECIMAL(30,15) so
+    // the centroid is exact at any partition count. Long-form output
+    // (label, pos, mean) — first 8 dims.
+    Query(
+      "q99_label_centroids",
+      Some("""
+        WITH u AS (SELECT label, unnest(range(0, 8)) AS pos, embedding
+                   FROM embeddings)
+        SELECT label, pos, COUNT(*) AS n,
+               round(CAST(SUM(CAST(CAST(embedding[pos + 1] AS DOUBLE)
+                 AS DECIMAL(30,15))) AS DOUBLE) / COUNT(*), 6) AS mean_x
+        FROM u GROUP BY label, pos
+        ORDER BY label, pos"""))((spark, dir) => {
+      val d = org.apache.spark.sql.types.DecimalType(30, 15)
+      Tables(spark, dir).embeddings
+        .select(col("label"), posexplode(slice(col("embedding"), 1, 8)))
+        .groupBy(col("label"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("col").cast("double").cast(d)).cast("double")
+            / count(lit(1)), 6).as("mean_x"))
+        .orderBy(col("label"), col("pos"))
+    })
   )
 }
