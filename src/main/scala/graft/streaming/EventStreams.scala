@@ -45,6 +45,16 @@ object EventStreams {
     * Inputs are pre-split event streams; on the streaming path both must
     * carry `.withWatermark("ts", …)` before calling.
     */
+  /** Stream–static enrichment join — the commonest production streaming
+    * join: each micro-batch joins against a STATIC (or slowly refreshed)
+    * dimension; Spark broadcasts the dimension per batch, so the stream
+    * side never shuffles and no join state accumulates (unlike
+    * stream–stream, there is nothing to watermark — the static side is
+    * complete by definition).
+    */
+  def enrich(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key))
+
   def attributedClicks(views: DataFrame, clicks: DataFrame): DataFrame = {
     val v = views.select(col("event_id").as("view_id"),
       col("user_id").as("v_user"), col("ts").as("view_ts"))

@@ -76,6 +76,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stream-static enrichment join matches the batch join") {
+    val events = Tables(spark, sf()).events
+      .withColumn("ts", col("ts").cast("timestamp")).cache()
+    val dim = events.select(col("user_id")).distinct()
+      .withColumn("segment", col("user_id") % 4)
+      .cache()
+    val dir = java.nio.file.Files.createTempDirectory("graft-enr").toString
+    events.write.mode("overwrite").parquet(s"$dir/in")
+    val stream = spark.readStream.schema(events.schema).parquet(s"$dir/in")
+    val q = EventStreams.enrich(stream, dim, "user_id")
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("enr_stream")
+      .outputMode("complete")
+      .option("checkpointLocation", s"$dir/ckpt")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("enr_stream").collect().map(_.toString).toSet
+    val batch = EventStreams.enrich(events, dim, "user_id")
+      .groupBy(col("segment")).agg(count(lit(1)).as("n"))
+      .collect().map(_.toString).toSet
+    assert(streamed == batch)
+  }
+
   test("stream-stream interval join matches the batch join") {
     val events = Tables(spark, sf()).events
       .withColumn("ts", col("ts").cast("timestamp")).cache()
