@@ -91,6 +91,18 @@ class ReplicationSpec extends SparkSpec {
     assert(div.length == 1, s"divergence not bucket-scoped: $div")
   }
 
+  test("table digests are invariant to partitioning and row order") {
+    import org.apache.spark.sql.functions._
+    val nation = spark.read.parquet(s"${sf()}/nation.parquet")
+    def dig(df: org.apache.spark.sql.DataFrame) =
+      Digest.tableDigest(df, col("n_nationkey"),
+          Seq(col("n_nationkey").cast("string"), col("n_name")), buckets = 8)
+        .collect().map(_.toString).toSet
+    val base = dig(nation)
+    assert(dig(nation.repartition(17)) == base)
+    assert(dig(nation.repartition(1).orderBy(col("n_name").desc)) == base)
+  }
+
   test("out-of-order delta application is refused, not silently committed") {
     import DbCatalog._
     val (root, source, target, job) = freshWorld()
