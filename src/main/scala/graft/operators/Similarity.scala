@@ -239,7 +239,7 @@ object Similarity {
   private val builtIndexes = new scala.collection.concurrent.TrieMap[String, String]
 
   def ivfIndexFor(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                  nCells: Int = 16): String =
+                  nCells: Int = 16): String = synchronized {
     builtIndexes.getOrElseUpdate(sfDir, {
       import graft.functions.VectorFunctions._
       val corpus = Tables(spark, sfDir).embeddings
@@ -259,6 +259,7 @@ object Similarity {
       assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
       path
     })
+  }
 
   def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                     k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
