@@ -236,6 +236,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q97: the content digest is one partial+final aggregate (single shuffle)") {
+    val plan = executed(q("q97_table_digest"))
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    // one exchange for the bucket groupBy; the trailing orderBy may add a
+    // range exchange — nothing else is allowed to shuffle
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles: ${plan.toString.take(1200)}")
+    val p = plan.toString
+    assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
