@@ -589,6 +589,49 @@ object TextAnalysis {
           i => col("w").substr(i, lit(2)))).as("pair"))
         .groupBy(col("pair")).agg(count(lit(1)).as("cnt"))
         .orderBy(col("cnt").desc, col("pair")).limit(20)
+    }),
+
+    // Collocation mining: adjacent word bigrams ranked by LIFT
+    // (n_pair·N / (n_w1·n_w2)) — the PMI family with the log dropped so
+    // every quantity stays an exact integer until ONE final division
+    // (engine-exact, no transcendental drift). Two map-side-combinable
+    // count shuffles + a join of bigrams to unigram counts; the corpus
+    // token total rides a 1-row broadcast cross join.
+    Query(
+      "q100_collocations",
+      Some(s"""
+        WITH toks AS (SELECT unnest(${sqlTokens("text")}) AS w FROM documents),
+        uni AS (SELECT w, COUNT(*) AS cw FROM toks GROUP BY w),
+        n AS (SELECT COUNT(*) AS n_toks FROM toks),
+        bg AS (SELECT unnest(${sqlShingles(sqlTokens("text"), 2)}) AS b
+               FROM documents),
+        bgc AS (SELECT b, COUNT(*) AS cb FROM bg GROUP BY b HAVING COUNT(*) >= 20),
+        j AS (SELECT bgc.b, bgc.cb, u1.cw AS c1, u2.cw AS c2
+              FROM bgc
+              JOIN uni u1 ON u1.w = split_part(bgc.b, ' ', 1)
+              JOIN uni u2 ON u2.w = split_part(bgc.b, ' ', 2))
+        SELECT b AS bigram, cb AS n_pair,
+               round(cb * 1.0 * n_toks / (c1 * 1.0 * c2), 6) AS lift
+        FROM j CROSS JOIN n
+        ORDER BY lift DESC, bigram LIMIT 20"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val toks = docs.select(explode(tokens(col("text"))).as("w"))
+      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val nToks = toks.agg(count(lit(1)).as("n_toks"))
+      val bgc = docs
+        .select(explode(shingles(tokens(col("text")), 2)).as("b"))
+        .groupBy(col("b")).agg(count(lit(1)).as("cb"))
+        .filter(col("cb") >= 20)
+      bgc
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")),
+          split(col("b"), " ").getItem(0) === col("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")),
+          split(col("b"), " ").getItem(1) === col("w2"))
+        .crossJoin(broadcast(nToks))
+        .select(col("b").as("bigram"), col("cb").as("n_pair"),
+          round(col("cb") * lit(1.0) * col("n_toks")
+            / (col("c1") * lit(1.0) * col("c2")), 6).as("lift"))
+        .orderBy(col("lift").desc, col("bigram")).limit(20)
     })
   )
 }
