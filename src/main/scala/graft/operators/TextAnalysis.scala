@@ -615,18 +615,20 @@ object TextAnalysis {
         FROM j CROSS JOIN n
         ORDER BY lift DESC, bigram LIMIT 20"""))((spark, dir) => {
       val docs = Tables(spark, dir).documents
-      val toks = docs.select(explode(tokens(col("text"))).as("w"))
-      val uni = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
-      val nToks = toks.agg(count(lit(1)).as("n_toks"))
+      // one corpus scan feeds the unigram table; the token TOTAL is just
+      // sum(cw) over it — no second pass
+      val uni = docs.select(explode(tokens(col("text"))).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw")).cache()
+      val nToks = uni.agg(sum(col("cw")).as("n_toks"))
       val bgc = docs
         .select(explode(shingles(tokens(col("text")), 2)).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= 20)
+        .withColumn("w1", split(col("b"), " ").getItem(0))
+        .withColumn("w2", split(col("b"), " ").getItem(1))
       bgc
-        .join(uni.select(col("w").as("w1"), col("cw").as("c1")),
-          split(col("b"), " ").getItem(0) === col("w1"))
-        .join(uni.select(col("w").as("w2"), col("cw").as("c2")),
-          split(col("b"), " ").getItem(1) === col("w2"))
+        .join(uni.select(col("w").as("w1"), col("cw").as("c1")), "w1")
+        .join(uni.select(col("w").as("w2"), col("cw").as("c2")), "w2")
         .crossJoin(broadcast(nToks))
         .select(col("b").as("bigram"), col("cb").as("n_pair"),
           round(col("cb") * lit(1.0) * col("n_toks")
