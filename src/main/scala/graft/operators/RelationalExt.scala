@@ -535,6 +535,44 @@ object RelationalExt {
           WHERE o_custkey = c.c_custkey
           ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) t
         ORDER BY c.c_custkey, t.o_totalprice DESC, t.o_orderkey""")
+    }),
+
+    // RFM segmentation done scale-correctly: per-customer
+    // frequency/monetary in one shuffle, EXACT median thresholds as a
+    // 1-row broadcast (q42's proven percentile), CASE-binning per row —
+    // no global ranking window (an ntile over all customers would be one
+    // giant partition). Decimal money sums keep thresholds engine-exact.
+    Query(
+      "q101_rfm",
+      Some("""
+        WITH cust AS (SELECT o_custkey, COUNT(*) AS freq,
+                             CAST(SUM(CAST(o_totalprice AS DECIMAL(28,2))) AS DOUBLE) AS money
+                      FROM orders GROUP BY o_custkey),
+        th AS (SELECT quantile_cont(freq, 0.5) AS f_med,
+                      quantile_cont(money, 0.5) AS m_med FROM cust)
+        SELECT CASE WHEN freq > f_med THEN 'F_hi' ELSE 'F_lo' END AS f_seg,
+               CASE WHEN money > m_med THEN 'M_hi' ELSE 'M_lo' END AS m_seg,
+               COUNT(*) AS n_customers,
+               round(CAST(SUM(CAST(money AS DECIMAL(28,6))) AS DOUBLE), 2) AS seg_revenue
+        FROM cust CROSS JOIN th
+        GROUP BY 1, 2 ORDER BY f_seg, m_seg"""))((spark, dir) => {
+      val d2 = org.apache.spark.sql.types.DecimalType(28, 2)
+      val d6 = org.apache.spark.sql.types.DecimalType(28, 6)
+      val cust = Tables(spark, dir).orders
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("freq"),
+          sum(col("o_totalprice").cast(d2)).cast("double").as("money"))
+      val th = cust.agg(percentile(col("freq"), lit(0.5)).as("f_med"),
+        percentile(col("money"), lit(0.5)).as("m_med"))
+      cust.crossJoin(broadcast(th))
+        .select(
+          when(col("freq") > col("f_med"), "F_hi").otherwise("F_lo").as("f_seg"),
+          when(col("money") > col("m_med"), "M_hi").otherwise("M_lo").as("m_seg"),
+          col("money"))
+        .groupBy(col("f_seg"), col("m_seg"))
+        .agg(count(lit(1)).as("n_customers"),
+          round(sum(col("money").cast(d6)).cast("double"), 2).as("seg_revenue"))
+        .orderBy(col("f_seg"), col("m_seg"))
     })
   )
 }
