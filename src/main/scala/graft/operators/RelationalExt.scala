@@ -573,6 +573,30 @@ object RelationalExt {
         .agg(count(lit(1)).as("n_customers"),
           round(sum(col("money").cast(d6)).cast("double"), 2).as("seg_revenue"))
         .orderBy(col("f_seg"), col("m_seg"))
+    }),
+
+    // Market-basket co-purchase pairs: parts bought together in one order,
+    // ranked by support. The pair join is keyed on the order (the natural
+    // blocking key — baskets are small, so pairs per order are bounded);
+    // one equi-join + one count shuffle, TakeOrderedAndProject top-k.
+    Query(
+      "q102_copurchase",
+      Some("""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem)
+        SELECT a.l_partkey AS part_a, c.l_partkey AS part_b,
+               COUNT(*) AS n_orders
+        FROM b a JOIN b c
+          ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+        GROUP BY 1, 2
+        ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""))((spark, dir) => {
+      val b = Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      b.as("a").join(b.as("c"),
+          col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("a.l_partkey") < col("c.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("c.l_partkey").as("part_b"))
+        .agg(count(lit(1)).as("n_orders"))
+        .orderBy(col("n_orders").desc, col("part_a"), col("part_b")).limit(20)
     })
   )
 }
