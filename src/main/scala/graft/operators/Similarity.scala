@@ -240,7 +240,11 @@ object Similarity {
 
   def ivfIndexFor(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                   nCells: Int = 16): String = synchronized {
-    builtIndexes.getOrElseUpdate(sfDir, {
+    // Memo key covers EVERY input that shapes the index (corpus dir AND
+    // nCells), and the on-disk name is a full-width md5 of that key — two
+    // distinct keys can never share a dir (hashCode could collide).
+    val memoKey = s"$sfDir#$nCells"
+    builtIndexes.getOrElseUpdate(memoKey, {
       import graft.functions.VectorFunctions._
       val corpus = Tables(spark, sfDir).embeddings
       val cent = corpus.filter(col("vec_id") < nCells)
@@ -254,8 +258,9 @@ object Similarity {
           col("v").as("v"))).as("m"))
         .select(col("vec_id"), col("m.v").as("v"),
           (-col("m.ncid")).cast("int").as("cell"))
-      val path = new java.io.File(indexRoot,
-        "idx_" + Integer.toHexString(sfDir.hashCode)).toString
+      val path = new java.io.File(indexRoot, "idx_" +
+        java.security.MessageDigest.getInstance("MD5").digest(
+          memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
       assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
       path
     })

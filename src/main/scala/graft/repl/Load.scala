@@ -43,14 +43,17 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     // and silently orphan the skipped events (the divergence the
     // reference's ahead/behind verify can only notice after the fact,
     // `hive3repl.sh:110-115` — here it is refused up front). A delta
-    // ENDING at or below the watermark is the idempotent-retry case and
-    // replays harmlessly (merge + same-watermark commit are no-ops).
+    // ENDING at or below the watermark has already been applied in full:
+    // it is SKIPPED outright (no merge, no watermark commit) — replaying a
+    // strictly-stale delta would overwrite newer row values with old
+    // payloads and regress the watermark.
     if (m.kind == DumpKind.Incremental) {
       val wm = meta.watermark(m.db).getOrElse(0L)
       if (m.fromId > wm)
         throw new IllegalStateException(
           s"out-of-order delta for ${m.db}: dump starts at ${m.fromId} but " +
           s"replica watermark is $wm — events in ($wm, ${m.fromId}] would be lost")
+      if (m.toId <= wm) return (m, 0) // stale delta: idempotent skip
     }
     val attempts = m.kind match {
       case DumpKind.Bootstrap =>
@@ -215,7 +218,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
             // the DML path below.
             recoverSwap(db, t)
             if (!target.tableExists(db, t))
-              throw new IllegalStateException(
+              throw new NonRetryableException(
                 s"delta carries TRUNCATE for missing table $db.$t — " +
                 "refusing to skip (possible lost table)")
             target.truncateTableFs(db, t)
@@ -240,7 +243,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
         // the watermark past lost events. recoverSwap above already restored
         // any interrupted swap, so existence is now authoritative.
         if (!target.tableExists(db, t))
-          throw new IllegalStateException(
+          throw new NonRetryableException(
             s"delta carries DML for missing table $db.$t and no CREATE_TABLE " +
             "event — refusing to skip (possible lost table)")
         mergeTable(db, t, dml)
@@ -356,7 +359,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     // a malformed payload, not a skippable row (silently dropping it would
     // commit the watermark past lost data, like the missing-table case).
     if (upVals.contains(null))
-      throw new IllegalStateException(
+      throw new NonRetryableException(
         s"upsert payload for partitioned table $db.$table lacks $partCol")
     val deadVals = current.select(col(keyCol).cast("string").as("_k"), col(partCol))
       .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
@@ -378,28 +381,77 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     fs.mkdirs(bakPath)
     // Swap each affected partition dir: live aside to bak (if present), then
     // staged in (if present — a fully-deleted partition has no staged dir
-    // and simply disappears). Dir names come from the written values, which
-    // round-trip exactly for the filesystem-safe values this layout requires.
+    // and simply disappears). Dir NAMES are taken from the dirs Spark
+    // actually wrote (and the live layout), never reconstructed from raw
+    // values — Spark percent-escapes special characters in partition dirs
+    // (space, colon, %, …), so a `s"$partCol=$v"` rebuild would miss those
+    // dirs and silently skip the partition. Values are matched by their
+    // unescaped dir string; an affected value resolving to NO staged or
+    // live dir is a refused invariant violation, not a skip.
+    def dirsByValue(base: Path): Map[String, Path] =
+      if (!fs.exists(base)) Map.empty
+      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(partCol + "="))
+        .map(p => PartitionPaths.unescape(p.getName.drop(partCol.length + 1)) -> p)
+        .toMap
+    val tmpDirs = dirsByValue(tmpPath)
+    val liveDirs = dirsByValue(livePath)
     affected.foreach { v =>
-      val dirName = s"$partCol=$v"
-      val liveDir = new Path(livePath, dirName)
-      val tmpDir = new Path(tmpPath, dirName)
-      if (fs.exists(liveDir) &&
-          !fs.rename(liveDir, new Path(bakPath, dirName)))
-        throw new IllegalStateException(
-          s"partition backup rename failed for $db.$table/$dirName")
-      if (fs.exists(tmpDir) && !fs.rename(tmpDir, new Path(livePath, dirName)))
-        throw new IllegalStateException(
-          s"partition swap failed for $db.$table/$dirName")
+      val vStr = String.valueOf(v)
+      val tmpDir = tmpDirs.get(vStr)
+      val liveDir = liveDirs.get(vStr)
+      if (tmpDir.isEmpty && liveDir.isEmpty)
+        throw new NonRetryableException(
+          s"partition $partCol=$vStr of $db.$table resolves to no staged or " +
+          "live dir — refusing silent skip (dir-name/value mismatch)")
+      val dirName = tmpDir.orElse(liveDir).get.getName
+      liveDir.foreach { ld =>
+        if (!fs.rename(ld, new Path(bakPath, dirName)))
+          throw new IllegalStateException(
+            s"partition backup rename failed for $db.$table/$dirName")
+      }
+      tmpDir.foreach { td =>
+        if (!fs.rename(td, new Path(livePath, dirName)))
+          throw new IllegalStateException(
+            s"partition swap failed for $db.$table/$dirName")
+      }
     }
     fs.delete(bakPath, true)
     fs.delete(tmpPath, true)
   }
 }
 
+/** An invariant violation retrying cannot fix (missing table for DML/
+  * TRUNCATE, malformed partitioned-upsert payload, unresolvable partition
+  * dir). [[Retry.retry]] rethrows these immediately instead of burning
+  * `INCR_RERUN` sleep cycles on a deterministic failure.
+  */
+final class NonRetryableException(msg: String) extends IllegalStateException(msg)
+
+/** Inverse of the Spark/Hive partition-dir escaping (`%XX` percent-decoding
+  * of filesystem-special characters) — used to match partition VALUES
+  * against the dir names Spark actually wrote.
+  */
+private[repl] object PartitionPaths {
+  def unescape(s: String): String = {
+    val sb = new StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '%' && i + 2 < s.length) {
+        try {
+          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
+          i += 3
+        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+}
+
 /** Bounded retry with sleep — the reference's rerun loop
   * (`/root/reference/beeline_functions.sh:212-236`). Returns the attempt
-  * count that succeeded.
+  * count that succeeded. [[NonRetryableException]]s surface immediately.
   */
 object Retry {
   def retry[A](maxAttempts: Int, sleepMs: Long)(body: => A): Int = {
@@ -407,6 +459,7 @@ object Retry {
     while (true) {
       try { body; return attempt }
       catch {
+        case e: NonRetryableException => throw e
         case e: Throwable if attempt < maxAttempts =>
           Thread.sleep(sleepMs); attempt += 1
       }

@@ -486,6 +486,74 @@ class ReplicationSpec extends SparkSpec {
     assert(job.run("db11").verify == "SUCCESS")
   }
 
+  test("stale delta (toId <= watermark) is skipped — no replay, no watermark regress") {
+    val (root, source, target, job) = freshWorld()
+    seedDb(source, "db12")
+    job.run("db12")
+    import DbCatalog._
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val loader = Load(spark, target, cfg)
+    val meta = MetadataStore(spark, target.root)
+    source.appendEvents("db12", Seq(
+      Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-v1"}""")))
+    val d1 = Dump(spark, source, s"$root/dumps", cfg).incremental("db12", 0L)
+    loader.replay(d1.path, meta)
+    val wm1 = meta.watermark("db12").get
+    source.appendEvents("db12", Seq(
+      Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-v2"}""")))
+    val d2 = Dump(spark, source, s"$root/dumps", cfg).incremental("db12", wm1)
+    loader.replay(d2.path, meta)
+    val wm2 = meta.watermark("db12").get
+    assert(wm2 > wm1)
+    // Re-applying the STALE d1 must not overwrite v2 with the old v1
+    // payload, and must not regress the watermark to d1.toId.
+    val (_, attempts) = loader.replay(d1.path, meta)
+    assert(attempts == 0) // skipped, not replayed
+    assert(meta.watermark("db12").contains(wm2))
+    assert(rowSet(target.readTable("db12", "region")).exists(_.contains("ASIA-v2")))
+  }
+
+  test("partition values with filesystem-special characters merge correctly") {
+    val (_, source, target, job) = freshWorld()
+    import spark.implicits._
+    source.createDb("db13")
+    // ':' and '%' are percent-escaped by Spark in partition dir names
+    // (cat=a%3Ab); a merge that rebuilt dir names from raw values would
+    // miss these dirs and silently skip the partition.
+    val items = Seq(
+      (1L, "one", "a:b"), (2L, "two", "a:b"), (3L, "three", "p%q"))
+      .toDF("id", "name", "cat")
+    source.writeTablePartitioned("db13", "items", items, "cat")
+    assert(job.run("db13").verify == "SUCCESS")
+    import DbCatalog._
+    source.appendEvents("db13", Seq(
+      Event("items", OpUpsert, "1", """{"id":1,"name":"one-v2","cat":"a:b"}"""),
+      Event("items", OpDelete, "3", null)))
+    assert(job.run("db13").verify == "SUCCESS")
+    val after = target.readTable("db13", "items")
+    assert(after.where(col("id") === 1L && col("name") === "one-v2").count() == 1)
+    assert(after.where(col("id") === 3L).isEmpty)
+    assert(after.count() == 2)
+  }
+
+  test("invariant violations are non-retryable: fail fast, no sleep cycles") {
+    val (root, source, target, _) = freshWorld()
+    seedDb(source, "db14")
+    // Long sleep + retries: if the missing-table refusal were retried, this
+    // test would take >= 2 * 5 s. Non-retryable surfaces in attempt 1.
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", incrRerun = 3, rerunSleepMs = 5000)
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    job.run("db14")
+    import DbCatalog._
+    source.appendEvents("db14", Seq(
+      Event("region", OpUpsert, "1", """{"r_regionkey":1,"r_name":"X"}""")))
+    target.dropTable("db14", "region")
+    val t0 = System.nanoTime()
+    intercept[NonRetryableException](job.run("db14"))
+    val elapsedMs = (System.nanoTime() - t0) / 1000000L
+    assert(elapsedMs < 4000, s"non-retryable violation slept through retries (${elapsedMs} ms)")
+  }
+
   test("retry converges after transient failures") {
     var calls = 0
     val attempts = Retry.retry(3, 1) {
