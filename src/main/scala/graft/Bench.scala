@@ -114,16 +114,66 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     } catch { case e: Throwable => System.err.println(s"[bench] repl failed: $e") }
 
+    // Replication from a LIVE JDBC endpoint (embedded Derby) — the
+    // reference's actual topology (its dumps all flow through a HiveServer2
+    // JDBC connection). Seeds the endpoint with the dimension tables +
+    // orders (the JDBC insert cost is the endpoint's, not the engine's, so
+    // seeding is untimed), then times bootstrap-over-JDBC and a 1000-txn
+    // incremental whose watermark predicate is pushed to the remote WHERE.
+    try {
+      spark.catalog.clearCache()
+      import graft.repl._
+      val url = "jdbc:derby:memory:benchsrc;create=true"
+      val db = "benchj"
+      val c = java.sql.DriverManager.getConnection(url)
+      try { val st = c.createStatement()
+        try st.execute(s"""CREATE SCHEMA "$db"""") finally st.close()
+      } finally c.close()
+      val t = Tables(spark, sfDir)
+      Seq("region" -> t.region, "nation" -> t.nation, "supplier" -> t.supplier,
+          "customer" -> t.customer, "orders" -> t.orders).foreach { case (n, df) =>
+        graft.sources.Jdbc.write(df, url, s""""$db"."$n"""")
+      }
+      import spark.implicits._
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-jdbc").toString
+      val source = JdbcSource(spark, url, numPartitions = cpus.toInt.min(8))
+      val target = DbCatalog(spark, s"$root/tgt")
+      val job = ReplicationJob(spark, source, target, s"$root/dumps",
+        ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
+      results("repl_bootstrap_jdbc") = time { assert(job.run(db).verify == "SUCCESS") }
+      val ev = (1 to 1000).map { i =>
+        (i.toLong, "nation", DbCatalog.OpUpsert, (i % 25).toString,
+          s"""{"n_nationkey":${i % 25},"n_name":"N$i","n_regionkey":${i % 5}}""")
+      }.toDF("event_id", "table", "op", "key", "row_json")
+      graft.sources.Jdbc.write(ev, url, s""""$db"."${DbCatalog.EventsTable}"""")
+      results("repl_incremental_jdbc_1000txn") =
+        time { assert(job.run(db).verify == "SUCCESS") }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    } catch { case e: Throwable => System.err.println(s"[bench] jdbc repl failed: $e") }
+
     def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
+    // Host-noise self-description: this machine is shared, and past rounds
+    // showed multi-second inflations that evaporated on an idle host. The
+    // 1/5/15-min load averages + free memory at bench END let a reader
+    // adjudicate "regression or noisy neighbor" without a re-run.
+    val host = try {
+      val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+      val memKb = scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .find(_.startsWith("MemAvailable:"))
+        .map(_.split("\\s+")(1).toLong).getOrElse(0L)
+      f""""host":{"loadavg_1m":${load(0)},"loadavg_5m":${load(1)},""" +
+      f""""loadavg_15m":${load(2)},"mem_available_gb":${memKb / 1048576.0}%.1f,""" +
+      f""""cpus":$cpus},"""
+    } catch { case _: Throwable => "" }
     // Two lines: cold-first detail first, then the headline line LAST and
     // kept compact (2-decimal values) — the harness archives only the tail
     // of stdout, and round 1/2 proved a >2 KB line gets its head (metric/
     // value/unit) truncated away.
     println(f"""{"metric":"detail","unit":"sec","queries_first":${jmap(firstRun, "%.3f")},"errors":$errs}""")
-    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec","queries":${jmap(results, "%.2f")},"errors":$errs,"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.2f,"unit":"sec",$host"queries":${jmap(results, "%.2f")},"errors":$errs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

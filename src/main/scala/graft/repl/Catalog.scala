@@ -21,7 +21,7 @@ import org.apache.spark.sql.types._
   * driver. The event log is itself a parquet table, so "events since
   * watermark" is a pushed-down filter scan, not a log replay on the driver.
   */
-final case class DbCatalog(spark: SparkSession, root: String) {
+final case class DbCatalog(spark: SparkSession, root: String) extends ReplSource {
   import DbCatalog._
 
   def dbPath(db: String): Path = new Path(root, db)
@@ -29,6 +29,8 @@ final case class DbCatalog(spark: SparkSession, root: String) {
   private def eventsPath(db: String) = new Path(dbPath(db), EventsTable)
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  override def sourceDbPath(db: String): String = dbPath(db).toString
 
   def createDb(db: String): Unit = fs.mkdirs(dbPath(db))
   def dbExists(db: String): Boolean = fs.exists(dbPath(db))

@@ -24,7 +24,7 @@ import org.apache.spark.sql.functions._
   * concurrent writes after it are captured by the next incremental), same
   * contract as Hive's dump.
   */
-final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, cfg: ReplConfig) {
+final case class Dump(spark: SparkSession, source: ReplSource, dumpRoot: String, cfg: ReplConfig) {
 
   private def fs = new Path(dumpRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -72,7 +72,7 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
       finally out.close()
     }
     writeManifest(dir, DumpManifest(db, DumpKind.Bootstrap, -1L, toId, tables,
-      source.dbPath(db).toString))
+      source.sourceDbPath(db)))
     DumpResult(dir.toString, toId)
   }
 
@@ -86,7 +86,7 @@ final case class Dump(spark: SparkSession, source: DbCatalog, dumpRoot: String, 
         .write.parquet(new Path(dir, "events").toString)
     }
     writeManifest(dir, DumpManifest(db, DumpKind.Incremental, fromId, toId,
-      dumpTables(db), source.dbPath(db).toString))
+      dumpTables(db), source.sourceDbPath(db)))
     DumpResult(dir.toString, toId)
   }
 

@@ -17,7 +17,7 @@ import org.apache.spark.sql.functions._
   */
 final case class ReplicationJob(
     spark: SparkSession,
-    source: DbCatalog,
+    source: ReplSource,
     target: DbCatalog,
     dumpRoot: String,
     cfg: ReplConfig) {

@@ -1,0 +1,94 @@
+package graft.repl
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Replication with a LIVE JDBC endpoint (embedded Derby) as the SOURCE —
+  * the reference's real topology (`/root/reference/env.sh:4-5`: every dump
+  * goes through a HiveServer2 JDBC connection): bootstrap enumerates the
+  * endpoint's tables, incremental ships only `event_id > watermark`, pushed
+  * into the remote WHERE clause.
+  */
+class JdbcReplicationSpec extends SparkSpec {
+
+  private val url = "jdbc:derby:memory:replsrc;create=true"
+  private def qt(db: String, t: String) = s""""$db"."$t""""
+
+  private def exec(sql: String): Unit = {
+    val c = java.sql.DriverManager.getConnection(url)
+    try { val st = c.createStatement(); try st.execute(sql) finally st.close() }
+    finally c.close()
+  }
+
+  private def eventsDf(rows: Seq[(Long, String, String, String, String)]): DataFrame = {
+    import spark.implicits._
+    rows.toDF("event_id", "table", "op", "key", "row_json")
+  }
+
+  private def rowSet(df: DataFrame): Set[String] = df.collect().map(_.toString).toSet
+
+  test("bootstrap + incremental from a Derby JDBC source, with pushdown") {
+    val db = "dbj"
+    exec(s"""CREATE SCHEMA "$db"""")
+    val supplier = Tables(spark, sf()).supplier
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"), col("s_acctbal"))
+    val region = Tables(spark, sf()).region
+      .select(col("r_regionkey"), col("r_name"))
+    graft.sources.Jdbc.write(supplier, url, qt(db, "supplier"))
+    graft.sources.Jdbc.write(region, url, qt(db, "region"))
+    graft.sources.Jdbc.write(eventsDf(Seq(
+      (1L, "region", DbCatalog.OpUpsert, "0",
+        """{"r_regionkey":0,"r_name":"AFRICA-J"}"""))),
+      url, qt(db, DbCatalog.EventsTable))
+    exec(s"""CREATE VIEW "$db"."big_suppliers" AS """ +
+      s"""SELECT "s_suppkey", "s_acctbal" FROM "$db"."supplier" WHERE "s_acctbal" > 5000""")
+
+    val source = JdbcSource(spark, url, numPartitions = 4)
+    assert(source.dbExists(db))
+    assert(source.listTables(db) == Seq("region", "supplier"))
+    assert(source.currentTxnId(db) == 1L)
+
+    // snapshot read is a PARTITIONED parallel scan split on the integral key
+    assert(source.readTable(db, "supplier").rdd.getNumPartitions == 4)
+
+    val root = java.nio.file.Files.createTempDirectory("graft-jdbc-repl").toString
+    val target = DbCatalog(spark, s"$root/tgt")
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+
+    val r1 = job.run(db)
+    assert(r1.kind == "bootstrap" && r1.verify == "SUCCESS")
+    assert(rowSet(target.readTable(db, "supplier")) == rowSet(supplier))
+    assert(rowSet(target.readTable(db, "region")) == rowSet(region))
+    // the Derby view replicated as a definition and evaluates at the target
+    assert(target.listViews(db) == Seq("big_suppliers"))
+    assert(rowSet(target.readView(db, "big_suppliers")) ==
+      rowSet(supplier.filter(col("s_acctbal") > 5000).select("s_suppkey", "s_acctbal")))
+
+    // incremental: two more events land in the endpoint's change log
+    graft.sources.Jdbc.write(eventsDf(Seq(
+      (2L, "region", DbCatalog.OpUpsert, "1",
+        """{"r_regionkey":1,"r_name":"AMERICA-J"}"""),
+      (3L, "region", DbCatalog.OpDelete, "3", null))),
+      url, qt(db, DbCatalog.EventsTable), mode = "append")
+    assert(source.currentTxnId(db) == 3L)
+
+    // the watermark predicate reaches the remote endpoint's WHERE clause
+    val delta = source.readEventsAfter(db, 1L)
+    val scan = delta.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scan.contains("GreaterThan(event_id,1)"), scan)
+
+    val r2 = job.run(db)
+    assert(r2.kind == "incremental" && r2.verify == "SUCCESS")
+    val reg = target.readTable(db, "region")
+    assert(reg.where(col("r_regionkey") === 1 && col("r_name") === "AMERICA-J").count() == 1)
+    assert(reg.where(col("r_regionkey") === 3).isEmpty)
+    assert(reg.count() == region.count() - 1)
+    // supplier untouched by the delta
+    assert(rowSet(target.readTable(db, "supplier")) == rowSet(supplier))
+
+    // nothing new → verified no-op, watermark stable
+    assert(job.run(db).verify == "NOOP")
+  }
+}
