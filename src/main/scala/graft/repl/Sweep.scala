@@ -1,0 +1,65 @@
+package graft.repl
+
+import org.apache.spark.sql.SparkSession
+
+/** Multi-database replication sweep — the engine's form of the reference's
+  * cron orchestration (`/root/reference/README.md:58-62`: one cron entry
+  * per database invoking the driver, the per-db pidfile lock
+  * (`misc_functions.sh:151-183`) keeping overlapping schedules from
+  * double-running a db).
+  *
+  * One sweep replicates every database in `dbs` through ONE engine/Spark
+  * session, concurrently ([[Parallel]] — each db's dump+load is its own
+  * chain of Spark jobs, so N small dbs keep the cluster busy where a serial
+  * sweep would leave it idle). Isolation remains per db:
+  *
+  *   - each db takes its own instance lock inside [[ReplicationJob.run]] —
+  *     a db already being replicated (by this sweep racing a cron overlap,
+  *     or another engine instance on a shared dump root) is reported
+  *     `skipped`, not failed, and the rest of the sweep proceeds: the
+  *     reference's "another instance running → exit 1" per-process behavior
+  *     becomes per-db skip semantics in a multi-db driver;
+  *   - one db's failure (source missing, merge refusal) is caught and
+  *     reported; the other dbs replicate regardless — a cron fleet's
+  *     independence, kept inside one process;
+  *   - every attempt still lands one row in the per-db run log
+  *     ([[MetadataStore.logRun]]), so "which db last synced when" is one
+  *     scan of `_repl_metadata/<db>/runs/`.
+  */
+final case class Sweep(spark: SparkSession, source: ReplSource,
+                       target: DbCatalog, dumpRoot: String, cfg: ReplConfig) {
+
+  /** Outcome of one db within a sweep: exactly one of `report` (ran),
+    * `skipped` (lock busy elsewhere), or `error` is populated.
+    */
+  final case class Outcome(db: String, report: Option[RunReport],
+                           skipped: Boolean, error: Option[String])
+
+  private val job = ReplicationJob(spark, source, target, dumpRoot, cfg)
+
+  /** Replicate `dbs` (deduplicated, allowlist-filtered like the reference's
+    * `REPL_DB_LIST`, `env.sh:14`) concurrently; returns one [[Outcome]] per
+    * db in input order.
+    */
+  def run(dbs: Seq[String]): Seq[Outcome] = {
+    val targets = dbs.distinct
+      .filter(db => cfg.dbAllowlist.isEmpty || cfg.dbAllowlist.contains(db))
+    val skippedByAllowlist = dbs.distinct.filterNot(targets.contains)
+    val out = new java.util.concurrent.ConcurrentHashMap[String, Outcome]()
+    Parallel.foreach(targets) { db =>
+      val o =
+        try Outcome(db, Some(job.run(db)), skipped = false, None)
+        catch {
+          case e: IllegalStateException if e.getMessage != null &&
+              e.getMessage.startsWith("lock busy") =>
+            Outcome(db, None, skipped = true, None)
+          case e: Throwable =>
+            Outcome(db, None, skipped = false, Some(e.toString))
+        }
+      out.put(db, o)
+    }
+    targets.map(out.get) ++
+      skippedByAllowlist.map(Outcome(_, None, skipped = true,
+        Some("not in allowlist")))
+  }
+}
