@@ -78,9 +78,25 @@ object ExtCopy {
     * delta stays distributed: repartitioned to `parallelism` copy tasks and
     * executed with `foreachPartition` — the reference's 128-thread/500-task
     * knobs collapse to this one task-parallelism setting.
+    *
+    * Attribute preservation mirrors distcp's `-pugprb`
+    * (`/root/reference/HQL/replextload.hql:9`): permission bits are copied,
+    * owner/group are attempted (requires superuser on real HDFS — best
+    * effort, like distcp without it), and each target file is created with
+    * the SOURCE's replication factor and block size (meaningful on HDFS,
+    * inert locally). mtime is preserved so the next `-update` diff sees
+    * source and target equal.
+    *
+    * `verify = true` adds the END-TO-END content check the reference
+    * explicitly turns OFF (`-skipcrccheck`, `replextload.hql:10` — its CRC
+    * choice is a knob; so is the engine's): after the copy, every source
+    * file's bytes are re-read at BOTH ends, digested (48-bit md5 prefix —
+    * the engine's cross-system h48, [[graft.util.TextPrep.h48]]), and any
+    * mismatch fails the sync before a watermark can commit over a corrupt
+    * replica.
     */
   def sync(spark: SparkSession, srcDir: String, dstDir: String,
-           parallelism: Int = 32): (Long, Long) = {
+           parallelism: Int = 32, verify: Boolean = false): (Long, Long) = {
     val src = listFiles(spark, srcDir)
     val total = src.count()
     val toCopy = diff(src, listFiles(spark, dstDir))
@@ -101,21 +117,82 @@ object ExtCopy {
             val sfs = from.getFileSystem(c)
             val tfs = to.getFileSystem(c)
             tfs.mkdirs(to.getParent)
+            val st = sfs.getFileStatus(from)
             val in = sfs.open(from)
             try {
-              val out = tfs.create(to, true)
+              // source replication + block size carry over (distcp -rb)
+              val out = tfs.create(to, true,
+                c.getInt("io.file.buffer.size", 4096),
+                st.getReplication, math.max(st.getBlockSize, 1L << 20))
               try {
                 val buf = new Array[Byte](1 << 20)
                 var k = in.read(buf)
                 while (k >= 0) { if (k > 0) out.write(buf, 0, k); k = in.read(buf) }
               } finally out.close()
             } finally in.close()
+            // distcp -p: permission bits; -ug: owner/group (superuser-only
+            // on real HDFS — attempted, never fatal, as with distcp)
+            tfs.setPermission(to, st.getPermission)
+            try tfs.setOwner(to, st.getOwner, st.getGroup)
+            catch { case _: Exception => () }
             // preserve mtime so the next -update diff sees them equal
-            tfs.setTimes(to, sfs.getFileStatus(from).getModificationTime, -1)
+            tfs.setTimes(to, st.getModificationTime, -1)
           }
         }
       }
+      if (verify) {
+        val bad = digestMismatches(spark, srcDir, dstDir, parallelism)
+          .limit(20).collect().map(_.getString(0))
+        if (bad.nonEmpty)
+          throw new NonRetryableException(
+            s"digest verify failed for ${bad.length}+ file(s) under $dstDir: " +
+            bad.mkString(", "))
+      }
       (n, total - n)
     } finally toCopy.unpersist()
+  }
+
+  /** Files whose bytes differ between the two trees (or are missing on the
+    * target): each source file is digested at both ends inside executor
+    * tasks (48-bit md5 prefix, matching [[graft.util.TextPrep.h48]]'s
+    * construction over bytes instead of strings) — a distributed full-read
+    * verify, the job distcp runs when `-skipcrccheck` is off.
+    */
+  def digestMismatches(spark: SparkSession, srcDir: String, dstDir: String,
+                       parallelism: Int = 32): DataFrame = {
+    import spark.implicits._
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val srcB = srcDir
+    val dstB = dstDir
+    listFiles(spark, srcDir).select("rel_path").as[String]
+      .repartition(math.max(1, parallelism))
+      .mapPartitions { rels =>
+        val c: Configuration = conf.value
+        def h48OfFile(p: Path): Option[Long] = {
+          val fs = p.getFileSystem(c)
+          // Read RAW bytes: the digest itself is the integrity check, and a
+          // replica corrupted in place (the very case this detects) would
+          // otherwise throw ChecksumException out of the local/checksum FS
+          // instead of reporting a mismatch.
+          fs.setVerifyChecksum(false)
+          if (!fs.exists(p)) None
+          else {
+            val md = java.security.MessageDigest.getInstance("MD5")
+            val in = fs.open(p)
+            try {
+              val buf = new Array[Byte](1 << 20)
+              var k = in.read(buf)
+              while (k >= 0) { if (k > 0) md.update(buf, 0, k); k = in.read(buf) }
+            } finally in.close()
+            // first 12 hex digits of md5 = high 48 bits, as TextPrep.h48
+            Some(md.digest().take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)))
+          }
+        }
+        rels.flatMap { rel =>
+          val s = h48OfFile(new Path(srcB, rel))
+          val d = h48OfFile(new Path(dstB, rel))
+          if (s == d) Iterator.empty else Iterator(rel)
+        }
+      }.toDF("rel_path")
   }
 }

@@ -33,6 +33,41 @@ class ExtCopySpec extends SparkSpec {
     assert(read(s"$root/dst/sub/b.txt") == "beta-updated")
   }
 
+  test("permissions survive the copy (-pugprb) and digest-verify catches corruption") {
+    val root = Files.createTempDirectory("graft-extp").toString
+    write(s"$root/src/a.txt", "alpha")
+    write(s"$root/src/sub/b.txt", "beta")
+    // non-default permission bits on a source file (distcp -p)
+    import java.nio.file.attribute.PosixFilePermissions
+    Files.setPosixFilePermissions(Paths.get(s"$root/src/sub/b.txt"),
+      PosixFilePermissions.fromString("r-x------"))
+
+    val (c1, _) = ExtCopy.sync(spark, s"$root/src", s"$root/dst", verify = true)
+    assert(c1 == 2)
+    val perms = PosixFilePermissions.toString(
+      Files.getPosixFilePermissions(Paths.get(s"$root/dst/sub/b.txt")))
+    assert(perms == "r-x------", perms)
+
+    // verified-clean trees report no mismatches
+    assert(ExtCopy.digestMismatches(spark, s"$root/src", s"$root/dst").isEmpty)
+
+    // corrupt the REPLICA without changing size or mtime: the -update diff
+    // cannot see it (same size, same mtime), only a content digest can
+    Files.setPosixFilePermissions(Paths.get(s"$root/dst/sub/b.txt"),
+      PosixFilePermissions.fromString("rw-------"))
+    val mt = Files.getLastModifiedTime(Paths.get(s"$root/dst/sub/b.txt"))
+    Files.writeString(Paths.get(s"$root/dst/sub/b.txt"), "BETA")
+    Files.setLastModifiedTime(Paths.get(s"$root/dst/sub/b.txt"), mt)
+    val (c2, s2) = ExtCopy.sync(spark, s"$root/src", s"$root/dst")
+    assert(c2 == 0 && s2 == 2) // -update alone is blind to the corruption
+    assert(ExtCopy.digestMismatches(spark, s"$root/src", s"$root/dst")
+      .collect().map(_.getString(0)).toSeq == Seq("sub/b.txt"))
+    val e = intercept[NonRetryableException] {
+      ExtCopy.sync(spark, s"$root/src", s"$root/dst", verify = true)
+    }
+    assert(e.getMessage.contains("sub/b.txt"))
+  }
+
   test("external tables replicate by file sync through the full job") {
     val root = Files.createTempDirectory("graft-extdb").toString
     val source = DbCatalog(spark, s"$root/src")
