@@ -477,7 +477,8 @@ object Pipeline {
     * groupBy(dst) sum. Dangling mass is dropped (engine-defined, mirrored
     * in the oracle); nodes with no in-edges keep the teleport base.
     */
-  def pageRankFixedPoint(edges0: DataFrame, iters: Int = 3): DataFrame = {
+  def pageRankFixedPoint(edges0: DataFrame, iters: Int = 3,
+                         checkpointEvery: Int = 4): DataFrame = {
     val edges = edges0.select(col("src"), col("dst"))
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val nodes = edges.select(col("src").as("node"))
@@ -486,7 +487,7 @@ object Pipeline {
     val ej = edges.join(odeg, "src").cache() // (src, dst, odeg)
     var ranks = nodes.crossJoin(broadcast(nFrame))
       .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ej.join(ranks, ej("src") === ranks("node"))
         .select(col("dst"), expr("r div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
@@ -495,6 +496,13 @@ object Pipeline {
         .select(col("node"),
           (expr("150000000000 div n_nodes") +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
+      // Lineage cadence: every K rounds the rank frame is materialized and
+      // the plan truncated (same policy as connectedComponents) — without
+      // this, round i's plan nests i joins, and both optimizer time and
+      // task-serialized plan size grow superlinearly in iters. Values are
+      // integer fixed-point, so checkpointing cannot perturb the result.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
     }
     ranks
   }

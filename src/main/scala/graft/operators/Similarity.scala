@@ -82,7 +82,10 @@ object Similarity {
     // Spark MLlib's own KMeans).
     val vecs = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var cent: Map[Long, Seq[Double]] = vecs.filter(col("vec_id") < k)
+    // Seeds = the first k vectors of the DETERMINISTIC id ordering (a
+    // TakeOrdered, not a filter on `vec_id < k` — ids are not required to
+    // start at 0 or be dense; any corpus yields exactly k seeds).
+    var cent: Map[Long, Seq[Double]] = vecs.orderBy(col("vec_id")).limit(k)
       .collect()
       .map(r => r.getLong(0) -> r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()))
       .toMap

@@ -329,6 +329,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     fs.delete(bakPath, true) // stale leftover from an earlier completed swap
     if (!fs.rename(livePath, bakPath))
       throw new IllegalStateException(s"backup rename failed for $db.$table")
+    CrashHooks.betweenSwapRenames() // fault injection: the swap's worst window
     if (!fs.rename(tmpPath, livePath)) {
       fs.rename(bakPath, livePath) // restore before failing
       throw new IllegalStateException(s"merge swap failed for $db.$table")
@@ -419,6 +420,16 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     fs.delete(bakPath, true)
     fs.delete(tmpPath, true)
   }
+}
+
+/** Fault-injection points for crash testing. Production value is a no-op;
+  * the kill-9 crash spec's forked victim JVM installs a hook that parks the
+  * process inside the merge swap's vulnerable window (live renamed aside,
+  * staged dir not yet landed) so the parent can SIGKILL it there and prove
+  * [[Load.recoverSwap]] + retry converge from the worst possible state.
+  */
+private[repl] object CrashHooks {
+  @volatile var betweenSwapRenames: () => Unit = () => ()
 }
 
 /** An invariant violation retrying cannot fix (missing table for DML/

@@ -74,6 +74,25 @@ class PipelineSpec extends SparkSpec {
     assert(got == r)
   }
 
+  test("PageRank at iters=12: checkpoint cadence bounds the plan, results unchanged") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val edges = Seq.fill(200)((rnd.nextInt(40).toLong, rnd.nextInt(40).toLong))
+      .filter(e => e._1 != e._2).distinct.toDF("src", "dst")
+    def planNodes(df: org.apache.spark.sql.DataFrame): Int =
+      df.queryExecution.logical.collect { case p => p }.size
+    val capped = Pipeline.pageRankFixedPoint(edges, iters = 12) // cadence 4
+    val unbounded = Pipeline.pageRankFixedPoint(edges, iters = 12, checkpointEvery = 0)
+    // without the cadence, round i's plan nests i joins — 12 rounds build a
+    // plan several times larger than the truncated one (the growth that
+    // makes optimizer time superlinear in iters)
+    assert(planNodes(capped) * 2 < planNodes(unbounded),
+      s"capped plan ${planNodes(capped)} vs unbounded ${planNodes(unbounded)}")
+    // integer fixed-point: the checkpoint is invisible to the values
+    assert(capped.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      unbounded.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap)
+  }
+
   test("pointer doubling converges on a long chain within O(log n) rounds") {
     import spark.implicits._
     // 120-node chain: plain propagation needs ~120 rounds; doubling must

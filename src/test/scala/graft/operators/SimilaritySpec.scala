@@ -45,6 +45,19 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.2, f"recall $recall%.3f too low")
   }
 
+  test("k-means seeding is the first k of the id ORDER, not ids < k") {
+    // same corpus, every id shifted by 5000: a `vec_id < k` seed would find
+    // ZERO seeds; first-k-by-order must produce the identical clustering
+    // (cosine and tie ordering are shift-invariant), cids shifted along.
+    val shifted = embs.select((col("vec_id") + 5000).as("vec_id"), col("embedding"))
+    val base = Similarity.kmeansCentroids(embs, "embedding", "vec_id", k = 16, iters = 2)
+      .collect().map(r => (r.getLong(0) + 5000L) -> r.getSeq[Double](1).toSeq).toMap
+    val moved = Similarity.kmeansCentroids(shifted, "embedding", "vec_id", k = 16, iters = 2)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1).toSeq).toMap
+    assert(moved.size == 16)
+    assert(moved == base)
+  }
+
   test("k-means centroids beat first-N centroids on IVF recall") {
     val brute = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
       .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet

@@ -554,6 +554,63 @@ class ReplicationSpec extends SparkSpec {
     assert(elapsedMs < 4000, s"non-retryable violation slept through retries (${elapsedMs} ms)")
   }
 
+  test("kill -9 mid-merge-swap in a forked JVM: recovery + retry converge") {
+    val (root, source, target, job) = freshWorld()
+    seedDb(source, "db15")
+    job.run("db15") // bootstrap
+    val meta = MetadataStore(spark, target.root)
+    val wm0 = meta.watermark("db15").get
+    import DbCatalog._
+    source.appendEvents("db15", Seq(
+      Event("region", OpUpsert, "0", """{"r_regionkey":0,"r_name":"AFRICA-K9"}""")))
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val dump = Dump(spark, source, s"$root/dumps", cfg).incremental("db15", wm0)
+
+    // Fork a real JVM that replays this dump and parks between the swap's
+    // two renames (live → _bak_ done, staged → live not), then SIGKILL it.
+    import scala.jdk.CollectionConverters._
+    val jvmArgs = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.filter(a =>
+        a.startsWith("--add-opens") || a.contains("=ALL-UNNAMED") ||
+        a.startsWith("-D") || a.startsWith("-Xmx")).toSeq
+    val cmd = Seq(s"${System.getProperty("java.home")}/bin/java") ++ jvmArgs ++
+      Seq("-cp", System.getProperty("java.class.path"),
+        "graft.repl.CrashVictim", root, dump.path)
+    val log = new java.io.File(root, "victim.log")
+    val proc = new ProcessBuilder(cmd: _*)
+      .redirectErrorStream(true).redirectOutput(log).start()
+    try {
+      val marker = java.nio.file.Paths.get(root, "_inwindow")
+      val deadline = System.currentTimeMillis() + 180000
+      while (!java.nio.file.Files.exists(marker) &&
+             System.currentTimeMillis() < deadline && proc.isAlive)
+        Thread.sleep(50)
+      assert(java.nio.file.Files.exists(marker),
+        s"victim never reached the swap window:\n${scala.io.Source.fromFile(log).mkString.takeRight(2000)}")
+      proc.destroyForcibly() // SIGKILL — no shutdown hooks, no cleanup
+      proc.waitFor()
+    } finally if (proc.isAlive) { proc.destroyForcibly(); proc.waitFor() }
+
+    // The crash left the WORST legal state: live gone, backup holding the
+    // data, staged dir present, watermark NOT advanced.
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.exists(new Path(target.dbPath("db15"), "_bak_region")))
+    assert(!fs.exists(new Path(target.dbPath("db15"), "region")))
+    assert(meta.watermark("db15").contains(wm0))
+
+    // An ordinary next cycle (what cron would run) recovers and converges.
+    val r = job.run("db15")
+    assert(r.kind == "incremental" && r.verify == "SUCCESS")
+    val region = target.readTable("db15", "region")
+    assert(region.where(col("r_regionkey") === 0 &&
+      col("r_name") === "AFRICA-K9").count() == 1)
+    // all pre-crash rows intact alongside the replayed upsert
+    assert(region.count() == source.readTable("db15", "region").count())
+    // no staging debris survives
+    assert(!fs.exists(new Path(target.dbPath("db15"), "_bak_region")))
+    assert(!fs.exists(new Path(target.dbPath("db15"), "_tmp_region")))
+  }
+
   test("retry converges after transient failures") {
     var calls = 0
     val attempts = Retry.retry(3, 1) {
