@@ -46,7 +46,16 @@ object Bench {
     // persist intermediates (k-means loop input, shingle scans) must not
     // accumulate across 66 queries and squeeze the later ones' memory —
     // round-2's repl numbers were inflated ~10× by exactly that pileup.
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    // SPARK_GRAFT_BENCH_ONLY=q24_…,q27_… restricts the corpus (and skips
+    // the replication sections) — used by the sf-growth bench, which times
+    // the heavy family at two scales back to back.
+    val only: Option[Set[String]] = sys.env.get("SPARK_GRAFT_BENCH_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    val corpus = only match {
+      case Some(sel) => SparkEntry.queries.filter { case (n, _) => sel(n) }
+      case None => SparkEntry.queries
+    }
+    corpus.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       def once: Option[Double] =
         try Some(time { fn(spark, sfDir).count(); () })
         catch { case e: Throwable =>
@@ -60,7 +69,7 @@ object Bench {
 
     // Replication end-to-end (the BASELINE.md metrics). Starts from a clean
     // block manager so the corpus above can't tax these numbers.
-    try {
+    if (only.isEmpty) try {
       spark.catalog.clearCache()
       import graft.repl._
       val root = java.nio.file.Files.createTempDirectory("graft-bench").toString
@@ -120,7 +129,7 @@ object Bench {
     // orders (the JDBC insert cost is the endpoint's, not the engine's, so
     // seeding is untimed), then times bootstrap-over-JDBC and a 1000-txn
     // incremental whose watermark predicate is pushed to the remote WHERE.
-    try {
+    if (only.isEmpty) try {
       spark.catalog.clearCache()
       import graft.repl._
       val url = "jdbc:derby:memory:benchsrc;create=true"

@@ -1,0 +1,139 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-up generator: builds an sfN dataset from an existing sf directory
+  * by key-shifted replication, so growth benches (BENCH_sf1) can measure
+  * the engine at 10× data without touching the driver's read-only testdata.
+  *
+  * Construction (replica i of R):
+  *   - dimension tables `region`/`nation` stay fixed (TPC-H convention);
+  *   - every key column shifts by `i * (max_key + 1)`, consistently across
+  *     fact/dim references (orders.o_custkey moves with customer.c_custkey,
+  *     lineitem's three FKs with their parents), so join fan-outs and
+  *     group cardinalities scale exactly linearly and the graph queries see
+  *     R disjoint copies;
+  *   - `documents.text` is rewritten per replica with a PER-LANGUAGE,
+  *     frequency-band-preserving vocabulary permutation (rank r maps to a
+  *     rank in the same 8-wide band, rotated by i): within-replica
+  *     dup/near-dup structure is EXACTLY preserved (token-wise injective
+  *     map), cross-replica shingle similarity collapses to chance, and
+  *     language/stopword/length statistics — the signals the quality
+  *     filters read — survive, so filter selectivities hold at 10×;
+  *   - `embeddings.embedding` rotates its components by `(7·i) mod dim`:
+  *     norms and within-replica pairwise cosines are untouched,
+  *     cross-replica similarity decorrelates.
+  *
+  * Usage: GenScale <srcSfDir> <dstDir> [replicas=10]
+  */
+object GenScale {
+  def main(args: Array[String]): Unit = {
+    val src = args(0)
+    val dst = args(1)
+    val reps = if (args.length > 2) args(2).toInt else 10
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def read(t: String): DataFrame = spark.read.parquet(s"$src/$t.parquet")
+    def write(df: DataFrame, t: String): Unit =
+      df.write.mode("overwrite").parquet(s"$dst/$t.parquet")
+    def maxKey(df: DataFrame, c: String): Long =
+      df.agg(max(col(c).cast("long"))).head().getLong(0) + 1L
+
+    // fixed dimensions
+    write(read("region"), "region")
+    write(read("nation"), "nation")
+
+    /** Union of `reps` key-shifted copies; each (col, base) shifts by
+      * i·base with the column's ORIGINAL dtype preserved.
+      */
+    def replicate(df: DataFrame, shifts: Seq[(String, Long)],
+                  extra: (DataFrame, Int) => DataFrame = (d, _) => d): DataFrame =
+      (0 until reps).map { i =>
+        val shifted = shifts.foldLeft(df) { case (d, (c, base)) =>
+          val dt = df.schema(c).dataType
+          d.withColumn(c, (col(c).cast("long") + lit(i * base)).cast(dt))
+        }
+        extra(shifted, i)
+      }.reduce(_ unionByName _)
+
+    val (customer, supplier, part, orders, lineitem, events) =
+      (read("customer"), read("supplier"), read("part"),
+       read("orders"), read("lineitem"), read("events"))
+    val (cBase, sBase, pBase, oBase) =
+      (maxKey(customer, "c_custkey"), maxKey(supplier, "s_suppkey"),
+       maxKey(part, "p_partkey"), maxKey(orders, "o_orderkey"))
+
+    write(replicate(customer, Seq("c_custkey" -> cBase)), "customer")
+    write(replicate(supplier, Seq("s_suppkey" -> sBase)), "supplier")
+    write(replicate(part, Seq("p_partkey" -> pBase)), "part")
+    write(replicate(orders,
+      Seq("o_orderkey" -> oBase, "o_custkey" -> cBase)), "orders")
+    write(replicate(lineitem, Seq("l_orderkey" -> oBase,
+      "l_partkey" -> pBase, "l_suppkey" -> sBase)), "lineitem")
+    write(replicate(events, Seq(
+      "event_id" -> maxKey(events, "event_id"),
+      "user_id" -> maxKey(events, "user_id"))), "events")
+
+    // documents: per-language frequency-band vocabulary permutation
+    val docs = read("documents")
+    val vocabByLang: Map[String, Array[String]] = docs
+      .select(col("lang"), explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("lang", "w").agg(count(lit(1)).as("c"))
+      .collect()
+      .groupBy(_.getString(0))
+      .map { case (l, rows) =>
+        l -> rows.sortBy(r => (-r.getLong(2), r.getString(1))).map(_.getString(1))
+      }
+    def bandMap(v: Array[String], i: Int): Map[String, String] =
+      v.indices.map { r =>
+        val b0 = (r / 8) * 8
+        val bs = math.min(8, v.length - b0)
+        v(r) -> v(b0 + ((r - b0 + i) % bs))
+      }.toMap
+    val dBase = maxKey(docs, "doc_id")
+    val docReps = (0 until reps).map { i =>
+      val shifted = docs.withColumn("doc_id", col("doc_id") + lit(i * dBase))
+      if (i == 0) shifted
+      else {
+        val maps: Map[String, Map[String, String]] =
+          vocabByLang.map { case (l, v) => l -> bandMap(v, i) }
+        val bc = spark.sparkContext.broadcast(maps)
+        // generator-only UDF (not an engine operator): a 2-level map lookup
+        // per token over a broadcast vocabulary
+        val permute = udf { (lang: String, text: String) =>
+          val m = bc.value.getOrElse(lang, Map.empty[String, String])
+          text.split(" ").map(w => m.getOrElse(w, w)).mkString(" ")
+        }
+        shifted.withColumn("text", permute(col("lang"), col("text")))
+          .withColumn("n_chars", length(col("text")).cast("long"))
+      }
+    }.reduce(_ unionByName _)
+    write(docReps, "documents")
+
+    // embeddings: component rotation per replica
+    val embs = read("embeddings")
+    val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val eBase = maxKey(embs, "vec_id")
+    val embReps = (0 until reps).map { i =>
+      val shifted = embs.withColumn("vec_id", col("vec_id") + lit(i * eBase))
+      val rot = (7 * i) % dim
+      if (rot == 0) shifted
+      else shifted.withColumn("embedding",
+        concat(slice(col("embedding"), rot + 1, dim - rot),
+               slice(col("embedding"), 1, rot)))
+    }.reduce(_ unionByName _)
+    write(embReps, "embeddings")
+
+    println(s"""{"gen":"$dst","replicas":$reps,"from":"$src"}""")
+    spark.stop()
+  }
+}

@@ -59,8 +59,11 @@ object Pipeline {
       // previous implementation (which re-shuffled both label tables every
       // round). decimal(38,0) keeps the witness overflow-proof at any
       // corpus size.
+      // null-safe: an EMPTY pair graph (every shingle over the df cap, or
+      // a fully-unique corpus) must yield an empty label table, not an NPE
       def labelSum(df: DataFrame): java.math.BigDecimal =
-        df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0)
+        Option(df.agg(sum(col("label").cast("decimal(38,0)"))).head.getDecimal(0))
+          .getOrElse(java.math.BigDecimal.ZERO)
       var prevSum = labelSum(labels)
       var iter = 0
       var converged = false

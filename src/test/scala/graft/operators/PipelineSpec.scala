@@ -74,6 +74,12 @@ class PipelineSpec extends SparkSpec {
     assert(got == r)
   }
 
+  test("connected components on an EMPTY pair graph is empty, not an NPE") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(Pipeline.connectedComponents(empty).isEmpty)
+  }
+
   test("PageRank at iters=12: checkpoint cadence bounds the plan, results unchanged") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)
