@@ -51,4 +51,42 @@ object StreamingReplication {
     (if (oneShot) writer.trigger(Trigger.AvailableNow()) else
       writer.trigger(Trigger.ProcessingTime("10 seconds"))).start()
   }
+
+  /** Always-on replication from ANY [[graft.repl.ReplSource]] — including a
+    * live JDBC endpoint ([[graft.repl.JdbcSource]]), whose change log is a
+    * remote TABLE rather than an appendable file directory, so the parquet
+    * file source above cannot tail it. Here the replica WATERMARK is the
+    * streaming offset: each trigger pulls `event_id > watermark` (the
+    * predicate pushed into the remote WHERE clause), applies it through the
+    * same idempotent merge, and commits the watermark last. A tick that
+    * crashes mid-apply replays the same delta next trigger — idempotent
+    * merge × watermark-commit-last gives the exactly-once EFFECT without
+    * needing source-side offsets, which is what lets one mechanism serve
+    * file logs, Derby, or any JDBC-reachable change table.
+    *
+    * (The rate ticker is lifecycle only — start/stop/awaitTermination; its
+    * rows are ignored. Offsets live in the watermark, not the checkpoint.)
+    */
+  def replicatePolled(spark: SparkSession, source: graft.repl.ReplSource,
+                      target: DbCatalog, db: String, checkpointDir: String,
+                      oneShot: Boolean = true,
+                      pollInterval: String = "10 seconds"): StreamingQuery = {
+    val ticks = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
+    val writer = ticks.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        val meta = MetadataStore(spark, target.root)
+        val wm = meta.watermark(db).getOrElse(0L)
+        // PIN the delta before applying: the merge reads its event frame
+        // several times (DDL scan, touched-table list, per-table DML), and
+        // re-running those against a LIVE remote table would see different
+        // snapshots as the source keeps writing — localCheckpoint gives one
+        // consistent epoch per tick (and keeps post-scan predicates in
+        // Spark instead of re-pushed remote SQL).
+        val delta = source.readEventsAfter(db, wm).localCheckpoint()
+        if (!delta.isEmpty) applyBatch(spark, target, db, delta)
+      }
+    (if (oneShot) writer.trigger(Trigger.AvailableNow()) else
+      writer.trigger(Trigger.ProcessingTime(pollInterval))).start()
+  }
 }

@@ -91,4 +91,43 @@ class JdbcReplicationSpec extends SparkSpec {
     // nothing new → verified no-op, watermark stable
     assert(job.run(db).verify == "NOOP")
   }
+
+  test("always-on polling replication drains a JDBC change log") {
+    val db = "dbjs"
+    exec(s"""CREATE SCHEMA "$db"""")
+    val region = Tables(spark, sf()).region.select(col("r_regionkey"), col("r_name"))
+    graft.sources.Jdbc.write(region, url, qt(db, "region"))
+    graft.sources.Jdbc.write(eventsDf(Seq(
+      (1L, "region", DbCatalog.OpUpsert, "0", """{"r_regionkey":0,"r_name":"S0"}"""))),
+      url, qt(db, DbCatalog.EventsTable))
+
+    val root = java.nio.file.Files.createTempDirectory("graft-jdbc-stream").toString
+    val source = JdbcSource(spark, url, numPartitions = 2)
+    val target = DbCatalog(spark, s"$root/tgt")
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    ReplicationJob(spark, source, target, s"$root/dumps", cfg).run(db) // bootstrap
+    val meta = MetadataStore(spark, target.root)
+    val wm1 = meta.watermark(db).get
+
+    // new remote events; one polled AvailableNow pass must drain past them
+    graft.sources.Jdbc.write(eventsDf(Seq(
+      (2L, "region", DbCatalog.OpUpsert, "1", """{"r_regionkey":1,"r_name":"S1"}"""),
+      (3L, "region", DbCatalog.OpDelete, "2", null))),
+      url, qt(db, DbCatalog.EventsTable), mode = "append")
+    val q = graft.streaming.StreamingReplication.replicatePolled(
+      spark, source, target, db, s"$root/ckpt1")
+    q.awaitTermination(60000); q.stop()
+    val reg = target.readTable(db, "region")
+    assert(reg.where(col("r_regionkey") === 1 && col("r_name") === "S1").count() == 1)
+    assert(reg.where(col("r_regionkey") === 2).isEmpty)
+    assert(meta.watermark(db).contains(3L))
+    assert(meta.watermark(db).get > wm1)
+
+    // a second pass with nothing new leaves rows and watermark untouched
+    val q2 = graft.streaming.StreamingReplication.replicatePolled(
+      spark, source, target, db, s"$root/ckpt2")
+    q2.awaitTermination(60000); q2.stop()
+    assert(meta.watermark(db).contains(3L))
+    assert(target.readTable(db, "region").count() == reg.count())
+  }
 }
