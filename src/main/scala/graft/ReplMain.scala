@@ -1,0 +1,70 @@
+package graft
+
+import graft.repl._
+import org.apache.spark.sql.SparkSession
+
+/** Operational CLI — the engine's form of the reference's invocation
+  * surface (`/root/reference/README.md:58-62`: cron runs
+  * `hive3repl.sh <dbname>` per database; `env.sh` carries the endpoints).
+  * One command replicates one or many databases through one Spark session:
+  *
+  *   ReplMain <source> <targetRoot> <dumpRoot> <db[,db...]> [allowlist]
+  *
+  * `<source>` selects the topology by its form, so the same command serves
+  * both of the engine's source kinds:
+  *   - a directory path → [[DbCatalog]] (file-native warehouse);
+  *   - a `jdbc:` URL   → [[JdbcSource]] (live endpoint, the reference's
+  *     actual wire topology).
+  *
+  * Multiple dbs run as one concurrent [[Sweep]] (per-db locks, lock-busy ⇒
+  * skip, failure isolation). Emits one JSON line per db — the structured
+  * replacement for the reference's parsed log tail — and exits nonzero if
+  * any db failed, so a cron/orchestrator can alert exactly like the
+  * reference's `exit 1` paths.
+  */
+object ReplMain {
+  def main(args: Array[String]): Unit = {
+    if (args.length < 4) {
+      System.err.println(
+        "usage: ReplMain <sourceRoot|jdbcUrl> <targetRoot> <dumpRoot> <db[,db...]> [allowlist,...]")
+      sys.exit(2)
+    }
+    val Array(src, targetRoot, dumpRoot, dbArg) = args.take(4)
+    val allow: Set[String] =
+      if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty).toSet
+      else Set.empty
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .appName("graft-repl")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val source: ReplSource =
+      if (src.startsWith("jdbc:")) JdbcSource(spark, src)
+      else DbCatalog(spark, src)
+    val cfg = ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow)
+    val sweep = Sweep(spark, source, DbCatalog(spark, targetRoot), dumpRoot, cfg)
+    val outcomes = sweep.run(dbArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    outcomes.foreach { o =>
+      val body = o.report match {
+        case Some(r) =>
+          s""""kind":"${r.kind}","verify":"${r.verify}","fromId":${r.fromId},""" +
+          s""""toId":${r.toId},"attempts":${r.attempts},"durationMs":${r.durationMs}"""
+        case None =>
+          s""""skipped":${o.skipped},"error":${o.error.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")}"""
+      }
+      println(s"""{"db":"${o.db}",$body}""")
+    }
+    spark.stop()
+    // lock-skips are benign (another instance is on it, the reference's
+    // exit-0-equivalent); real errors and failed verifies are not
+    val bad = outcomes.exists(o =>
+      o.error.exists(_ != "not in allowlist") ||
+      o.report.exists(r => r.verify != "SUCCESS" && r.verify != "NOOP"))
+    if (bad) sys.exit(1)
+  }
+}

@@ -65,8 +65,10 @@ final case class DbCatalog(spark: SparkSession, root: String) extends ReplSource
   /** Physical partition column of a parquet dir laid out `col=value/`, if
     * any. The LAYOUT is the metadata: dumps and replicas recover the spec
     * from directory names, so nothing extra has to travel in the manifest.
-    * One partition level (the warehouse-standard date/bucket column);
-    * values must be filesystem-safe (no escaping is attempted).
+    * One partition level (the warehouse-standard date/bucket column).
+    * Values with filesystem-special characters are fine: Spark
+    * percent-escapes them in dir names, and the merge path swaps dirs by
+    * their REAL names ([[Load]]), never by reconstructed ones.
     */
   def partitionColOf(path: Path): Option[String] =
     if (!fs.exists(path)) None

@@ -92,6 +92,23 @@ class JdbcReplicationSpec extends SparkSpec {
     assert(job.run(db).verify == "NOOP")
   }
 
+  test("multi-db sweep over a JDBC source replicates both schemas concurrently") {
+    val dbs = Seq("dbsw1", "dbsw2")
+    dbs.foreach { db =>
+      exec(s"""CREATE SCHEMA "$db"""")
+      graft.sources.Jdbc.write(
+        Tables(spark, sf()).nation.select(col("n_nationkey"), col("n_name")),
+        url, qt(db, "nation"))
+    }
+    val root = java.nio.file.Files.createTempDirectory("graft-jdbc-sweep").toString
+    val target = DbCatalog(spark, s"$root/tgt")
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val out = Sweep(spark, JdbcSource(spark, url, 2), target, s"$root/dumps", cfg)
+      .run(dbs)
+    assert(out.forall(_.report.exists(_.verify == "SUCCESS")))
+    dbs.foreach(db => assert(target.readTable(db, "nation").count() == 25, db))
+  }
+
   test("always-on polling replication drains a JDBC change log") {
     val db = "dbjs"
     exec(s"""CREATE SCHEMA "$db"""")
