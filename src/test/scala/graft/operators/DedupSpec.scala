@@ -7,6 +7,13 @@ class DedupSpec extends SparkSpec {
 
   private lazy val docs = Tables(spark, sf("sf0.001")).documents.cache()
 
+  test("dfCapFor: fraction of corpus with a small-corpus floor") {
+    assert(Dedup.dfCapFor(500) == 20)     // floor
+    assert(Dedup.dfCapFor(5000) == 20)    // 4e-3 * 5000 = the tuned cap
+    assert(Dedup.dfCapFor(50000) == 200)  // scales with the corpus
+    assert(Dedup.dfCapFor(25_000_000_000L) == 100_000_000)
+  }
+
   test("minhash-LSH pairs: exact precision, high recall vs exact Jaccard") {
     val exactPairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5)
       .select("doc_a", "doc_b").collect().map(r => (r.get(0), r.get(1))).toSet

@@ -611,6 +611,15 @@ class ReplicationSpec extends SparkSpec {
     assert(!fs.exists(new Path(target.dbPath("db15"), "_tmp_region")))
   }
 
+  test("PartitionPaths.unescape inverts Spark's partition-dir escaping") {
+    assert(PartitionPaths.unescape("a%3Ab") == "a:b")
+    assert(PartitionPaths.unescape("p%25q") == "p%q")
+    assert(PartitionPaths.unescape("plain-1.5_x") == "plain-1.5_x")
+    assert(PartitionPaths.unescape("2024-01-01 00%3A00%3A00") == "2024-01-01 00:00:00")
+    assert(PartitionPaths.unescape("%zz") == "%zz") // malformed stays literal
+    assert(PartitionPaths.unescape("trail%") == "trail%")
+  }
+
   test("retry converges after transient failures") {
     var calls = 0
     val attempts = Retry.retry(3, 1) {
