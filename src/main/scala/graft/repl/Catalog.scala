@@ -282,6 +282,79 @@ final case class DbCatalog(spark: SparkSession, root: String) extends ReplSource
     if (r.isNullAt(0)) 0L else r.getLong(0)
   }
 
+  /** Event-log COMPACTION — the engine's analogue of the Hive ACID
+    * compactor the reference's source leans on implicitly (its change
+    * stream is Hive's transaction log, which Hive compacts in the
+    * background; the engine owns its log, so it owns the compactor too).
+    * Without it a long-lived source's log grows without bound, and every
+    * incremental dump's `event_id > watermark` scan pays list/footer costs
+    * for dead history.
+    *
+    * Keeps, per table and per BARRIER EPOCH, only the LATEST DML event per
+    * key, plus every non-DML event. A barrier is any DDL that changes what
+    * a (table, key) means downstream (CREATE/DROP/TRUNCATE/RENAME — after
+    * `RENAME t→u`, later events named `t` describe a NEW table, so same-key
+    * DML must not compact across it; ALTER is deliberately NOT a barrier:
+    * replay merges pre- and post-ALTER DML identically either way). Replay
+    * of the compacted log from any watermark is byte-identical to the full
+    * log — the net-effect merge ([[Load]]) already ignores superseded
+    * events; compaction just stops storing them. The global max event_id
+    * survives by construction (it is the latest of its key), so source
+    * watermarks and id assignment are unaffected.
+    *
+    * Scale shape: barriers are control-plane rare, so they come to the
+    * driver and broadcast back as per-table sorted arrays; the epoch of an
+    * event is then a codegen'd array scan instead of a per-table running
+    * window (which would put one hot table's whole history in one task).
+    * The latest-per-key pick is a (table, epoch, key) window — fine-grained
+    * keys, shuffles evenly. Rewrite goes through the same staged swap as
+    * table rewrites. Returns (eventsBefore, eventsAfter).
+    */
+  def compactEvents(db: String): (Long, Long) = {
+    val ev = readEvents(db)
+    val before = ev.count()
+    if (before == 0) return (0L, 0L)
+    val isDml = col("op").isin(OpUpsert, OpDelete)
+    val barriers: Map[String, Seq[Long]] = ev.filter(!isDml &&
+        col("op").isin(OpCreateTable, OpDropTable, OpTruncateTable, OpRenameTable))
+      .select(col("table"), col("event_id")).collect()
+      .groupBy(_.getString(0)).map { case (t, rows) =>
+        t -> rows.map(_.getLong(1)).toSeq.sorted
+      }
+    val barrierLit = typedLit(barriers.map { case (t, ids) => t -> ids })
+    // tables with no barriers: try_element_at → null → epoch 0 for all rows
+    val withEpoch = ev.withColumn("_epoch",
+      coalesce(size(filter(try_element_at(barrierLit, col("table")),
+        x => x <= col("event_id"))), lit(0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("table"), col("_epoch"), col("key"))
+      .orderBy(col("event_id").desc)
+    val keep = withEpoch
+      .withColumn("_rn", when(isDml, row_number().over(w)).otherwise(lit(1)))
+      .filter(col("_rn") === 1)
+      .select(EventSchema.fieldNames.map(col).toIndexedSeq: _*)
+    rewriteTable(db, EventsTable, keep)
+    (before, readEvents(db).count())
+  }
+
+  /** Event-log RETENTION: drop events at or below `belowId` outright —
+    * safe once every replica's watermark is ≥ `belowId` (nothing will ever
+    * replay them; a NEW replica bootstraps from a snapshot at the current
+    * txn, not from log genesis). Refuses to purge the log head past the
+    * newest event: the max event_id IS the source's transaction counter,
+    * and losing it would restart id assignment ([[appendEvents]]) into
+    * already-consumed ranges. Returns events dropped.
+    */
+  def purgeEvents(db: String, belowId: Long): Long = {
+    val cur = currentTxnId(db)
+    require(belowId < cur,
+      s"purge up to $belowId would drop the newest event (txn counter $cur)")
+    val ev = readEvents(db)
+    val before = ev.count()
+    rewriteTable(db, EventsTable, ev.filter(col("event_id") > belowId))
+    before - readEvents(db).count()
+  }
+
   /** Append DML/DDL events. Ids are assigned here, contiguously after the
     * current watermark; callers hold the per-db writer lock (single writer,
     * mirroring the reference's dump lock `beeline_functions.sh:92-101`).
