@@ -49,21 +49,33 @@ object ReplMain {
     val cfg = ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow)
     val sweep = Sweep(spark, source, DbCatalog(spark, targetRoot), dumpRoot, cfg)
     val outcomes = sweep.run(dbArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
+    // JSON string escaping for error text: exception messages carry
+    // quotes, backslashes and (Spark plans) newlines — the one-line-per-db
+    // contract must survive exactly the failure case alerting depends on.
+    def jstr(v: String): String = "\"" + v.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
     outcomes.foreach { o =>
       val body = o.report match {
         case Some(r) =>
           s""""kind":"${r.kind}","verify":"${r.verify}","fromId":${r.fromId},""" +
           s""""toId":${r.toId},"attempts":${r.attempts},"durationMs":${r.durationMs}"""
         case None =>
-          s""""skipped":${o.skipped},"error":${o.error.map("\"" + _.replace("\"", "'") + "\"").getOrElse("null")}"""
+          s""""skipped":${o.skipped},"error":${o.error.map(jstr).getOrElse("null")}"""
       }
       println(s"""{"db":"${o.db}",$body}""")
     }
     spark.stop()
-    // lock-skips are benign (another instance is on it, the reference's
+    // skips are benign (held lock or allowlist — the reference's
     // exit-0-equivalent); real errors and failed verifies are not
     val bad = outcomes.exists(o =>
-      o.error.exists(_ != "not in allowlist") ||
+      o.error.isDefined ||
       o.report.exists(r => r.verify != "SUCCESS" && r.verify != "NOOP"))
     if (bad) sys.exit(1)
   }

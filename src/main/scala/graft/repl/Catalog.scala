@@ -309,6 +309,12 @@ final case class DbCatalog(spark: SparkSession, root: String) extends ReplSource
     * The latest-per-key pick is a (table, epoch, key) window — fine-grained
     * keys, shuffles evenly. Rewrite goes through the same staged swap as
     * table rewrites. Returns (eventsBefore, eventsAfter).
+    *
+    * CONCURRENCY: compaction is a WRITER of the event log — the caller
+    * must hold the db's single-writer lock, exactly like [[appendEvents]]
+    * (an append racing the rewrite's dir swap could land a part-file in
+    * the dir being renamed aside and lose it). The natural slot is a
+    * maintenance window under the same per-db lock the sweep/cron holds.
     */
   def compactEvents(db: String): (Long, Long) = {
     val ev = readEvents(db)

@@ -66,13 +66,17 @@ final case class Dump(spark: SparkSession, source: ReplSource, dumpRoot: String,
     // View definitions snapshot alongside the tables (control-plane files:
     // one SQL text per view — `/root/reference/README.md:4` replicates
     // "managed, external tables and views").
+    // A view whose definition the source cannot expose (non-Derby JDBC
+    // endpoints) is skipped — tables-only degradation, not a crash.
     source.listViews(db).foreach { v =>
-      val out = fs.create(new Path(dir, s"views/$v.sql"), true)
-      try out.write(source.viewSql(db, v).get.getBytes(StandardCharsets.UTF_8))
-      finally out.close()
+      source.viewSql(db, v).foreach { sql =>
+        val out = fs.create(new Path(dir, s"views/$v.sql"), true)
+        try out.write(sql.getBytes(StandardCharsets.UTF_8))
+        finally out.close()
+      }
     }
     writeManifest(dir, DumpManifest(db, DumpKind.Bootstrap, -1L, toId, tables,
-      source.sourceDbPath(db)))
+      source.sourceDbPath(db), tables.filter(source.isExternal)))
     DumpResult(dir.toString, toId)
   }
 
@@ -85,8 +89,9 @@ final case class Dump(spark: SparkSession, source: ReplSource, dumpRoot: String,
         .filter(col("event_id") <= toId)
         .write.parquet(new Path(dir, "events").toString)
     }
+    val tables = dumpTables(db)
     writeManifest(dir, DumpManifest(db, DumpKind.Incremental, fromId, toId,
-      dumpTables(db), source.sourceDbPath(db)))
+      tables, source.sourceDbPath(db), tables.filter(source.isExternal)))
     DumpResult(dir.toString, toId)
   }
 
@@ -100,7 +105,8 @@ final case class Dump(spark: SparkSession, source: ReplSource, dumpRoot: String,
     val json =
       s"""{"db":"${m.db}","kind":"${m.kind.name}","fromId":${m.fromId},""" +
       s""""toId":${m.toId},"src":"${m.sourceDbPath}",""" +
-      s""""tables":[${m.tables.map("\"" + _ + "\"").mkString(",")}]}"""
+      s""""tables":[${m.tables.map("\"" + _ + "\"").mkString(",")}],""" +
+      s""""ext":[${m.externalTables.map("\"" + _ + "\"").mkString(",")}]}"""
     val out = fs.create(new Path(dir, Dump.ManifestFile), true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }
@@ -119,9 +125,11 @@ object Dump {
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).get.group(1)
     def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
-    val tables = """"tables":\[([^\]]*)\]""".r.findFirstMatchIn(json).get.group(1)
-      .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    def arr(k: String): Seq[String] =
+      (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json).map(_.group(1))
+        .getOrElse("") // "ext" absent in pre-upgrade manifests → empty
+        .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
     DumpManifest(str("db"), DumpKind.parse(str("kind")), num("fromId"), num("toId"),
-      tables, str("src"))
+      arr("tables"), str("src"), arr("ext"))
   }
 }

@@ -168,13 +168,27 @@ object ExtCopy {
       .repartition(math.max(1, parallelism))
       .mapPartitions { rels =>
         val c: Configuration = conf.value
+        // Read RAW bytes through PRIVATE FileSystem instances: the digest
+        // itself is the integrity check, and a replica corrupted in place
+        // (the very case this detects) would otherwise throw
+        // ChecksumException out of the local/checksum FS instead of
+        // reporting a mismatch. setVerifyChecksum on the shared
+        // FileSystem.get-cached instance would silently disable checksums
+        // for every OTHER read in this JVM — so each task opens its own
+        // instances and closes them when done.
+        val owned = scala.collection.mutable.Map[String, org.apache.hadoop.fs.FileSystem]()
+        def rawFs(p: Path): org.apache.hadoop.fs.FileSystem = {
+          val key = String.valueOf(p.toUri.getScheme) + "@" +
+            String.valueOf(p.toUri.getAuthority)
+          owned.getOrElseUpdate(key, {
+            val fs = org.apache.hadoop.fs.FileSystem.newInstance(
+              p.getFileSystem(c).getUri, c)
+            fs.setVerifyChecksum(false)
+            fs
+          })
+        }
         def h48OfFile(p: Path): Option[Long] = {
-          val fs = p.getFileSystem(c)
-          // Read RAW bytes: the digest itself is the integrity check, and a
-          // replica corrupted in place (the very case this detects) would
-          // otherwise throw ChecksumException out of the local/checksum FS
-          // instead of reporting a mismatch.
-          fs.setVerifyChecksum(false)
+          val fs = rawFs(p)
           if (!fs.exists(p)) None
           else {
             val md = java.security.MessageDigest.getInstance("MD5")
@@ -188,11 +202,14 @@ object ExtCopy {
             Some(md.digest().take(6).foldLeft(0L)((a, b) => (a << 8) | (b & 0xffL)))
           }
         }
-        rels.flatMap { rel =>
+        // materialize before closing the owned instances (iterators are lazy)
+        val out = rels.flatMap { rel =>
           val s = h48OfFile(new Path(srcB, rel))
           val d = h48OfFile(new Path(dstB, rel))
           if (s == d) Iterator.empty else Iterator(rel)
-        }
+        }.toVector
+        owned.values.foreach(f => try f.close() catch { case _: Exception => () })
+        out.iterator
       }.toDF("rel_path")
   }
 }

@@ -123,25 +123,60 @@ final case class JdbcSource(spark: SparkSession, url: String,
     * assumes HQL-compatible definitions end to end.
     */
   override def viewSql(db: String, name: String): Option[String] = withConn { c =>
-    val ps = c.prepareStatement(
-      """SELECT v.VIEWDEFINITION FROM SYS.SYSVIEWS v
-        |JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID
-        |JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
-        |WHERE s.SCHEMANAME = ? AND t.TABLENAME = ?""".stripMargin)
     try {
-      ps.setString(1, db); ps.setString(2, name)
-      val rs = ps.executeQuery()
+      val ps = c.prepareStatement(
+        """SELECT v.VIEWDEFINITION FROM SYS.SYSVIEWS v
+          |JOIN SYS.SYSTABLES t ON v.TABLEID = t.TABLEID
+          |JOIN SYS.SYSSCHEMAS s ON t.SCHEMAID = s.SCHEMAID
+          |WHERE s.SCHEMANAME = ? AND t.TABLENAME = ?""".stripMargin)
       try {
-        if (!rs.next()) None
-        else {
-          val full = rs.getString(1)
-          val query = "(?is)^\\s*create\\s+view\\b.*?\\bas\\s+(.*)$".r
-            .findFirstMatchIn(full).map(_.group(1)).getOrElse(full)
-          Some(query.replace(s""""$db".""", "")
-            .replaceAll("\"([^\"]+)\"", "`$1`"))
-        }
-      } finally rs.close()
-    } finally ps.close()
+        ps.setString(1, db); ps.setString(2, name)
+        val rs = ps.executeQuery()
+        try {
+          if (!rs.next()) None
+          else {
+            val full = rs.getString(1)
+            val query = "(?is)^\\s*create\\s+view\\b.*?\\bas\\s+(.*)$".r
+              .findFirstMatchIn(full).map(_.group(1)).getOrElse(full)
+            Some(translateIdentifiers(query, db))
+          }
+        } finally rs.close()
+      } finally ps.close()
+    } catch {
+      // non-Derby endpoint (no SYS.SYSVIEWS): definitions are unreadable —
+      // degrade to tables-only replication, as documented above
+      case _: java.sql.SQLException => None
+    }
+  }
+
+  /** Identifier-quoting translation with LITERAL awareness: outside
+    * single-quoted strings, the `"db".` schema qualifier drops and
+    * double-quoted identifiers become backticks; inside string literals
+    * (including escaped `''`), nothing is touched — a quoted `"hi"` in a
+    * literal must survive verbatim.
+    */
+  private[repl] def translateIdentifiers(sql: String, db: String): String = {
+    val out = new StringBuilder(sql.length)
+    var i = 0
+    var inLiteral = false
+    val qualifier = s""""$db"."""
+    while (i < sql.length) {
+      val ch = sql.charAt(i)
+      if (inLiteral) {
+        out.append(ch)
+        if (ch == '\'') inLiteral = false // '' (escaped quote) re-enters below
+        i += 1
+      } else if (ch == '\'') {
+        out.append(ch); inLiteral = true; i += 1
+      } else if (sql.startsWith(qualifier, i)) {
+        i += qualifier.length // drop the schema qualifier
+      } else if (ch == '"') {
+        val end = sql.indexOf('"', i + 1)
+        if (end < 0) { out.append(ch); i += 1 }
+        else { out.append('`').append(sql.substring(i + 1, end)).append('`'); i = end + 1 }
+      } else { out.append(ch); i += 1 }
+    }
+    out.toString
   }
 
   override def sourceDbPath(db: String): String = s"$url#$db" // opaque label

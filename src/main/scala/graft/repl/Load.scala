@@ -53,7 +53,14 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
         throw new IllegalStateException(
           s"out-of-order delta for ${m.db}: dump starts at ${m.fromId} but " +
           s"replica watermark is $wm — events in ($wm, ${m.fromId}] would be lost")
-      if (m.toId <= wm) return (m, 0) // stale delta: idempotent skip
+      if (m.toId <= wm) {
+        // Stale/no-new-events delta: skip the merge AND the watermark
+        // commit — but external tables have no event log, so their
+        // every-cycle file re-sync must still run (a changed ext file with
+        // no managed DML produces exactly this toId == wm cycle).
+        m.externalTables.foreach(syncExternal(m, _))
+        return (m, 0)
+      }
     }
     val attempts = m.kind match {
       case DumpKind.Bootstrap =>
@@ -62,8 +69,11 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
         Retry.retry(cfg.incrRerun, cfg.rerunSleepMs) {
           applyIncremental(m, dumpPath)
           // external tables have no event log; every incremental cycle
-          // re-syncs changed files (cheap: -update semantics)
-          m.tables.filter(target.isExternal).foreach(syncExternal(m, _))
+          // re-syncs changed files (cheap: -update semantics). WHICH tables
+          // are external comes from the MANIFEST (the source's view) — a
+          // JDBC source has no file plane, so a name-convention check at
+          // the target would missend its tables to a jdbc: pseudo-path.
+          m.externalTables.foreach(syncExternal(m, _))
         }
     }
     // Commit the watermark LAST — the atomicity boundary (see MetadataStore).
@@ -75,8 +85,9 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     target.createDb(m.db)
     cleanFailedBootstrap(m, dumpPath)
     // concurrent per-table restore jobs (reference `hive.exec.parallel`)
+    val ext = m.externalTables.toSet
     Parallel.foreach(m.tables) { t =>
-      if (target.isExternal(t)) syncExternal(m, t)
+      if (ext(t)) syncExternal(m, t)
       else {
         val src = new Path(dumpPath, s"tables/$t")
         val df = spark.read.parquet(src.toString)
@@ -355,23 +366,31 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
   private def mergePartitions(db: String, table: String, partCol: String,
                               current: DataFrame, keyCol: String,
                               upserts: DataFrame, deadKeys: DataFrame): Unit = {
-    val upVals = upserts.select(col(partCol)).distinct().collect().map(_.get(0))
+    // Partition values are collected AS SPARK RENDERS THEM (cast to
+    // string), not via JVM toString: partition type inference can read a
+    // date-like dir back as TimestampType, whose java.sql.Timestamp
+    // toString ("… 00:00:00.0") differs from the dir's value string —
+    // Spark's own cast is the same rendering the writer used for the dir.
+    def strVals(df: DataFrame): Array[String] =
+      df.distinct().collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val upVals = strVals(upserts.select(col(partCol).cast("string")))
     // An upsert without the partition column has no home partition — that is
     // a malformed payload, not a skippable row (silently dropping it would
     // commit the watermark past lost data, like the missing-table case).
     if (upVals.contains(null))
       throw new NonRetryableException(
         s"upsert payload for partitioned table $db.$table lacks $partCol")
-    val deadVals = current.select(col(keyCol).cast("string").as("_k"), col(partCol))
-      .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
-      .select(col(partCol)).distinct().collect().map(_.get(0))
-    val affected = (upVals ++ deadVals).distinct.filter(_ != null)
+    val deadVals = strVals(
+      current.select(col(keyCol).cast("string").as("_k"), col(partCol))
+        .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
+        .select(col(partCol).cast("string")))
+    val affected = (upVals ++ deadVals).distinct.filter(_ != null).toIndexedSeq
     if (affected.isEmpty) return
 
-    val slice = current.filter(col(partCol).isin(affected.toIndexedSeq: _*))
+    val slice = current.filter(col(partCol).cast("string").isin(affected: _*))
     val merged = slice
       .join(deadKeys, slice(keyCol).cast("string") === deadKeys("key"), "left_anti")
-      .unionByName(upserts.filter(col(partCol).isin(affected.toIndexedSeq: _*)))
+      .unionByName(upserts.filter(col(partCol).cast("string").isin(affected: _*)))
 
     val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val livePath = new Path(target.dbPath(db), table)
@@ -397,8 +416,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
         .toMap
     val tmpDirs = dirsByValue(tmpPath)
     val liveDirs = dirsByValue(livePath)
-    affected.foreach { v =>
-      val vStr = String.valueOf(v)
+    affected.foreach { vStr =>
       val tmpDir = tmpDirs.get(vStr)
       val liveDir = liveDirs.get(vStr)
       if (tmpDir.isEmpty && liveDir.isEmpty)
@@ -439,25 +457,14 @@ private[repl] object CrashHooks {
   */
 final class NonRetryableException(msg: String) extends IllegalStateException(msg)
 
-/** Inverse of the Spark/Hive partition-dir escaping (`%XX` percent-decoding
-  * of filesystem-special characters) — used to match partition VALUES
-  * against the dir names Spark actually wrote.
+/** Inverse of the Spark/Hive partition-dir escaping — used to match
+  * partition VALUES against the dir names Spark actually wrote. Delegates
+  * to Spark's own implementation (the exact inverse of the writer's
+  * escaping) so the rules can never drift.
   */
 private[repl] object PartitionPaths {
-  def unescape(s: String): String = {
-    val sb = new StringBuilder(s.length)
-    var i = 0
-    while (i < s.length) {
-      val c = s.charAt(i)
-      if (c == '%' && i + 2 < s.length) {
-        try {
-          sb.append(Integer.parseInt(s.substring(i + 1, i + 3), 16).toChar)
-          i += 3
-        } catch { case _: NumberFormatException => sb.append(c); i += 1 }
-      } else { sb.append(c); i += 1 }
-    }
-    sb.toString
-  }
+  def unescape(s: String): String =
+    org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils.unescapePathName(s)
 }
 
 /** Bounded retry with sleep — the reference's rerun loop

@@ -42,7 +42,13 @@ final case class DumpManifest(
       * at load time (the reference's cross-cluster read via
       * `SOURCE_HDFS_PREFIX`, `/root/reference/beeline_functions.sh:195-196`).
       */
-    sourceDbPath: String = "")
+    sourceDbPath: String = "",
+    /** The subset of `tables` that are EXTERNAL at the SOURCE — the load
+      * side must not re-derive this with its own naming convention: a
+      * JDBC source has no file plane (never external) even if a table's
+      * name happens to match the file-catalog's `ext_` convention.
+      */
+    externalTables: Seq[String] = Seq.empty)
 
 /** The five-way post-load watermark comparison of the reference
   * (`/root/reference/hive3repl.sh:106-120` bootstrap,

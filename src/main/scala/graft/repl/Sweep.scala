@@ -42,11 +42,14 @@ final case class Sweep(spark: SparkSession, source: ReplSource,
     * db in input order.
     */
   def run(dbs: Seq[String]): Seq[Outcome] = {
-    val targets = dbs.distinct
-      .filter(db => cfg.dbAllowlist.isEmpty || cfg.dbAllowlist.contains(db))
-    val skippedByAllowlist = dbs.distinct.filterNot(targets.contains)
+    val uniq = dbs.distinct
+    val (allowed, blocked) = uniq.partition(db =>
+      cfg.dbAllowlist.isEmpty || cfg.dbAllowlist.contains(db))
     val out = new java.util.concurrent.ConcurrentHashMap[String, Outcome]()
-    Parallel.foreach(targets) { db =>
+    // allowlist filtering is a BENIGN skip, exactly like a held lock:
+    // skipped=true, no error — callers branch on error presence alone
+    blocked.foreach(db => out.put(db, Outcome(db, None, skipped = true, None)))
+    Parallel.foreach(allowed) { db =>
       val o =
         try Outcome(db, Some(job.run(db)), skipped = false, None)
         catch {
@@ -58,8 +61,6 @@ final case class Sweep(spark: SparkSession, source: ReplSource,
         }
       out.put(db, o)
     }
-    targets.map(out.get) ++
-      skippedByAllowlist.map(Outcome(_, None, skipped = true,
-        Some("not in allowlist")))
+    uniq.map(out.get) // one Outcome per distinct db, in input order
   }
 }

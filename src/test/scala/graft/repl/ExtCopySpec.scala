@@ -94,6 +94,15 @@ class ExtCopySpec extends SparkSpec {
     assert(r.kind == "incremental" && r.verify == "SUCCESS")
     assert(read(s"$root/tgt/edb/ext_logs/part-000.txt") == "log line 1 v2")
 
+    // a changed EXTERNAL file with NO managed events: the cycle verifies
+    // NOOP (watermark unchanged) but the file re-sync must still run —
+    // external tables have no event log to advance the watermark
+    Thread.sleep(20)
+    write(s"$root/src/edb/ext_logs/part-000.txt", "log line 1 v3")
+    val r2 = job.run("edb")
+    assert(r2.verify == "NOOP", r2.verify)
+    assert(read(s"$root/tgt/edb/ext_logs/part-000.txt") == "log line 1 v3")
+
     // exclude flag: external tables are NOT replicated
     val source2 = DbCatalog(spark, s"$root/src2")
     val target2 = DbCatalog(spark, s"$root/tgt2")

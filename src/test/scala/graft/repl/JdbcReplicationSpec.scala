@@ -92,6 +92,15 @@ class JdbcReplicationSpec extends SparkSpec {
     assert(job.run(db).verify == "NOOP")
   }
 
+  test("view translation converts identifiers but never string literals") {
+    val src = JdbcSource(spark, url)
+    assert(src.translateIdentifiers(
+      """SELECT "a", "b" FROM "dbx"."t" WHERE "note" = 'say "hi"'""", "dbx") ==
+      """SELECT `a`, `b` FROM `t` WHERE `note` = 'say "hi"'""")
+    assert(src.translateIdentifiers("""SELECT 'it''s "x"' FROM "dbx"."t"""", "dbx") ==
+      """SELECT 'it''s "x"' FROM `t`""")
+  }
+
   test("multi-db sweep over a JDBC source replicates both schemas concurrently") {
     val dbs = Seq("dbsw1", "dbsw2")
     dbs.foreach { db =>

@@ -536,6 +536,31 @@ class ReplicationSpec extends SparkSpec {
     assert(after.count() == 2)
   }
 
+  test("timestamp-inferred partition values merge correctly") {
+    val (_, source, target, job) = freshWorld()
+    import spark.implicits._
+    source.createDb("db13t")
+    // every value is timestamp-like, so partition type inference reads the
+    // column back as TimestampType — the collected value's JVM toString
+    // ("… 00:00:00.0") differs from the dir's value string; the merge must
+    // match dirs via Spark's own rendering, not toString
+    val items = Seq(
+      (1L, "one", "2024-01-01 00:00:00"), (2L, "two", "2024-01-01 00:00:00"),
+      (3L, "three", "2024-02-01 00:00:00")).toDF("id", "name", "ts_part")
+    source.writeTablePartitioned("db13t", "items", items, "ts_part")
+    assert(job.run("db13t").verify == "SUCCESS")
+    import DbCatalog._
+    source.appendEvents("db13t", Seq(
+      Event("items", OpUpsert, "1",
+        """{"id":1,"name":"one-v2","ts_part":"2024-01-01 00:00:00"}"""),
+      Event("items", OpDelete, "3", null)))
+    assert(job.run("db13t").verify == "SUCCESS")
+    val after = target.readTable("db13t", "items")
+    assert(after.where(col("id") === 1L && col("name") === "one-v2").count() == 1)
+    assert(after.where(col("id") === 3L).isEmpty)
+    assert(after.count() == 2)
+  }
+
   test("invariant violations are non-retryable: fail fast, no sleep cycles") {
     val (root, source, target, _) = freshWorld()
     seedDb(source, "db14")
