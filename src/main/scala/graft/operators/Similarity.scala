@@ -250,7 +250,10 @@ object Similarity {
     builtIndexes.getOrElseUpdate(memoKey, {
       import graft.functions.VectorFunctions._
       val corpus = Tables(spark, sfDir).embeddings
-      val cent = corpus.filter(col("vec_id") < nCells)
+      // Seeds = first nCells vectors by id ORDER, not `vec_id < nCells` —
+      // ids are not required to be dense or zero-based (same rule as
+      // kmeansCentroids' seeding; identical picks on dense ids).
+      val cent = corpus.orderBy(col("vec_id")).limit(nCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
       val assigned = corpus.select(col("vec_id"), col("embedding").as("v"))
         .join(broadcast(cent))
@@ -274,7 +277,7 @@ object Similarity {
     import graft.functions.VectorFunctions._
     val idx = spark.read.parquet(ivfIndexFor(spark, sfDir, nCells))
     val t = Tables(spark, sfDir)
-    val cent = t.embeddings.filter(col("vec_id") < nCells)
+    val cent = t.embeddings.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
     val probes = t.embeddings.filter(col("vec_id") % 100 === 0)
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))

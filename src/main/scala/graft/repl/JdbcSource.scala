@@ -33,7 +33,11 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
 final case class JdbcSource(spark: SparkSession, url: String,
                             numPartitions: Int = 8) extends ReplSource {
 
-  private def qt(db: String, table: String): String = s""""$db"."$table""""
+  // Embedded '"' doubles per the SQL standard — qt() output is interpolated
+  // into executed SQL, so an unescaped quote in a db/table name would
+  // produce malformed (or injected) statements.
+  private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+  private def qt(db: String, table: String): String = s"${q(db)}.${q(table)}"
 
   private def withConn[A](body: Connection => A): A = {
     val c = DriverManager.getConnection(url)
@@ -85,7 +89,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
       val st = c.createStatement()
       try {
         val rs = st.executeQuery(
-          s"""SELECT MIN("${key.name}"), MAX("${key.name}") FROM ${qt(db, table)}""")
+          s"SELECT MIN(${q(key.name)}), MAX(${q(key.name)}) FROM ${qt(db, table)}")
         try {
           if (rs.next() && rs.getObject(1) != null) Some((rs.getLong(1), rs.getLong(2)))
           else None // empty table

@@ -147,7 +147,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
   private def syncExternal(m: DumpManifest, table: String): Unit = {
     val from = new Path(m.sourceDbPath, table).toString
     val to = new Path(target.dbPath(m.db), table).toString
-    ExtCopy.sync(spark, from, to, cfg.extCopyParallelism)
+    ExtCopy.sync(spark, from, to, cfg.extCopyParallelism, verify = cfg.extVerify)
   }
 
   private def applyIncremental(m: DumpManifest, dumpPath: String): Unit = {

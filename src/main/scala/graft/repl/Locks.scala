@@ -93,5 +93,12 @@ object Locks {
     */
   def acquire(fs: FileSystem, path: Path, ownerId: String, staleMs: Long): Lock =
     tryAcquire(fs, path, ownerId, staleMs).getOrElse(
-      throw new IllegalStateException(s"lock busy: $path (held by ${readOwner(fs, path)})"))
+      throw new LockBusyException(s"lock busy: $path (held by ${readOwner(fs, path)})"))
 }
+
+/** A lock held elsewhere — a BENIGN condition callers branch on (a sweep
+  * skips the db, like the reference's "another instance running" exit path).
+  * A typed class, not a message prefix: string matching would silently turn
+  * benign skips into errors the moment the message changes.
+  */
+final class LockBusyException(msg: String) extends IllegalStateException(msg)

@@ -90,7 +90,13 @@ final case class ReplConfig(
     rerunSleepMs: Long = 1000,              // env.sh:26 (60 s in prod)
     dbAllowlist: Set[String] = Set.empty,   // env.sh:14 (empty = allow all)
     lockStaleMs: Long = 60 * 60 * 1000L,
-    extCopyParallelism: Int = 32)           // HQL/replextload.hql:5-8 (128/500)
+    extCopyParallelism: Int = 32,           // HQL/replextload.hql:5-8 (128/500)
+    /** End-to-end content verify of external-table syncs (the check the
+      * reference's `-skipcrccheck` disables, `HQL/replextload.hql:10`):
+      * when on, a digest mismatch fails the sync BEFORE the watermark can
+      * commit over a corrupt replica. Off by default, like distcp's.
+      */
+    extVerify: Boolean = false)
 
 /** One replication run's outcome, appended to the engine run log. */
 final case class RunReport(

@@ -53,8 +53,7 @@ final case class Sweep(spark: SparkSession, source: ReplSource,
       val o =
         try Outcome(db, Some(job.run(db)), skipped = false, None)
         catch {
-          case e: IllegalStateException if e.getMessage != null &&
-              e.getMessage.startsWith("lock busy") =>
+          case _: LockBusyException =>
             Outcome(db, None, skipped = true, None)
           case e: Throwable =>
             Outcome(db, None, skipped = false, Some(e.toString))
