@@ -132,7 +132,7 @@ object Similarity {
              k: Int, nCells: Int = 16, nProbe: Int = 2,
              centroids: Option[DataFrame] = None): DataFrame = {
     import graft.functions.VectorFunctions._
-    val cent = centroids.getOrElse(corpus.filter(col(idCol) < nCells)
+    val cent = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv")))
     // Nearest-centroid assignment: argmax cosine, ties to the smaller cid.
     // max(struct(cos, -cid, v)) is partially aggregatable, so the corpus
@@ -314,7 +314,7 @@ object Similarity {
   def knnJoinInCell(embs: DataFrame, vecCol: String, idCol: String,
                     nCells: Int = 16): DataFrame = {
     import graft.functions.VectorFunctions._
-    val cent = embs.filter(col(idCol) < nCells)
+    val cent = embs.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
     val assigned = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
       .join(broadcast(cent))
@@ -395,6 +395,16 @@ object Similarity {
 
   // ------------------------------------------------------------ query corpus
 
+  /** Shared oracle fragment for the deterministic seed centroids used by
+    * every cell-bounded query (q51/q74/q86/q91): the first `n` vectors by
+    * id ORDER — the same orderBy/limit seeding as [[annIvf]],
+    * [[knnJoinInCell]], [[ivfIndexFor]] and [[Dedup.semanticDedup]], so the
+    * SQL stays correct on sparse or non-zero-based ids too.
+    */
+  private[operators] def centSql(n: Int): String =
+    s"""(SELECT vec_id AS cid, embedding AS cv FROM embeddings
+                      ORDER BY vec_id LIMIT $n)"""
+
   val queries: Seq[Query] = Seq(
 
     // Exact k-NN for every 100th vector (deterministic query set).
@@ -433,9 +443,8 @@ object Similarity {
     // unlike LSH's recall-style check.
     Query(
       "q51_ann_ivf",
-      Some("""
-        WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                      WHERE vec_id < 16),
+      Some(s"""
+        WITH cent AS ${centSql(16)},
         a AS (SELECT e.vec_id, c.cid, e.embedding,
                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
@@ -524,9 +533,8 @@ object Similarity {
     // cells fragment + a windowed argmax with the same tie-break).
     Query(
       "q86_knn_join",
-      Some("""
-        WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                      WHERE vec_id < 16),
+      Some(s"""
+        WITH cent AS ${centSql(16)},
         a AS (SELECT e.vec_id, c.cid, e.embedding,
                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
@@ -553,9 +561,8 @@ object Similarity {
     // is dynamically pruned to the probed cells.
     Query(
       "q91_ann_indexed",
-      Some("""
-        WITH cent AS (SELECT vec_id AS cid, embedding AS cv FROM embeddings
-                      WHERE vec_id < 16),
+      Some(s"""
+        WITH cent AS ${centSql(16)},
         a AS (SELECT e.vec_id, c.cid, e.embedding,
                 ROW_NUMBER() OVER (PARTITION BY e.vec_id
                   ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,

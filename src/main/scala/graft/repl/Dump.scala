@@ -125,11 +125,20 @@ object Dump {
     val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
     def str(k: String) = s""""$k":"([^"]*)"""".r.findFirstMatchIn(json).get.group(1)
     def num(k: String) = s""""$k":(-?\\d+)""".r.findFirstMatchIn(json).get.group(1).toLong
+    def has(k: String): Boolean = json.contains(s""""$k":""")
     def arr(k: String): Seq[String] =
       (s""""$k":\\[([^\\]]*)\\]""").r.findFirstMatchIn(json).map(_.group(1))
-        .getOrElse("") // "ext" absent in pre-upgrade manifests → empty
+        .getOrElse("")
         .split(",").toSeq.map(_.trim.stripPrefix("\"").stripSuffix("\"")).filter(_.nonEmpty)
+    val tables = arr("tables")
+    // Pre-upgrade manifests (written before the "ext" key existed) came
+    // only from file-catalog sources, where the `ext_` naming convention IS
+    // the external flag ([[DbCatalog.isExternal]]) — falling back to it
+    // keeps their external tables re-syncing instead of silently stopping.
+    // An EMPTY "ext" list from a current writer is authoritative (a JDBC
+    // source has no file plane even if a table name matches the convention).
+    val ext = if (has("ext")) arr("ext") else tables.filter(_.startsWith("ext_"))
     DumpManifest(str("db"), DumpKind.parse(str("kind")), num("fromId"), num("toId"),
-      arr("tables"), str("src"), arr("ext"))
+      tables, str("src"), ext)
   }
 }

@@ -89,11 +89,18 @@ object ExtCopy {
     *
     * `verify = true` adds the END-TO-END content check the reference
     * explicitly turns OFF (`-skipcrccheck`, `replextload.hql:10` — its CRC
-    * choice is a knob; so is the engine's): after the copy, every source
-    * file's bytes are re-read at BOTH ends, digested (48-bit md5 prefix —
+    * choice is a knob; so is the engine's): after the copy, THIS SYNC'S
+    * copied files are re-read at BOTH ends, digested (48-bit md5 prefix —
     * the engine's cross-system h48, [[graft.util.TextPrep.h48]]), and any
     * mismatch fails the sync before a watermark can commit over a corrupt
-    * replica.
+    * replica. Verification is scoped to the copied delta — the same scope
+    * distcp's CRC check has — so an incremental sync never re-reads the
+    * whole corpus; [[audit]] is the full-tree entry point. Mismatched
+    * target files are DELETED before the failure surfaces: a replica
+    * corrupted with size+mtime preserved is invisible to the `-update`
+    * diff, so without the delete every retry would skip the bad file and
+    * fail forever — after it, the next sync's diff re-copies it and the
+    * retry loop converges.
     */
   def sync(spark: SparkSession, srcDir: String, dstDir: String,
            parallelism: Int = 32, verify: Boolean = false): (Long, Long) = {
@@ -139,17 +146,64 @@ object ExtCopy {
             tfs.setTimes(to, st.getModificationTime, -1)
           }
         }
+        ExtCopyHooks.afterCopy(dstDir) // fault injection (no-op in production)
       }
-      if (verify) {
-        val bad = digestMismatches(spark, srcDir, dstDir, parallelism)
-          .limit(20).collect().map(_.getString(0))
-        if (bad.nonEmpty)
-          throw new NonRetryableException(
-            s"digest verify failed for ${bad.length}+ file(s) under $dstDir: " +
-            bad.mkString(", "))
-      }
+      if (verify && n > 0)
+        failOnMismatches(spark, dstDir,
+          digestMismatchesFor(spark, srcDir, dstDir, toCopy, parallelism))
       (n, total - n)
     } finally toCopy.unpersist()
+  }
+
+  /** Full-tree integrity audit: digest EVERY source file at both ends,
+    * delete corrupt replicas (so the next sync re-copies them), and return
+    * the mismatched rel_paths. This is the O(corpus)-read job — a scheduled
+    * maintenance scan, deliberately NOT part of every sync (which verifies
+    * only its own copied delta).
+    */
+  def audit(spark: SparkSession, srcDir: String, dstDir: String,
+            parallelism: Int = 32): Seq[String] = {
+    val bad = digestMismatches(spark, srcDir, dstDir, parallelism)
+      .persist()
+    try {
+      val rels = bad.collect().map(_.getString(0)).toSeq
+      if (rels.nonEmpty) deleteTargets(spark, dstDir, bad)
+      rels
+    } finally bad.unpersist()
+  }
+
+  /** Self-heal + fail: delete the mismatched target files (distributed),
+    * then surface the failure with a bounded sample of paths. The load's
+    * retry loop (or the next cycle) re-diffs and re-copies the deleted
+    * files — without the delete, in-place corruption that preserves
+    * size+mtime would be skipped by `-update` on every retry, forever.
+    */
+  private def failOnMismatches(spark: SparkSession, dstDir: String,
+                               mismatches: DataFrame): Unit = {
+    val bad = mismatches.persist()
+    try {
+      val count = bad.count()
+      if (count > 0) {
+        deleteTargets(spark, dstDir, bad)
+        val sample = bad.limit(20).collect().map(_.getString(0))
+        throw new IllegalStateException( // retryable: the delete makes re-copy possible
+          s"digest verify failed for $count file(s) under $dstDir " +
+          s"(corrupt replicas deleted for re-copy): ${sample.mkString(", ")}")
+      }
+    } finally bad.unpersist()
+  }
+
+  private def deleteTargets(spark: SparkSession, dstDir: String,
+                            rels: DataFrame): Unit = {
+    val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
+    val dstB = dstDir
+    rels.select("rel_path").foreachPartition { (rows: Iterator[Row]) =>
+      val c: Configuration = conf.value
+      rows.foreach { row =>
+        val p = new Path(dstB, row.getString(0))
+        p.getFileSystem(c).delete(p, false)
+      }
+    }
   }
 
   /** Files whose bytes differ between the two trees (or are missing on the
@@ -159,12 +213,20 @@ object ExtCopy {
     * verify, the job distcp runs when `-skipcrccheck` is off.
     */
   def digestMismatches(spark: SparkSession, srcDir: String, dstDir: String,
-                       parallelism: Int = 32): DataFrame = {
+                       parallelism: Int = 32): DataFrame =
+    digestMismatchesFor(spark, srcDir, dstDir,
+      listFiles(spark, srcDir), parallelism)
+
+  /** [[digestMismatches]] scoped to the given rel_paths (the per-sync form:
+    * only this sync's copied delta is re-read, not the whole tree).
+    */
+  def digestMismatchesFor(spark: SparkSession, srcDir: String, dstDir: String,
+                          rels: DataFrame, parallelism: Int = 32): DataFrame = {
     import spark.implicits._
     val conf = new SerializableConfiguration(spark.sparkContext.hadoopConfiguration)
     val srcB = srcDir
     val dstB = dstDir
-    listFiles(spark, srcDir).select("rel_path").as[String]
+    rels.select("rel_path").as[String]
       .repartition(math.max(1, parallelism))
       .mapPartitions { rels =>
         val c: Configuration = conf.value
@@ -212,4 +274,14 @@ object ExtCopy {
         out.iterator
       }.toDF("rel_path")
   }
+}
+
+/** Fault-injection points for external-copy testing ([[CrashHooks]]'
+  * pattern): `afterCopy` runs once per sync that copied at least one file,
+  * with the target dir — the extVerify e2e spec installs a corruptor here
+  * to simulate a torn/corrupted copy and prove a digest mismatch fails the
+  * load BEFORE the watermark commits, then heals on the next cycle.
+  */
+private[repl] object ExtCopyHooks {
+  @volatile var afterCopy: String => Unit = _ => ()
 }

@@ -163,7 +163,9 @@ final case class JdbcSource(spark: SparkSession, url: String,
     val out = new StringBuilder(sql.length)
     var i = 0
     var inLiteral = false
-    val qualifier = s""""$db"."""
+    // Build the qualifier from the same escaped form the endpoint stores —
+    // a db name with an embedded '"' must match its doubled catalog text.
+    val qualifier = q(db) + "."
     while (i < sql.length) {
       val ch = sql.charAt(i)
       if (inLiteral) {

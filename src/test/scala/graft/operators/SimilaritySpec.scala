@@ -58,6 +58,44 @@ class SimilaritySpec extends SparkSpec {
     assert(moved == base)
   }
 
+  test("sparse/shifted ids: annIvf, knnJoinInCell and the persisted index seed by id order") {
+    // Same corpus with every id shifted by 5000: a `vec_id < nCells` seed
+    // rule would find ZERO centroids. All three cell-bounded paths must
+    // produce the identical answer with ids shifted along (cosine and tie
+    // ordering are shift-invariant).
+    val shifted = embs.select((col("vec_id") + 5000).as("vec_id"),
+      col("embedding"), col("label"))
+    val qsS = shifted.filter(col("vec_id") % 50 === 0) // same rows as qs, shifted
+    def keyed(df: org.apache.spark.sql.DataFrame, shift: Long, ids: Seq[String]) =
+      df.select(df.columns.map(c =>
+        if (ids.contains(c)) (col(c) - shift).as(c) else col(c)).toIndexedSeq: _*)
+        .collect().map(_.toString).toSet
+
+    val baseIvf = keyed(Similarity.annIvf(embs, qs, "embedding", "vec_id", k = 5),
+      0, Seq("query_id", "vec_id"))
+    val shiftIvf = keyed(Similarity.annIvf(shifted, qsS, "embedding", "vec_id", k = 5),
+      5000, Seq("query_id", "vec_id"))
+    assert(baseIvf.nonEmpty && shiftIvf == baseIvf)
+
+    val baseKnn = keyed(Similarity.knnJoinInCell(embs, "embedding", "vec_id"),
+      0, Seq("vec_id", "nn_id"))
+    val shiftKnn = keyed(Similarity.knnJoinInCell(shifted, "embedding", "vec_id"),
+      5000, Seq("vec_id", "nn_id"))
+    assert(baseKnn.nonEmpty && shiftKnn == baseKnn)
+
+    // the PERSISTED index path (ivfIndexFor/annIvfIndexed) reads its corpus
+    // from a directory — build one holding the shifted embeddings
+    val tmp = java.nio.file.Files.createTempDirectory("graft-sparse-ivf").toString
+    graft.Tables(spark, sf("sf0.001")).embeddings
+      .withColumn("vec_id", col("vec_id") + 5000)
+      .write.parquet(s"$tmp/embeddings.parquet")
+    val baseIdx = keyed(Similarity.annIvfIndexed(spark, sf("sf0.001"), k = 5),
+      0, Seq("query_id", "vec_id"))
+    val shiftIdx = keyed(Similarity.annIvfIndexed(spark, tmp, k = 5),
+      5000, Seq("query_id", "vec_id"))
+    assert(baseIdx.nonEmpty && shiftIdx == baseIdx)
+  }
+
   test("k-means centroids beat first-N centroids on IVF recall") {
     val brute = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
       .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet

@@ -33,7 +33,7 @@ class ExtCopySpec extends SparkSpec {
     assert(read(s"$root/dst/sub/b.txt") == "beta-updated")
   }
 
-  test("permissions survive the copy (-pugprb) and digest-verify catches corruption") {
+  test("permissions survive the copy (-pugprb); delta verify and audit heal corruption") {
     val root = Files.createTempDirectory("graft-extp").toString
     write(s"$root/src/a.txt", "alpha")
     write(s"$root/src/sub/b.txt", "beta")
@@ -52,20 +52,43 @@ class ExtCopySpec extends SparkSpec {
     assert(ExtCopy.digestMismatches(spark, s"$root/src", s"$root/dst").isEmpty)
 
     // corrupt the REPLICA without changing size or mtime: the -update diff
-    // cannot see it (same size, same mtime), only a content digest can
+    // cannot see it, and a sync's verify (scoped to ITS copied delta — the
+    // O(delta) check, not O(corpus)) never re-reads an uncopied file
     Files.setPosixFilePermissions(Paths.get(s"$root/dst/sub/b.txt"),
       PosixFilePermissions.fromString("rw-------"))
     val mt = Files.getLastModifiedTime(Paths.get(s"$root/dst/sub/b.txt"))
     Files.writeString(Paths.get(s"$root/dst/sub/b.txt"), "BETA")
     Files.setLastModifiedTime(Paths.get(s"$root/dst/sub/b.txt"), mt)
-    val (c2, s2) = ExtCopy.sync(spark, s"$root/src", s"$root/dst")
-    assert(c2 == 0 && s2 == 2) // -update alone is blind to the corruption
-    assert(ExtCopy.digestMismatches(spark, s"$root/src", s"$root/dst")
-      .collect().map(_.getString(0)).toSeq == Seq("sub/b.txt"))
-    val e = intercept[NonRetryableException] {
-      ExtCopy.sync(spark, s"$root/src", s"$root/dst", verify = true)
+    val (c2, s2) = ExtCopy.sync(spark, s"$root/src", s"$root/dst", verify = true)
+    assert(c2 == 0 && s2 == 2) // -update (and the delta verify) are blind to it
+
+    // the full-tree AUDIT finds it, deletes the corrupt replica so the
+    // -update diff can see the hole, and the next sync re-copies: healed
+    assert(ExtCopy.audit(spark, s"$root/src", s"$root/dst") == Seq("sub/b.txt"))
+    assert(!Files.exists(Paths.get(s"$root/dst/sub/b.txt")))
+    val (c3, _) = ExtCopy.sync(spark, s"$root/src", s"$root/dst", verify = true)
+    assert(c3 == 1)
+    assert(read(s"$root/dst/sub/b.txt") == "beta")
+
+    // a TORN COPY (corruption during transfer): the delta verify catches
+    // it, deletes the bad replica (self-heal), and fails retryably
+    Thread.sleep(20)
+    write(s"$root/src/a.txt", "alpha-v2")
+    ExtCopyHooks.afterCopy = dir => {
+      val p = Paths.get(s"$dir/a.txt")
+      Files.writeString(p, "XXXXX-v2") // same length, different bytes
     }
-    assert(e.getMessage.contains("sub/b.txt"))
+    try {
+      val e = intercept[IllegalStateException] {
+        ExtCopy.sync(spark, s"$root/src", s"$root/dst", verify = true)
+      }
+      assert(e.getMessage.contains("a.txt"))
+      assert(!Files.exists(Paths.get(s"$root/dst/a.txt"))) // self-healed
+    } finally ExtCopyHooks.afterCopy = _ => ()
+    // the retry (corruption gone) converges
+    val (c4, _) = ExtCopy.sync(spark, s"$root/src", s"$root/dst", verify = true)
+    assert(c4 == 1)
+    assert(read(s"$root/dst/a.txt") == "alpha-v2")
   }
 
   test("external tables replicate by file sync through the full job") {

@@ -92,6 +92,34 @@ class JdbcReplicationSpec extends SparkSpec {
     assert(job.run(db).verify == "NOOP")
   }
 
+  test("identifiers with embedded quotes are escaped in every executed statement") {
+    // db name with an embedded '"' — the SQL-standard doubling must be
+    // applied wherever the name is interpolated into executed SQL (qt/q),
+    // or the statement is malformed (or worse, injected)
+    val db = """qu"db"""
+    def qd(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
+    exec(s"CREATE SCHEMA ${qd(db)}")
+    import graft.{Tables => T}
+    val nation = T(spark, sf()).nation.select(col("n_nationkey"), col("n_name"))
+    graft.sources.Jdbc.write(nation, url, s"${qd(db)}.${qd("nation")}")
+    graft.sources.Jdbc.write(eventsDf(Seq(
+      (1L, "nation", DbCatalog.OpUpsert, "0", """{"n_nationkey":0,"n_name":"QX"}"""),
+      (2L, "nation", DbCatalog.OpDelete, "1", null))),
+      url, s"${qd(db)}.${qd(DbCatalog.EventsTable)}")
+
+    val src = JdbcSource(spark, url, numPartitions = 2)
+    assert(src.dbExists(db))
+    assert(src.listTables(db) == Seq("nation"))
+    assert(src.currentTxnId(db) == 2L)            // qt() in executeQuery
+    val t = src.readTable(db, "nation")           // MIN/MAX bounds probe + scan
+    assert(t.count() == 25)
+    assert(t.rdd.getNumPartitions == 2)           // partitioned read went through
+    assert(src.readEventsAfter(db, 1L).count() == 1)
+    // the view-translation qualifier matches the ESCAPED catalog form too
+    assert(src.translateIdentifiers(
+      s"""SELECT "a" FROM ${qd(db)}."t"""", db) == "SELECT `a` FROM `t`")
+  }
+
   test("view translation converts identifiers but never string literals") {
     val src = JdbcSource(spark, url)
     assert(src.translateIdentifiers(

@@ -654,4 +654,90 @@ class ReplicationSpec extends SparkSpec {
     assert(attempts == 3)
     intercept[RuntimeException](Retry.retry(2, 1) { throw new RuntimeException("hard") })
   }
+
+  test("extVerify=true: corrupt external sync fails before watermark commit, then heals") {
+    import java.nio.file.{Files, Paths}
+    def write(path: String, content: String): Unit = {
+      Files.createDirectories(Paths.get(path).getParent)
+      Files.writeString(Paths.get(path), content)
+    }
+    val root = tmpRoot()
+    val source = DbCatalog(spark, s"$root/src")
+    val target = DbCatalog(spark, s"$root/tgt")
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", includeExternalTables = true,
+      extVerify = true, incrRerun = 2, rerunSleepMs = 10)
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    source.createDb("edbv")
+    source.writeTable("edbv", "region", spark.read.parquet(s"${sf()}/region.parquet"))
+    write(s"$root/src/edbv/ext_logs/p0.txt", "v1")
+    assert(job.run("edbv").verify == "SUCCESS") // clean verified bootstrap
+    assert(Files.readString(Paths.get(s"$root/tgt/edbv/ext_logs/p0.txt")) == "v1")
+    val meta = MetadataStore(spark, target.root)
+    val wm1 = meta.watermark("edbv").get
+
+    // new external content + a managed event; every copy of this cycle is
+    // corrupted in flight (torn transfer) by the fault-injection hook
+    Thread.sleep(20)
+    write(s"$root/src/edbv/ext_logs/p0.txt", "v2-good")
+    import DbCatalog._
+    source.appendEvents("edbv", Seq(
+      Event("region", OpUpsert, "0", """{"r_regionkey":0,"r_name":"XV"}""")))
+    ExtCopyHooks.afterCopy = dir =>
+      Files.writeString(Paths.get(s"$dir/p0.txt"), "v2-CORR")
+    try intercept[IllegalStateException] { job.run("edbv") }
+    finally ExtCopyHooks.afterCopy = _ => ()
+    // the digest mismatch failed the load BEFORE the watermark could
+    // commit over the corrupt replica (cfg.extVerify threaded through
+    // Load.syncExternal into ExtCopy.sync)
+    assert(meta.watermark("edbv").contains(wm1))
+    // self-heal deleted the corrupt replica; the next cycle re-copies,
+    // verifies green, and commits
+    val r = job.run("edbv")
+    assert(r.verify == "SUCCESS")
+    assert(Files.readString(Paths.get(s"$root/tgt/edbv/ext_logs/p0.txt")) == "v2-good")
+    assert(meta.watermark("edbv").get > wm1)
+  }
+
+  test("pre-upgrade manifest without an ext key falls back to the naming convention") {
+    import java.nio.file.{Files, Paths}
+    def write(path: String, content: String): Unit = {
+      Files.createDirectories(Paths.get(path).getParent)
+      Files.writeString(Paths.get(path), content)
+    }
+    val root = tmpRoot()
+    val source = DbCatalog(spark, s"$root/src")
+    val target = DbCatalog(spark, s"$root/tgt")
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", includeExternalTables = true,
+      rerunSleepMs = 10)
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    source.createDb("edbm")
+    source.writeTable("edbm", "region", spark.read.parquet(s"${sf()}/region.parquet"))
+    write(s"$root/src/edbm/ext_logs/p0.txt", "m1")
+    assert(job.run("edbm").verify == "SUCCESS")
+
+    // external file changes; a PRE-UPGRADE writer dumps WITHOUT the "ext"
+    // key (strip it from the manifest json, as an old engine wrote it)
+    Thread.sleep(20)
+    write(s"$root/src/edbm/ext_logs/p0.txt", "m2")
+    val meta = MetadataStore(spark, target.root)
+    val d = Dump(spark, source, s"$root/dumps", cfg)
+      .incremental("edbm", meta.watermark("edbm").get)
+    // rewrite through the Hadoop fs (keeps the .crc sidecar consistent)
+    val mPath = new Path(d.path, Dump.ManifestFile)
+    val mfs = mPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = mfs.open(mPath)
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val stripped = json.replaceAll(""","ext":\[[^\]]*\]""", "")
+    assert(!stripped.contains("\"ext\""))
+    val out = mfs.create(mPath, true)
+    try out.write(stripped.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+
+    // the fallback recovers the external set from the ext_ naming
+    // convention instead of silently dropping the re-sync
+    val m = Dump.readManifest(spark, d.path)
+    assert(m.externalTables == Seq("ext_logs"))
+    Load(spark, target, cfg).replay(d.path, meta)
+    assert(Files.readString(Paths.get(s"$root/tgt/edbm/ext_logs/p0.txt")) == "m2")
+  }
 }
