@@ -160,6 +160,37 @@ object Bench {
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
     } catch { case e: Throwable => System.err.println(s"[bench] jdbc repl failed: $e") }
 
+    // Replication INTO a live JDBC endpoint (embedded Derby as the TARGET —
+    // the reference's load side: REPL LOAD over the target connection).
+    // Times the bootstrap restore (bulk rows through the parallel batched
+    // JDBC writer) and a 1000-txn incremental applied as ONE endpoint
+    // transaction via staging tables, watermark committed at the endpoint.
+    if (only.isEmpty) try {
+      spark.catalog.clearCache()
+      import graft.repl._
+      val db = "benchl"
+      val root = java.nio.file.Files.createTempDirectory("graft-bench-jload").toString
+      val source = DbCatalog(spark, s"$root/src")
+      source.createDb(db)
+      val t = Tables(spark, sfDir)
+      Seq("region" -> t.region, "nation" -> t.nation, "supplier" -> t.supplier,
+          "customer" -> t.customer, "orders" -> t.orders).foreach { case (n, df) =>
+        source.writeTable(db, n, df)
+      }
+      val target = JdbcTarget(spark, "jdbc:derby:memory:benchtgt;create=true")
+      val job = ReplicationJob(spark, source, target, s"$root/dumps",
+        ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
+      results("repl_load_jdbc") = time { assert(job.run(db).verify == "SUCCESS") }
+      val ev = (1 to 1000).map { i =>
+        DbCatalog.Event("nation", DbCatalog.OpUpsert, (i % 25).toString,
+          s"""{"n_nationkey":${i % 25},"n_name":"N$i","n_regionkey":${i % 5}}""")
+      }
+      source.appendEvents(db, ev)
+      results("repl_load_jdbc_1000txn") =
+        time { assert(job.run(db).verify == "SUCCESS") }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+    } catch { case e: Throwable => System.err.println(s"[bench] jdbc load failed: $e") }
+
     def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")

@@ -10,11 +10,12 @@ import org.apache.spark.sql.SparkSession
   *
   *   ReplMain <source> <targetRoot> <dumpRoot> <db[,db...]> [allowlist]
   *
-  * `<source>` selects the topology by its form, so the same command serves
-  * both of the engine's source kinds:
+  * `<source>` and `<target>` each select their topology by form, so one
+  * command serves every endpoint combination (including the reference's
+  * actual two-endpoint shape, both ends JDBC):
   *   - a directory path → [[DbCatalog]] (file-native warehouse);
-  *   - a `jdbc:` URL   → [[JdbcSource]] (live endpoint, the reference's
-  *     actual wire topology).
+  *   - a `jdbc:` URL   → [[JdbcSource]] / [[JdbcTarget]] (live endpoints,
+  *     the reference's wire topology, `env.sh:4-5`).
   *
   * Multiple dbs run as one concurrent [[Sweep]] (per-db locks, lock-busy ⇒
   * skip, failure isolation). Emits one JSON line per db — the structured
@@ -26,7 +27,7 @@ object ReplMain {
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(
-        "usage: ReplMain <sourceRoot|jdbcUrl> <targetRoot> <dumpRoot> <db[,db...]> [allowlist,...]")
+        "usage: ReplMain <sourceRoot|jdbcUrl> <targetRoot|jdbcUrl> <dumpRoot> <db[,db...]> [allowlist,...]")
       sys.exit(2)
     }
     val Array(src, targetRoot, dumpRoot, dbArg) = args.take(4)
@@ -46,8 +47,11 @@ object ReplMain {
     val source: ReplSource =
       if (src.startsWith("jdbc:")) JdbcSource(spark, src)
       else DbCatalog(spark, src)
+    val target: ReplTarget =
+      if (targetRoot.startsWith("jdbc:")) JdbcTarget(spark, targetRoot)
+      else DbCatalog(spark, targetRoot)
     val cfg = ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow)
-    val sweep = Sweep(spark, source, DbCatalog(spark, targetRoot), dumpRoot, cfg)
+    val sweep = Sweep(spark, source, target, dumpRoot, cfg)
     val outcomes = sweep.run(dbArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     // JSON string escaping for error text: exception messages carry
     // quotes, backslashes and (Spark plans) newlines — the one-line-per-db

@@ -40,7 +40,7 @@ object ReplProbe {
 
     var dumpPath: String = null
     time("bootstrap: dump") { dumpPath = dumper.bootstrap("bench").path }
-    time("bootstrap: load") { loader.replay(dumpPath, meta) }
+    time("bootstrap: load") { loader.replay(dumpPath) }
     time("bootstrap: status") { meta.watermark("bench") }
 
     val ev = (1 to 1000).map { i =>
@@ -50,7 +50,7 @@ object ReplProbe {
     time("incr: append events") { source.appendEvents("bench", ev) }
     var d2: String = null
     time("incr: dump") { d2 = dumper.incremental("bench", meta.watermark("bench").get).path }
-    time("incr: load") { loader.replay(d2, meta) }
+    time("incr: load") { loader.replay(d2) }
 
     val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
     val evFact = (1 to 1000).map { i =>

@@ -21,7 +21,8 @@ import org.apache.spark.sql.types._
   * driver. The event log is itself a parquet table, so "events since
   * watermark" is a pushed-down filter scan, not a log replay on the driver.
   */
-final case class DbCatalog(spark: SparkSession, root: String) extends ReplSource {
+final case class DbCatalog(spark: SparkSession, root: String)
+    extends ReplSource with ReplTarget {
   import DbCatalog._
 
   def dbPath(db: String): Path = new Path(root, db)
@@ -207,6 +208,199 @@ final case class DbCatalog(spark: SparkSession, root: String) extends ReplSource
 
   def dropTable(db: String, table: String): Unit =
     fs.delete(tablePath(db, table), true)
+
+  // ------------------------------------------------- replication target plane
+  // ([[ReplTarget]] — the file-native loader: staged rename swaps for
+  // atomicity, metadata in `_repl_metadata/` under the warehouse root)
+
+  override def applyRename(db: String, from: String, to: String): Unit =
+    renameTableFs(db, from, to)
+
+  override def applyTruncate(db: String, table: String): Unit =
+    truncateTableFs(db, table)
+
+  private lazy val metaStore = MetadataStore(spark, root)
+  override def watermark(db: String): Option[Long] = metaStore.watermark(db)
+  override def commitWatermark(db: String, id: Long): Unit =
+    metaStore.commitWatermark(db, id)
+  override def logRun(r: RunReport): Unit = metaStore.logRun(r)
+
+  override def extTablePath(db: String, table: String): Option[String] =
+    Some(new Path(dbPath(db), table).toString)
+
+  /** Bootstrap-scope staging debris from a crashed earlier load: `_tmp_`/
+    * `_bak_` dirs a crashed swap left behind (repairTable handles the
+    * incremental path; bootstrap replaces wholesale, so both dirs go).
+    */
+  override def cleanStaging(db: String): Unit =
+    fs.listStatus(dbPath(db)).filter(_.isDirectory)
+      .map(_.getPath)
+      .filter(p => p.getName.startsWith("_tmp_") || p.getName.startsWith("_bak_"))
+      .foreach(fs.delete(_, true))
+
+  /** Repair a merge swap interrupted between its two renames: if the live
+    * dir was renamed to `_bak_<table>` but the staged dir never became live,
+    * restore the backup; if the crash hit after the new live landed, the
+    * leftover backup is cleared. A PARTITIONED backup (a bak dir holding
+    * `col=value` subdirs) repairs per partition the same way — each
+    * partition dir is its own swap unit. Idempotent — safe on every retry
+    * entry.
+    */
+  override def repairTable(db: String, table: String): Unit = {
+    val live = tablePath(db, table)
+    val bak = new Path(dbPath(db), s"_bak_$table")
+    if (!fs.exists(bak)) return
+    partitionColOf(bak) match {
+      case Some(_) =>
+        fs.listStatus(bak).filter(_.isDirectory).foreach { st =>
+          val lp = new Path(live, st.getPath.getName)
+          if (!fs.exists(lp)) {
+            if (!fs.rename(st.getPath, lp))
+              throw new IllegalStateException(
+                s"partition backup restore failed for $db.$table/${st.getPath.getName}")
+          } else fs.delete(st.getPath, true)
+        }
+        fs.delete(bak, true)
+      case None =>
+        if (!fs.exists(live)) {
+          if (!fs.rename(bak, live))
+            throw new IllegalStateException(s"backup restore failed for $db.$table")
+        } else fs.delete(bak, true)
+    }
+  }
+
+  /** One distributed merge: anti-join the dead keys away, union the
+    * upserts in. A PARTITIONED table takes the partition-scoped path
+    * instead: only the partitions the delta touches are rewritten and
+    * swapped.
+    *
+    * Parquet overwrite of the read path requires a materialization barrier:
+    * stage to a temp dir, then swap. The swap is crash-recoverable: live is
+    * renamed aside to `_bak_<table>` (atomic), the staged dir renamed in,
+    * then the backup dropped — at no point is the table unrecoverable, and
+    * [[repairTable]] repairs any window a crash can hit. On HDFS all steps
+    * are metadata renames.
+    */
+  override def mergeDml(db: String, table: String, upserts: DataFrame,
+                        deadKeys: DataFrame): Unit = {
+    val current = readTable(db, table)
+    val keyCol = current.schema.fields.head.name
+
+    partitionSpec(db, table) match {
+      case Some(p) =>
+        mergePartitions(db, table, p, current, keyCol, upserts, deadKeys)
+        return
+      case None => ()
+    }
+
+    val merged = current
+      .join(deadKeys, current(keyCol).cast("string") === deadKeys("key"), "left_anti")
+      .unionByName(upserts)
+
+    val livePath = tablePath(db, table)
+    val tmpPath = new Path(dbPath(db), s"_tmp_$table")
+    val bakPath = new Path(dbPath(db), s"_bak_$table")
+    merged.write.mode("overwrite").parquet(tmpPath.toString)
+    fs.delete(bakPath, true) // stale leftover from an earlier completed swap
+    if (!fs.rename(livePath, bakPath))
+      throw new IllegalStateException(s"backup rename failed for $db.$table")
+    CrashHooks.betweenSwapRenames() // fault injection: the swap's worst window
+    if (!fs.rename(tmpPath, livePath)) {
+      fs.rename(bakPath, livePath) // restore before failing
+      throw new IllegalStateException(s"merge swap failed for $db.$table")
+    }
+    fs.delete(bakPath, true)
+  }
+
+  /** Partition-scoped merge for a table laid out `partCol=value/`: rewrite
+    * ONLY the partitions the delta touches. At 100 TB this is the load-path
+    * optimization that matters most — a date-partitioned fact with a
+    * recent-date delta rewrites a bounded slice per batch instead of the
+    * whole table.
+    *
+    * Affected set = partitions where upserts land (payload value) ∪
+    * partitions currently holding a dead key (a column-pruned key+partition
+    * scan — parquet reads two columns). The affected VALUES come to the
+    * driver, but that list is bounded by the delta's partition spread
+    * (control-plane sized, like the touched-table list); row data never
+    * leaves executors. The staged slice swaps in per partition dir — each
+    * `col=value` dir is its own crash-recoverable swap unit
+    * ([[repairTable]] repairs partition-level backups).
+    */
+  private def mergePartitions(db: String, table: String, partCol: String,
+                              current: DataFrame, keyCol: String,
+                              upserts: DataFrame, deadKeys: DataFrame): Unit = {
+    // Partition values are collected AS SPARK RENDERS THEM (cast to
+    // string), not via JVM toString: partition type inference can read a
+    // date-like dir back as TimestampType, whose java.sql.Timestamp
+    // toString ("… 00:00:00.0") differs from the dir's value string —
+    // Spark's own cast is the same rendering the writer used for the dir.
+    def strVals(df: DataFrame): Array[String] =
+      df.distinct().collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
+    val upVals = strVals(upserts.select(col(partCol).cast("string")))
+    // An upsert without the partition column has no home partition — that is
+    // a malformed payload, not a skippable row (silently dropping it would
+    // commit the watermark past lost data, like the missing-table case).
+    if (upVals.contains(null))
+      throw new NonRetryableException(
+        s"upsert payload for partitioned table $db.$table lacks $partCol")
+    val deadVals = strVals(
+      current.select(col(keyCol).cast("string").as("_k"), col(partCol))
+        .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
+        .select(col(partCol).cast("string")))
+    val affected = (upVals ++ deadVals).distinct.filter(_ != null).toIndexedSeq
+    if (affected.isEmpty) return
+
+    val slice = current.filter(col(partCol).cast("string").isin(affected: _*))
+    val merged = slice
+      .join(deadKeys, slice(keyCol).cast("string") === deadKeys("key"), "left_anti")
+      .unionByName(upserts.filter(col(partCol).cast("string").isin(affected: _*)))
+
+    val livePath = tablePath(db, table)
+    val tmpPath = new Path(dbPath(db), s"_tmp_$table")
+    val bakPath = new Path(dbPath(db), s"_bak_$table")
+    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
+    fs.delete(bakPath, true)
+    fs.mkdirs(bakPath)
+    // Swap each affected partition dir: live aside to bak (if present), then
+    // staged in (if present — a fully-deleted partition has no staged dir
+    // and simply disappears). Dir NAMES are taken from the dirs Spark
+    // actually wrote (and the live layout), never reconstructed from raw
+    // values — Spark percent-escapes special characters in partition dirs
+    // (space, colon, %, …), so a `s"$partCol=$v"` rebuild would miss those
+    // dirs and silently skip the partition. Values are matched by their
+    // unescaped dir string; an affected value resolving to NO staged or
+    // live dir is a refused invariant violation, not a skip.
+    def dirsByValue(base: Path): Map[String, Path] =
+      if (!fs.exists(base)) Map.empty
+      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
+        .filter(_.getName.startsWith(partCol + "="))
+        .map(p => PartitionPaths.unescape(p.getName.drop(partCol.length + 1)) -> p)
+        .toMap
+    val tmpDirs = dirsByValue(tmpPath)
+    val liveDirs = dirsByValue(livePath)
+    affected.foreach { vStr =>
+      val tmpDir = tmpDirs.get(vStr)
+      val liveDir = liveDirs.get(vStr)
+      if (tmpDir.isEmpty && liveDir.isEmpty)
+        throw new NonRetryableException(
+          s"partition $partCol=$vStr of $db.$table resolves to no staged or " +
+          "live dir — refusing silent skip (dir-name/value mismatch)")
+      val dirName = tmpDir.orElse(liveDir).get.getName
+      liveDir.foreach { ld =>
+        if (!fs.rename(ld, new Path(bakPath, dirName)))
+          throw new IllegalStateException(
+            s"partition backup rename failed for $db.$table/$dirName")
+      }
+      tmpDir.foreach { td =>
+        if (!fs.rename(td, new Path(livePath, dirName)))
+          throw new IllegalStateException(
+            s"partition swap failed for $db.$table/$dirName")
+      }
+    }
+    fs.delete(bakPath, true)
+    fs.delete(tmpPath, true)
+  }
 
   // ------------------------------------------------------------------ views
 

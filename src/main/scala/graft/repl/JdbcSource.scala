@@ -53,7 +53,12 @@ final case class JdbcSource(spark: SparkSession, url: String,
     val rs = c.getMetaData.getTables(null, db, "%", Array(kind))
     val names = scala.collection.mutable.ListBuffer[String]()
     try { while (rs.next()) names += rs.getString("TABLE_NAME") } finally rs.close()
-    names.toSeq.filterNot(_ == DbCatalog.EventsTable).sorted
+    // hide the change log and any [[JdbcTarget]] staging leftovers — a
+    // replica endpoint can serve as the next hop's source (chained topology)
+    names.toSeq
+      .filterNot(n => n == DbCatalog.EventsTable ||
+        n.startsWith(JdbcTarget.StagingPrefix))
+      .sorted
   }
 
   override def listTables(db: String): Seq[String] = listObjects(db, "TABLE")

@@ -8,7 +8,10 @@ import org.apache.spark.sql.types.StructType
 
 /** Dump replay — the engine's `REPL LOAD`
   * (`/root/reference/HQL/replload.hql:1-5`, orchestrated with retries at
-  * `beeline_functions.sh:180-238`).
+  * `beeline_functions.sh:180-238`). Runs against ANY [[ReplTarget]] — the
+  * file-native [[DbCatalog]] or a live JDBC endpoint ([[JdbcTarget]], the
+  * reference's actual topology: `REPL LOAD` over the target HS2 connection,
+  * `beeline_functions.sh:220-226`).
   *
   * Bootstrap: recreate every table from the snapshot (overwrite).
   * Incremental: apply the event delta **as one distributed merge per table**,
@@ -17,8 +20,9 @@ import org.apache.spark.sql.types.StructType
   *
   *   1. events are compacted to their net effect: latest event per key
   *      (`row_number` over a key-partitioned, event_id-descending window);
-  *   2. the target table is rewritten once: rows whose key has any event are
-  *      anti-joined away, then surviving UPSERT payloads are unioned in.
+  *   2. the target table is rewritten once ([[ReplTarget.mergeDml]]): rows
+  *      whose key has any event are anti-joined away, then surviving UPSERT
+  *      payloads are unioned in.
   *
   * Applying a delta is therefore idempotent (same delta twice ≡ once) and
   * O(one shuffle per touched table) regardless of event count — at 100 TB
@@ -29,14 +33,15 @@ import org.apache.spark.sql.types.StructType
   * string (matches [[DbCatalog.Event.key]]). Composite keys concatenate at
   * event-emission time.
   */
-final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
+final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) {
 
-  /** Replay a dump at the target; returns the manifest's toId on success.
+  /** Replay a dump at the target; returns the manifest + attempt count.
     * Incremental loads run under the reference's retry policy
     * (`INCR_RERUN`/`RERUN_SLEEP`, `/root/reference/env.sh:24-26`); bootstrap
-    * loads do not retry (`hive3repl.sh:99-100`).
+    * loads do not retry (`hive3repl.sh:99-100`). The watermark lives AT the
+    * target ([[ReplTarget.watermark]]) and commits LAST.
     */
-  def replay(dumpPath: String, meta: MetadataStore): (DumpManifest, Int) = {
+  def replay(dumpPath: String): (DumpManifest, Int) = {
     val m = Dump.readManifest(spark, dumpPath)
     // Ordering guard: an incremental delta must START at the replica's
     // current watermark. Applying a later dump first would commit its toId
@@ -48,7 +53,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     // strictly-stale delta would overwrite newer row values with old
     // payloads and regress the watermark.
     if (m.kind == DumpKind.Incremental) {
-      val wm = meta.watermark(m.db).getOrElse(0L)
+      val wm = target.watermark(m.db).getOrElse(0L)
       if (m.fromId > wm)
         throw new IllegalStateException(
           s"out-of-order delta for ${m.db}: dump starts at ${m.fromId} but " +
@@ -76,8 +81,8 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
           m.externalTables.foreach(syncExternal(m, _))
         }
     }
-    // Commit the watermark LAST — the atomicity boundary (see MetadataStore).
-    meta.commitWatermark(m.db, m.toId)
+    // Commit the watermark LAST — the atomicity boundary.
+    target.commitWatermark(m.db, m.toId)
     (m, attempts)
   }
 
@@ -93,7 +98,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
         val df = spark.read.parquet(src.toString)
         // The dump dir's layout carries the partition spec (see Dump):
         // a partitioned snapshot restores partitioned at the replica.
-        target.partitionColOf(src) match {
+        dumpPartitionCol(src) match {
           case Some(p) => target.writeTablePartitioned(m.db, t, df, p)
           case None => target.writeTable(m.db, t, df)
         }
@@ -109,6 +114,18 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     }
   }
 
+  /** Partition column of a DUMP directory laid out `col=value/` — the
+    * layout IS the metadata (written by [[Dump]]); independent of what
+    * partition plane the target keeps.
+    */
+  private def dumpPartitionCol(path: Path): Option[String] = {
+    val fs = path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(path)) None
+    else fs.listStatus(path).filter(_.isDirectory).map(_.getPath.getName)
+      .find(n => n.contains("=") && !n.startsWith("_"))
+      .map(_.split("=")(0))
+  }
+
   /** Clean target-db debris from a failed earlier bootstrap — the
     * reference's open issue `/root/reference/TODO.md:2` ("In case of failed
     * full dump runs, clean target before restarting"), resolved here the way
@@ -116,9 +133,9 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     * NULL (`hive3repl.sh:85`), so any object already in the target db is a
     * partial prior load, never live replicated state. Objects the new
     * manifest will overwrite are left for the restore to replace; everything
-    * else — tables and views absent from the snapshot, plus `_tmp_`/`_bak_`
-    * staging dirs a crashed swap left behind — is removed so the restored db
-    * exactly mirrors the snapshot.
+    * else — tables and views absent from the snapshot, plus staging debris a
+    * crashed swap left behind ([[ReplTarget.cleanStaging]]) — is removed so
+    * the restored db exactly mirrors the snapshot.
     */
   private def cleanFailedBootstrap(m: DumpManifest, dumpPath: String): Unit = {
     val keep = m.tables.toSet
@@ -130,23 +147,21 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
       else fs.listStatus(viewsDir).filter(_.isFile).map(
         _.getPath.getName.stripSuffix(".sql")).toSet
     target.listViews(m.db).filterNot(snapViews).foreach(target.dropView(m.db, _))
-    // staging debris from a crash mid-swap (recoverSwap handles the
-    // incremental path; bootstrap replaces wholesale, so both dirs go)
-    val dbDir = target.dbPath(m.db)
-    val dfs = dbDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    dfs.listStatus(dbDir).filter(_.isDirectory)
-      .map(_.getPath)
-      .filter(p => p.getName.startsWith("_tmp_") || p.getName.startsWith("_bak_"))
-      .foreach(dfs.delete(_, true))
+    target.cleanStaging(m.db)
   }
 
   /** External tables: distcp-style copy-if-changed straight from the source
     * db path in the manifest (see [[ExtCopy]]); parallelism follows the
-    * reference's copy-task knob (`HQL/replextload.hql:5-8`).
+    * reference's copy-task knob (`HQL/replextload.hql:5-8`). A target
+    * without a file plane cannot host external tables — refused loudly, not
+    * silently skipped (watermark-over-lost-data).
     */
   private def syncExternal(m: DumpManifest, table: String): Unit = {
     val from = new Path(m.sourceDbPath, table).toString
-    val to = new Path(target.dbPath(m.db), table).toString
+    val to = target.extTablePath(m.db, table).getOrElse(
+      throw new NonRetryableException(
+        s"dump for ${m.db} carries external table $table but the target " +
+        "has no file plane to sync it to"))
     ExtCopy.sync(spark, from, to, cfg.extCopyParallelism, verify = cfg.extVerify)
   }
 
@@ -178,7 +193,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     renames.foreach { r =>
       applyEpoch(db, events.filter(
         col("event_id") > lo && col("event_id") < r.getLong(0)))
-      target.renameTableFs(db, r.getString(1), r.getString(2))
+      target.applyRename(db, r.getString(1), r.getString(2))
       lo = r.getLong(0)
     }
     applyEpoch(db, events.filter(col("event_id") > lo))
@@ -227,12 +242,12 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
             // Data gone, schema kept (Hive's TRUNCATE contract). The table
             // must already exist at the target — same lost-table refusal as
             // the DML path below.
-            recoverSwap(db, t)
+            target.repairTable(db, t)
             if (!target.tableExists(db, t))
               throw new NonRetryableException(
                 s"delta carries TRUNCATE for missing table $db.$t — " +
                 "refusing to skip (possible lost table)")
-            target.truncateTableFs(db, t)
+            target.applyTruncate(db, t)
         }
       }
       val minDml = lastReset.map(_.getLong(0)).getOrElse(Long.MinValue)
@@ -240,18 +255,18 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
         .filter(r => r.getString(2) == DbCatalog.OpAlterTable &&
           r.getLong(0) > minDml)
         .foreach { r =>
-          recoverSwap(db, t) // an earlier crash mid-rewrite is repairable here too
+          target.repairTable(db, t) // an earlier crash mid-rewrite is repairable here too
           target.migrateTable(db, t, StructType.fromDDL(r.getString(3)))
         }
       val dml = events.filter(col("table") === t &&
         col("op").isin(DbCatalog.OpUpsert, DbCatalog.OpDelete) &&
         col("event_id") > minDml)
       if (!dml.isEmpty) {
-        recoverSwap(db, t)
+        target.repairTable(db, t)
         // A missing table here is NOT skippable: with no CREATE_TABLE in the
         // delta the DML has nowhere to land, and silently dropping it would
         // let a crashed swap (or an out-of-order log) "succeed" and commit
-        // the watermark past lost events. recoverSwap above already restored
+        // the watermark past lost events. repairTable above already restored
         // any interrupted swap, so existence is now authoritative.
         if (!target.tableExists(db, t))
           throw new NonRetryableException(
@@ -262,46 +277,12 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
     }
   }
 
-  /** Repair a merge swap interrupted between its two renames: if the live
-    * dir was renamed to `_bak_<table>` but the staged dir never became live,
-    * restore the backup; if the crash hit after the new live landed, the
-    * leftover backup is cleared. A PARTITIONED backup (a bak dir holding
-    * `col=value` subdirs) repairs per partition the same way — each
-    * partition dir is its own swap unit. Idempotent — safe on every retry
-    * entry.
-    */
-  private def recoverSwap(db: String, table: String): Unit = {
-    val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val live = new Path(target.dbPath(db), table)
-    val bak = new Path(target.dbPath(db), s"_bak_$table")
-    if (!fs.exists(bak)) return
-    target.partitionColOf(bak) match {
-      case Some(_) =>
-        fs.listStatus(bak).filter(_.isDirectory).foreach { st =>
-          val lp = new Path(live, st.getPath.getName)
-          if (!fs.exists(lp)) {
-            if (!fs.rename(st.getPath, lp))
-              throw new IllegalStateException(
-                s"partition backup restore failed for $db.$table/${st.getPath.getName}")
-          } else fs.delete(st.getPath, true)
-        }
-        fs.delete(bak, true)
-      case None =>
-        if (!fs.exists(live)) {
-          if (!fs.rename(bak, live))
-            throw new IllegalStateException(s"backup restore failed for $db.$table")
-        } else fs.delete(bak, true)
-    }
-  }
-
-  /** One distributed merge: net-effect compaction + anti-join + union.
-    * A PARTITIONED table takes the partition-scoped path instead: only the
-    * partitions the delta touches are rewritten and swapped.
+  /** Net-effect compaction of one table's DML, handed to the target's
+    * merge: latest event per key wins; every evented key is replaced or
+    * deleted.
     */
   private def mergeTable(db: String, table: String, dml: DataFrame): Unit = {
-    val current = target.readTable(db, table)
-    val schema = current.schema
-    val keyCol = schema.fields.head.name
+    val schema = target.readTable(db, table).schema
 
     val latest = dml
       .withColumn("_rn", row_number().over(
@@ -315,128 +296,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
 
     val deadKeys = latest.select(col("key")) // every evented key is replaced or deleted
 
-    target.partitionSpec(db, table) match {
-      case Some(p) =>
-        mergePartitions(db, table, p, current, keyCol, upserts, deadKeys)
-        return
-      case None => ()
-    }
-
-    val merged = current
-      .join(deadKeys, current(keyCol).cast("string") === deadKeys("key"), "left_anti")
-      .unionByName(upserts)
-
-    // Parquet overwrite of the read path requires a materialization barrier:
-    // stage to a temp dir, then swap. The swap is crash-recoverable: live is
-    // renamed aside to `_bak_<table>` (atomic), the staged dir renamed in,
-    // then the backup dropped — at no point is the table unrecoverable, and
-    // [[recoverSwap]] repairs any window a crash can hit. On HDFS all steps
-    // are metadata renames.
-    val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val livePath = new Path(target.dbPath(db), table)
-    val tmpPath = new Path(target.dbPath(db), s"_tmp_$table")
-    val bakPath = new Path(target.dbPath(db), s"_bak_$table")
-    merged.write.mode("overwrite").parquet(tmpPath.toString)
-    fs.delete(bakPath, true) // stale leftover from an earlier completed swap
-    if (!fs.rename(livePath, bakPath))
-      throw new IllegalStateException(s"backup rename failed for $db.$table")
-    CrashHooks.betweenSwapRenames() // fault injection: the swap's worst window
-    if (!fs.rename(tmpPath, livePath)) {
-      fs.rename(bakPath, livePath) // restore before failing
-      throw new IllegalStateException(s"merge swap failed for $db.$table")
-    }
-    fs.delete(bakPath, true)
-  }
-
-  /** Partition-scoped merge for a table laid out `partCol=value/`: rewrite
-    * ONLY the partitions the delta touches. At 100 TB this is the load-path
-    * optimization that matters most — a date-partitioned fact with a
-    * recent-date delta rewrites a bounded slice per batch instead of the
-    * whole table.
-    *
-    * Affected set = partitions where upserts land (payload value) ∪
-    * partitions currently holding a dead key (a column-pruned key+partition
-    * scan — parquet reads two columns). The affected VALUES come to the
-    * driver, but that list is bounded by the delta's partition spread
-    * (control-plane sized, like the touched-table list); row data never
-    * leaves executors. The staged slice swaps in per partition dir — each
-    * `col=value` dir is its own crash-recoverable swap unit
-    * ([[recoverSwap]] repairs partition-level backups).
-    */
-  private def mergePartitions(db: String, table: String, partCol: String,
-                              current: DataFrame, keyCol: String,
-                              upserts: DataFrame, deadKeys: DataFrame): Unit = {
-    // Partition values are collected AS SPARK RENDERS THEM (cast to
-    // string), not via JVM toString: partition type inference can read a
-    // date-like dir back as TimestampType, whose java.sql.Timestamp
-    // toString ("… 00:00:00.0") differs from the dir's value string —
-    // Spark's own cast is the same rendering the writer used for the dir.
-    def strVals(df: DataFrame): Array[String] =
-      df.distinct().collect().map(r => if (r.isNullAt(0)) null else r.getString(0))
-    val upVals = strVals(upserts.select(col(partCol).cast("string")))
-    // An upsert without the partition column has no home partition — that is
-    // a malformed payload, not a skippable row (silently dropping it would
-    // commit the watermark past lost data, like the missing-table case).
-    if (upVals.contains(null))
-      throw new NonRetryableException(
-        s"upsert payload for partitioned table $db.$table lacks $partCol")
-    val deadVals = strVals(
-      current.select(col(keyCol).cast("string").as("_k"), col(partCol))
-        .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
-        .select(col(partCol).cast("string")))
-    val affected = (upVals ++ deadVals).distinct.filter(_ != null).toIndexedSeq
-    if (affected.isEmpty) return
-
-    val slice = current.filter(col(partCol).cast("string").isin(affected: _*))
-    val merged = slice
-      .join(deadKeys, slice(keyCol).cast("string") === deadKeys("key"), "left_anti")
-      .unionByName(upserts.filter(col(partCol).cast("string").isin(affected: _*)))
-
-    val fs = target.dbPath(db).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val livePath = new Path(target.dbPath(db), table)
-    val tmpPath = new Path(target.dbPath(db), s"_tmp_$table")
-    val bakPath = new Path(target.dbPath(db), s"_bak_$table")
-    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
-    fs.delete(bakPath, true)
-    fs.mkdirs(bakPath)
-    // Swap each affected partition dir: live aside to bak (if present), then
-    // staged in (if present — a fully-deleted partition has no staged dir
-    // and simply disappears). Dir NAMES are taken from the dirs Spark
-    // actually wrote (and the live layout), never reconstructed from raw
-    // values — Spark percent-escapes special characters in partition dirs
-    // (space, colon, %, …), so a `s"$partCol=$v"` rebuild would miss those
-    // dirs and silently skip the partition. Values are matched by their
-    // unescaped dir string; an affected value resolving to NO staged or
-    // live dir is a refused invariant violation, not a skip.
-    def dirsByValue(base: Path): Map[String, Path] =
-      if (!fs.exists(base)) Map.empty
-      else fs.listStatus(base).filter(_.isDirectory).map(_.getPath)
-        .filter(_.getName.startsWith(partCol + "="))
-        .map(p => PartitionPaths.unescape(p.getName.drop(partCol.length + 1)) -> p)
-        .toMap
-    val tmpDirs = dirsByValue(tmpPath)
-    val liveDirs = dirsByValue(livePath)
-    affected.foreach { vStr =>
-      val tmpDir = tmpDirs.get(vStr)
-      val liveDir = liveDirs.get(vStr)
-      if (tmpDir.isEmpty && liveDir.isEmpty)
-        throw new NonRetryableException(
-          s"partition $partCol=$vStr of $db.$table resolves to no staged or " +
-          "live dir — refusing silent skip (dir-name/value mismatch)")
-      val dirName = tmpDir.orElse(liveDir).get.getName
-      liveDir.foreach { ld =>
-        if (!fs.rename(ld, new Path(bakPath, dirName)))
-          throw new IllegalStateException(
-            s"partition backup rename failed for $db.$table/$dirName")
-      }
-      tmpDir.foreach { td =>
-        if (!fs.rename(td, new Path(livePath, dirName)))
-          throw new IllegalStateException(
-            s"partition swap failed for $db.$table/$dirName")
-      }
-    }
-    fs.delete(bakPath, true)
-    fs.delete(tmpPath, true)
+    target.mergeDml(db, table, upserts, deadKeys)
   }
 }
 
@@ -444,7 +304,7 @@ final case class Load(spark: SparkSession, target: DbCatalog, cfg: ReplConfig) {
   * the kill-9 crash spec's forked victim JVM installs a hook that parks the
   * process inside the merge swap's vulnerable window (live renamed aside,
   * staged dir not yet landed) so the parent can SIGKILL it there and prove
-  * [[Load.recoverSwap]] + retry converge from the worst possible state.
+  * [[DbCatalog.repairTable]] + retry converge from the worst possible state.
   */
 private[repl] object CrashHooks {
   @volatile var betweenSwapRenames: () => Unit = () => ()

@@ -18,11 +18,10 @@ import org.apache.spark.sql.functions._
 final case class ReplicationJob(
     spark: SparkSession,
     source: ReplSource,
-    target: DbCatalog,
+    target: ReplTarget,
     dumpRoot: String,
     cfg: ReplConfig) {
 
-  private val meta = MetadataStore(spark, target.root)
   private val dumper = Dump(spark, source, dumpRoot, cfg)
   private val loader = Load(spark, target, cfg)
 
@@ -32,7 +31,7 @@ final case class ReplicationJob(
     * the bash arithmetic version is wrong vs real numEvents).
     */
   def pendingEvents(db: String): Long = {
-    val wm = meta.watermark(db).getOrElse(0L)
+    val wm = target.watermark(db).getOrElse(0L)
     source.readEventsAfter(db, wm).count()
   }
 
@@ -48,18 +47,18 @@ final case class ReplicationJob(
     val lock = Locks.acquire(fs, new Path(dumpRoot, s"$db/run.lock"),
       java.util.UUID.randomUUID().toString, cfg.lockStaleMs)
     try {
-      val priorId = meta.watermark(db) // REPL STATUS (None = never replicated)
+      val priorId = target.watermark(db) // REPL STATUS (None = never replicated)
       val dump = priorId match {
         case None     => dumper.bootstrap(db)
         case Some(id) => dumper.incremental(db, id)
       }
       lock.refresh() // heartbeat between the dump and load phases
-      val (manifest, attempts) = loader.replay(dump.path, meta)
-      val postId = meta.watermark(db)
+      val (manifest, attempts) = loader.replay(dump.path)
+      val postId = target.watermark(db)
       val verify = VerifyResult.of(postId, dump.txnId, priorId)
       val report = RunReport(db, manifest.kind.name, manifest.fromId, manifest.toId,
         attempts, verify.name, (System.nanoTime() - t0) / 1000000L)
-      meta.logRun(report)
+      target.logRun(report)
       report
     } finally lock.release()
   }

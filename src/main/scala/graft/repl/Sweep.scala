@@ -27,7 +27,7 @@ import org.apache.spark.sql.SparkSession
   *     scan of `_repl_metadata/<db>/runs/`.
   */
 final case class Sweep(spark: SparkSession, source: ReplSource,
-                       target: DbCatalog, dumpRoot: String, cfg: ReplConfig) {
+                       target: ReplTarget, dumpRoot: String, cfg: ReplConfig) {
 
   /** Outcome of one db within a sweep: exactly one of `report` (ran),
     * `skipped` (lock busy elsewhere), or `error` is populated.

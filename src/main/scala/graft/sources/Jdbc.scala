@@ -31,11 +31,17 @@ object Jdbc {
            props: Properties = new Properties()): DataFrame =
     spark.read.jdbc(url, table, props)
 
-  /** Parallel batched write. */
+  /** Parallel batched write. `colTypes` (Spark's `createTableColumnTypes`
+    * form: `"name VARCHAR(128), score DOUBLE"`) overrides the dialect's
+    * default column DDL for created tables — e.g. comparable VARCHAR
+    * instead of Derby's CLOB default for strings.
+    */
   def write(df: DataFrame, url: String, table: String,
             mode: String = "overwrite", batchSize: Int = 1000,
-            props: Properties = new Properties()): Unit = {
+            props: Properties = new Properties(),
+            colTypes: Option[String] = None): Unit = {
     props.setProperty("batchsize", batchSize.toString)
+    colTypes.foreach(props.setProperty("createTableColumnTypes", _))
     df.write.mode(mode).jdbc(url, table, props)
   }
 }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import graft.repl.{DbCatalog, Load, MetadataStore, ReplConfig}
+import graft.repl.{DbCatalog, Load, ReplConfig, ReplTarget}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
@@ -24,15 +24,14 @@ object StreamingReplication {
   /** One micro-batch application: merge the batch's events into the target
     * and advance the watermark. Public for direct use in foreachBatch.
     */
-  def applyBatch(spark: SparkSession, target: DbCatalog, db: String,
+  def applyBatch(spark: SparkSession, target: ReplTarget, db: String,
                  batch: DataFrame): Unit = {
-    val meta = MetadataStore(spark, target.root)
-    val loader = Load(spark, target, ReplConfig(dumpRoot = target.root))
+    val loader = Load(spark, target, ReplConfig(dumpRoot = ""))
     loader.applyEvents(db, batch)
     val maxId = batch.agg(max("event_id")).head()
     if (!maxId.isNullAt(0)) {
       val id = maxId.getLong(0)
-      if (meta.watermark(db).forall(_ < id)) meta.commitWatermark(db, id)
+      if (target.watermark(db).forall(_ < id)) target.commitWatermark(db, id)
     }
   }
 
@@ -68,15 +67,14 @@ object StreamingReplication {
     * rows are ignored. Offsets live in the watermark, not the checkpoint.)
     */
   def replicatePolled(spark: SparkSession, source: graft.repl.ReplSource,
-                      target: DbCatalog, db: String, checkpointDir: String,
+                      target: ReplTarget, db: String, checkpointDir: String,
                       oneShot: Boolean = true,
                       pollInterval: String = "10 seconds"): StreamingQuery = {
     val ticks = spark.readStream.format("rate").option("rowsPerSecond", "1").load()
     val writer = ticks.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (_: DataFrame, _: Long) =>
-        val meta = MetadataStore(spark, target.root)
-        val wm = meta.watermark(db).getOrElse(0L)
+        val wm = target.watermark(db).getOrElse(0L)
         // PIN the delta before applying: the merge reads its event frame
         // several times (DDL scan, touched-table list, per-table DML), and
         // re-running those against a LIVE remote table would see different

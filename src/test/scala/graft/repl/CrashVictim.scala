@@ -24,9 +24,8 @@ object CrashVictim {
       Thread.sleep(600000) // park: the parent kill -9s us here
     }
     val target = DbCatalog(spark, s"$root/tgt")
-    val meta = MetadataStore(spark, target.root)
     Load(spark, target,
       ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10, incrRerun = 1))
-      .replay(dumpPath, meta)
+      .replay(dumpPath)
   }
 }

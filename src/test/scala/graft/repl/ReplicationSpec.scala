@@ -120,12 +120,12 @@ class ReplicationSpec extends SparkSpec {
     source.appendEvents("dbo", Seq(Event("nation", OpUpsert, "26",
       """{"n_nationkey":26,"n_name":"B","n_regionkey":1}""")))
     val d2 = dumper.incremental("dbo", d1.txnId)
-    val e = intercept[IllegalStateException] { loader.replay(d2.path, meta) }
+    val e = intercept[IllegalStateException] { loader.replay(d2.path) }
     assert(e.getMessage.contains("out-of-order"), e.getMessage)
     assert(meta.watermark("dbo").contains(w0)) // untouched
     // applying in order still works and converges: both upserts land
-    loader.replay(d1.path, meta)
-    loader.replay(d2.path, meta)
+    loader.replay(d1.path)
+    loader.replay(d2.path)
     val keys = target.readTable("dbo", "nation").collect()
       .map(_.get(0).toString.toLong).toSet
     assert(keys.contains(25L) && keys.contains(26L), keys.toSeq.sorted)
@@ -178,9 +178,9 @@ class ReplicationSpec extends SparkSpec {
     val dump = Dump(spark, source, s"$root/dumps", cfg).incremental("db4", 0L)
     val loader = Load(spark, target, cfg)
     val meta = MetadataStore(spark, target.root)
-    loader.replay(dump.path, meta)
+    loader.replay(dump.path)
     val once = rowSet(target.readTable("db4", "region"))
-    loader.replay(dump.path, meta) // replay same dump again
+    loader.replay(dump.path) // replay same dump again
     val twice = rowSet(target.readTable("db4", "region"))
     assert(once == twice)
     assert(once.exists(_.contains("ASIA-v2")))
@@ -480,7 +480,7 @@ class ReplicationSpec extends SparkSpec {
     val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
     val loader = Load(spark, target, cfg)
     val meta = MetadataStore(spark, target.root)
-    intercept[Exception](loader.replay(dead.toString, meta))
+    intercept[Exception](loader.replay(dead.toString))
     assert(meta.watermark("db11").isEmpty) // nothing committed
     val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
     assert(job.run("db11").verify == "SUCCESS")
@@ -497,17 +497,17 @@ class ReplicationSpec extends SparkSpec {
     source.appendEvents("db12", Seq(
       Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-v1"}""")))
     val d1 = Dump(spark, source, s"$root/dumps", cfg).incremental("db12", 0L)
-    loader.replay(d1.path, meta)
+    loader.replay(d1.path)
     val wm1 = meta.watermark("db12").get
     source.appendEvents("db12", Seq(
       Event("region", OpUpsert, "2", """{"r_regionkey":2,"r_name":"ASIA-v2"}""")))
     val d2 = Dump(spark, source, s"$root/dumps", cfg).incremental("db12", wm1)
-    loader.replay(d2.path, meta)
+    loader.replay(d2.path)
     val wm2 = meta.watermark("db12").get
     assert(wm2 > wm1)
     // Re-applying the STALE d1 must not overwrite v2 with the old v1
     // payload, and must not regress the watermark to d1.toId.
-    val (_, attempts) = loader.replay(d1.path, meta)
+    val (_, attempts) = loader.replay(d1.path)
     assert(attempts == 0) // skipped, not replayed
     assert(meta.watermark("db12").contains(wm2))
     assert(rowSet(target.readTable("db12", "region")).exists(_.contains("ASIA-v2")))
@@ -737,7 +737,7 @@ class ReplicationSpec extends SparkSpec {
     // convention instead of silently dropping the re-sync
     val m = Dump.readManifest(spark, d.path)
     assert(m.externalTables == Seq("ext_logs"))
-    Load(spark, target, cfg).replay(d.path, meta)
+    Load(spark, target, cfg).replay(d.path)
     assert(Files.readString(Paths.get(s"$root/tgt/edbm/ext_logs/p0.txt")) == "m2")
   }
 }
