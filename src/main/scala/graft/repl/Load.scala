@@ -41,7 +41,11 @@ final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) 
     * loads do not retry (`hive3repl.sh:99-100`). The watermark lives AT the
     * target ([[ReplTarget.watermark]]) and commits LAST.
     */
-  def replay(dumpPath: String): (DumpManifest, Int) = {
+  def replay(dumpPathRaw: String): (DumpManifest, Int) = {
+    // Cross-namespace addressing: the dump lives on the SOURCE cluster's
+    // filesystem; qualify its path with cfg.sourcePathPrefix before any
+    // read (reference `SOURCE_HDFS_PREFIX`, `beeline_functions.sh:195-196`).
+    val dumpPath = sourceQualified(dumpPathRaw)
     val m = Dump.readManifest(spark, dumpPath)
     // Ordering guard: an incremental delta must START at the replica's
     // current watermark. Applying a later dump first would commit its toId
@@ -156,8 +160,24 @@ final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) 
     * without a file plane cannot host external tables — refused loudly, not
     * silently skipped (watermark-over-lost-data).
     */
+  /** Qualify a source-cluster path with `cfg.sourcePathPrefix`. Already-
+    * prefixed paths pass through; a path qualified for a DIFFERENT
+    * filesystem is refused loudly — blindly concatenating (what the
+    * reference's bash does) would produce a path on the wrong cluster.
+    */
+  private[repl] def sourceQualified(path: String): String = {
+    val prefix = cfg.sourcePathPrefix
+    if (prefix.isEmpty || path.startsWith(prefix)) return path
+    val scheme = try new java.net.URI(path).getScheme catch { case _: Exception => null }
+    if (scheme != null)
+      throw new IllegalArgumentException(
+        s"source path $path already carries filesystem qualifier '$scheme:' — " +
+        s"refusing to prepend sourcePathPrefix '$prefix' (mis-prefixed dump)")
+    prefix + path
+  }
+
   private def syncExternal(m: DumpManifest, table: String): Unit = {
-    val from = new Path(m.sourceDbPath, table).toString
+    val from = sourceQualified(new Path(m.sourceDbPath, table).toString)
     val to = target.extTablePath(m.db, table).getOrElse(
       throw new NonRetryableException(
         s"dump for ${m.db} carries external table $table but the target " +

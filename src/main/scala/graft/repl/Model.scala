@@ -96,7 +96,24 @@ final case class ReplConfig(
       * when on, a digest mismatch fails the sync BEFORE the watermark can
       * commit over a corrupt replica. Off by default, like distcp's.
       */
-    extVerify: Boolean = false)
+    extVerify: Boolean = false,
+    /** URI prefix of the SOURCE cluster's filesystem as seen FROM the
+      * target — the reference's `SOURCE_HDFS_PREFIX` (`env.sh:18`,
+      * prepended to dump paths so the target cluster's `REPL LOAD` reads
+      * the source cluster's HDFS, `beeline_functions.sh:195-196`). Applied
+      * at LOAD time to the dump path and the manifest's source db path
+      * (external-table syncs). Empty = both ends share one namespace. A
+      * path that already carries a different filesystem qualifier is
+      * refused loudly ([[Load.sourceQualified]]) — blind concatenation
+      * would silently read the wrong cluster.
+      */
+    sourcePathPrefix: String = "",
+    /** Max databases replicating at once within one [[Sweep]] — the bound
+      * a cron fleet gets implicitly from its scheduler slots. A 500-db
+      * allowlist must not open 500 concurrent dump/load chains against the
+      * endpoints.
+      */
+    sweepMaxConcurrent: Int = 4)
 
 /** One replication run's outcome, appended to the engine run log. */
 final case class RunReport(

@@ -15,9 +15,14 @@ import scala.concurrent.duration.Duration
 object Parallel {
   private val MaxConcurrentJobs = 8
 
-  def foreach[A](items: Seq[A])(body: A => Unit): Unit = {
+  /** Run `body` over `items` on at most `maxConcurrent` threads (the pool
+    * size IS the bound — excess items queue on the executor).
+    */
+  def foreach[A](items: Seq[A],
+                 maxConcurrent: Int = MaxConcurrentJobs)(body: A => Unit): Unit = {
     if (items.size <= 1) { items.foreach(body); return }
-    val pool = Executors.newFixedThreadPool(math.min(MaxConcurrentJobs, items.size))
+    val pool = Executors.newFixedThreadPool(
+      math.max(1, math.min(maxConcurrent, items.size)))
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
     try
       Await.result(Future.sequence(items.map(a => Future(body(a)))), Duration.Inf)

@@ -49,7 +49,12 @@ final case class Sweep(spark: SparkSession, source: ReplSource,
     // allowlist filtering is a BENIGN skip, exactly like a held lock:
     // skipped=true, no error — callers branch on error presence alone
     blocked.foreach(db => out.put(db, Outcome(db, None, skipped = true, None)))
-    Parallel.foreach(allowed) { db =>
+    // Bounded concurrency (cfg.sweepMaxConcurrent): each in-flight db is a
+    // full dump+load chain holding endpoint connections and driver-side
+    // job slots — a large allowlist queues behind the bound instead of
+    // opening hundreds of concurrent chains (the implicit bound a cron
+    // fleet gets from its scheduler slots).
+    Parallel.foreach(allowed, cfg.sweepMaxConcurrent) { db =>
       val o =
         try Outcome(db, Some(job.run(db)), skipped = false, None)
         catch {
@@ -61,5 +66,29 @@ final case class Sweep(spark: SparkSession, source: ReplSource,
       out.put(db, o)
     }
     uniq.map(out.get) // one Outcome per distinct db, in input order
+  }
+
+  /** CONTINUOUS multi-db replication from one session: every allowlisted
+    * db gets an always-on polled stream ([[graft.streaming
+    * .StreamingReplication.replicatePolled]]) pulling `event_id >
+    * watermark` from the source each trigger — the engine's replacement
+    * for the reference's per-db cron fleet (`README.md:58-62`) when "every
+    * N minutes" should be "continuously". Databases must be bootstrapped
+    * first (one [[run]] sweep does it); the polled stream then keeps each
+    * watermark converged. Returns the started queries in db order —
+    * callers own their lifecycle (awaitTermination/stop). One-shot mode
+    * drains every db once and terminates (cron catch-up / tests).
+    */
+  def runPolled(dbs: Seq[String], checkpointRoot: String,
+                oneShot: Boolean = true,
+                pollInterval: String = "10 seconds")
+      : Seq[org.apache.spark.sql.streaming.StreamingQuery] = {
+    val allowed = dbs.distinct.filter(db =>
+      cfg.dbAllowlist.isEmpty || cfg.dbAllowlist.contains(db))
+    allowed.map { db =>
+      graft.streaming.StreamingReplication.replicatePolled(
+        spark, source, target, db, s"$checkpointRoot/$db",
+        oneShot = oneShot, pollInterval = pollInterval)
+    }
   }
 }

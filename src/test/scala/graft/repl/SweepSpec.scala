@@ -81,6 +81,85 @@ class SweepSpec extends SparkSpec {
     assert(out2.head.report.exists(_.verify == "SUCCESS"))
   }
 
+  /** Delegating source that gauges how many dbs are inside [[ReplicationJob
+    * .run]] at once (the `dbExists` probe runs once at the start of every
+    * run; the sleep widens the window so true concurrency is observable).
+    */
+  private class GaugedSource(inner: DbCatalog,
+                             active: java.util.concurrent.atomic.AtomicInteger,
+                             maxSeen: java.util.concurrent.atomic.AtomicInteger)
+      extends ReplSource {
+    override def dbExists(db: String): Boolean = {
+      val now = active.incrementAndGet()
+      maxSeen.updateAndGet(m => math.max(m, now))
+      try { Thread.sleep(250); inner.dbExists(db) }
+      finally active.decrementAndGet()
+    }
+    override def listTables(db: String): Seq[String] = inner.listTables(db)
+    override def isExternal(table: String): Boolean = inner.isExternal(table)
+    override def currentTxnId(db: String): Long = inner.currentTxnId(db)
+    override def readTable(db: String, table: String) = inner.readTable(db, table)
+    override def partitionSpec(db: String, table: String) = inner.partitionSpec(db, table)
+    override def readEventsAfter(db: String, fromId: Long) = inner.readEventsAfter(db, fromId)
+    override def listViews(db: String): Seq[String] = inner.listViews(db)
+    override def viewSql(db: String, name: String) = inner.viewSql(db, name)
+    override def sourceDbPath(db: String): String = inner.sourceDbPath(db)
+  }
+
+  test("sweepMaxConcurrent bounds how many dbs replicate at once") {
+    import java.util.concurrent.atomic.AtomicInteger
+    val (root, source, target) = world()
+    val dbs = Seq("swc1", "swc2", "swc3", "swc4")
+    dbs.foreach(seed(source, _))
+
+    // unbounded-ish control first: with the bound at the db count, the
+    // gauge must actually SEE overlap (proves the probe detects concurrency)
+    val (active1, max1) = (new AtomicInteger, new AtomicInteger)
+    val wide = Sweep(spark, new GaugedSource(source, active1, max1), target,
+      s"$root/dumps", ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10,
+        sweepMaxConcurrent = 4))
+    assert(wide.run(dbs).forall(_.report.exists(_.verify == "SUCCESS")))
+    assert(max1.get >= 3, s"gauge saw only ${max1.get} concurrent dbs")
+
+    // bounded run: never more than 2 in flight, same outcomes
+    val (active2, max2) = (new AtomicInteger, new AtomicInteger)
+    val bounded = Sweep(spark, new GaugedSource(source, active2, max2), target,
+      s"$root/dumps", ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10,
+        sweepMaxConcurrent = 2))
+    assert(bounded.run(dbs).forall(_.report.exists(_.verify == "NOOP")))
+    assert(max2.get <= 2, s"bound violated: ${max2.get} concurrent dbs")
+  }
+
+  test("polled sweep: an allowlist replicates continuously from one session") {
+    import DbCatalog._
+    val (root, source, target) = world()
+    val dbs = Seq("swp1", "swp2")
+    dbs.foreach(seed(source, _))
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10)
+    val sweep = Sweep(spark, source, target, s"$root/dumps", cfg)
+    // bootstrap pass, then both change logs grow
+    assert(sweep.run(dbs).forall(_.report.exists(_.verify == "SUCCESS")))
+    source.appendEvents("swp1", Seq(
+      Event("region", OpUpsert, "0", """{"r_regionkey":0,"r_name":"P1"}""")))
+    source.appendEvents("swp2", Seq(
+      Event("region", OpUpsert, "1", """{"r_regionkey":1,"r_name":"P2"}"""),
+      Event("region", OpDelete, "2", null)))
+
+    // one polled pass over the whole allowlist from one session
+    val queries = sweep.runPolled(dbs, s"$root/ckpt")
+    queries.foreach { q => q.awaitTermination(60000); q.stop() }
+
+    assert(target.readTable("swp1", "region")
+      .where(col("r_name") === "P1").count() == 1)
+    val r2 = target.readTable("swp2", "region")
+    assert(r2.where(col("r_name") === "P2").count() == 1)
+    assert(r2.where(col("r_regionkey") === 2).isEmpty)
+    // both watermarks converged to their source txn ids
+    dbs.foreach { db =>
+      assert(target.watermark(db).contains(source.currentTxnId(db)), db)
+    }
+  }
+
   test("allowlist filters sweep targets") {
     val (root, source, target) = world()
     Seq("swp", "swq").foreach(seed(source, _))
