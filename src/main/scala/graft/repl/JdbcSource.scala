@@ -31,7 +31,9 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   * (Derby: `SYS.SYSVIEWS`); endpoints that don't simply replicate tables.
   */
 final case class JdbcSource(spark: SparkSession, url: String,
-                            numPartitions: Int = 8) extends ReplSource {
+                            numPartitions: Int = 8,
+                            connProps: Map[String, String] = Map.empty)
+    extends ReplSource {
 
   // Embedded '"' doubles per the SQL standard — qt() output is interpolated
   // into executed SQL, so an unescaped quote in a db/table name would
@@ -39,8 +41,19 @@ final case class JdbcSource(spark: SparkSession, url: String,
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
   private def qt(db: String, table: String): String = s"${q(db)}.${q(table)}"
 
+  /** Credential/connection properties (`user`/`password`/driver knobs) —
+    * the engine's form of the reference's authenticated beeline endpoint
+    * (`BEELINE_USER`, `/root/reference/env.sh:21`). Applied to BOTH the
+    * control-plane connections and Spark's distributed JDBC scans.
+    */
+  private def props: java.util.Properties = {
+    val p = new java.util.Properties()
+    connProps.foreach { case (k, v) => p.setProperty(k, v) }
+    p
+  }
+
   private def withConn[A](body: Connection => A): A = {
-    val c = DriverManager.getConnection(url)
+    val c = DriverManager.getConnection(url, props)
     try body(c) finally c.close()
   }
 
@@ -83,7 +96,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
     * (small dimension tables).
     */
   override def readTable(db: String, table: String): DataFrame = {
-    val probe = graft.sources.Jdbc.read(spark, url, qt(db, table))
+    val probe = graft.sources.Jdbc.read(spark, url, qt(db, table), props)
     val key = probe.schema.fields.head
     val integral = key.dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
@@ -104,7 +117,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
     bounds match {
       case Some((lo, hi)) if hi > lo =>
         graft.sources.Jdbc.readPartitioned(spark, url, qt(db, table),
-          key.name, lo, hi, numPartitions)
+          key.name, lo, hi, numPartitions, props)
       case _ => probe
     }
   }
@@ -116,7 +129,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
     * `PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,…)]`).
     */
   override def readEventsAfter(db: String, fromId: Long): DataFrame =
-    graft.sources.Jdbc.read(spark, url, qt(db, DbCatalog.EventsTable))
+    graft.sources.Jdbc.read(spark, url, qt(db, DbCatalog.EventsTable), props)
       .filter(col("event_id") > fromId)
 
   override def listViews(db: String): Seq[String] = listObjects(db, "VIEW")

@@ -113,7 +113,19 @@ final case class ReplConfig(
       * allowlist must not open 500 concurrent dump/load chains against the
       * endpoints.
       */
-    sweepMaxConcurrent: Int = 4)
+    sweepMaxConcurrent: Int = 4,
+    /** Auto-compaction of a file-catalog SOURCE's event log after a
+      * verified cycle ([[Maintenance]]): compact when the log holds more
+      * than this factor × its estimated compacted size. 0 (default) = off.
+      */
+    autoCompactFactor: Double = 0.0,
+    /** Auto-retention after a verified cycle: purge source events at or
+      * below THIS replica's committed watermark. Correct for SINGLE-replica
+      * deployments only — a fleet must compute the min watermark across
+      * replicas and call [[Maintenance.run]] itself (purging past a lagging
+      * replica's watermark would strand it).
+      */
+    autoPurge: Boolean = false)
 
 /** One replication run's outcome, appended to the engine run log. */
 final case class RunReport(

@@ -59,7 +59,29 @@ final case class ReplicationJob(
       val report = RunReport(db, manifest.kind.name, manifest.fromId, manifest.toId,
         attempts, verify.name, (System.nanoTime() - t0) / 1000000L)
       target.logRun(report)
+      maintain(db, verify, postId)
       report
     } finally lock.release()
+  }
+
+  /** Post-success source-log maintenance ([[Maintenance]]): runs only for a
+    * file-catalog source (a remote JDBC source owns its log), only after a
+    * verified cycle, and under the db's dump lock so no concurrent dump
+    * reads the log mid-rewrite (the run lock, already held, covers this
+    * engine instance; the dump lock covers others on a shared dump root).
+    */
+  private def maintain(db: String, verify: VerifyResult, postId: Option[Long]): Unit = {
+    if (cfg.autoCompactFactor <= 0 && !cfg.autoPurge) return
+    if (verify != VerifyResult.Success && verify != VerifyResult.NoOp) return
+    source match {
+      case dc: DbCatalog =>
+        val fs = new Path(dumpRoot).getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val lock = Locks.acquire(fs, new Path(dumpRoot, s"$db/dump.lock"),
+          java.util.UUID.randomUUID().toString, cfg.lockStaleMs)
+        try Maintenance.run(dc, db, cfg.autoCompactFactor,
+          if (cfg.autoPurge) postId else None)
+        finally lock.release()
+      case _ => ()
+    }
   }
 }

@@ -79,6 +79,77 @@ class CompactionSpec extends SparkSpec {
     assert(b2 == a2)
   }
 
+  test("auto-compaction policy runs through the job and preserves replay equivalence") {
+    import DbCatalog._
+    val root = java.nio.file.Files.createTempDirectory("graft-autoc").toString
+    val source = DbCatalog(spark, s"$root/src")
+    source.createDb("dba")
+    source.writeTable("dba", "region", spark.read.parquet(s"${sf()}/region.parquet"))
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10,
+      autoCompactFactor = 2.0)
+    val target = DbCatalog(spark, s"$root/tgt")
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    job.run("dba") // bootstrap — empty log, no compaction work
+    // a second replica bootstrapped at the SAME watermark: it will replay
+    // the auto-compacted log later — the equivalence witness
+    val targetB = DbCatalog(spark, s"$root/tgtB")
+    val jobB = ReplicationJob(spark, source, targetB, s"$root/dumpsB",
+      ReplConfig(dumpRoot = s"$root/dumpsB", rerunSleepMs = 10))
+    jobB.run("dba")
+
+    // 120 events over 3 live keys: far past factor 2 × estimated net size
+    source.appendEvents("dba", (1 to 120).map { i =>
+      Event("region", OpUpsert, (i % 3).toString,
+        s"""{"r_regionkey":${i % 3},"r_name":"V$i"}""")
+    })
+    val txn = source.currentTxnId("dba")
+    assert(job.run("dba").verify == "SUCCESS")
+    // the cycle compacted the source log to its net effect automatically
+    val after = source.readEvents("dba").count()
+    assert(after <= 3, s"auto-compaction left $after events")
+    assert(source.currentTxnId("dba") == txn) // txn counter intact
+
+    // steady state: a below-threshold log is scanned, not rewritten
+    source.appendEvents("dba", Seq(
+      Event("region", OpUpsert, "4", """{"r_regionkey":4,"r_name":"W"}""")))
+    assert(job.run("dba").verify == "SUCCESS")
+    assert(source.readEvents("dba").count() == after + 1)
+
+    // replay equivalence: the second replica catches up by replaying the
+    // AUTO-COMPACTED log and lands byte-identical to the replica that saw
+    // the full history
+    assert(jobB.run("dba").verify == "SUCCESS")
+    assert(rowSet(targetB.readTable("dba", "region")) ==
+      rowSet(target.readTable("dba", "region")))
+  }
+
+  test("auto-purge drops history below the replica watermark after each cycle") {
+    import DbCatalog._
+    val root = java.nio.file.Files.createTempDirectory("graft-autop").toString
+    val source = DbCatalog(spark, s"$root/src")
+    source.createDb("dbq")
+    source.writeTable("dbq", "region", spark.read.parquet(s"${sf()}/region.parquet"))
+    val cfg = ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 10,
+      autoPurge = true)
+    val target = DbCatalog(spark, s"$root/tgt")
+    val job = ReplicationJob(spark, source, target, s"$root/dumps", cfg)
+    job.run("dbq")
+    source.appendEvents("dbq", (1 to 20).map { i =>
+      Event("region", OpUpsert, (i % 5).toString,
+        s"""{"r_regionkey":${i % 5},"r_name":"P$i"}""")
+    })
+    assert(job.run("dbq").verify == "SUCCESS")
+    // everything below the committed watermark is gone; the newest event
+    // (the txn counter) survives by contract
+    assert(source.readEvents("dbq").count() == 1)
+    assert(source.currentTxnId("dbq") == 20L)
+    // later cycles are unaffected: new events replicate, counter advances
+    source.appendEvents("dbq", Seq(
+      Event("region", OpUpsert, "9", """{"r_regionkey":9,"r_name":"TAIL"}""")))
+    assert(job.run("dbq").verify == "SUCCESS")
+    assert(rowSet(target.readTable("dbq", "region")).exists(_.contains("TAIL")))
+  }
+
   test("retention purges replayed history but refuses to behead the txn counter") {
     val root = java.nio.file.Files.createTempDirectory("graft-purge").toString
     val source = DbCatalog(spark, s"$root/src")
