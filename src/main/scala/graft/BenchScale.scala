@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Three-point scale study: times the bucketed operator family (the
+  * operators the 100 TB linearity claims rest on) at 1×, ~10× and ~30×
+  * data in ONE session, and FITS a growth exponent per query — two points
+  * give a ratio, three give a slope and a check that the slope is stable
+  * (a super-linear operator bends UP between the second and third point;
+  * a ratio alone cannot see the bend).
+  *
+  * Exponent = least-squares slope of ln(time) vs ln(scale). Fixed per-job
+  * overhead (~0.3 s of scheduling at every scale) biases the fit DOWN at
+  * small times, so per-leg exponents are reported too; the claim to hold
+  * is exponent ≲ 1.2 on the big legs.
+  *
+  * Family — every row uses the SCALED parameters a corpus of that size
+  * would actually run ([[operators.Dedup.dfCapFor]]: shingle-df cap ∝
+  * corpus; KNN cells ∝ n, constant expected cell size). The oracle-exact
+  * fixed parameters are deliberately not scale-free (see BENCH_sf1.md).
+  *
+  * Usage: BenchScale <dir1x> <dir10x> <dir30x> [out.json]
+  */
+object BenchScale {
+  def main(args: Array[String]): Unit = {
+    val dirs = args.take(3).toSeq
+    require(dirs.size == 3, "usage: BenchScale <dir1x> <dir10x> <dir30x> [out.json]")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime(); body; (System.nanoTime() - t0) / 1e9
+    }
+    def bestOf2(body: => Unit): Double = {
+      val a = time(body); spark.catalog.clearCache()
+      val b = time(body); spark.catalog.clearCache()
+      math.min(a, b)
+    }
+
+    import operators.{Dedup, Pipeline, Similarity}
+
+    /** The family at one scale point; `scale` drives the scaled parameters. */
+    def runAt(dir: String, scale: Int): Seq[(String, Double)] = {
+      val t = Tables(spark, dir)
+      val dfCap = Dedup.dfCapFor(t.documents.count())
+      def pairs() = Dedup.ngramJaccardPairs(
+        t.documents, "text", "doc_id", 3, 0.5, maxShingleDf = dfCap)
+      Seq(
+        "q27_minhash_lsh" -> bestOf2 {
+          Dedup.minhashLshPairs(t.documents, "text", "doc_id", 3, 0.5,
+            maxShingleDf = dfCap).count(); ()
+        },
+        "q49_dedup_clusters" -> bestOf2 {
+          Pipeline.connectedComponents(pairs()).count(); ()
+        },
+        "q56_corpus_dedup" -> bestOf2 {
+          val drop = Pipeline.connectedComponents(pairs())
+            .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
+          t.documents.join(broadcast(drop),
+            col("doc_id") === col("drop_doc"), "left_anti").count(); ()
+        },
+        "q85_pagerank" -> bestOf2 {
+          SparkEntry.queries("q85_pagerank")(spark, dir).count(); ()
+        },
+        "q86_knn_scaled_cells" -> bestOf2 {
+          Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
+            nCells = 16 * scale).count(); ()
+        })
+    }
+
+    def docs(dir: String): Long =
+      spark.read.parquet(s"$dir/documents.parquet").count()
+
+    val nDocs = dirs.map(docs)
+    val scales = nDocs.map(n => n.toDouble / nDocs.head)
+    // session warm-up against the smallest dir, untimed
+    runAt(dirs.head, 1)
+    val times: Seq[Map[String, Double]] =
+      dirs.zip(scales).map { case (d, s) => runAt(d, math.max(1, math.round(s).toInt)).toMap }
+
+    /** Least-squares slope of ln(t) vs ln(s) — the fitted growth exponent. */
+    def fit(ts: Seq[Double]): Double = {
+      val xs = scales.map(math.log)
+      val ys = ts.map(math.log)
+      val mx = xs.sum / xs.size; val my = ys.sum / ys.size
+      val num = xs.zip(ys).map { case (x, y) => (x - mx) * (y - my) }.sum
+      val den = xs.map(x => (x - mx) * (x - mx)).sum
+      num / den
+    }
+    /** Exponent of one leg i→j: ln(tj/ti) / ln(sj/si). */
+    def leg(ts: Seq[Double], i: Int, j: Int): Double =
+      math.log(ts(j) / ts(i)) / math.log(scales(j) / scales(i))
+
+    val names = times.head.keys.toSeq.sorted
+    val perQ = names.map { n =>
+      val ts = times.map(_(n))
+      f""""$n":{"secs":[${ts.map(t => f"$t%.2f").mkString(",")}],""" +
+      f""""exponent":${fit(ts)}%.2f,"leg_1_10":${leg(ts, 0, 1)}%.2f,""" +
+      f""""leg_10_30":${leg(ts, 1, 2)}%.2f}"""
+    }.mkString("{", ",", "}")
+    val host = try {
+      val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
+      s""","host":{"loadavg_1m":${load(0)},"loadavg_5m":${load(1)}}"""
+    } catch { case _: Throwable => "" }
+    val line =
+      s"""{"metric":"scale3","dirs":${dirs.map(d => s""""$d"""").mkString("[", ",", "]")},""" +
+      f""""docs":${nDocs.mkString("[", ",", "]")},""" +
+      f""""scales":[${scales.map(s => f"$s%.1f").mkString(",")}],"queries":$perQ$host}"""
+    println(line)
+    if (args.length > 3) {
+      val w = new java.io.PrintWriter(args(3)); try w.println(line) finally w.close()
+    }
+    spark.stop()
+  }
+}

@@ -69,7 +69,8 @@ object ReplMain {
       val body = o.report match {
         case Some(r) =>
           s""""kind":"${r.kind}","verify":"${r.verify}","fromId":${r.fromId},""" +
-          s""""toId":${r.toId},"attempts":${r.attempts},"durationMs":${r.durationMs}"""
+          s""""toId":${r.toId},"attempts":${r.attempts},"durationMs":${r.durationMs},""" +
+          s""""tables":${r.tablesJson}"""
         case None =>
           s""""skipped":${o.skipped},"error":${o.error.map(jstr).getOrElse("null")}"""
       }

@@ -282,25 +282,31 @@ final case class DbCatalog(spark: SparkSession, root: String)
     * are metadata renames.
     */
   override def mergeDml(db: String, table: String, upserts: DataFrame,
-                        deadKeys: DataFrame): Unit = {
+                        deadKeys: DataFrame): TableMergeStats = {
     val current = readTable(db, table)
     val keyCol = current.schema.fields.head.name
 
     partitionSpec(db, table) match {
       case Some(p) =>
-        mergePartitions(db, table, p, current, keyCol, upserts, deadKeys)
-        return
+        return mergePartitions(db, table, p, current, keyCol, upserts, deadKeys)
       case None => ()
     }
 
+    // Row count rides the rewrite's own job as a CollectMetrics node
+    // (`observe`) — observability never adds a scan to the merge.
+    val obs = new org.apache.spark.sql.Observation()
     val merged = current
       .join(deadKeys, current(keyCol).cast("string") === deadKeys("key"), "left_anti")
       .unionByName(upserts)
+      .observe(obs, count(lit(1)).as("rows"))
 
     val livePath = tablePath(db, table)
     val tmpPath = new Path(dbPath(db), s"_tmp_$table")
     val bakPath = new Path(dbPath(db), s"_bak_$table")
     merged.write.mode("overwrite").parquet(tmpPath.toString)
+    // Bytes from the staged dir's metadata (a namenode summary, not a data
+    // read) BEFORE the swap renames it live.
+    val bytes = fs.getContentSummary(tmpPath).getLength
     fs.delete(bakPath, true) // stale leftover from an earlier completed swap
     if (!fs.rename(livePath, bakPath))
       throw new IllegalStateException(s"backup rename failed for $db.$table")
@@ -310,6 +316,8 @@ final case class DbCatalog(spark: SparkSession, root: String)
       throw new IllegalStateException(s"merge swap failed for $db.$table")
     }
     fs.delete(bakPath, true)
+    TableMergeStats(table, rowsMerged = obs.get("rows").asInstanceOf[Long],
+      bytesRewritten = bytes, partitionsTouched = 1)
   }
 
   /** Partition-scoped merge for a table laid out `partCol=value/`: rewrite
@@ -329,7 +337,8 @@ final case class DbCatalog(spark: SparkSession, root: String)
     */
   private def mergePartitions(db: String, table: String, partCol: String,
                               current: DataFrame, keyCol: String,
-                              upserts: DataFrame, deadKeys: DataFrame): Unit = {
+                              upserts: DataFrame,
+                              deadKeys: DataFrame): TableMergeStats = {
     // Partition values are collected AS SPARK RENDERS THEM (cast to
     // string), not via JVM toString: partition type inference can read a
     // date-like dir back as TimestampType, whose java.sql.Timestamp
@@ -349,17 +358,20 @@ final case class DbCatalog(spark: SparkSession, root: String)
         .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
         .select(col(partCol).cast("string")))
     val affected = (upVals ++ deadVals).distinct.filter(_ != null).toIndexedSeq
-    if (affected.isEmpty) return
+    if (affected.isEmpty) return TableMergeStats(table, 0L, 0L, 0L)
 
+    val obs = new org.apache.spark.sql.Observation()
     val slice = current.filter(col(partCol).cast("string").isin(affected: _*))
     val merged = slice
       .join(deadKeys, slice(keyCol).cast("string") === deadKeys("key"), "left_anti")
       .unionByName(upserts.filter(col(partCol).cast("string").isin(affected: _*)))
+      .observe(obs, count(lit(1)).as("rows"))
 
     val livePath = tablePath(db, table)
     val tmpPath = new Path(dbPath(db), s"_tmp_$table")
     val bakPath = new Path(dbPath(db), s"_bak_$table")
     merged.write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
+    val bytes = fs.getContentSummary(tmpPath).getLength
     fs.delete(bakPath, true)
     fs.mkdirs(bakPath)
     // Swap each affected partition dir: live aside to bak (if present), then
@@ -400,6 +412,8 @@ final case class DbCatalog(spark: SparkSession, root: String)
     }
     fs.delete(bakPath, true)
     fs.delete(tmpPath, true)
+    TableMergeStats(table, rowsMerged = obs.get("rows").asInstanceOf[Long],
+      bytesRewritten = bytes, partitionsTouched = affected.length.toLong)
   }
 
   // ------------------------------------------------------------------ views

@@ -288,7 +288,7 @@ final case class JdbcTarget(spark: SparkSession, url: String,
     *      retry restages idempotently.
     */
   override def mergeDml(db: String, table: String, upserts: DataFrame,
-                        deadKeys: DataFrame): Unit = {
+                        deadKeys: DataFrame): TableMergeStats = {
     val keyField = readTable(db, table).schema.fields.head
     val (rowsT, keysT) = stagingNames(table)
     // cast the string event keys back to the key column's native type in
@@ -303,11 +303,13 @@ final case class JdbcTarget(spark: SparkSession, url: String,
     // fault injection (no-op in production): the worst endpoint-crash
     // window — staged data landed, merge transaction not yet opened
     JdbcTargetHooks.beforeMergeTxn(db, table)
-    withConn { c =>
+    // Merge cost comes free from the endpoint's own update counts — no
+    // extra query. Bytes/partitions are the endpoint's plane, not ours.
+    val inserted = withConn { c =>
       c.setAutoCommit(false)
       try {
         val st = c.createStatement()
-        try {
+        val n = try {
           st.executeUpdate(
             s"DELETE FROM ${qt(db, table)} WHERE ${q(keyField.name)} IN " +
             s"(SELECT ${q(keyField.name)} FROM ${qt(db, keysT)})")
@@ -316,9 +318,12 @@ final case class JdbcTarget(spark: SparkSession, url: String,
             s"SELECT $colList FROM ${qt(db, rowsT)}")
         } finally st.close()
         c.commit()
+        n
       } catch { case e: Throwable => c.rollback(); throw e }
     }
     dropStaging(db, table)
+    TableMergeStats(table, rowsMerged = inserted.toLong,
+      bytesRewritten = 0L, partitionsTouched = 0L)
   }
 
   // ----------------------------------------------- replication metadata
@@ -336,7 +341,12 @@ final case class JdbcTarget(spark: SparkSession, url: String,
       s"""CREATE TABLE ${JdbcTarget.RunsTable}
          |("db" VARCHAR(256), "kind" VARCHAR(16), "from_id" BIGINT,
          | "to_id" BIGINT, "attempts" INT, "verify" VARCHAR(16),
-         | "duration_ms" BIGINT, "at_nanos" BIGINT)""".stripMargin)
+         | "duration_ms" BIGINT, "at_nanos" BIGINT,
+         | "table_stats" LONG VARCHAR)""".stripMargin)
+    // Upgrade path: a runs table created before table_stats existed gains
+    // the column in place (swallowed as a no-op where it already exists).
+    execIdempotent(
+      s"""ALTER TABLE ${JdbcTarget.RunsTable} ADD COLUMN "table_stats" LONG VARCHAR""")
     execIdempotent(
       s"""CREATE TABLE ${JdbcTarget.ViewsTable}
          |("db" VARCHAR(256) NOT NULL, "name" VARCHAR(256) NOT NULL,
@@ -385,12 +395,14 @@ final case class JdbcTarget(spark: SparkSession, url: String,
       val ps = c.prepareStatement(
         s"""INSERT INTO ${JdbcTarget.RunsTable}
            |("db", "kind", "from_id", "to_id", "attempts", "verify",
-           | "duration_ms", "at_nanos") VALUES (?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin)
+           | "duration_ms", "at_nanos", "table_stats")
+           |VALUES (?, ?, ?, ?, ?, ?, ?, ?, ?)""".stripMargin)
       try {
         ps.setString(1, r.db); ps.setString(2, r.kind)
         ps.setLong(3, r.fromId); ps.setLong(4, r.toId)
         ps.setInt(5, r.attempts); ps.setString(6, r.verify)
         ps.setLong(7, r.durationMs); ps.setLong(8, System.nanoTime())
+        ps.setString(9, r.tablesJson)
         ps.executeUpdate()
       } finally ps.close()
     }

@@ -35,13 +35,15 @@ import org.apache.spark.sql.types.StructType
   */
 final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) {
 
-  /** Replay a dump at the target; returns the manifest + attempt count.
-    * Incremental loads run under the reference's retry policy
-    * (`INCR_RERUN`/`RERUN_SLEEP`, `/root/reference/env.sh:24-26`); bootstrap
-    * loads do not retry (`hive3repl.sh:99-100`). The watermark lives AT the
-    * target ([[ReplTarget.watermark]]) and commits LAST.
+  /** Replay a dump at the target; returns the manifest, the attempt count
+    * and the per-table merge cost ([[TableMergeStats]], incremental merges
+    * only — from the SUCCESSFUL attempt). Incremental loads run under the
+    * reference's retry policy (`INCR_RERUN`/`RERUN_SLEEP`,
+    * `/root/reference/env.sh:24-26`); bootstrap loads do not retry
+    * (`hive3repl.sh:99-100`). The watermark lives AT the target
+    * ([[ReplTarget.watermark]]) and commits LAST.
     */
-  def replay(dumpPathRaw: String): (DumpManifest, Int) = {
+  def replay(dumpPathRaw: String): LoadResult = {
     // Cross-namespace addressing: the dump lives on the SOURCE cluster's
     // filesystem; qualify its path with cfg.sourcePathPrefix before any
     // read (reference `SOURCE_HDFS_PREFIX`, `beeline_functions.sh:195-196`).
@@ -68,15 +70,19 @@ final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) 
         // every-cycle file re-sync must still run (a changed ext file with
         // no managed DML produces exactly this toId == wm cycle).
         m.externalTables.foreach(syncExternal(m, _))
-        return (m, 0)
+        return LoadResult(m, 0, Seq.empty)
       }
     }
+    // Stats are captured from the SUCCESSFUL attempt only — each retry
+    // replays the whole delta, so a failed attempt's partial counts would
+    // double-book the work the retry redoes.
+    var stats: Seq[TableMergeStats] = Seq.empty
     val attempts = m.kind match {
       case DumpKind.Bootstrap =>
         applyBootstrap(m, dumpPath); 1
       case DumpKind.Incremental =>
         Retry.retry(cfg.incrRerun, cfg.rerunSleepMs) {
-          applyIncremental(m, dumpPath)
+          stats = applyIncremental(m, dumpPath)
           // external tables have no event log; every incremental cycle
           // re-syncs changed files (cheap: -update semantics). WHICH tables
           // are external comes from the MANIFEST (the source's view) — a
@@ -87,7 +93,7 @@ final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) 
     }
     // Commit the watermark LAST — the atomicity boundary.
     target.commitWatermark(m.db, m.toId)
-    (m, attempts)
+    LoadResult(m, attempts, stats)
   }
 
   private def applyBootstrap(m: DumpManifest, dumpPath: String): Unit = {
@@ -185,41 +191,48 @@ final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) 
     ExtCopy.sync(spark, from, to, cfg.extCopyParallelism, verify = cfg.extVerify)
   }
 
-  private def applyIncremental(m: DumpManifest, dumpPath: String): Unit = {
-    if (m.toId <= m.fromId) return // no-op delta (reference `hive3repl.sh:157-158`)
+  private def applyIncremental(m: DumpManifest, dumpPath: String): Seq[TableMergeStats] = {
+    if (m.toId <= m.fromId) return Seq.empty // no-op delta (reference `hive3repl.sh:157-158`)
     val eventsDir = new Path(dumpPath, "events")
     val fs = eventsDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(eventsDir)) return
+    if (!fs.exists(eventsDir)) return Seq.empty
     applyEvents(m.db,
       spark.read.schema(DbCatalog.EventSchema).parquet(eventsDir.toString))
   }
 
-  /** Apply a batch of change events to the target db. Shared by batch
-    * incremental load and streaming replication's foreachBatch
+  /** Apply a batch of change events to the target db; returns the
+    * per-table merge cost. Shared by batch incremental load and streaming
+    * replication's foreachBatch
     * ([[graft.streaming.StreamingReplication]]).
     *
     * RENAME splits the delta into epochs: everything before the rename is
     * merged under the OLD name, the rename applies as one metadata move,
     * then the remainder merges under the NEW name — the only way net-effect
     * compaction stays correct when one table's DML stream crosses a rename
-    * (renames are control-plane rare, so epochs are too).
+    * (renames are control-plane rare, so epochs are too). A table whose
+    * stream crosses epochs reports ONE summed stats row per (post-rename)
+    * name per epoch — names are the log's, so pre- and post-rename rows
+    * stay distinguishable.
     */
-  def applyEvents(db: String, events: DataFrame): Unit = {
+  def applyEvents(db: String, events: DataFrame): Seq[TableMergeStats] = {
     val renames = events.filter(col("op") === DbCatalog.OpRenameTable)
       .select("event_id", "table", "row_json")
       .collect().sortBy(_.getLong(0))
-    if (renames.isEmpty) { applyEpoch(db, events); return }
+    if (renames.isEmpty) return applyEpoch(db, events)
+    val acc = scala.collection.mutable.ArrayBuffer[TableMergeStats]()
     var lo = Long.MinValue
     renames.foreach { r =>
-      applyEpoch(db, events.filter(
+      acc ++= applyEpoch(db, events.filter(
         col("event_id") > lo && col("event_id") < r.getLong(0)))
       target.applyRename(db, r.getString(1), r.getString(2))
       lo = r.getLong(0)
     }
-    applyEpoch(db, events.filter(col("event_id") > lo))
+    acc ++= applyEpoch(db, events.filter(col("event_id") > lo))
+    // One row per table name: epochs of the same name sum.
+    acc.groupBy(_.table).values.map(_.reduce(_ + _)).toSeq
   }
 
-  private def applyEpoch(db: String, events: DataFrame): Unit = {
+  private def applyEpoch(db: String, events: DataFrame): Seq[TableMergeStats] = {
     // Tables touched + their DDL history — control-plane sized (a few rows
     // per table), so collecting is fine; row payloads never leave executors.
     val ddl = events
@@ -242,6 +255,8 @@ final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) 
         }
       }
 
+    // Per-table stats accumulate from concurrent merge jobs.
+    val stats = new java.util.concurrent.ConcurrentLinkedQueue[TableMergeStats]()
     Parallel.foreach(touched.toSeq) { t =>
       val tableDdl = ddl.filter(_.getString(1) == t)
       // CREATE/DROP/TRUNCATE reset a table's history — DML before them is
@@ -292,16 +307,19 @@ final case class Load(spark: SparkSession, target: ReplTarget, cfg: ReplConfig) 
           throw new NonRetryableException(
             s"delta carries DML for missing table $db.$t and no CREATE_TABLE " +
             "event — refusing to skip (possible lost table)")
-        mergeTable(db, t, dml)
+        stats.add(mergeTable(db, t, dml))
       }
     }
+    import scala.jdk.CollectionConverters._
+    stats.asScala.toSeq
   }
 
   /** Net-effect compaction of one table's DML, handed to the target's
     * merge: latest event per key wins; every evented key is replaced or
     * deleted.
     */
-  private def mergeTable(db: String, table: String, dml: DataFrame): Unit = {
+  private def mergeTable(db: String, table: String,
+                         dml: DataFrame): TableMergeStats = {
     val schema = target.readTable(db, table).schema
 
     val latest = dml

@@ -65,7 +65,8 @@ final case class MetadataStore(spark: SparkSession, targetRoot: String) {
     fs.mkdirs(p.getParent)
     val json =
       s"""{"db":"${r.db}","kind":"${r.kind}","fromId":${r.fromId},"toId":${r.toId},""" +
-      s""""attempts":${r.attempts},"verify":"${r.verify}","durationMs":${r.durationMs}}"""
+      s""""attempts":${r.attempts},"verify":"${r.verify}","durationMs":${r.durationMs},""" +
+      s""""tables":${r.tablesJson}}"""
     val out = fs.create(p, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }

@@ -127,7 +127,44 @@ final case class ReplConfig(
       */
     autoPurge: Boolean = false)
 
-/** One replication run's outcome, appended to the engine run log. */
+/** Per-table data-plane cost of one load — read from `observe()` metrics
+  * riding the merge's own write job (a `CollectMetrics` node: no extra
+  * scan, no `.count()` side trips) plus file-listing metadata. The depth
+  * the reference's log tail never had: WHAT a cycle rewrote, not just that
+  * it verified.
+  *
+  *   - `rowsMerged`: rows the merge wrote (file targets: the rewritten
+  *     table/slice; JDBC targets: upsert rows the endpoint inserted);
+  *   - `bytesRewritten`: bytes of files the merge wrote (0 for targets
+  *     without a file plane — the endpoint owns physical storage);
+  *   - `partitionsTouched`: partition dirs rewritten (1 = whole
+  *     unpartitioned table; 0 for targets without a partition plane).
+  */
+final case class TableMergeStats(
+    table: String,
+    rowsMerged: Long,
+    bytesRewritten: Long,
+    partitionsTouched: Long) {
+  def +(o: TableMergeStats): TableMergeStats =
+    TableMergeStats(table, rowsMerged + o.rowsMerged,
+      bytesRewritten + o.bytesRewritten, partitionsTouched + o.partitionsTouched)
+  def json: String =
+    s"""{"table":"$table","rowsMerged":$rowsMerged,""" +
+    s""""bytesRewritten":$bytesRewritten,"partitionsTouched":$partitionsTouched}"""
+}
+
+/** Outcome of one [[Load.replay]]: the dump's manifest, the attempt that
+  * succeeded, and the per-table merge cost of the successful attempt.
+  */
+final case class LoadResult(
+    manifest: DumpManifest,
+    attempts: Int,
+    tableStats: Seq[TableMergeStats])
+
+/** One replication run's outcome, appended to the engine run log.
+  * `tableStats` covers the incremental merge plane (bootstrap restores and
+  * external file syncs report through their own verify/digest machinery).
+  */
 final case class RunReport(
     db: String,
     kind: String,
@@ -135,4 +172,11 @@ final case class RunReport(
     toId: Long,
     attempts: Int,
     verify: String,
-    durationMs: Long)
+    durationMs: Long,
+    tableStats: Seq[TableMergeStats] = Seq.empty) {
+  /** The `"tables":[…]` JSON fragment shared by every run-log writer and
+    * the CLI line — one renderer, so the formats can never drift.
+    */
+  def tablesJson: String =
+    tableStats.sortBy(_.table).map(_.json).mkString("[", ",", "]")
+}

@@ -80,10 +80,11 @@ trait ReplTarget {
     * for the impl's storage (staged dir swap for files, a transaction for
     * JDBC). `upserts` carries the table's full schema; `deadKeys` is a
     * single string column `key` (the engine key convention: first column
-    * cast to string).
+    * cast to string). Returns what the merge cost ([[TableMergeStats]]),
+    * measured on the merge's own jobs — never with an extra scan.
     */
   def mergeDml(db: String, table: String, upserts: DataFrame,
-               deadKeys: DataFrame): Unit
+               deadKeys: DataFrame): TableMergeStats
 
   /** Repair any interrupted merge for this table (crashed swap, dangling
     * staging). Idempotent; called before existence checks so a crash never

@@ -53,11 +53,13 @@ final case class ReplicationJob(
         case Some(id) => dumper.incremental(db, id)
       }
       lock.refresh() // heartbeat between the dump and load phases
-      val (manifest, attempts) = loader.replay(dump.path)
+      val loaded = loader.replay(dump.path)
+      val manifest = loaded.manifest
       val postId = target.watermark(db)
       val verify = VerifyResult.of(postId, dump.txnId, priorId)
       val report = RunReport(db, manifest.kind.name, manifest.fromId, manifest.toId,
-        attempts, verify.name, (System.nanoTime() - t0) / 1000000L)
+        loaded.attempts, verify.name, (System.nanoTime() - t0) / 1000000L,
+        loaded.tableStats)
       target.logRun(report)
       maintain(db, verify, postId)
       report

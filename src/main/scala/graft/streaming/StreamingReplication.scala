@@ -27,7 +27,7 @@ object StreamingReplication {
   def applyBatch(spark: SparkSession, target: ReplTarget, db: String,
                  batch: DataFrame): Unit = {
     val loader = Load(spark, target, ReplConfig(dumpRoot = ""))
-    loader.applyEvents(db, batch)
+    loader.applyEvents(db, batch): Unit // streaming cost rides query progress, not RunReports
     val maxId = batch.agg(max("event_id")).head()
     if (!maxId.isNullAt(0)) {
       val id = maxId.getLong(0)

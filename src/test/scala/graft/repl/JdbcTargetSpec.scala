@@ -70,6 +70,23 @@ class JdbcTargetSpec extends SparkSpec {
       Event("region", OpUpsert, "77", """{"r_regionkey":77,"r_name":"NEW-77"}""")))
     val r2 = job.run(db)
     assert(r2.kind == "incremental" && r2.verify == "SUCCESS")
+    // merge cost from the endpoint's own update counts: 2 upserts inserted;
+    // bytes/partitions are the endpoint's plane (reported 0)
+    assert(r2.tableStats.map(s => s.table -> s.rowsMerged).toMap == Map("region" -> 2L))
+    assert(r2.tableStats.head.bytesRewritten == 0L &&
+      r2.tableStats.head.partitionsTouched == 0L)
+    // and the endpoint-resident run log stores the same JSON
+    val c = java.sql.DriverManager.getConnection(tgtUrl)
+    try {
+      val st = c.createStatement()
+      val rs = st.executeQuery(
+        s"""SELECT "table_stats" FROM ${JdbcTarget.RunsTable} WHERE "kind" = 'incremental'""")
+      try {
+        assert(rs.next())
+        val js = rs.getString(1)
+        assert(js.contains(""""table":"region","rowsMerged":2"""), js)
+      } finally { rs.close(); st.close() }
+    } finally c.close()
     val reg = target.readTable(db, "region")
     assert(reg.where(col("r_regionkey") === 0 && col("r_name") === "AFRICA-J2").count() == 1)
     assert(reg.where(col("r_regionkey") === 3).isEmpty)

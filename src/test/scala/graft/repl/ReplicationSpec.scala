@@ -342,6 +342,63 @@ class ReplicationSpec extends SparkSpec {
     assert(after.where(col("s_suppkey") === 900001).count() == 1)
   }
 
+  test("run report carries per-table merge cost (rows/bytes/partitions) from observe metrics") {
+    import DbCatalog._
+    val (_, source, target, job) = freshWorld()
+    source.createDb("db_obs")
+    val region = spark.read.parquet(s"${sf()}/region.parquet")
+    val sup = spark.read.parquet(s"${sf()}/supplier.parquet")
+    source.writeTable("db_obs", "region", region)
+    source.writeTablePartitioned("db_obs", "supplier", sup, "s_nationkey")
+
+    // bootstrap: no merge plane, so no table stats (restores report via verify)
+    val r1 = job.run("db_obs")
+    assert(r1.verify == "SUCCESS" && r1.tableStats.isEmpty)
+
+    // delta: one upsert into the unpartitioned table, one upsert + one
+    // delete into a SINGLE partition of the partitioned table
+    val hot = sup.select("s_nationkey").distinct()
+      .orderBy(col("s_nationkey")).head().getInt(0)
+    val delKey = sup.where(col("s_nationkey") === hot)
+      .select("s_suppkey").orderBy(col("s_suppkey")).head().get(0).toString
+    source.appendEvents("db_obs", Seq(
+      Event("region", OpUpsert, "90", """{"r_regionkey":90,"r_name":"OBS"}"""),
+      Event("supplier", OpUpsert, "900007",
+        s"""{"s_suppkey":900007,"s_name":"Obs","s_nationkey":$hot}"""),
+      Event("supplier", OpDelete, delKey, null)))
+    val r2 = job.run("db_obs")
+    assert(r2.verify == "SUCCESS")
+    val byTable = r2.tableStats.map(s => s.table -> s).toMap
+    assert(byTable.keySet == Set("region", "supplier"))
+
+    // unpartitioned rewrite: whole table rewritten as one unit
+    val regStats = byTable("region")
+    assert(regStats.rowsMerged == region.count() + 1)
+    assert(regStats.bytesRewritten > 0L)
+    assert(regStats.partitionsTouched == 1L)
+
+    // partition-scoped merge: ONLY the hot partition's slice was rewritten
+    val hotRows = sup.where(col("s_nationkey") === hot).count()
+    val supStats = byTable("supplier")
+    assert(supStats.partitionsTouched == 1L,
+      s"expected 1 partition touched, got ${supStats.partitionsTouched}")
+    assert(supStats.rowsMerged == hotRows - 1 + 1) // delete + upsert, hot slice only
+    assert(supStats.bytesRewritten > 0L)
+
+    // the target-resident run log carries the same stats (CLI/alerting read it)
+    val fs = new Path(target.root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val runsDir = new Path(target.root, "_repl_metadata/db_obs/runs")
+    val logs = fs.listStatus(runsDir).map { st =>
+      val in = fs.open(st.getPath)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    }
+    val incr = logs.filter(_.contains("\"kind\":\"incremental\""))
+    assert(incr.nonEmpty)
+    assert(incr.exists(j => j.contains("\"tables\":[") &&
+      j.contains(s""""table":"supplier","rowsMerged":${hotRows}""") &&
+      j.contains("\"partitionsTouched\":1")))
+  }
+
   test("compaction merges small files without changing rows") {
     val (_, source, _, _) = freshWorld()
     source.createDb("db_c")
@@ -507,8 +564,7 @@ class ReplicationSpec extends SparkSpec {
     assert(wm2 > wm1)
     // Re-applying the STALE d1 must not overwrite v2 with the old v1
     // payload, and must not regress the watermark to d1.toId.
-    val (_, attempts) = loader.replay(d1.path)
-    assert(attempts == 0) // skipped, not replayed
+    assert(loader.replay(d1.path).attempts == 0) // skipped, not replayed
     assert(meta.watermark("db12").contains(wm2))
     assert(rowSet(target.readTable("db12", "region")).exists(_.contains("ASIA-v2")))
   }
