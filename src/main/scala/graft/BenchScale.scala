@@ -49,30 +49,45 @@ object BenchScale {
 
     import operators.{Dedup, Pipeline, Similarity}
 
-    /** The family at one scale point; `scale` drives the scaled parameters. */
+    /** The family at one scale point; `scale` drives the scaled parameters.
+      * Two configurations where the first three-point run caught a bend
+      * (see BENCH_sf3.md): the `_exact` / `_flat` rows keep the
+      * small-corpus construction (exact-Jaccard pair graph; flat n·k cell
+      * assignment) whose 10×→30× leg goes ~quadratic BY CONSTRUCTION on
+      * this corpus; the unsuffixed rows are the 100 TB configuration
+      * (LSH candidate pairs; two-level assignment) that must stay ≈linear.
+      */
     def runAt(dir: String, scale: Int): Seq[(String, Double)] = {
       val t = Tables(spark, dir)
       val dfCap = Dedup.dfCapFor(t.documents.count())
-      def pairs() = Dedup.ngramJaccardPairs(
+      def exactPairs() = Dedup.ngramJaccardPairs(
         t.documents, "text", "doc_id", 3, 0.5, maxShingleDf = dfCap)
+      def lshPairs() = Dedup.minhashLshPairs(
+        t.documents, "text", "doc_id", 3, 0.5, maxShingleDf = dfCap)
+      def dedupVia(pairs: org.apache.spark.sql.DataFrame): Unit = {
+        val drop = Pipeline.connectedComponents(pairs)
+          .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
+        t.documents.join(broadcast(drop),
+          col("doc_id") === col("drop_doc"), "left_anti").count(); ()
+      }
       Seq(
-        "q27_minhash_lsh" -> bestOf2 {
-          Dedup.minhashLshPairs(t.documents, "text", "doc_id", 3, 0.5,
-            maxShingleDf = dfCap).count(); ()
+        "q27_minhash_lsh" -> bestOf2 { lshPairs().count(); () },
+        "q49_clusters" -> bestOf2 {
+          Pipeline.connectedComponents(lshPairs()).count(); ()
         },
-        "q49_dedup_clusters" -> bestOf2 {
-          Pipeline.connectedComponents(pairs()).count(); ()
+        "q49_clusters_exact" -> bestOf2 {
+          Pipeline.connectedComponents(exactPairs()).count(); ()
         },
-        "q56_corpus_dedup" -> bestOf2 {
-          val drop = Pipeline.connectedComponents(pairs())
-            .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
-          t.documents.join(broadcast(drop),
-            col("doc_id") === col("drop_doc"), "left_anti").count(); ()
-        },
+        "q56_corpus_dedup" -> bestOf2 { dedupVia(lshPairs()) },
+        "q56_corpus_dedup_exact" -> bestOf2 { dedupVia(exactPairs()) },
         "q85_pagerank" -> bestOf2 {
           SparkEntry.queries("q85_pagerank")(spark, dir).count(); ()
         },
         "q86_knn_scaled_cells" -> bestOf2 {
+          Similarity.knnJoinInCellHier(t.embeddings, "embedding", "vec_id",
+            nCells = 16 * scale).count(); ()
+        },
+        "q86_knn_scaled_cells_flat" -> bestOf2 {
           Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
             nCells = 16 * scale).count(); ()
         })

@@ -324,6 +324,72 @@ object Similarity {
         (-col("cid")).as("ncid"),
         col("v").as("v"))).as("m"))
       .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    cellPairJoin(assigned)
+  }
+
+  /** [[knnJoinInCell]] with TWO-LEVEL cell assignment — the configuration a
+    * corpus large enough to need `nCells ∝ n` actually runs. Flat
+    * assignment scores every vector against every centroid: n·k work, and
+    * with k ∝ n (constant expected cell size — the scale rule) that term is
+    * n² and dominates long before the Σ|cell|² pair join does (measured:
+    * BENCH_sf3's 10×→30× leg bent to ~n² on the flat path). The classic
+    * IVF coarse-quantizer fix, composed from the same broadcast-argmax
+    * plan shape: assign each vector to one of √k coarse cells (n·√k), then
+    * to the best centroid among that coarse cell's children (n·~√k) —
+    * n·2√k total, restoring ≈linear growth at constant cell size.
+    *
+    * Same deterministic seeding as the flat path (first `nCells` vectors by
+    * id order; coarse = the first √k of those). The coarse stage is an
+    * approximation in the standard IVF sense: a vector whose true nearest
+    * centroid hangs under a different coarse cell lands in a neighboring
+    * cell, which can change WHICH near-neighbor it pairs with (recall, not
+    * correctness — SimilaritySpec gates agreement against the flat path).
+    * Centroid-to-coarse routing is model-sized (k·√k) and ties break to the
+    * smaller id everywhere, so results are bit-deterministic.
+    */
+  def knnJoinInCellHier(embs: DataFrame, vecCol: String, idCol: String,
+                        nCells: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val cent = embs.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val nCoarse = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
+    val coarse = cent.orderBy(col("cid")).limit(nCoarse)
+      .select(col("cid").as("gid"), col("cv").as("gv"))
+    // Route each centroid under its nearest coarse centroid (k·√k scalars,
+    // model-sized). A coarse centroid routes to itself (cos=1, smaller-id
+    // tie), so every coarse cell has at least one child.
+    val childOf = cent.join(broadcast(coarse))
+      .groupBy(col("cid"))
+      .agg(max(struct(
+        cosineFast(col("cv"), col("gv")).as("cos"),
+        (-col("gid")).as("ngid"),
+        col("cv").as("cv"))).as("m"))
+      .select(col("cid"), (-col("m.ngid")).as("gid"), col("m.cv").as("cv"))
+    // Stage 1: vector -> coarse cell (n·√k).
+    val vg = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(coarse))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("gv")).as("cos"),
+        (-col("gid")).as("ngid"),
+        col("v").as("v"))).as("m"))
+      .select(col("vec_id"), (-col("m.ngid")).as("gid"), col("m.v").as("v"))
+    // Stage 2: vector -> best child centroid of its coarse cell (n·~√k).
+    val assigned = vg.join(broadcast(childOf), "gid")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("cv")).as("cos"),
+        (-col("cid")).as("ncid"),
+        col("v").as("v"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    cellPairJoin(assigned)
+  }
+
+  /** Shared Σ|cell|² nearest-neighbor pair join over an assigned
+    * (vec_id, cell, v) frame — see [[knnJoinInCell]] for the contract.
+    */
+  private def cellPairJoin(assigned: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
     assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") =!= col("b.vec_id"))
       .select(col("a.vec_id").as("vec_id"),

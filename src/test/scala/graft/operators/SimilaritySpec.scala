@@ -110,4 +110,30 @@ class SimilaritySpec extends SparkSpec {
     info(f"IVF recall@5: first-16 = $rFirst%.3f, k-means = $rKm%.3f")
     assert(rKm >= rFirst, f"k-means recall $rKm%.3f below first-N $rFirst%.3f")
   }
+
+  test("hierarchical cell KNN: deterministic, near-full coverage, flat-grade neighbors") {
+    def run(f: => org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      f.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val flat = run(Similarity.knnJoinInCell(embs, "embedding", "vec_id", nCells = 16))
+    val hier = run(Similarity.knnJoinInCellHier(embs, "embedding", "vec_id", nCells = 16))
+    // bit-deterministic across runs (broadcast argmax, smaller-id ties)
+    val again = run(Similarity.knnJoinInCellHier(embs, "embedding", "vec_id", nCells = 16))
+    assert(hier == again)
+    // the coarse stage only re-routes vectors near cell boundaries: almost
+    // every vector still gets an in-cell neighbor...
+    assert(hier.size >= (flat.size * 0.9).toInt,
+      s"hier emitted ${hier.size} of flat's ${flat.size}")
+    // ...and the neighbors it finds are flat-grade CLOSE. (Neighbor
+    // IDENTITY is the wrong gate on this corpus: cosines to all 16 seed
+    // centroids are nearly equal on near-uniform synthetic embeddings, so
+    // the cell argmax — and hence which same-quality neighbor wins — is
+    // boundary-noise. What the approximation must preserve is how close
+    // the found neighbor is.)
+    val common = flat.keySet intersect hier.keySet
+    def meanCos(m: Map[Long, (Long, Double)]) =
+      common.iterator.map(id => m(id)._2).sum / common.size
+    val (mf, mh) = (meanCos(flat), meanCos(hier))
+    info(f"mean nn cosine: flat = $mf%.4f, hier = $mh%.4f over ${common.size} vectors")
+    assert(mh >= mf - 0.02, f"hier neighbor quality $mh%.4f well below flat $mf%.4f")
+  }
 }
