@@ -8,7 +8,7 @@ import org.apache.spark.sql.SparkSession
   * `hive3repl.sh <dbname>` per database; `env.sh` carries the endpoints).
   * One command replicates one or many databases through one Spark session:
   *
-  *   ReplMain <source> <targetRoot> <dumpRoot> <db[,db...]> [allowlist]
+  *   ReplMain <source> <targetRoot> <dumpRoot> <db[,db...]> [allowlist] [key=value ...]
   *
   * `<source>` and `<target>` each select their topology by form, so one
   * command serves every endpoint combination (including the reference's
@@ -17,6 +17,14 @@ import org.apache.spark.sql.SparkSession
   *   - a `jdbc:` URL   → [[JdbcSource]] / [[JdbcTarget]] (live endpoints,
   *     the reference's wire topology, `env.sh:4-5`).
   *
+  * Trailing `key=value` args are the engine's `env.sh`: every
+  * [[ReplConfig]] knob the reference exposes as a config variable
+  * (external tables `env.sh:8`, retry policy `:24-26`, cross-cluster
+  * prefix `:18`, …) plus `user`/`password` endpoint credentials
+  * (`BEELINE_USER`, `env.sh:21`). An unknown key is refused with usage —
+  * the reference's validation stance (B12/B13), never a silent
+  * misconfiguration.
+  *
   * Multiple dbs run as one concurrent [[Sweep]] (per-db locks, lock-busy ⇒
   * skip, failure isolation). Emits one JSON line per db — the structured
   * replacement for the reference's parsed log tail — and exits nonzero if
@@ -24,16 +32,59 @@ import org.apache.spark.sql.SparkSession
   * reference's `exit 1` paths.
   */
 object ReplMain {
+
+  /** Fold `key=value` args over a base config; returns the config plus
+    * endpoint credential properties. Throws IllegalArgumentException on an
+    * unknown key or unparsable value.
+    */
+  private[graft] def parseConfig(base: repl.ReplConfig, kvs: Seq[String])
+      : (repl.ReplConfig, Map[String, String]) = {
+    var props = Map.empty[String, String]
+    val cfg = kvs.foldLeft(base) { (c, kv) =>
+      val (k, v) = kv.split("=", 2) match {
+        case Array(k, v) => (k.trim, v.trim)
+        case _ => throw new IllegalArgumentException(s"not key=value: '$kv'")
+      }
+      try k match {
+        case "includeExternalTables" => c.copy(includeExternalTables = v.toBoolean)
+        case "incrRerun"             => c.copy(incrRerun = v.toInt)
+        case "rerunSleepMs"          => c.copy(rerunSleepMs = v.toLong)
+        case "lockStaleMs"           => c.copy(lockStaleMs = v.toLong)
+        case "extCopyParallelism"    => c.copy(extCopyParallelism = v.toInt)
+        case "extVerify"             => c.copy(extVerify = v.toBoolean)
+        case "sourcePathPrefix"      => c.copy(sourcePathPrefix = v)
+        case "sweepMaxConcurrent"    => c.copy(sweepMaxConcurrent = v.toInt)
+        case "autoCompactFactor"     => c.copy(autoCompactFactor = v.toDouble)
+        case "autoPurge"             => c.copy(autoPurge = v.toBoolean)
+        case "user" | "password"     => props += (k -> v); c
+        case other =>
+          throw new IllegalArgumentException(s"unknown config key: $other")
+      } catch {
+        case _: NumberFormatException | _: IllegalStateException =>
+          throw new IllegalArgumentException(s"bad value for $k: '$v'")
+      }
+    }
+    (cfg, props)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(
-        "usage: ReplMain <sourceRoot|jdbcUrl> <targetRoot|jdbcUrl> <dumpRoot> <db[,db...]> [allowlist,...]")
+        "usage: ReplMain <sourceRoot|jdbcUrl> <targetRoot|jdbcUrl> <dumpRoot> " +
+        "<db[,db...]> [allowlist,...] [key=value ...]")
       sys.exit(2)
     }
     val Array(src, targetRoot, dumpRoot, dbArg) = args.take(4)
+    // arg 5 is the allowlist unless it is a key=value pair; everything
+    // after is key=value config
+    val rest = args.drop(4).toSeq
+    val (allowArg, kvArgs) = rest match {
+      case head +: tail if !head.contains("=") => (Some(head), tail)
+      case _ => (None, rest)
+    }
     val allow: Set[String] =
-      if (args.length > 4) args(4).split(",").map(_.trim).filter(_.nonEmpty).toSet
-      else Set.empty
+      allowArg.map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+        .getOrElse(Set.empty)
     val spark = SparkSession.builder()
       .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
       .config("spark.sql.shuffle.partitions", sys.env.getOrElse("SPARK_GRAFT_CPUS", "32"))
@@ -44,13 +95,24 @@ object ReplMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val (cfg0, props) = try
+      parseConfig(ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow), kvArgs)
+    catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        System.err.println(
+          "config keys: includeExternalTables incrRerun rerunSleepMs lockStaleMs " +
+          "extCopyParallelism extVerify sourcePathPrefix sweepMaxConcurrent " +
+          "autoCompactFactor autoPurge user password")
+        spark.stop(); sys.exit(2); throw e // unreachable
+    }
+    val cfg = cfg0
     val source: ReplSource =
-      if (src.startsWith("jdbc:")) JdbcSource(spark, src)
+      if (src.startsWith("jdbc:")) JdbcSource(spark, src, connProps = props)
       else DbCatalog(spark, src)
     val target: ReplTarget =
-      if (targetRoot.startsWith("jdbc:")) JdbcTarget(spark, targetRoot)
+      if (targetRoot.startsWith("jdbc:")) JdbcTarget(spark, targetRoot, connProps = props)
       else DbCatalog(spark, targetRoot)
-    val cfg = ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow)
     val sweep = Sweep(spark, source, target, dumpRoot, cfg)
     val outcomes = sweep.run(dbArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     // JSON string escaping for error text: exception messages carry
