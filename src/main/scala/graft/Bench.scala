@@ -76,7 +76,21 @@ object Bench {
       val source = DbCatalog(spark, s"$root/src")
       val target = DbCatalog(spark, s"$root/tgt")
       source.createDb("bench")
-      Tables(spark, sfDir).all.foreach { case (n, df) => source.writeTable("bench", n, df) }
+      // Seed per-table, each in its own try — INCLUDING the DataFrame
+      // construction, which is where an AnalysisException on a schema-drifted
+      // table fires. One broken table must cost that table's rows, not
+      // silently delete the whole repl section (and with it the four
+      // BASELINE.md headline rows, as in round 7).
+      val seedTables = Tables(spark, sfDir)
+      Tables.names.foreach { n =>
+        try {
+          val df = if (n == "events") seedTables.events else seedTables.table(n)
+          source.writeTable("bench", n, df)
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] repl seed skipped table $n: $e")
+          errors += s"repl_seed_$n"
+        }
+      }
       val job = ReplicationJob(spark, source, target, s"$root/dumps",
         ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
       results("repl_bootstrap") = time { assert(job.run("bench").verify == "SUCCESS") }

@@ -56,6 +56,7 @@ object ReplMain {
         case "sweepMaxConcurrent"    => c.copy(sweepMaxConcurrent = v.toInt)
         case "autoCompactFactor"     => c.copy(autoCompactFactor = v.toDouble)
         case "autoPurge"             => c.copy(autoPurge = v.toBoolean)
+        case "runLogDir"             => c.copy(runLogDir = Some(v).filter(_.nonEmpty))
         case "user" | "password"     => props += (k -> v); c
         case other =>
           throw new IllegalArgumentException(s"unknown config key: $other")
@@ -103,7 +104,7 @@ object ReplMain {
         System.err.println(
           "config keys: includeExternalTables incrRerun rerunSleepMs lockStaleMs " +
           "extCopyParallelism extVerify sourcePathPrefix sweepMaxConcurrent " +
-          "autoCompactFactor autoPurge user password")
+          "autoCompactFactor autoPurge runLogDir user password")
         spark.stop(); sys.exit(2); throw e // unreachable
     }
     val cfg = cfg0

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.TimestampNTZType
+import org.apache.spark.sql.types.{LongType, TimestampNTZType}
 
 /** Accessors for the driver-generated test tables (see /root/repo/TESTDATA.md).
   *
@@ -23,17 +23,25 @@ final case class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = table("orders")
   def lineitem: DataFrame   = table("lineitem")
 
-  /** `events.ts` is nanosecond-precision parquet, which Spark's vectorized
-    * reader rejects (PARQUET_TYPE_ILLEGAL). Read it as a nanos long
-    * (legacy conf) and truncate to microsecond TIMESTAMP_NTZ — exactly what
-    * DuckDB does when it casts TIMESTAMP_NS to TIMESTAMP, so oracle results
-    * align. Integer `DIV` (not `/`, which is double division and loses
-    * precision at epoch-nanos magnitude) keeps the truncation exact.
+  /** `events.ts` has shipped in two vintages: nanosecond-precision parquet
+    * (which Spark's vectorized reader rejects — PARQUET_TYPE_ILLEGAL — so we
+    * read it as a nanos long via the legacy conf and truncate to microsecond
+    * TIMESTAMP_NTZ, matching DuckDB's TIMESTAMP_NS→TIMESTAMP cast) and plain
+    * microsecond TIMESTAMP_NTZ. Adapt on the LOADED dtype, not an assumed
+    * vintage: integral ⇒ nanos path (integer `DIV`, not `/` — double division
+    * loses precision at epoch-nanos magnitude); timestamp ⇒ just normalize to
+    * TIMESTAMP_NTZ. EventsSchemaSpec pins the current vintage so a generator
+    * change fails one obvious test instead of every events query.
     */
   def events: DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table("events")
-      .withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+    val df = table("events")
+    df.schema("ts").dataType match {
+      case LongType =>
+        df.withColumn("ts", timestamp_micros(expr("ts DIV 1000")).cast(TimestampNTZType))
+      case TimestampNTZType => df
+      case _ => df.withColumn("ts", col("ts").cast(TimestampNTZType))
+    }
   }
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")

@@ -32,8 +32,21 @@ import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
   */
 final case class JdbcSource(spark: SparkSession, url: String,
                             numPartitions: Int = 8,
-                            connProps: Map[String, String] = Map.empty)
+                            connProps: Map[String, String] = Map.empty,
+                            urlProvider: Option[() => String] = None)
     extends ReplSource {
+
+  /** Endpoint URL, re-resolved on EVERY connection and scan — the engine's
+    * analogue of the reference's ZooKeeper service discovery
+    * (`/root/reference/env.sh:4-5`, `serviceDiscoveryMode=zooKeeper`): the
+    * reference's beeline asks ZK for a live HiveServer2 on each invocation,
+    * so an endpoint failover between retries is transparent. With a
+    * `urlProvider`, the engine gets the same property: each retry attempt
+    * ([[Retry.retry]]) rebuilds its reads, which re-resolves the URL and
+    * lands on whatever endpoint the provider now names. The static `url`
+    * remains the no-discovery default.
+    */
+  private def endpoint: String = urlProvider.map(_()).getOrElse(url)
 
   // Embedded '"' doubles per the SQL standard — qt() output is interpolated
   // into executed SQL, so an unescaped quote in a db/table name would
@@ -53,7 +66,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
   }
 
   private def withConn[A](body: Connection => A): A = {
-    val c = DriverManager.getConnection(url, props)
+    val c = DriverManager.getConnection(endpoint, props)
     try body(c) finally c.close()
   }
 
@@ -96,7 +109,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
     * (small dimension tables).
     */
   override def readTable(db: String, table: String): DataFrame = {
-    val probe = graft.sources.Jdbc.read(spark, url, qt(db, table), props)
+    val probe = graft.sources.Jdbc.read(spark, endpoint, qt(db, table), props)
     val key = probe.schema.fields.head
     val integral = key.dataType match {
       case LongType | IntegerType | ShortType | ByteType => true
@@ -116,7 +129,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
     }
     bounds match {
       case Some((lo, hi)) if hi > lo =>
-        graft.sources.Jdbc.readPartitioned(spark, url, qt(db, table),
+        graft.sources.Jdbc.readPartitioned(spark, endpoint, qt(db, table),
           key.name, lo, hi, numPartitions, props)
       case _ => probe
     }
@@ -129,7 +142,7 @@ final case class JdbcSource(spark: SparkSession, url: String,
     * `PushedFilters: [IsNotNull(event_id), GreaterThan(event_id,…)]`).
     */
   override def readEventsAfter(db: String, fromId: Long): DataFrame =
-    graft.sources.Jdbc.read(spark, url, qt(db, DbCatalog.EventsTable), props)
+    graft.sources.Jdbc.read(spark, endpoint, qt(db, DbCatalog.EventsTable), props)
       .filter(col("event_id") > fromId)
 
   override def listViews(db: String): Seq[String] = listObjects(db, "VIEW")

@@ -51,8 +51,16 @@ import org.apache.spark.sql.types.StructType
 final case class JdbcTarget(spark: SparkSession, url: String,
                             extRoot: Option[String] = None,
                             batchSize: Int = 1000,
-                            connProps: Map[String, String] = Map.empty)
+                            connProps: Map[String, String] = Map.empty,
+                            urlProvider: Option[() => String] = None)
     extends ReplTarget {
+
+  /** Endpoint URL, re-resolved on every connection and distributed write —
+    * see [[JdbcSource.endpoint]]: the analogue of the reference's ZooKeeper
+    * service discovery (`env.sh:4-5`), letting an endpoint failover between
+    * retry attempts land on the newly-resolved live endpoint.
+    */
+  private def endpoint: String = urlProvider.map(_()).getOrElse(url)
 
   // SQL-standard identifier escaping — same rules as [[JdbcSource]].
   private def q(ident: String): String = "\"" + ident.replace("\"", "\"\"") + "\""
@@ -65,7 +73,7 @@ final case class JdbcTarget(spark: SparkSession, url: String,
   }
 
   private def withConn[A](body: Connection => A): A = {
-    val c = DriverManager.getConnection(url, props)
+    val c = DriverManager.getConnection(endpoint, props)
     try body(c) finally c.close()
   }
 
@@ -113,7 +121,7 @@ final case class JdbcTarget(spark: SparkSession, url: String,
     execIdempotent(s"DROP TABLE ${qt(db, table)}")
 
   override def readTable(db: String, table: String): DataFrame =
-    graft.sources.Jdbc.read(spark, url, qt(db, table), props)
+    graft.sources.Jdbc.read(spark, endpoint, qt(db, table), props)
 
   /** String columns are created as comparable VARCHAR(32672) instead of
     * the Derby dialect's CLOB default — CLOBs reject equality/IN
@@ -130,7 +138,7 @@ final case class JdbcTarget(spark: SparkSession, url: String,
   }
 
   override def writeTable(db: String, table: String, df: DataFrame): Unit = {
-    graft.sources.Jdbc.write(df, url, qt(db, table), mode = "overwrite",
+    graft.sources.Jdbc.write(df, endpoint, qt(db, table), mode = "overwrite",
       batchSize = batchSize, props = props, colTypes = stringColTypes(df))
     JdbcTargetHooks.afterWriteTable(db, table) // fault injection (no-op in prod)
   }
@@ -151,7 +159,7 @@ final case class JdbcTarget(spark: SparkSession, url: String,
     */
   override def migrateTable(db: String, table: String, newSchema: StructType): Unit = {
     val have = readTable(db, table).schema.fieldNames.toSet
-    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+    val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(endpoint)
     newSchema.fields.filterNot(f => have(f.name)).foreach { f =>
       val tpe = f.dataType match {
         // same comparable-VARCHAR rule as [[writeTable]]
@@ -294,9 +302,9 @@ final case class JdbcTarget(spark: SparkSession, url: String,
     // cast the string event keys back to the key column's native type in
     // Spark, so the endpoint's IN-subquery compares native types
     val keys = deadKeys.select(col("key").cast(keyField.dataType).as(keyField.name))
-    graft.sources.Jdbc.write(keys, url, qt(db, keysT), mode = "overwrite",
+    graft.sources.Jdbc.write(keys, endpoint, qt(db, keysT), mode = "overwrite",
       batchSize = batchSize, props = props, colTypes = stringColTypes(keys))
-    graft.sources.Jdbc.write(upserts, url, qt(db, rowsT),
+    graft.sources.Jdbc.write(upserts, endpoint, qt(db, rowsT),
       mode = "overwrite", batchSize = batchSize, props = props,
       colTypes = stringColTypes(upserts))
     val colList = upserts.schema.fieldNames.map(q).mkString(", ")

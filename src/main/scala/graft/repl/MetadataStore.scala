@@ -63,10 +63,7 @@ final case class MetadataStore(spark: SparkSession, targetRoot: String) {
   def logRun(r: RunReport): Unit = {
     val p = new Path(targetRoot, s"_repl_metadata/${r.db}/runs/${System.nanoTime()}.json")
     fs.mkdirs(p.getParent)
-    val json =
-      s"""{"db":"${r.db}","kind":"${r.kind}","fromId":${r.fromId},"toId":${r.toId},""" +
-      s""""attempts":${r.attempts},"verify":"${r.verify}","durationMs":${r.durationMs},""" +
-      s""""tables":${r.tablesJson}}"""
+    val json = r.json
     val out = fs.create(p, true)
     try out.write(json.getBytes(StandardCharsets.UTF_8)) finally out.close()
   }

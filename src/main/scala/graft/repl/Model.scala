@@ -125,7 +125,16 @@ final case class ReplConfig(
       * replicas and call [[Maintenance.run]] itself (purging past a lagging
       * replica's watermark would strand it).
       */
-    autoPurge: Boolean = false)
+    autoPurge: Boolean = false,
+    /** Directory (any Hadoop filesystem) receiving one JSON log-file
+      * artifact per run, regardless of target kind — the reference's
+      * operational habit of uploading each run's log to an HDFS logs dir
+      * (`misc_functions.sh:115-149`). The run-log TABLES (file target:
+      * `_repl_metadata/<db>/runs/`; JDBC target: `graft_meta.repl_runs`)
+      * remain the queryable record; this is the ops-facing file copy.
+      * None (default) = off.
+      */
+    runLogDir: Option[String] = None)
 
 /** Per-table data-plane cost of one load — read from `observe()` metrics
   * riding the merge's own write job (a `CollectMetrics` node: no extra
@@ -179,4 +188,13 @@ final case class RunReport(
     */
   def tablesJson: String =
     tableStats.sortBy(_.table).map(_.json).mkString("[", ",", "]")
+
+  /** The full run record as one JSON line — the single renderer behind the
+    * engine run log ([[MetadataStore.logRun]]) and the per-run log-file
+    * artifact ([[ReplicationJob]] `runLogDir`), so the formats can't drift.
+    */
+  def json: String =
+    s"""{"db":"$db","kind":"$kind","fromId":$fromId,"toId":$toId,""" +
+    s""""attempts":$attempts,"verify":"$verify","durationMs":$durationMs,""" +
+    s""""tables":$tablesJson}"""
 }

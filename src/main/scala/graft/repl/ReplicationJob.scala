@@ -61,9 +61,32 @@ final case class ReplicationJob(
         loaded.attempts, verify.name, (System.nanoTime() - t0) / 1000000L,
         loaded.tableStats)
       target.logRun(report)
+      uploadRunLog(report)
       maintain(db, verify, postId)
       report
     } finally lock.release()
+  }
+
+  /** Per-run log-file artifact (`cfg.runLogDir`) — the reference uploads
+    * each run's log file to an HDFS logs directory
+    * (`misc_functions.sh:115-149` `copyFromLocalFile` of the session log);
+    * the engine's equivalent writes the [[RunReport]] JSON line to the
+    * configured directory on ANY Hadoop filesystem, named
+    * `<db>_<kind>_<toId>_<nanos>.json` so concurrent sweeps never collide.
+    * Best-effort like the reference's upload: a logging failure must not
+    * fail a verified replication cycle, so it warns and moves on.
+    */
+  private def uploadRunLog(r: RunReport): Unit = cfg.runLogDir.foreach { dir =>
+    try {
+      val p = new Path(dir, s"${r.db}_${r.kind}_${r.toId}_${System.nanoTime()}.json")
+      val lfs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      lfs.mkdirs(p.getParent)
+      val out = lfs.create(p, true)
+      try out.write(r.json.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      finally out.close()
+    } catch { case e: Exception =>
+      System.err.println(s"[repl] run-log upload to ${cfg.runLogDir.get} failed: $e")
+    }
   }
 
   /** Post-success source-log maintenance ([[Maintenance]]): runs only for a
