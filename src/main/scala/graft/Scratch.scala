@@ -18,10 +18,46 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     for (q <- args) {
-      t(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
-      t(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())
+      if (q == "pr_probe") prProbe(spark, dir, t)
+      else {
+        t(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
+        t(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())
+      }
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** Piecewise timing of the q85 PageRank stages (r7 regression hunt). */
+  private def prProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                      t: String => (=> Unit) => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    val tb = Tables(spark, dir)
+    val base = tb.orders
+      .join(tb.lineitem, col("o_orderkey") === col("l_orderkey"))
+      .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+        concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+      .distinct()
+    t("base distinct")(base.count())
+    val edges = base.select(col("a").as("src"), col("b").as("dst"))
+      .union(base.select(col("b").as("src"), col("a").as("dst"))).cache()
+    t("edges cache+count")(edges.count())
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().cache()
+    t("nodes count")(nodes.count())
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val ej = edges.join(odeg, "src").cache()
+    t("ej cache+count")(ej.count())
+    var ranks = nodes.select(col("node"), lit(62L).as("r"))
+    for (i <- 1 to 3) {
+      val contrib = ej.join(ranks, ej("src") === ranks("node"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      val next = nodes.join(contrib, col("node") === contrib("dst"), "left")
+        .select(col("node"), (lit(9L) + expr("coalesce(m, CAST(0 AS BIGINT))")).as("r"))
+      t(s"round $i materialize")(next.count())
+      ranks = next
+    }
+    t("final topk")(ranks.orderBy(col("r").desc, col("node")).limit(20).count())
   }
 }

@@ -482,22 +482,35 @@ object Pipeline {
     */
   def pageRankFixedPoint(edges0: DataFrame, iters: Int = 3,
                          checkpointEvery: Int = 4): DataFrame = {
-    val edges = edges0.select(col("src"), col("dst"))
+    // Cache the EDGE LIST itself and materialize it once (via the node
+    // count below) before any round plans against it. Everything here —
+    // odeg, nodes, ej, every round's join — derives from `edges`; left
+    // uncached, the action's concurrently-launched subtrees each recompute
+    // the upstream edge derivation (typically an expensive join+distinct)
+    // before the first cache block lands. At 587 k distinct edges that
+    // duplication was a measured ~7× cold-run inflation (r7 regression).
+    val edges = edges0.select(col("src"), col("dst")).cache()
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
     val nodes = edges.select(col("src").as("node"))
       .union(edges.select(col("dst"))).distinct().cache()
-    val nFrame = nodes.agg(count(lit(1)).as("n_nodes"))
+    // n_nodes is ONE scalar: read it on the driver (control-plane sized)
+    // and embed it as a literal, instead of a broadcast 1-row frame cross-
+    // joined into every round — each of those broadcast subtrees is an
+    // eagerly-launched job that raced to recompute the uncached edge
+    // derivation. This count doubles as the materialization barrier for
+    // both caches (it scans edges and builds nodes). Scala Long `/` on
+    // positive operands is the same floor division as SQL `div`.
+    val nNodes = nodes.count()
     val ej = edges.join(odeg, "src").cache() // (src, dst, odeg)
-    var ranks = nodes.crossJoin(broadcast(nFrame))
-      .select(col("node"), expr("1000000000000 div n_nodes").as("r"))
+    var ranks = nodes.select(col("node"), lit(1000000000000L / nNodes).as("r"))
     for (i <- 1 to iters) {
       val contrib = ej.join(ranks, ej("src") === ranks("node"))
         .select(col("dst"), expr("r div odeg").as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("m"))
-      ranks = nodes.crossJoin(broadcast(nFrame))
+      ranks = nodes
         .join(contrib, col("node") === contrib("dst"), "left")
         .select(col("node"),
-          (expr("150000000000 div n_nodes") +
+          (lit(150000000000L / nNodes) +
             expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
       // Lineage cadence: every K rounds the rank frame is materialized and
       // the plan truncated (same policy as connectedComponents) — without
