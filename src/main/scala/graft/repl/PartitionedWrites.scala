@@ -1,0 +1,36 @@
+package graft.repl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Clustering for dynamic-partition parquet writes.
+  *
+  * A raw `df.write.partitionBy(p)` opens one file per (task × partition
+  * value) pair: a 32-task frame spanning 16 values writes up to 512 files
+  * for one small table. Every later scan then pays per-file open cost and
+  * the file listing grows with write parallelism — at warehouse scale this
+  * multiplies namenode entries by the cluster's task count per batch
+  * (measured locally: the partition-scoped bench merge read 3× slower than
+  * the FULL-table rewrite purely from the file-count tax, inverting the
+  * optimization it exists to prove).
+  *
+  * [[cluster]] repartitions on (partition column, bounded salt) first, so
+  * each `col=value` dir receives at most `fanout` files regardless of write
+  * parallelism, while a skewed partition value still spreads over `fanout`
+  * concurrent writers instead of serializing into one. The salt is a
+  * deterministic hash of the KEY column (first data column — the engine's
+  * key convention), so placement is stable across retries. One extra
+  * exchange per write — the standard price of bounded file counts.
+  */
+private[repl] object PartitionedWrites {
+  val DefaultFanout = 4
+
+  def cluster(df: DataFrame, partCol: String,
+              fanout: Int = DefaultFanout): DataFrame = {
+    val saltSrc = df.schema.fieldNames.find(_ != partCol) match {
+      case Some(keyCol) => col(keyCol)
+      case None => lit(0) // degenerate: only the partition column exists
+    }
+    df.repartition(col(partCol), pmod(hash(saltSrc), lit(fanout)))
+  }
+}
