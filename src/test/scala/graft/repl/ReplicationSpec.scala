@@ -342,6 +342,46 @@ class ReplicationSpec extends SparkSpec {
     assert(after.where(col("s_suppkey") === 900001).count() == 1)
   }
 
+  test("partitioned merge crash windows: repairTable restores per partition dir") {
+    val (_, source, target, job) = freshWorld()
+    source.createDb("db_pc")
+    val sup = spark.read.parquet(s"${sf()}/supplier.parquet")
+    source.writeTablePartitioned("db_pc", "supplier", sup, "s_nationkey")
+    assert(job.run("db_pc").verify == "SUCCESS")
+    val expected = rowSet(target.readTable("db_pc", "supplier"))
+
+    val fs = target.dbPath("db_pc")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = new Path(target.dbPath("db_pc"), "supplier")
+    val bak = new Path(target.dbPath("db_pc"), "_bak_supplier")
+    val parts = fs.listStatus(live).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("s_nationkey=")).sorted
+    assert(parts.size >= 2, s"need >=2 partitions, got $parts")
+
+    // Window 1 (crash between the two renames): a partition was moved
+    // aside to the bak dir and the staged copy never landed — live is
+    // missing that partition entirely. repairTable must restore it.
+    fs.mkdirs(bak)
+    assert(fs.rename(new Path(live, parts.head), new Path(bak, parts.head)))
+    // Window 2 (crash after the new live landed): the bak copy of ANOTHER
+    // partition is leftover while live already has it — repair must drop
+    // the stale backup, not clobber the newer live dir.
+    val liveDir2 = new Path(live, parts.last)
+    val bakDir2 = new Path(bak, parts.last)
+    fs.mkdirs(bakDir2)
+    val liveFiles2 = fs.listStatus(liveDir2).map(_.getPath.getName).toSet
+
+    target.repairTable("db_pc", "supplier")
+    assert(!fs.exists(bak), "repair must consume the whole backup dir")
+    assert(rowSet(target.readTable("db_pc", "supplier")) == expected,
+      "restored table must equal the pre-crash state")
+    assert(fs.listStatus(liveDir2).map(_.getPath.getName).toSet == liveFiles2,
+      "completed-swap partition must keep its live files")
+    // idempotent on a clean table
+    target.repairTable("db_pc", "supplier")
+    assert(rowSet(target.readTable("db_pc", "supplier")) == expected)
+  }
+
   test("run report carries per-table merge cost (rows/bytes/partitions) from observe metrics") {
     import DbCatalog._
     val (_, source, target, job) = freshWorld()
