@@ -21,7 +21,11 @@ import org.apache.spark.sql.SparkSession
   * [[ReplConfig]] knob the reference exposes as a config variable
   * (external tables `env.sh:8`, retry policy `:24-26`, cross-cluster
   * prefix `:18`, …) plus `user`/`password` endpoint credentials
-  * (`BEELINE_USER`, `env.sh:21`). An unknown key is refused with usage —
+  * (`BEELINE_USER`, `env.sh:21`) and `sourceUrlFile`/`targetUrlFile`
+  * file-backed endpoint discovery (the CLI form of the reference's
+  * ZooKeeper service discovery, `env.sh:4-5` — the file holds the current
+  * endpoint URL and is re-read on every attempt). An unknown key is
+  * refused with usage —
   * the reference's validation stance (B12/B13), never a silent
   * misconfiguration.
   *
@@ -68,6 +72,32 @@ object ReplMain {
     (cfg, props)
   }
 
+  /** File-backed endpoint discovery for the CLI — the operational form of
+    * [[repl.JdbcSource]]/[[repl.JdbcTarget]]'s `urlProvider`: the file
+    * (any path ops can update — a ZK-watcher sidecar, a k8s configmap
+    * mount, a failover script) holds the CURRENT endpoint URL; it is
+    * re-read on every connection attempt, so a failover between retries
+    * lands on the newly-published endpoint. Whitespace-trimmed; a missing
+    * or empty file fails the attempt loudly (and the retry loop re-reads).
+    */
+  private[graft] def fileUrlProvider(path: String): () => String = () => {
+    val s = scala.io.Source.fromFile(path)
+    val url = try s.mkString.trim finally s.close()
+    require(url.nonEmpty, s"endpoint url file $path is empty")
+    url
+  }
+
+  /** Split `sourceUrlFile=`/`targetUrlFile=` out of the key=value args —
+    * they configure endpoint construction, not [[repl.ReplConfig]] and not
+    * JDBC connection properties.
+    */
+  private[graft] def splitUrlFiles(kvs: Seq[String])
+      : (Map[String, String], Seq[String]) = {
+    val keys = Set("sourceUrlFile", "targetUrlFile")
+    val (uf, rest) = kvs.partition(kv => keys.exists(k => kv.startsWith(k + "=")))
+    (uf.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap, rest)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(
@@ -96,23 +126,34 @@ object ReplMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    val (urlFiles, cfgArgs) = splitUrlFiles(kvArgs)
     val (cfg0, props) = try
-      parseConfig(ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow), kvArgs)
+      parseConfig(ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow), cfgArgs)
     catch {
       case e: IllegalArgumentException =>
         System.err.println(e.getMessage)
         System.err.println(
           "config keys: includeExternalTables incrRerun rerunSleepMs lockStaleMs " +
           "extCopyParallelism extVerify sourcePathPrefix sweepMaxConcurrent " +
-          "autoCompactFactor autoPurge runLogDir user password")
+          "autoCompactFactor autoPurge runLogDir user password " +
+          "sourceUrlFile targetUrlFile")
         spark.stop(); sys.exit(2); throw e // unreachable
     }
     val cfg = cfg0
+    // url files require a JDBC endpoint on that side — attaching discovery
+    // to a file-catalog root would silently do nothing (validation stance)
+    for ((k, side) <- Seq("sourceUrlFile" -> src, "targetUrlFile" -> targetRoot))
+      if (urlFiles.contains(k) && !side.startsWith("jdbc:")) {
+        System.err.println(s"$k requires a jdbc: endpoint on that side")
+        spark.stop(); sys.exit(2)
+      }
     val source: ReplSource =
-      if (src.startsWith("jdbc:")) JdbcSource(spark, src, connProps = props)
+      if (src.startsWith("jdbc:")) JdbcSource(spark, src, connProps = props,
+        urlProvider = urlFiles.get("sourceUrlFile").map(fileUrlProvider))
       else DbCatalog(spark, src)
     val target: ReplTarget =
-      if (targetRoot.startsWith("jdbc:")) JdbcTarget(spark, targetRoot, connProps = props)
+      if (targetRoot.startsWith("jdbc:")) JdbcTarget(spark, targetRoot, connProps = props,
+        urlProvider = urlFiles.get("targetUrlFile").map(fileUrlProvider))
       else DbCatalog(spark, targetRoot)
     val sweep = Sweep(spark, source, target, dumpRoot, cfg)
     val outcomes = sweep.run(dbArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)

@@ -42,4 +42,26 @@ class ReplMainSpec extends AnyFunSuite {
       ReplMain.parseConfig(base, Seq("extVerify")) // not key=value
     }
   }
+
+  test("sourceUrlFile/targetUrlFile split out of the config args; file re-read per call") {
+    val (uf, rest) = ReplMain.splitUrlFiles(Seq(
+      "incrRerun=2", "sourceUrlFile=/tmp/src.url", "targetUrlFile=/tmp/t.url"))
+    assert(uf == Map("sourceUrlFile" -> "/tmp/src.url", "targetUrlFile" -> "/tmp/t.url"))
+    assert(rest == Seq("incrRerun=2"))
+    // parseConfig never sees (and would refuse) the url-file keys
+    intercept[IllegalArgumentException] {
+      ReplMain.parseConfig(base, Seq("sourceUrlFile=/tmp/src.url"))
+    }
+
+    // the provider re-reads the file on EVERY call — a failover published
+    // to the file is picked up by the next attempt
+    val f = java.nio.file.Files.createTempFile("graft-url", ".txt")
+    java.nio.file.Files.writeString(f, "jdbc:derby:memory:a\n")
+    val provider = ReplMain.fileUrlProvider(f.toString)
+    assert(provider() == "jdbc:derby:memory:a")
+    java.nio.file.Files.writeString(f, "  jdbc:derby:memory:b  ")
+    assert(provider() == "jdbc:derby:memory:b")
+    java.nio.file.Files.writeString(f, "")
+    intercept[IllegalArgumentException](provider())
+  }
 }
