@@ -83,10 +83,8 @@ object Bench {
       // BASELINE.md headline rows, as in round 7).
       val seedTables = Tables(spark, sfDir)
       Tables.names.foreach { n =>
-        try {
-          val df = if (n == "events") seedTables.events else seedTables.table(n)
-          source.writeTable("bench", n, df)
-        } catch { case e: Throwable =>
+        try source.writeTable("bench", n, seedTables.byName(n))
+        catch { case e: Throwable =>
           System.err.println(s"[bench] repl seed skipped table $n: $e")
           errors += s"repl_seed_$n"
         }

@@ -49,19 +49,27 @@ object BenchScale {
 
     import operators.{Dedup, Pipeline, Similarity}
 
-    /** The family at one scale point; `scale` drives the scaled parameters.
+    /** One scale point's rows; `scale` drives the scaled parameters.
       * Two configurations where the first three-point run caught a bend
       * (see BENCH_sf3.md): the `_exact` / `_flat` rows keep the
       * small-corpus construction (exact-Jaccard pair graph; flat n·k cell
       * assignment) whose 10×→30× leg goes ~quadratic BY CONSTRUCTION on
       * this corpus; the unsuffixed rows are the 100 TB configuration
       * (LSH candidate pairs; two-level assignment) that must stay ≈linear.
+      *
+      * The two families run as SEPARATE PASSES over all three points
+      * (scale path first, comparison rows second): the exact-pair rows run
+      * minutes at 30× and leave enough GC/allocator debris that a linear
+      * row measured right after one reads 2–4× hot (r8: q56's in-study
+      * 35.8 s vs 7.8 s isolated). With per-point interleaving the debris
+      * lands on the NEXT point's first linear row; with two passes every
+      * scale-path row only ever follows another scale-path row, and the
+      * comparison rows — quadratic with or without noise — absorb their
+      * own.
       */
-    def runAt(dir: String, scale: Int): Seq[(String, Double)] = {
+    def scalePathAt(dir: String, scale: Int): Seq[(String, Double)] = {
       val t = Tables(spark, dir)
       val dfCap = Dedup.dfCapFor(t.documents.count())
-      def exactPairs() = Dedup.ngramJaccardPairs(
-        t.documents, "text", "doc_id", 3, 0.5, maxShingleDf = dfCap)
       def lshPairs() = Dedup.minhashLshPairs(
         t.documents, "text", "doc_id", 3, 0.5, maxShingleDf = dfCap)
       def dedupVia(pairs: org.apache.spark.sql.DataFrame): Unit = {
@@ -70,13 +78,6 @@ object BenchScale {
         t.documents.join(broadcast(drop),
           col("doc_id") === col("drop_doc"), "left_anti").count(); ()
       }
-      // Ordering: all scale-path (≈linear) rows FIRST, the quadratic-by-
-      // construction comparison rows (_exact, _flat) LAST — the exact-pair
-      // rows run minutes at 30× and leave enough GC/allocator debris that a
-      // linear row measured right after them reads 2–4× hot (r8: q56's
-      // in-study 35.8 s vs 7.8 s isolated). Comparison rows only ever
-      // follow other monsters, where inherited noise doesn't change the
-      // conclusion (they are quadratic with or without it).
       Seq(
         "q27_minhash_lsh" -> bestOf2 { lshPairs().count(); () },
         "q49_clusters" -> bestOf2 {
@@ -93,7 +94,21 @@ object BenchScale {
         "q86_knn_scaled_cells_flat" -> bestOf2 {
           Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
             nCells = 16 * scale).count(); ()
-        },
+        })
+    }
+
+    def comparisonAt(dir: String): Seq[(String, Double)] = {
+      val t = Tables(spark, dir)
+      val dfCap = Dedup.dfCapFor(t.documents.count())
+      def exactPairs() = Dedup.ngramJaccardPairs(
+        t.documents, "text", "doc_id", 3, 0.5, maxShingleDf = dfCap)
+      def dedupVia(pairs: org.apache.spark.sql.DataFrame): Unit = {
+        val drop = Pipeline.connectedComponents(pairs)
+          .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
+        t.documents.join(broadcast(drop),
+          col("doc_id") === col("drop_doc"), "left_anti").count(); ()
+      }
+      Seq(
         "q49_clusters_exact" -> bestOf2 {
           Pipeline.connectedComponents(exactPairs()).count(); ()
         },
@@ -106,9 +121,11 @@ object BenchScale {
     val nDocs = dirs.map(docs)
     val scales = nDocs.map(n => n.toDouble / nDocs.head)
     // session warm-up against the smallest dir, untimed
-    runAt(dirs.head, 1)
-    val times: Seq[Map[String, Double]] =
-      dirs.zip(scales).map { case (d, s) => runAt(d, math.max(1, math.round(s).toInt)).toMap }
+    scalePathAt(dirs.head, 1)
+    val dirScales = dirs.zip(scales.map(s => math.max(1, math.round(s).toInt)))
+    val pass1 = dirScales.map { case (d, s) => scalePathAt(d, s).toMap }
+    val pass2 = dirs.map(d => comparisonAt(d).toMap)
+    val times: Seq[Map[String, Double]] = pass1.zip(pass2).map { case (a, b) => a ++ b }
 
     /** Least-squares slope of ln(t) vs ln(s) — the fitted growth exponent. */
     def fit(ts: Seq[Double]): Double = {

@@ -1,4 +1,4 @@
-package graft.repl
+package graft
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
@@ -22,7 +22,7 @@ import org.apache.spark.sql.functions._
   * key convention), so placement is stable across retries. One extra
   * exchange per write — the standard price of bounded file counts.
   */
-private[repl] object PartitionedWrites {
+private[graft] object PartitionedWrites {
   val DefaultFanout = 4
 
   def cluster(df: DataFrame, partCol: String,

@@ -157,18 +157,10 @@ object ReplMain {
       else DbCatalog(spark, targetRoot)
     val sweep = Sweep(spark, source, target, dumpRoot, cfg)
     val outcomes = sweep.run(dbArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
-    // JSON string escaping for error text: exception messages carry
+    // JSON string escaping ([[repl.Json]]): exception messages carry
     // quotes, backslashes and (Spark plans) newlines — the one-line-per-db
     // contract must survive exactly the failure case alerting depends on.
-    def jstr(v: String): String = "\"" + v.flatMap {
-      case '"' => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    } + "\""
+    def jstr(v: String): String = repl.Json.str(v)
     outcomes.foreach { o =>
       val body = o.report match {
         case Some(r) =>
@@ -178,7 +170,7 @@ object ReplMain {
         case None =>
           s""""skipped":${o.skipped},"error":${o.error.map(jstr).getOrElse("null")}"""
       }
-      println(s"""{"db":"${o.db}",$body}""")
+      println(s"""{"db":${jstr(o.db)},$body}""")
     }
     spark.stop()
     // skips are benign (held lock or allowlist — the reference's

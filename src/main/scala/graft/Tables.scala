@@ -46,11 +46,17 @@ final case class Tables(spark: SparkSession, dir: String) {
   def documents: DataFrame  = table("documents")
   def embeddings: DataFrame = table("embeddings")
 
-  /** All star-schema + extension tables, in a stable order. */
-  def all: Seq[(String, DataFrame)] = Tables.names.map {
-    case "events" => "events" -> events
-    case n        => n -> table(n)
+  /** Table by name through its ADAPTING accessor where one exists — the
+    * single dispatch point for vintage-sensitive reads (events), so callers
+    * seeding "all tables" can never bypass the adaptation by name.
+    */
+  def byName(name: String): DataFrame = name match {
+    case "events" => events
+    case n        => table(n)
   }
+
+  /** All star-schema + extension tables, in a stable order. */
+  def all: Seq[(String, DataFrame)] = Tables.names.map(n => n -> byName(n))
 }
 
 object Tables {

@@ -501,6 +501,12 @@ object Pipeline {
     // both caches (it scans edges and builds nodes). Scala Long `/` on
     // positive operands is the same floor division as SQL `div`.
     val nNodes = nodes.count()
+    // Empty graph: no nodes, no ranks — return the empty (node, r) frame
+    // instead of letting the driver-side literal below divide by zero.
+    if (nNodes == 0L) {
+      edges.unpersist(false)
+      return nodes.select(col("node"), lit(0L).as("r"))
+    }
     val ej = edges.join(odeg, "src").cache() // (src, dst, odeg)
     // Materialize ej from the cached edge list, then DROP the edge cache:
     // ej strictly supersedes it for the rounds, and keeping both at large

@@ -267,7 +267,13 @@ object Similarity {
       val path = new java.io.File(indexRoot, "idx_" +
         java.security.MessageDigest.getInstance("MD5").digest(
           memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
-      assigned.write.mode("overwrite").partitionBy("cell").parquet(path)
+      // Cluster before the dynamic-partition write: nCells grows with the
+      // corpus, so a raw partitionBy here opens tasks × nCells files — the
+      // worst instance of the pattern PartitionedWrites exists to bound
+      // (the serving scan is partition-pruned to probed cells; its cost is
+      // per-FILE within those cells).
+      graft.PartitionedWrites.cluster(assigned, "cell")
+        .write.mode("overwrite").partitionBy("cell").parquet(path)
       path
     })
   }

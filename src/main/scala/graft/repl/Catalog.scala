@@ -90,7 +90,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
     */
   def writeTablePartitioned(db: String, table: String, df: DataFrame,
                             partCol: String): Unit =
-    PartitionedWrites.cluster(df, partCol)
+    graft.PartitionedWrites.cluster(df, partCol)
       .write.mode("overwrite").partitionBy(partCol)
       .parquet(tablePath(db, table).toString)
 
@@ -371,7 +371,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
     val livePath = tablePath(db, table)
     val tmpPath = new Path(dbPath(db), s"_tmp_$table")
     val bakPath = new Path(dbPath(db), s"_bak_$table")
-    PartitionedWrites.cluster(merged, partCol)
+    graft.PartitionedWrites.cluster(merged, partCol)
       .write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
     val bytes = fs.getContentSummary(tmpPath).getLength
     fs.delete(bakPath, true)

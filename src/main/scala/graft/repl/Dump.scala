@@ -59,7 +59,7 @@ final case class Dump(spark: SparkSession, source: ReplSource, dumpRoot: String,
       // A partitioned source snapshots partitioned — the dump's directory
       // layout carries the spec to the replica (no manifest field needed).
       source.partitionSpec(db, t) match {
-        case Some(p) => PartitionedWrites.cluster(source.readTable(db, t), p)
+        case Some(p) => graft.PartitionedWrites.cluster(source.readTable(db, t), p)
           .write.partitionBy(p).parquet(out)
         case None => source.readTable(db, t).write.parquet(out)
       }

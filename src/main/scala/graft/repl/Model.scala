@@ -158,8 +158,26 @@ final case class TableMergeStats(
     TableMergeStats(table, rowsMerged + o.rowsMerged,
       bytesRewritten + o.bytesRewritten, partitionsTouched + o.partitionsTouched)
   def json: String =
-    s"""{"table":"$table","rowsMerged":$rowsMerged,""" +
+    s"""{"table":${Json.str(table)},"rowsMerged":$rowsMerged,""" +
     s""""bytesRewritten":$bytesRewritten,"partitionsTouched":$partitionsTouched}"""
+}
+
+/** JSON string escaping shared by every hand-rendered JSON emitter (run
+  * logs, file artifacts, the CLI line). Db/table names with quotes are
+  * legal throughout the engine (the JDBC planes escape them in SQL), so
+  * the log plane must escape them too or emit malformed records; error
+  * text additionally carries newlines and backslashes from Spark plans.
+  */
+private[graft] object Json {
+  def str(v: String): String = "\"" + v.flatMap {
+    case '"' => "\\\""
+    case '\\' => "\\\\"
+    case '\n' => "\\n"
+    case '\r' => "\\r"
+    case '\t' => "\\t"
+    case c if c < ' ' => f"\\u${c.toInt}%04x"
+    case c => c.toString
+  } + "\""
 }
 
 /** Outcome of one [[Load.replay]]: the dump's manifest, the attempt that
@@ -194,7 +212,7 @@ final case class RunReport(
     * artifact ([[ReplicationJob]] `runLogDir`), so the formats can't drift.
     */
   def json: String =
-    s"""{"db":"$db","kind":"$kind","fromId":$fromId,"toId":$toId,""" +
+    s"""{"db":${Json.str(db)},"kind":"$kind","fromId":$fromId,"toId":$toId,""" +
     s""""attempts":$attempts,"verify":"$verify","durationMs":$durationMs,""" +
     s""""tables":$tablesJson}"""
 }

@@ -80,6 +80,12 @@ class PipelineSpec extends SparkSpec {
     assert(Pipeline.connectedComponents(empty).isEmpty)
   }
 
+  test("PageRank on an EMPTY edge list is empty, not a divide-by-zero") {
+    import spark.implicits._
+    val empty = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(Pipeline.pageRankFixedPoint(empty).isEmpty)
+  }
+
   test("PageRank at iters=12: checkpoint cadence bounds the plan, results unchanged") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

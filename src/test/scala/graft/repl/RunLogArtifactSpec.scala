@@ -45,6 +45,15 @@ class RunLogArtifactSpec extends SparkSpec {
     assert(badJob.run(db).verify == "SUCCESS")
   }
 
+  test("RunReport.json escapes db and table names (quotes, newlines)") {
+    val r = RunReport("""we"ird""", "incremental", 1, 2, 1, "SUCCESS", 10,
+      Seq(TableMergeStats("ta\"ble\n", 1, 2, 3)))
+    val json = r.json
+    assert(json.contains(""""db":"we\"ird""""))
+    assert(json.contains(""""table":"ta\"ble\n""""))
+    assert(!json.contains("ta\"ble\n")) // no raw control chars / quotes
+  }
+
   test("ReplMain parseConfig accepts runLogDir") {
     val (cfg, _) = ReplMain.parseConfig(ReplConfig(dumpRoot = "/tmp/d"),
       Seq("runLogDir=/tmp/logs"))
