@@ -33,7 +33,8 @@ object BenchGrowth {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
-      // events.parquet carries nanosecond timestamps (see Tables.events)
+      // events.ts vintage varies by generator (nanos-as-long or timestamp[us]);
+      // the conf makes the nanos vintage loadable, and is inert for [us]
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
