@@ -49,6 +49,38 @@ class StreamingSpec extends SparkSpec {
       .contains("STREAMED"))
   }
 
+  test("crash-window idempotency: re-applying a delivered micro-batch changes nothing") {
+    // The exactly-once EFFECT claim is at-least-once delivery × idempotent
+    // merge: a crash between applyBatch and the checkpoint/offset commit
+    // makes Spark re-deliver the SAME batch on restart. Prove the re-apply
+    // leg directly: same batch twice ≡ once (rows AND watermark).
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-idem").toString
+    val source = DbCatalog(spark, s"$root/src")
+    val target = DbCatalog(spark, s"$root/tgt")
+    source.createDb("idb"); target.createDb("idb")
+    val region = spark.read.parquet(s"${sf()}/region.parquet")
+    source.writeTable("idb", "region", region)
+    target.writeTable("idb", "region", region)
+
+    import DbCatalog._
+    source.appendEvents("idb", Seq(
+      Event("region", OpUpsert, "1", """{"r_regionkey":1,"r_name":"REDELIVERED"}"""),
+      Event("region", OpDelete, "3", null)))
+    val batch = source.readEventsAfter("idb", 0L)
+
+    StreamingReplication.applyBatch(spark, target, "idb", batch)
+    val afterOnce = target.readTable("idb", "region").collect()
+      .map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    val wmOnce = target.watermark("idb")
+    assert(afterOnce(1L) == "REDELIVERED" && !afterOnce.contains(3L))
+
+    StreamingReplication.applyBatch(spark, target, "idb", batch) // re-delivery
+    val afterTwice = target.readTable("idb", "region").collect()
+      .map(r => r.get(0).toString.toLong -> r.getString(1)).toMap
+    assert(afterTwice == afterOnce, "re-applied batch must be a no-op on rows")
+    assert(target.watermark("idb") == wmOnce, "watermark must not regress or advance")
+  }
+
   test("streaming hourly aggregate over a file stream matches the batch result") {
     // Event-time ops need TIMESTAMP (tz-aware), not NTZ — cast up front
     // (session tz is UTC so the instant is unchanged).
