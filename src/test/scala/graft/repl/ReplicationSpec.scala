@@ -382,6 +382,38 @@ class ReplicationSpec extends SparkSpec {
     assert(rowSet(target.readTable("db_pc", "supplier")) == expected)
   }
 
+  test("two-level-partitioned source degrades to first-level scoping without row corruption") {
+    // The engine's partition plane is ONE level deep (the warehouse
+    // date/bucket column). A source table laid out a=…/b=…/ must still
+    // replicate row-correct: partition discovery surfaces BOTH levels as
+    // columns, the dump/replica keep level-a dirs, and level b rides as an
+    // ordinary data column — merge scoping is level-a only, never wrong.
+    val (_, source, target, job) = freshWorld()
+    source.createDb("db_ml")
+    val sup = spark.read.parquet(s"${sf()}/supplier.parquet")
+      .withColumn("bkt", col("s_suppkey") % 2)
+    // two-level layout written directly (the engine API only offers one
+    // level; the on-disk shape is what a migrated warehouse would hand us)
+    sup.write.mode("overwrite").partitionBy("s_nationkey", "bkt")
+      .parquet(s"${source.dbPath("db_ml")}/supplier")
+    assert(job.run("db_ml").verify == "SUCCESS")
+    assert(target.partitionSpec("db_ml", "supplier").contains("s_nationkey"))
+    assert(rowSet(target.readTable("db_ml", "supplier")
+             .select(sup.columns.map(col).toIndexedSeq: _*)) ==
+           rowSet(source.readTable("db_ml", "supplier")
+             .select(sup.columns.map(col).toIndexedSeq: _*)))
+
+    // an incremental upsert carrying both former partition columns merges
+    // correctly under level-a scoping
+    import DbCatalog._
+    source.appendEvents("db_ml", Seq(Event("supplier", OpUpsert, "900001",
+      """{"s_suppkey":900001,"s_name":"TwoLevel","s_nationkey":0,"bkt":1}""")))
+    assert(job.run("db_ml").verify == "SUCCESS")
+    val row = target.readTable("db_ml", "supplier")
+      .where(col("s_suppkey") === 900001).collect()
+    assert(row.length == 1)
+  }
+
   test("run report carries per-table merge cost (rows/bytes/partitions) from observe metrics") {
     import DbCatalog._
     val (_, source, target, job) = freshWorld()
