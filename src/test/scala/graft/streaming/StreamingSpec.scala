@@ -196,4 +196,46 @@ class StreamingSpec extends SparkSpec {
       .filter(col("a.n_sessions") =!= col("b.n_sessions")).count()
     assert(diff == 0)
   }
+
+  test("microsecond-vintage events replicate end-to-end through replicatePolled") {
+    // Round 7 proved a generator vintage change can break every events
+    // consumer at once. This case drives the CURRENT (microsecond
+    // TIMESTAMP_NTZ) events table through the polled streaming-replication
+    // path — bootstrap copy, then a delta whose row_json carries a
+    // sub-second timestamp — so the schema-adaptive read AND the
+    // from_json merge are covered on this vintage, not just batch oracles.
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-us").toString
+    val source = DbCatalog(spark, s"$root/src")
+    val target = DbCatalog(spark, s"$root/tgt")
+    source.createDb("edb"); target.createDb("edb")
+    val events = Tables(spark, sf()).events
+    assert(events.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType)
+    source.writeTable("edb", "events", events)
+    target.writeTable("edb", "events", source.readTable("edb", "events"))
+
+    import DbCatalog._
+    val delId = events.orderBy("event_id").select("event_id").head.getLong(0)
+    source.appendEvents("edb", Seq(
+      Event("events", OpUpsert, "999999999",
+        """{"event_id":999999999,"ts":"2026-01-02T03:04:05.123456",""" +
+        """"user_id":7,"event_type":"polled","value":1.5,"props":"{}"}"""),
+      Event("events", OpDelete, delId.toString, null)))
+
+    val q = StreamingReplication.replicatePolled(
+      spark, source, target, "edb", s"$root/ckpt", oneShot = true)
+    q.awaitTermination(120000)
+
+    val got = target.readTable("edb", "events")
+    assert(got.schema("ts").dataType ==
+      org.apache.spark.sql.types.TimestampNTZType,
+      "replication must preserve TIMESTAMP_NTZ through merge round-trips")
+    val ins = got.filter(col("event_id") === 999999999L).collect()
+    assert(ins.length == 1)
+    // Full microsecond precision must survive from_json → parquet.
+    assert(ins(0).getAs[java.time.LocalDateTime]("ts") ==
+      java.time.LocalDateTime.of(2026, 1, 2, 3, 4, 5, 123456000))
+    assert(got.filter(col("event_id") === delId).isEmpty)
+    assert(got.count() == events.count()) // one delete, one insert
+  }
 }
