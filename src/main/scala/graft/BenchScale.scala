@@ -147,6 +147,10 @@ object BenchScale {
       val job = ReplicationJob(spark, src, tgt, s"$root/dumps",
         ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
       val boot = time { assert(job.run("sdb").verify == "SUCCESS") }
+      // Control-plane floor: a cycle against a drained log (status read,
+      // lock, empty incremental dump, verify, run log) — the fixed cost
+      // every per-cycle number sits on top of.
+      val noop = time { assert(job.run("sdb").verify == "NOOP") }
       val inc = bestOf2Inc { round =>
         src.appendEvents("sdb", (1 to 1000).map { i =>
           val k = round * 10000000 + i * 7
@@ -176,6 +180,7 @@ object BenchScale {
       }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       Seq("repl_bootstrap_fact" -> boot,
+          "repl_noop_cycle" -> noop,
           "repl_incremental_fact_1000txn" -> inc,
           "repl_incremental_fact_partitioned_1000txn" -> incP)
     }

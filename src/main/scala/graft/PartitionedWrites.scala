@@ -26,11 +26,19 @@ private[graft] object PartitionedWrites {
   val DefaultFanout = 4
 
   def cluster(df: DataFrame, partCol: String,
-              fanout: Int = DefaultFanout): DataFrame = {
-    val saltSrc = df.schema.fieldNames.find(_ != partCol) match {
-      case Some(keyCol) => col(keyCol)
-      case None => lit(0) // degenerate: only the partition column exists
+              fanout: Int = DefaultFanout): DataFrame =
+    df.schema.fieldNames.find(_ != partCol) match {
+      case Some(keyCol) =>
+        // Sort by key WITHIN each writer task (a local sort, no extra
+        // exchange): every parquet row group then covers a narrow, disjoint
+        // key range, so key-predicate pushdown (the merge's dead-key locate
+        // scan, point lookups) skips row groups via min-max statistics.
+        // With the hash salt alone, each file samples the whole key space
+        // and every row group overlaps every key filter — statistics
+        // pruning never fires. File counts and placement are unchanged.
+        df.repartition(col(partCol), pmod(hash(col(keyCol)), lit(fanout)))
+          .sortWithinPartitions(col(partCol), col(keyCol))
+      case None => // degenerate: only the partition column exists
+        df.repartition(col(partCol))
     }
-    df.repartition(col(partCol), pmod(hash(saltSrc), lit(fanout)))
-  }
 }
