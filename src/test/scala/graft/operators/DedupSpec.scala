@@ -82,4 +82,31 @@ class DedupSpec extends SparkSpec {
     assert(total == docs.count())
     assert(dups.count() >= 0)
   }
+
+  test("duplicated spans: keep-first removal plan on a known corpus") {
+    import spark.implicits._
+    // doc 1 and doc 2 share a 12-token run (two 10-token windows at k=10);
+    // doc 3 repeats its OWN opening 10 tokens later in the same doc;
+    // doc 4 shares nothing.
+    val run = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$run tail1 tail2"),
+      (2L, s"lead1 lead2 $run"),
+      (3L, "a b c d e f g h i j x y a b c d e f g h i j"),
+      (4L, "p q r s t u v w x0 y0 z0")
+    ).toDF("doc_id", "text")
+    val out = Dedup.duplicatedSpans(d, "text", "doc_id")
+      .select("doc_id", "pos", "n_occ")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    // doc 1 holds the first occurrences (doc_id 1 < 2), so BOTH shared
+    // windows are removed from doc 2 at its offsets 3 and 4 (1-based,
+    // after the two lead tokens)...
+    assert(out.contains((2L, 3, 2L)) && out.contains((2L, 4, 2L)))
+    // ...and doc 1 keeps them (no removal rows for doc 1)
+    assert(!out.exists(_._1 == 1L))
+    // doc 3's self-repeat at pos 13 is removed; its pos-1 original kept
+    assert(out.contains((3L, 13, 2L)) && !out.contains((3L, 1, 2L)))
+    // doc 4 is untouched
+    assert(!out.exists(_._1 == 4L))
+  }
 }
