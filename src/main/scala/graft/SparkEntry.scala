@@ -21,7 +21,8 @@ object SparkEntry {
     graft.operators.Pipeline.queries ++
     graft.operators.RangeJoin.queries ++
     graft.operators.ScaleOps.queries ++
-    graft.operators.ScaleOps.extraQueries
+    graft.operators.ScaleOps.extraQueries ++
+    graft.operators.Curation.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,340 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import graft.util.TextPrep._
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-curation operators for training-mix construction — the steps that
+  * sit BETWEEN per-doc scoring (TextAnalysis) / dedup (Dedup) and the final
+  * training tape (Pipeline.packSequences): maximal duplicated-span merging,
+  * CCNet-style quality bucketing, deterministic epoch shuffling, per-domain
+  * caps, and mixture-weight token allocation.
+  *
+  * Scale design (100 TB):
+  *  - no global windows anywhere: span merging windows per-document
+  *    (bounded by doc length), epoch shuffling uses the two-level
+  *    range-partition prefix scan (bounded by partition size), domain caps
+  *    use a salted two-phase top-k (bounded by k × salt count);
+  *  - corpus-wide statistics (quality thresholds, per-source token totals)
+  *    reduce to a handful of rows and come back as broadcasts, so the
+  *    classification / allocation passes stay map-side;
+  *  - everything is deterministic under re-partitioning — hash coins and
+  *    range-partition carries, never `rand()` or partition-order survivors.
+  */
+object Curation {
+
+  // ------------------------------------------------ maximal span merging
+
+  /** Merge the fixed-k duplicated windows of [[Dedup.duplicatedSpans]] into
+    * maximal per-document removal spans — the actual cut list of ExactSubstr
+    * dedup (Lee et al. 2022 §3): overlapping or touching k-token windows
+    * `[pos, pos+k)` collapse to one `[start_pos, end_tok]` island via
+    * gaps-and-islands (a new island starts when `pos > lag(pos) + k`).
+    *
+    * The window partitions by document, so its size is bounded by document
+    * length — never by corpus size — and the upstream window stream is the
+    * groupBy/join plan of q103 (no corpus-hot span ever concentrates into a
+    * single window partition here, because islands are per-document).
+    */
+  def mergedDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
+                           k: Int = 10, minOcc: Int = 2): DataFrame = {
+    val rem = Dedup.duplicatedSpans(docs, textCol, idCol, k, minOcc)
+      .select(col("doc_id"), col("pos"))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    rem
+      .withColumn("ni",
+        when(col("pos") > coalesce(lag(col("pos"), 1).over(w), lit(Long.MinValue / 2)) + k, 1)
+          .otherwise(0))
+      .withColumn("island", sum(col("ni")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min(col("pos")).as("start_pos"),
+        (max(col("pos")) + lit(k - 1)).as("end_tok"),
+        count(lit(1)).as("n_windows"))
+      .select(col("doc_id"), col("island"), col("start_pos"),
+        col("end_tok"), col("n_windows"))
+  }
+
+  // ------------------------------------------------ quality bucketing
+
+  /** CCNet-style quality bucketing (Wenzek et al. 2020 §4.3): score every
+    * document against the corpus language model, split the corpus at the
+    * exact 25th/75th score percentiles into head / middle / tail, and roll
+    * up per (source, bucket).
+    *
+    * The thresholds frame is ONE row — broadcast — so the tagging pass is a
+    * map-side CASE over the scored stream; the per-bucket roll-up sums
+    * through DECIMAL(18,6) so the average is exact at any partition count
+    * (q81/q83's pattern). The exact `percentile` aggregate is the oracle
+    * anchor; at 100 TB substitute `approx_percentile` (same one-row shape,
+    * Greenwald-Khanna bounded memory) — the bucket boundaries move by the
+    * sketch tolerance, nothing else changes.
+    */
+  def qualityBuckets(docs: DataFrame, textCol: String, idCol: String,
+                     sourceCol: String): DataFrame = {
+    val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
+    val sc = TextAnalysis.lmScore(docs, textCol, idCol, minDf = 5,
+      carry = Seq(sourceCol))
+    val th = sc.agg(
+      percentile(col("lm_commonness"), lit(0.25)).as("t_lo"),
+      percentile(col("lm_commonness"), lit(0.75)).as("t_hi"))
+    sc.crossJoin(broadcast(th))
+      .withColumn("bucket",
+        when(col("lm_commonness") >= col("t_hi"), "head")
+          .when(col("lm_commonness") >= col("t_lo"), "middle")
+          .otherwise("tail"))
+      .groupBy(col(sourceCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(sum(col("lm_commonness").cast(d6)).cast("double")
+          / count(lit(1)), 6).as("avg_commonness"))
+  }
+
+  // ------------------------------------------------ epoch shuffle
+
+  /** Deterministic global training order per epoch: every document gets a
+    * dense 0-based `global_idx` in ascending `(h48(doc_id:epoch), doc_id)`
+    * order — a reproducible corpus permutation that changes completely
+    * between epochs (the salt is the epoch number) with no RNG state.
+    *
+    * A naive `row_number() OVER (ORDER BY h)` is a single-partition window
+    * — the whole corpus through one task. And the range-partition +
+    * `spark_partition_id` carry trick ([[Pipeline.packSequences]]) is
+    * subtly fragile here: the carry frame and the in-shard numbering
+    * traverse the range exchange in two plan branches, and if column
+    * pruning makes the exchanges non-identical, ReuseExchange stops
+    * deduplicating them — each branch then samples its OWN range
+    * boundaries and the carries misalign. Because `h` is uniform by
+    * construction (md5 bits), no sampled boundaries are needed at all:
+    * shard by the FIXED-WIDTH bucket `(h · nShards) >> 48` — a pure
+    * function of the row, identical in every plan branch, job and
+    * partition layout, with balanced shards for free (no extra sampling
+    * scan, which `repartitionByRange` pays). Shard order is h order, so
+    * in-shard `row_number` (each window ≈ corpus/nShards) plus the
+    * cumulative shard-count carry (a tiny broadcast frame) IS the global
+    * order. CurationSpec pins nShards=3 against nShards=11.
+    */
+  def epochShuffle(docs: DataFrame, idCol: String, epochs: Seq[Int],
+                   nShards: Int = 8): DataFrame = {
+    val keyed = docs
+      .select(col(idCol).as("doc_id"))
+      .withColumn("epoch", explode(array(epochs.map(lit(_)): _*)))
+      .withColumn("h", h48(concat(col("doc_id").cast("string"), lit(":"),
+        col("epoch").cast("string"))))
+      .withColumn("shard", shiftright(col("h") * nShards.toLong, 48))
+    val wIn = Window.partitionBy(col("shard"), col("epoch"))
+      .orderBy(col("h"), col("doc_id"))
+    val withIn = keyed.withColumn("idx_in", row_number().over(wIn).cast("long") - 1)
+    val wOff = Window.partitionBy(col("epoch")).orderBy(col("shard"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = keyed.groupBy(col("shard"), col("epoch"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("off", coalesce(sum(col("cnt")).over(wOff), lit(0L)))
+      .select(col("shard"), col("epoch"), col("off"))
+    withIn.join(broadcast(offsets), Seq("shard", "epoch"))
+      .select(col("doc_id"), col("epoch"), (col("off") + col("idx_in")).as("global_idx"))
+  }
+
+  // ------------------------------------------------ per-domain caps
+
+  /** Cap every domain/source at its `n` best documents (Gopher-style
+    * per-domain limits): rank within source by `(rankBy DESC, id ASC)` and
+    * keep ranks ≤ n.
+    *
+    * A bare `row_number() OVER (PARTITION BY source)` puts an entire hot
+    * domain — potentially a double-digit fraction of a web corpus — into
+    * one window partition. Two-phase instead: phase 1 ranks within
+    * `(source, salt)` where salt = `h48(id) mod nSalts` (each window is
+    * ~1/nSalts of the domain) and keeps its local top-n — which provably
+    * contains the true top-n, since any globally top-n row is top-n within
+    * its own salt; phase 2 re-ranks the ≤ n·nSalts survivors per source
+    * (a bounded window) for the exact global ranks. Deterministic: ties
+    * break by id.
+    */
+  def domainCap(docs: DataFrame, sourceCol: String, rankBy: Column,
+                idCol: String, n: Int, nSalts: Int = 8): DataFrame = {
+    val salted = docs.withColumn("salt",
+      pmod(h48(col(idCol).cast("string")), lit(nSalts)))
+    val w1 = Window.partitionBy(col(sourceCol), col("salt"))
+      .orderBy(rankBy.desc, col(idCol))
+    val phase1 = salted
+      .withColumn("rn", row_number().over(w1))
+      .filter(col("rn") <= n)
+      .drop("rn", "salt")
+    val w2 = Window.partitionBy(col(sourceCol)).orderBy(rankBy.desc, col(idCol))
+    phase1
+      .withColumn("rank", row_number().over(w2).cast("long"))
+      .filter(col("rank") <= n)
+  }
+
+  // ------------------------------------------------ mixture allocation
+
+  /** Training-mixture token allocation (the LLaMA/Pile mixing table): given
+    * per-source mixture weights and a total token budget, compute each
+    * source's sampling rate `min(1, w·budget / tokens_s)` and the epoch
+    * count `w·budget / tokens_s` (> 1 means the source repeats). One
+    * map-side token count, one 20-row aggregate — the output IS the
+    * broadcast-sized sampling plan that [[Pipeline.weightedSample]] then
+    * executes per-row.
+    */
+  def mixAllocation(docs: DataFrame, textCol: String, sourceCol: String,
+                    weight: Column, budget: Long): DataFrame = {
+    val perSource = docs
+      .select(col(sourceCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
+    perSource
+      .withColumn("w", weight)
+      .withColumn("rate", round(least(lit(1.0), col("w") * budget / col("toks")), 6))
+      .withColumn("epochs", round(col("w") * budget / col("toks"), 6))
+      .withColumn("exp_toks", round(least(lit(1.0), col("w") * budget / col("toks"))
+        * col("toks")).cast("long"))
+  }
+
+  // ------------------------------------------------ driver-facing queries
+
+  val queries: Seq[Query] = Seq(
+    // Maximal duplicated-span cut list: q103's windows merged per doc.
+    Query(
+      "q104_span_merge",
+      Some("""
+        WITH toks AS (
+          SELECT doc_id, string_split(text, ' ') AS ts FROM documents
+        ),
+        posed AS (
+          SELECT doc_id, ts, unnest(generate_series(1, len(ts) - 9)) AS pos
+          FROM toks WHERE len(ts) >= 10
+        ),
+        spans AS (
+          SELECT doc_id, pos, array_to_string(ts[pos : pos + 9], ' ') AS span
+          FROM posed
+        ),
+        stats AS (
+          SELECT span, COUNT(*) AS n_occ,
+                 MIN({'d': doc_id, 'p': pos}) AS first_occ
+          FROM spans GROUP BY span HAVING COUNT(*) >= 2
+        ),
+        rem AS (
+          SELECT s.doc_id, s.pos
+          FROM spans s JOIN stats t USING (span)
+          WHERE NOT (s.doc_id = t.first_occ.d AND s.pos = t.first_occ.p)
+        ),
+        isl AS (
+          SELECT doc_id, pos,
+                 CASE WHEN pos > COALESCE(
+                     lag(pos) OVER (PARTITION BY doc_id ORDER BY pos),
+                     -4611686018427387904) + 10
+                   THEN 1 ELSE 0 END AS ni
+          FROM rem
+        ),
+        num AS (
+          SELECT doc_id, pos,
+                 CAST(SUM(ni) OVER (PARTITION BY doc_id ORDER BY pos) AS BIGINT)
+                   AS island
+          FROM isl
+        )
+        SELECT doc_id, island, MIN(pos) AS start_pos, MAX(pos) + 9 AS end_tok,
+               COUNT(*) AS n_windows
+        FROM num GROUP BY doc_id, island
+        ORDER BY doc_id, start_pos"""))((spark, dir) => {
+      mergedDuplicateSpans(Tables(spark, dir).documents, "text", "doc_id")
+        .orderBy(col("doc_id"), col("start_pos"))
+    }),
+
+    // CCNet head/middle/tail quality split per source.
+    Query(
+      "q105_quality_buckets",
+      Some(s"""
+        WITH occ AS (SELECT doc_id AS doc, source,
+                       unnest(${sqlTokens("text")}) AS tok
+                     FROM documents),
+        vocab AS (SELECT tok, COUNT(*) AS df
+                  FROM (SELECT DISTINCT doc, tok FROM occ)
+                  GROUP BY tok HAVING COUNT(*) >= 5),
+        n AS (SELECT COUNT(*) AS n_corpus FROM documents),
+        sc AS (SELECT o.doc, o.source,
+                 CASE WHEN COUNT(v.df) > 0
+                      THEN round(COALESCE(SUM(v.df), 0) * 1.0
+                             / (COUNT(v.df) * ANY_VALUE(n_corpus)), 6)
+                      ELSE 0.0 END AS lm_commonness
+               FROM occ o LEFT JOIN vocab v USING (tok) CROSS JOIN n
+               GROUP BY o.doc, o.source),
+        th AS (SELECT quantile_cont(lm_commonness, 0.25) AS t_lo,
+                      quantile_cont(lm_commonness, 0.75) AS t_hi
+               FROM sc),
+        tagged AS (SELECT source, lm_commonness,
+                     CASE WHEN lm_commonness >= t_hi THEN 'head'
+                          WHEN lm_commonness >= t_lo THEN 'middle'
+                          ELSE 'tail' END AS bucket
+                   FROM sc CROSS JOIN th)
+        SELECT source, bucket, COUNT(*) AS n_docs,
+               round(CAST(SUM(CAST(lm_commonness AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_commonness
+        FROM tagged GROUP BY source, bucket
+        ORDER BY source, bucket"""))((spark, dir) => {
+      qualityBuckets(Tables(spark, dir).documents, "text", "doc_id", "source")
+        .orderBy(col("source"), col("bucket"))
+    }),
+
+    // Deterministic two-epoch corpus shuffle with dense global order.
+    Query(
+      "q106_epoch_shuffle",
+      Some(s"""
+        WITH e AS (SELECT doc_id, unnest([0, 1]) AS epoch FROM documents),
+        k AS (SELECT doc_id, epoch,
+                ${sqlH48("doc_id::VARCHAR || ':' || epoch::VARCHAR")} AS h
+              FROM e)
+        SELECT doc_id, epoch,
+               row_number() OVER (PARTITION BY epoch ORDER BY h, doc_id) - 1
+                 AS global_idx
+        FROM k ORDER BY epoch, global_idx"""))((spark, dir) => {
+      epochShuffle(Tables(spark, dir).documents, "doc_id", Seq(0, 1))
+        .orderBy(col("epoch"), col("global_idx"))
+    }),
+
+    // Per-domain cap: keep each source's 10 longest docs, exact ranks.
+    Query(
+      "q107_domain_cap",
+      Some("""
+        SELECT source, rank, doc_id, n_chars FROM (
+          SELECT source, doc_id, n_chars,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY n_chars DESC, doc_id) AS rank
+          FROM documents)
+        WHERE rank <= 10
+        ORDER BY source, rank"""))((spark, dir) => {
+      domainCap(Tables(spark, dir).documents, "source", col("n_chars"),
+          "doc_id", n = 10)
+        .select(col("source"), col("rank"), col("doc_id"), col("n_chars"))
+        .orderBy(col("source"), col("rank"))
+    }),
+
+    // Mixture allocation: weights derived from the source id so both
+    // engines compute them without a side table (w ∈ {.02,.04,.06,.08}).
+    Query(
+      "q108_mix_allocation",
+      Some(s"""
+        WITH per AS (
+          SELECT source, COUNT(*) AS n_docs,
+                 CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS toks
+          FROM documents GROUP BY source
+        )
+        SELECT source, n_docs, toks,
+               (CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0 AS w,
+               round(least(1.0, (CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0
+                 * 50000 / toks), 6) AS rate,
+               round((CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0
+                 * 50000 / toks, 6) AS epochs,
+               CAST(round(least(1.0, (CAST(substr(source, 4) AS INT) % 4 + 1)
+                 / 50.0 * 50000 / toks) * toks) AS BIGINT) AS exp_toks
+        FROM per ORDER BY source"""))((spark, dir) => {
+      val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0)
+      mixAllocation(Tables(spark, dir).documents, "text", "source", w, 50000L)
+        .select(col("source"), col("n_docs"), col("toks"), col("w"),
+          col("rate"), col("epochs"), col("exp_toks"))
+        .orderBy(col("source"))
+    })
+  )
+}

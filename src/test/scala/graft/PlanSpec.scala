@@ -246,6 +246,19 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("HashAggregate"), p.take(800))
   }
 
+  test("q104/q106/q107: curation windows are all partition-bounded; the shuffle-order carry broadcasts") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    for (name <- Seq("q104_span_merge", "q106_epoch_shuffle", "q107_domain_cap")) {
+      val plan = executed(q(name))
+      val wins = deepNodes(plan).collect { case w: WindowExec => w }
+      assert(wins.nonEmpty, name)
+      wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+        s"$name plans a single-partition (whole-corpus) window"))
+    }
+    // the per-(shard, epoch) offset frame joins back as a broadcast
+    assert(planString("q106_epoch_shuffle").contains("BroadcastHashJoin"))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

@@ -1,0 +1,114 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class CurationSpec extends SparkSpec {
+
+  private lazy val docs = Tables(spark, sf("sf0.001")).documents.cache()
+
+  test("mergedDuplicateSpans: islands cover exactly the flagged windows") {
+    import spark.implicits._
+    // Hand corpus: docs 1 and 2 share tokens 1..12 (three overlapping
+    // 10-windows in each -> one island of [1, 12]); doc 3 is unique.
+    val rep = (1 to 12).map(i => s"w$i").mkString(" ")
+    val d = Seq(
+      (1L, rep + " unique1 a b c d e f g h"),
+      (2L, rep + " unique2 p q r s t u v x"),
+      (3L, (1 to 25).map(i => s"only$i").mkString(" "))
+    ).toDF("doc_id", "text")
+    val merged = Curation.mergedDuplicateSpans(d, "text", "doc_id")
+      .orderBy("doc_id", "start_pos").collect()
+    // doc 1 holds the first occurrence of every shared window; only doc 2
+    // gets a removal island: windows at pos 1..3 merge to [1, 12].
+    assert(merged.length == 1)
+    val r = merged.head
+    assert(r.getAs[Long]("doc_id") == 2L)
+    assert(r.getAs[Int]("start_pos") == 1)
+    assert(r.getAs[Int]("end_tok") == 12)
+    assert(r.getAs[Long]("n_windows") == 3L)
+  }
+
+  test("mergedDuplicateSpans: disjoint duplicate regions stay separate islands") {
+    import spark.implicits._
+    val repA = (1 to 10).map(i => s"a$i").mkString(" ")
+    val repB = (1 to 10).map(i => s"b$i").mkString(" ")
+    val gap = (1 to 15).map(i => s"g$i").mkString(" ")
+    val d = Seq(
+      (1L, s"$repA x y z"), (2L, s"$repB x y z"),
+      (3L, s"$repA $gap $repB")
+    ).toDF("doc_id", "text")
+    val merged = Curation.mergedDuplicateSpans(d, "text", "doc_id")
+      .filter(col("doc_id") === 3L).orderBy("start_pos").collect()
+    assert(merged.length == 2)
+    assert(merged(0).getAs[Int]("start_pos") == 1)
+    assert(merged(0).getAs[Int]("end_tok") == 10)
+    assert(merged(1).getAs[Int]("start_pos") == 26)
+    assert(merged(1).getAs[Int]("end_tok") == 35)
+  }
+
+  test("epochShuffle: dense per-epoch permutation, partition-count independent") {
+    val a = Curation.epochShuffle(docs, "doc_id", Seq(0, 1), nShards = 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = Curation.epochShuffle(docs, "doc_id", Seq(0, 1), nShards = 11)
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a == b, "global_idx must not depend on shard count")
+    val n = docs.count()
+    for (e <- Seq(0, 1)) {
+      val idxs = a.collect { case ((_, ep), i) if ep == e => i }.toSeq.sorted
+      assert(idxs == (0L until n), s"epoch $e must be a dense 0..n-1 order")
+    }
+    // The two epochs are different permutations (that is the point).
+    val ord0 = a.toSeq.collect { case ((d, 0), i) => d -> i }.sortBy(_._2).map(_._1)
+    val ord1 = a.toSeq.collect { case ((d, 1), i) => d -> i }.sortBy(_._2).map(_._1)
+    assert(ord0 != ord1)
+  }
+
+  test("domainCap: salted two-phase equals the naive single window") {
+    val two = Curation.domainCap(docs, "source", col("n_chars"), "doc_id", n = 7)
+      .select("source", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("n_chars").desc, col("doc_id"))
+    val naive = docs.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= 7)
+      .select("source", "rank", "doc_id").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(two == naive)
+  }
+
+  test("mixAllocation: rate caps at 1 and epochs can exceed it") {
+    val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0)
+    val rows = Curation.mixAllocation(docs, "text", "source", w, 50000L)
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val rate = r.getAs[Double]("rate")
+      val epochs = r.getAs[Double]("epochs")
+      val toks = r.getAs[Long]("toks")
+      val exp = r.getAs[Long]("exp_toks")
+      assert(rate >= 0.0 && rate <= 1.0)
+      assert(math.abs(math.min(1.0, epochs) - rate) < 1e-5)
+      // expected tokens never exceed what the source actually has
+      assert(exp <= toks)
+    }
+    // with these weights at least one source needs > 1 epoch of repeats
+    assert(rows.exists(_.getAs[Double]("epochs") > 1.0))
+  }
+
+  test("qualityBuckets: every doc lands in exactly one bucket, head scores highest") {
+    val b = Curation.qualityBuckets(docs, "text", "doc_id", "source")
+    val total = b.agg(sum("n_docs")).collect().head.getLong(0)
+    assert(total == docs.count())
+    val byBucket = b.groupBy("bucket")
+      .agg(sum("n_docs").as("n"),
+        (sum(col("avg_commonness") * col("n_docs")) / sum("n_docs")).as("avg"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(byBucket.keySet == Set("head", "middle", "tail"))
+    assert(byBucket("head")._2 > byBucket("middle")._2)
+    assert(byBucket("middle")._2 > byBucket("tail")._2)
+    // quartile split: head ~ top 25%, tail ~ bottom 25% of 500 docs
+    assert(byBucket("head")._1 >= 100 && byBucket("head")._1 <= 150)
+    assert(byBucket("tail")._1 >= 100 && byBucket("tail")._1 <= 150)
+  }
+}
