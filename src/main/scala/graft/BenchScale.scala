@@ -91,6 +91,13 @@ object BenchScale {
           Similarity.knnJoinInCellHier(t.embeddings, "embedding", "vec_id",
             nCells = 16 * scale).count(); ()
         },
+        // ExactSubstr cut list in its scale configuration: span groupBy +
+        // join keyed by xxhash64 (8-byte shuffle keys, span text pruned
+        // from both shuffles); cost ∝ corpus tokens, target exponent ≈ 1.
+        "q104_span_merge_hashed" -> bestOf2 {
+          operators.Curation.mergedDuplicateSpans(
+            t.documents, "text", "doc_id", hashKeys = true).count(); ()
+        },
         "q86_knn_scaled_cells_flat" -> bestOf2 {
           Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
             nCells = 16 * scale).count(); ()

@@ -37,10 +37,14 @@ object Curation {
     * length — never by corpus size — and the upstream window stream is the
     * groupBy/join plan of q103 (no corpus-hot span ever concentrates into a
     * single window partition here, because islands are per-document).
+    * `hashKeys` passes through to [[Dedup.duplicatedSpans]] — the merge
+    * only reads `(doc_id, pos)`, so the hashed-key scale configuration
+    * loses nothing here.
     */
   def mergedDuplicateSpans(docs: DataFrame, textCol: String, idCol: String,
-                           k: Int = 10, minOcc: Int = 2): DataFrame = {
-    val rem = Dedup.duplicatedSpans(docs, textCol, idCol, k, minOcc)
+                           k: Int = 10, minOcc: Int = 2,
+                           hashKeys: Boolean = false): DataFrame = {
+    val rem = Dedup.duplicatedSpans(docs, textCol, idCol, k, minOcc, hashKeys)
       .select(col("doc_id"), col("pos"))
     val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
     rem

@@ -109,4 +109,13 @@ class DedupSpec extends SparkSpec {
     // doc 4 is untouched
     assert(!out.exists(_._1 == 4L))
   }
+
+  test("duplicated spans: hashed-key scale config equals string keys") {
+    val byString = Dedup.duplicatedSpans(docs, "text", "doc_id")
+      .select("doc_id", "pos", "n_occ")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val byHash = Dedup.duplicatedSpans(docs, "text", "doc_id", hashKeys = true)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(byString == byHash)
+  }
 }
