@@ -72,18 +72,22 @@ object Curation {
     * map-side CASE over the scored stream; the per-bucket roll-up sums
     * through DECIMAL(18,6) so the average is exact at any partition count
     * (q81/q83's pattern). The exact `percentile` aggregate is the oracle
-    * anchor; at 100 TB substitute `approx_percentile` (same one-row shape,
-    * Greenwald-Khanna bounded memory) — the bucket boundaries move by the
-    * sketch tolerance, nothing else changes.
+    * anchor; `approxThresholds` is the 100 TB configuration — the same
+    * one-row broadcast shape through `approx_percentile`
+    * (Greenwald-Khanna, bounded memory at any corpus size; the exact
+    * aggregate holds a per-value counts map). The bucket boundaries move
+    * by the sketch tolerance, nothing else changes.
     */
   def qualityBuckets(docs: DataFrame, textCol: String, idCol: String,
-                     sourceCol: String): DataFrame = {
+                     sourceCol: String,
+                     approxThresholds: Boolean = false): DataFrame = {
     val d6 = org.apache.spark.sql.types.DecimalType(18, 6)
     val sc = TextAnalysis.lmScore(docs, textCol, idCol, minDf = 5,
       carry = Seq(sourceCol))
-    val th = sc.agg(
-      percentile(col("lm_commonness"), lit(0.25)).as("t_lo"),
-      percentile(col("lm_commonness"), lit(0.75)).as("t_hi"))
+    def pct(p: Double) =
+      if (approxThresholds) approx_percentile(col("lm_commonness"), lit(p), lit(10000))
+      else percentile(col("lm_commonness"), lit(p))
+    val th = sc.agg(pct(0.25).as("t_lo"), pct(0.75).as("t_hi"))
     sc.crossJoin(broadcast(th))
       .withColumn("bucket",
         when(col("lm_commonness") >= col("t_hi"), "head")

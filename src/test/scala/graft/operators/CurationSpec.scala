@@ -111,4 +111,15 @@ class CurationSpec extends SparkSpec {
     assert(byBucket("head")._1 >= 100 && byBucket("head")._1 <= 150)
     assert(byBucket("tail")._1 >= 100 && byBucket("tail")._1 <= 150)
   }
+
+  test("qualityBuckets: approx-threshold scale config splits within sketch tolerance") {
+    val approx = Curation.qualityBuckets(docs, "text", "doc_id", "source",
+        approxThresholds = true)
+      .groupBy("bucket").agg(sum("n_docs").as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(approx.values.sum == docs.count())
+    // at accuracy=10000 on 500 docs the sketch is effectively exact
+    assert(approx("head") >= 100 && approx("head") <= 150)
+    assert(approx("tail") >= 100 && approx("tail") <= 150)
+  }
 }
