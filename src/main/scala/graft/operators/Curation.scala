@@ -201,6 +201,36 @@ object Curation {
         * col("toks")).cast("long"))
   }
 
+  /** Materialize the training mix that [[mixAllocation]] planned: each
+    * document of source `s` appears `floor(epochs_s)` times, plus one more
+    * copy with probability `frac(epochs_s)` decided by the deterministic
+    * h48 coin on `(doc, copy)` — so `epochs < 1` degenerates to exactly
+    * the rate-sampling path and `epochs > 1` to data repeating with a
+    * correctly-sampled fractional epoch (the data-constrained-scaling
+    * recipe: repeat under-budget sources, sample over-budget ones).
+    *
+    * Zero shuffle end-to-end: the allocation frame is mixture-table-sized
+    * (one row per source) and broadcasts onto a single corpus scan; the
+    * per-row explode is bounded by `ceil(epochs)`. Reproducible at any
+    * parallelism — no RNG state, the coin is a pure row function.
+    */
+  def mixMaterialize(docs: DataFrame, textCol: String, sourceCol: String,
+                     idCol: String, weight: Column, budget: Long): DataFrame = {
+    val alloc = mixAllocation(docs, textCol, sourceCol, weight, budget)
+      .select(col("source"), col("epochs"))
+    docs
+      .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
+        size(tokens(col(textCol))).cast("long").as("tok"))
+      .join(broadcast(alloc), "source")
+      .withColumn("copy_idx",
+        explode(sequence(lit(0), ceil(col("epochs")).cast("int") - 1)))
+      .filter(col("copy_idx") < floor(col("epochs")) ||
+        h48(concat(col("doc_id").cast("string"), lit(":"),
+          col("copy_idx").cast("string"))) <
+          (col("epochs") - floor(col("epochs"))) * lit(math.pow(2, 48)))
+      .select(col("doc_id"), col("source"), col("copy_idx"), col("tok"))
+  }
+
   // ------------------------------------------------ driver-facing queries
 
   val queries: Seq[Query] = Seq(
@@ -343,6 +373,47 @@ object Curation {
         .select(col("source"), col("n_docs"), col("toks"), col("w"),
           col("rate"), col("epochs"), col("exp_toks"))
         .orderBy(col("source"))
+    }),
+
+    // Materialized mix: repeats + fractional-epoch coin, per (doc, copy).
+    Query(
+      "q109_mix_materialize",
+      Some(s"""
+        WITH per AS (
+          SELECT source,
+                 CAST(SUM(len(${sqlTokens("text")})) AS BIGINT) AS toks
+          FROM documents GROUP BY source
+        ),
+        a AS (
+          SELECT source,
+                 round((CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0
+                   * 50000 / toks, 6) AS epochs
+          FROM per
+        ),
+        d AS (
+          SELECT doc_id, source, CAST(len(${sqlTokens("text")}) AS BIGINT) AS tok
+          FROM documents
+        ),
+        j AS (
+          SELECT d.doc_id, d.source, d.tok, a.epochs
+          FROM d JOIN a USING (source)
+        ),
+        x AS (
+          SELECT doc_id, source, tok, epochs,
+                 unnest(generate_series(0, CAST(ceil(epochs) AS INT) - 1))
+                   AS copy_idx
+          FROM j
+        )
+        SELECT doc_id, source, copy_idx, tok
+        FROM x
+        WHERE copy_idx < floor(epochs)
+           OR ${sqlH48("doc_id::VARCHAR || ':' || copy_idx::VARCHAR")}
+                < (epochs - floor(epochs)) * 281474976710656.0
+        ORDER BY doc_id, copy_idx"""))((spark, dir) => {
+      val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0)
+      mixMaterialize(Tables(spark, dir).documents, "text", "source",
+          "doc_id", w, 50000L)
+        .orderBy(col("doc_id"), col("copy_idx"))
     })
   )
 }

@@ -96,6 +96,30 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("epochs") > 1.0))
   }
 
+  test("mixMaterialize: copies bracket epochs exactly, deterministic under repartition") {
+    val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0)
+    val out = Curation.mixMaterialize(docs, "text", "source", "doc_id", w, 50000L)
+    val alloc = Curation.mixAllocation(docs, "text", "source", w, 50000L)
+      .select("source", "n_docs", "epochs")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val bySource = out.groupBy("source").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    for ((s, (nDocs, e)) <- alloc) {
+      val n = bySource.getOrElse(s, 0L)
+      // every doc contributes floor(e) certain copies plus a coin copy
+      assert(n >= math.floor(e).toLong * nDocs, s"$s under floor")
+      assert(n <= math.ceil(e).toLong * nDocs, s"$s over ceil")
+      // the coin is fair to ~sampling noise on 25 docs
+      assert(math.abs(n - e * nDocs) <= nDocs * 0.35 + 2, s"$s: n=$n e=$e")
+    }
+    // deterministic: a different partitioning yields the identical multiset
+    val a = out.collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    val b = Curation.mixMaterialize(docs.repartition(13), "text", "source",
+        "doc_id", w, 50000L)
+      .collect().map(r => (r.getLong(0), r.getInt(2))).toSet
+    assert(a == b)
+  }
+
   test("qualityBuckets: every doc lands in exactly one bucket, head scores highest") {
     val b = Curation.qualityBuckets(docs, "text", "doc_id", "source")
     val total = b.agg(sum("n_docs")).collect().head.getLong(0)
