@@ -122,15 +122,23 @@ object Curation {
     * in-shard `row_number` (each window ≈ corpus/nShards) plus the
     * cumulative shard-count carry (a tiny broadcast frame) IS the global
     * order. CurationSpec pins nShards=3 against nShards=11.
+    *
+    * `nShards = 0` (the default) uses the session's
+    * `spark.sql.shuffle.partitions` — the same parallelism every other
+    * shuffle in the job runs at — which is safe precisely BECAUSE the
+    * result is shard-count independent.
     */
   def epochShuffle(docs: DataFrame, idCol: String, epochs: Seq[Int],
-                   nShards: Int = 8): DataFrame = {
+                   nShards: Int = 0): DataFrame = {
+    val shards: Long =
+      if (nShards > 0) nShards.toLong
+      else docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "8").toLong
     val keyed = docs
       .select(col(idCol).as("doc_id"))
       .withColumn("epoch", explode(array(epochs.map(lit(_)): _*)))
       .withColumn("h", h48(concat(col("doc_id").cast("string"), lit(":"),
         col("epoch").cast("string"))))
-      .withColumn("shard", shiftright(col("h") * nShards.toLong, 48))
+      .withColumn("shard", shiftright(col("h") * shards, 48))
     val wIn = Window.partitionBy(col("shard"), col("epoch"))
       .orderBy(col("h"), col("doc_id"))
     val withIn = keyed.withColumn("idx_in", row_number().over(wIn).cast("long") - 1)
@@ -229,6 +237,32 @@ object Curation {
           col("copy_idx").cast("string"))) <
           (col("epochs") - floor(col("epochs"))) * lit(math.pow(2, 48)))
       .select(col("doc_id"), col("source"), col("copy_idx"), col("tok"))
+  }
+
+  /** The whole curation layer as ONE declarative plan — exact dedup →
+    * corpus-LM quality gate → per-domain cap → deterministic training
+    * order: what a user actually runs nightly. Every stage is the library
+    * operator above, so the composition inherits each stage's scale shape
+    * (hash-bucketed dedup groupBy, broadcast vocabulary, salted two-phase
+    * cap, fixed-width-shard order); Catalyst fuses the stages into one
+    * job — no materialization barriers between them.
+    */
+  def curationPipeline(docs: DataFrame, textCol: String, idCol: String,
+                       sourceCol: String, rankBy: Column, capN: Int,
+                       maxOov: Double): DataFrame = {
+    val keep = Dedup.exact(docs, col(textCol), col(idCol))
+      .select(col("keep_id").as(idCol))
+    val deduped = docs.join(keep, idCol)
+    val scored = TextAnalysis.lmScore(deduped, textCol, idCol, minDf = 5,
+        carry = Seq(sourceCol, "n_chars"))
+      .filter(col("oov_rate") <= maxOov)
+      .withColumnRenamed("doc", idCol)
+    val capped = domainCap(scored, sourceCol, rankBy, idCol, capN)
+      .select(col(idCol), col(sourceCol), col("n_occ").as("tok"))
+    epochShuffle(capped, idCol, Seq(0))
+      .select(col(idCol), col("global_idx"))
+      .join(capped, idCol)
+      .select(col(idCol), col(sourceCol), col("tok"), col("global_idx"))
   }
 
   // ------------------------------------------------ driver-facing queries
@@ -414,6 +448,42 @@ object Curation {
       mixMaterialize(Tables(spark, dir).documents, "text", "source",
           "doc_id", w, 50000L)
         .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // The full curation layer in one job: dedup -> quality -> cap -> order.
+    Query(
+      "q110_curation_e2e",
+      Some(s"""
+        WITH keep AS (
+          SELECT MIN(doc_id) AS doc_id FROM documents GROUP BY md5(text)
+        ),
+        dd AS (SELECT d.* FROM documents d JOIN keep USING (doc_id)),
+        occ AS (SELECT doc_id AS doc, source, n_chars,
+                  unnest(${sqlTokens("text")}) AS tok
+                FROM dd),
+        vocab AS (SELECT tok, COUNT(*) AS df
+                  FROM (SELECT DISTINCT doc, tok FROM occ)
+                  GROUP BY tok HAVING COUNT(*) >= 5),
+        per AS (SELECT o.doc, o.source, o.n_chars,
+                  COUNT(*) AS n_occ, COUNT(v.df) AS n_in
+                FROM occ o LEFT JOIN vocab v USING (tok)
+                GROUP BY o.doc, o.source, o.n_chars),
+        q AS (SELECT doc AS doc_id, source, n_chars, n_occ
+              FROM per
+              WHERE round((n_occ - n_in) * 1.0 / n_occ, 6) <= 0.5),
+        cap AS (SELECT doc_id, source, n_occ,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY n_chars DESC, doc_id) AS rnk
+                FROM q),
+        kept AS (SELECT doc_id, source, n_occ FROM cap WHERE rnk <= 15)
+        SELECT doc_id, source, CAST(n_occ AS BIGINT) AS tok,
+               row_number() OVER (
+                 ORDER BY ${sqlH48("doc_id::VARCHAR || ':0'")}, doc_id) - 1
+                 AS global_idx
+        FROM kept ORDER BY global_idx"""))((spark, dir) => {
+      curationPipeline(Tables(spark, dir).documents, "text", "doc_id",
+          "source", col("n_chars"), capN = 15, maxOov = 0.5)
+        .orderBy(col("global_idx"))
     })
   )
 }

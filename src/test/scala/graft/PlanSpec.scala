@@ -259,6 +259,16 @@ class PlanSpec extends SparkSpec {
     assert(planString("q106_epoch_shuffle").contains("BroadcastHashJoin"))
   }
 
+  test("q109: mix materialization broadcasts the allocation; corpus path never shuffles") {
+    val plan = executed(q("q109_mix_materialize"))
+    assert(plan.toString.contains("BroadcastHashJoin"))
+    // allowed shuffles: the mixture-table aggregate (one exchange) and the
+    // oracle-ordering sort (one range exchange); the corpus scan itself
+    // must reach the explode/filter without shuffling
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles")
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

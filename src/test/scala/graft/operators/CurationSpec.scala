@@ -120,6 +120,23 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("curationPipeline: caps hold, order is dense, stages compose") {
+    val out = Curation.curationPipeline(docs, "text", "doc_id", "source",
+        col("n_chars"), capN = 7, maxOov = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.nonEmpty)
+    // no source exceeds its cap
+    val bySource = out.groupBy(_._2).view.mapValues(_.length)
+    assert(bySource.forall(_._2 <= 7), bySource.toMap.toString)
+    // the training order is a dense 0..n-1 permutation
+    assert(out.map(_._4).sorted.toSeq == (0L until out.length))
+    // deterministic under repartitioning
+    val again = Curation.curationPipeline(docs.repartition(13), "text",
+        "doc_id", "source", col("n_chars"), capN = 7, maxOov = 0.5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSet == again.toSet)
+  }
+
   test("qualityBuckets: every doc lands in exactly one bucket, head scores highest") {
     val b = Curation.qualityBuckets(docs, "text", "doc_id", "source")
     val total = b.agg(sum("n_docs")).collect().head.getLong(0)
