@@ -230,6 +230,11 @@ object Curation {
       .select(col(idCol).as("doc_id"), col(sourceCol).as("source"),
         size(tokens(col(textCol))).cast("long").as("tok"))
       .join(broadcast(alloc), "source")
+      // A zero-weight source must vanish, and it must do so BEFORE the
+      // explode: Spark's `sequence(0, -1)` steps DOWNWARD ([0, -1]), so an
+      // epochs=0 row would emit a spurious copy_idx=-1 that the
+      // `copy_idx < floor(0)` filter then keeps.
+      .filter(col("epochs") > 0)
       .withColumn("copy_idx",
         explode(sequence(lit(0), ceil(col("epochs")).cast("int") - 1)))
       .filter(col("copy_idx") < floor(col("epochs")) ||

@@ -120,6 +120,20 @@ class CurationSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("mixMaterialize: a zero-weight source vanishes (no descending-sequence leak)") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "a b c d", "keep"), (2L, "e f g h", "keep"),
+      (3L, "i j k l", "drop"), (4L, "m n o p", "drop")
+    ).toDF("doc_id", "text", "source")
+    val w = when(col("source") === "keep", 1.0).otherwise(0.0)
+    val out = Curation.mixMaterialize(d, "text", "source", "doc_id", w, 8L)
+      .collect()
+    assert(out.forall(_.getString(1) == "keep"), "zero-weight source leaked")
+    assert(out.forall(_.getInt(2) >= 0), "negative copy_idx leaked")
+    assert(out.nonEmpty)
+  }
+
   test("curationPipeline: caps hold, order is dense, stages compose") {
     val out = Curation.curationPipeline(docs, "text", "doc_id", "source",
         col("n_chars"), capN = 7, maxOov = 0.5)
