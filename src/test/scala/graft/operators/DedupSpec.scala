@@ -118,4 +118,30 @@ class DedupSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
     assert(byString == byHash)
   }
+
+  test("bloomNewDocs equals the plain batch-vs-corpus join, and the bloom prunes") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, md5, min, udf}
+    val isBatch = col("doc_id") % 10 === 0
+    val out = Dedup.bloomNewDocs(docs, "text", "doc_id", isBatch,
+        expectedItems = 10000L)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    // naive reference: exact left join on the text hash
+    val c = docs.filter(!isBatch).select(md5(col("text")).as("h"), col("doc_id").as("cid"))
+    val b = docs.filter(isBatch).select(col("doc_id"), md5(col("text")).as("h"))
+    val ref = b.join(broadcast(c), Seq("h"), "left")
+      .groupBy("doc_id").agg(min("cid").as("dup_of"))
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.isNullAt(1))).toSet
+    assert(out == ref)
+    // the prefilter must actually prune: on an all-unique synthetic corpus,
+    // probe hits are bounded by the false-positive rate, not the batch size
+    val uniq = (1L to 2000L).map(i => (i, s"unique document body $i")).toDF("doc_id", "text")
+    val bf = uniq.filter(col("doc_id") % 10 =!= 0)
+      .select(md5(col("text")).as("h")).stat.bloomFilter("h", 2000L, 0.01)
+    val bfB = spark.sparkContext.broadcast(bf)
+    val might = udf((h: String) => bfB.value.mightContainString(h))
+    val hits = uniq.filter(col("doc_id") % 10 === 0)
+      .select(md5(col("text")).as("h")).filter(might(col("h"))).count()
+    assert(hits <= 20, s"bloom passed $hits of 200 all-new rows")
+  }
 }
