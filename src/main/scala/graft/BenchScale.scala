@@ -101,6 +101,15 @@ object BenchScale {
         "q86_knn_scaled_cells_flat" -> bestOf2 {
           Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
             nCells = 16 * scale).count(); ()
+        },
+        // The composed curation layer (dedup → LM quality gate → domain
+        // cap → epoch order) with BOTH absolute thresholds scaled to keep
+        // selectivity constant — the nightly-job shape whose composed
+        // exponent the 100 TB claim actually needs.
+        "q110_curation_e2e" -> bestOf2 {
+          operators.Curation.curationPipeline(t.documents, "text", "doc_id",
+            "source", col("n_chars"), capN = 15 * scale, maxOov = 0.5,
+            minDf = 5 * scale).count(); ()
         })
     }
 

@@ -251,14 +251,20 @@ object Curation {
     * (hash-bucketed dedup groupBy, broadcast vocabulary, salted two-phase
     * cap, fixed-width-shard order); Catalyst fuses the stages into one
     * job — no materialization barriers between them.
+    *
+    * Scale config: `minDf` (vocab membership) and `capN` (per-domain keep)
+    * are ABSOLUTE thresholds that must scale ∝ corpus to keep their
+    * selectivity constant — the same rule as [[Dedup.dfCapFor]]; the
+    * three-point study runs this pipeline with both scaled and fits the
+    * composed exponent (BENCH_sf3.md).
     */
   def curationPipeline(docs: DataFrame, textCol: String, idCol: String,
                        sourceCol: String, rankBy: Column, capN: Int,
-                       maxOov: Double): DataFrame = {
+                       maxOov: Double, minDf: Int = 5): DataFrame = {
     val keep = Dedup.exact(docs, col(textCol), col(idCol))
       .select(col("keep_id").as(idCol))
     val deduped = docs.join(keep, idCol)
-    val scored = TextAnalysis.lmScore(deduped, textCol, idCol, minDf = 5,
+    val scored = TextAnalysis.lmScore(deduped, textCol, idCol, minDf = minDf,
         carry = Seq(sourceCol, "n_chars"))
       .filter(col("oov_rate") <= maxOov)
       .withColumnRenamed("doc", idCol)

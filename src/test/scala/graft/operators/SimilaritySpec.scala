@@ -136,4 +136,36 @@ class SimilaritySpec extends SparkSpec {
     info(f"mean nn cosine: flat = $mf%.4f, hier = $mh%.4f over ${common.size} vectors")
     assert(mh >= mf - 0.02, f"hier neighbor quality $mh%.4f well below flat $mf%.4f")
   }
+
+  test("product quantization: code shape, determinism, shortlist recall") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.Tables(spark, sf("sf0.01")).embeddings
+    val m = 16; val nCodes = 32
+    val cb = Similarity.pqCodebooks(embs, "embedding", "vec_id", m, nCodes, iters = 2)
+    // full codebook grid, one centroid per (subspace, code), right dims
+    val rows = cb.collect()
+    assert(rows.length == m * nCodes)
+    assert(rows.forall(_.getSeq[Double](2).length == 64 / m))
+    val index = Similarity.pqEncode(embs, "embedding", "vec_id", cb)
+    val codes = index.collect()
+    assert(codes.length == embs.count())
+    assert(codes.forall { r =>
+      val cs = r.getSeq[Int](r.fieldIndex("codes"))
+      cs.length == m && cs.forall(c => c >= 0 && c < nCodes)
+    })
+    // deterministic under repartitioning (hash-free pipeline end-to-end)
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.annPq(c, qs, "embedding", "vec_id", k = 5)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(embs)
+    assert(a == run(embs.repartition(13)))
+    // ADC shortlist + exact re-rank recovers brute-force truth: >= 3 of 5
+    // per query on the near-random synthetic corpus (q113 gates the same)
+    val truth = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val perQ = truth.groupBy(_._1).map { case (q, ts) => (ts intersect a).size }
+    assert(perQ.forall(_ >= 3), s"recall dipped: $perQ")
+  }
 }
