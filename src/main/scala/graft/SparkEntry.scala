@@ -23,7 +23,8 @@ object SparkEntry {
     graft.operators.ScaleOps.queries ++
     graft.operators.ScaleOps.extraQueries ++
     graft.operators.Curation.queries ++
-    graft.operators.ZOrder.queries
+    graft.operators.ZOrder.queries ++
+    graft.operators.Warehouse.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -269,6 +269,22 @@ class PlanSpec extends SparkSpec {
     assert(shuffles.size <= 2, s"${shuffles.size} shuffles")
   }
 
+  test("q114: compaction lag + version lead/row_number share one key shuffle") {
+    val plan = executed(q("q114_scd2_dim"))
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    // one hash exchange on the dimension key serves BOTH window passes
+    // (same partitioning, compatible ordering); the trailing oracle
+    // orderBy may add one range exchange — nothing else may shuffle
+    assert(shuffles.size <= 2, s"${shuffles.size} shuffles: ${plan.toString.take(1200)}")
+  }
+
+  test("q115: PIT lookup is an equi-join on the key, never nested-loop") {
+    val p = planString("q115_scd2_pit")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+    assert(p.contains("Join"), p.take(800))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

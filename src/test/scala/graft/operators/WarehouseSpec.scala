@@ -1,0 +1,102 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class WarehouseSpec extends SparkSpec {
+
+  test("scd2: compacts consecutive duplicates and chains valid_from/valid_to") {
+    import spark.implicits._
+    // key 1: A@10, A@20 (compacted), B@30, A@40 -> 3 versions.
+    // key 2: single observation -> one open version.
+    val ch = Seq(
+      (1L, 10L, 1L, "A"), (1L, 20L, 2L, "A"), (1L, 30L, 3L, "B"),
+      (1L, 40L, 4L, "A"), (2L, 15L, 5L, "Z")
+    ).toDF("k0", "ts", "tb", "a")
+    val v = Warehouse.scd2(ch, col("k0"), col("ts"), col("tb"), col("a"))
+      .orderBy("k", "version").collect()
+    assert(v.map(r => (r.getAs[Long]("k"), r.getAs[String]("segment"),
+      r.getAs[Long]("valid_from"), Option(r.getAs[Any]("valid_to")),
+      r.getAs[Int]("version"), r.getAs[Boolean]("is_current"))).toSeq == Seq(
+      (1L, "A", 10L, Some(30L), 1, false),
+      (1L, "B", 30L, Some(40L), 2, false),
+      (1L, "A", 40L, None, 3, true),
+      (2L, "Z", 15L, None, 1, true)))
+  }
+
+  test("scd2 + pitJoin: lookup lands in the half-open interval; pre-history is null") {
+    import spark.implicits._
+    val ch = Seq((1L, 10L, 1L, "A"), (1L, 30L, 2L, "B")).toDF("k0", "ts", "tb", "a")
+    val dim = Warehouse.scd2(ch, col("k0"), col("ts"), col("tb"), col("a"))
+    val facts = Seq((1L, 5L), (1L, 10L), (1L, 29L), (1L, 30L), (1L, 99L))
+      .toDF("fk", "fts")
+    val got = Warehouse.pitJoin(facts, col("fk"), col("fts"), dim)
+      .select(col("fts"), col("segment")).orderBy("fts").collect()
+      .map(r => (r.getLong(0), Option(r.getAs[String]("segment"))))
+    assert(got.toSeq == Seq(
+      (5L, None), (10L, Some("A")), (29L, Some("A")),
+      (30L, Some("B")), (99L, Some("B"))))
+  }
+
+  test("pitJoin: zero-width version (two changes at one ts) never matches") {
+    import spark.implicits._
+    // A and B both open at ts=10 (different tie-break): A's interval is
+    // [10, 10) = empty; a fact at 10 must land on B only.
+    val ch = Seq((1L, 10L, 1L, "A"), (1L, 10L, 2L, "B")).toDF("k0", "ts", "tb", "a")
+    val dim = Warehouse.scd2(ch, col("k0"), col("ts"), col("tb"), col("a"))
+    val got = Warehouse.pitJoin(Seq((1L, 10L)).toDF("fk", "fts"),
+        col("fk"), col("fts"), dim)
+      .select(col("segment")).collect().map(_.getString(0))
+    assert(got.toSeq == Seq("B"))
+  }
+
+  test("heavyHitters: bit-identical to the plain groupBy-filter") {
+    val ev = Tables(spark, sf()).events
+    val plain = ev.groupBy(col("user_id")).agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 75).orderBy("user_id").collect()
+    val sketched = Warehouse.heavyHitters(ev, "user_id", 75L)
+      .orderBy("user_id").collect()
+    assert(plain.nonEmpty)
+    assert(sketched.toSeq == plain.toSeq)
+  }
+
+  test("heavyHitters: sketch prefilter actually prunes the exact pass") {
+    import spark.implicits._
+    // 3 heavy keys (100x) in a sea of 500 singletons: the candidate filter
+    // must keep ~the heavy rows only. eps=1e-3 over n=800 rows gives
+    // estimate error <= ~1, far under the threshold gap.
+    val df = ((1 to 3).flatMap(k => Seq.fill(100)(k.toLong)) ++
+      (1000L to 1499L)).toDF("k")
+    val cms = df.stat.countMinSketch("k", 1e-3, 0.999, 42)
+    val kept = df.collect().count(r => cms.estimateCount(r.getLong(0)) >= 50L)
+    assert(kept >= 300 && kept < 350, s"prefilter kept $kept rows")
+    val got = Warehouse.heavyHitters(df, "k", 50L, eps = 1e-3)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1L, 100L), (2L, 100L), (3L, 100L)))
+  }
+
+  test("snapshotDiff: classifies added/removed/changed, drops unchanged, null-safe") {
+    import spark.implicits._
+    val old = Seq((1L, Some("a"), 10.0), (2L, None: Option[String], 20.0),
+      (3L, Some("c"), 30.0), (4L, Some("d"), 40.0))
+      .toDF("id", "s", "x")
+    val neu = Seq((1L, Some("a"), 10.0), (2L, Some("b"), 20.0),
+      (3L, None: Option[String], 30.0), (5L, Some("e"), 50.0))
+      .toDF("id", "s", "x")
+    val got = Warehouse.snapshotDiff(old, neu, Seq("id"))
+      .orderBy("id").collect().map(r => (r.getLong(0), r.getString(1)))
+    // 1 unchanged (dropped); 2 null->b changed; 3 c->null changed;
+    // 4 removed; 5 added.
+    assert(got.toSeq == Seq((2L, "changed"), (3L, "changed"),
+      (4L, "removed"), (5L, "added")))
+  }
+
+  test("snapshotDiff: refuses mismatched schemas") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("id", "s")
+    val b = Seq((1L, 2.0)).toDF("id", "y")
+    intercept[IllegalArgumentException] {
+      Warehouse.snapshotDiff(a, b, Seq("id"))
+    }
+  }
+}
