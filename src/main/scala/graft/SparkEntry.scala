@@ -24,7 +24,9 @@ object SparkEntry {
     graft.operators.ScaleOps.extraQueries ++
     graft.operators.Curation.queries ++
     graft.operators.ZOrder.queries ++
-    graft.operators.Warehouse.queries
+    graft.operators.Warehouse.queries ++
+    graft.operators.Graph.queries ++
+    graft.operators.TimeSeries.queries
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

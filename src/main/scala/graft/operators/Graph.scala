@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Graph-topology operators over relationally-derived edge lists,
+  * complementing the iterative family in [[Pipeline]] (PageRank, connected
+  * components). The reference moves warehouse tables whose natural joins ARE
+  * graphs (orders link customers/suppliers/parts — `HQL/repldump.hql` ships
+  * exactly those tables); these operators are the analytics a warehouse-side
+  * consumer runs on them.
+  */
+object Graph {
+
+  /** Canonical undirected edge list (u < v, deduplicated) with a minimum
+    * support filter — pairs co-occurring under a blocking key at least
+    * `minSupport` times. One equi-join keyed on the block (baskets are
+    * small, so pairs per block are bounded) + one count shuffle.
+    */
+  def coOccurrenceEdges(pairs: DataFrame, block: Column, item: Column,
+                        minSupport: Long): DataFrame = {
+    val b = pairs.select(block.as("blk"), item.as("it")).distinct()
+    b.as("a").join(b.as("c"),
+        col("a.blk") === col("c.blk") && col("a.it") < col("c.it"))
+      .groupBy(col("a.it").as("u"), col("c.it").as("v"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= minSupport)
+      .select(col("u"), col("v"))
+  }
+
+  /** Per-node triangle participation counts via degree-ordered edge
+    * orientation (the "compact-forward" enumeration).
+    *
+    * Each undirected edge is directed from its lower-(degree, id) endpoint
+    * to the higher; wedges are enumerated only from each node's
+    * out-neighborhood and closed against the oriented edge list, so every
+    * triangle is generated exactly once.
+    *
+    * 100 TB shape: orientation bounds every out-degree by O(sqrt(m)) —
+    * the classic fix for the power-law hub that makes naive wedge
+    * enumeration quadratic in the hub degree (a node with d neighbors
+    * yields d² wedges unoriented, but at most m wedges total oriented).
+    * The whole op is three hash joins on node ids + one count shuffle:
+    * degrees (one agg), orientation (two broadcast-or-shuffle joins of
+    * edges against the small degree table), wedge join (self-join of the
+    * oriented list on the shared source), closure (semi-shaped inner join
+    * against the oriented list), unnest + count. No iteration, no driver
+    * data. The degree table is nodes-sized — broadcast when dims allow,
+    * hash-partitioned otherwise; Catalyst picks per AQE stats.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    // Degrees over the undirected list.
+    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    // Orient: src = endpoint with smaller (degree, id).
+    val du = deg.select(col("n").as("u"), col("d").as("du"))
+    val dv = deg.select(col("n").as("v"), col("d").as("dv"))
+    val oriented = edges.join(du, "u").join(dv, "v")
+      .select(
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("u"))
+          .otherwise(col("v")).as("src"),
+        when(col("du") < col("dv") ||
+             (col("du") === col("dv") && col("u") < col("v")), col("v"))
+          .otherwise(col("u")).as("dst"))
+    // Wedges from each source's out-neighborhood, ordered to avoid the
+    // mirror wedge; closed against the oriented list in either direction
+    // (the b–c edge's own orientation depends on b and c's degrees).
+    val e1 = oriented.select(col("src").as("a"), col("dst").as("b"))
+    val e2 = oriented.select(col("src").as("a"), col("dst").as("c"))
+    val wedges = e1.join(e2, Seq("a")).filter(col("b") < col("c"))
+    // The closure check is against the CANONICAL u<v list itself (wedge
+    // endpoints are already ordered b<c) — no extra distinct/shuffle.
+    val closer = edges.select(col("u").as("b"), col("v").as("c"))
+    val triangles = wedges.join(closer, Seq("b", "c"))
+    // Each triangle contributes to all three corners.
+    triangles
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val queries: Seq[Query] = Seq(
+    // Triangle census of the co-purchase graph (parts co-ordered >= 2
+    // times): per-part triangle participation. The oracle enumerates
+    // triangles naively from the canonical u<v edge list — passing proves
+    // the degree-ordered enumeration is an optimization, not a different
+    // census.
+    Query(
+      "q118_triangles",
+      Some("""
+        WITH b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        e AS (SELECT a.l_partkey AS u, c.l_partkey AS v
+              FROM b a JOIN b c
+                ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+              GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+        tri AS (SELECT e1.u AS a, e1.v AS b2, e2.v AS c
+                FROM e e1 JOIN e e2 ON e1.v = e2.u
+                JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v)
+        SELECT node, COUNT(*) AS n_triangles
+        FROM (SELECT unnest([a, b2, c]) AS node FROM tri)
+        GROUP BY node ORDER BY node"""))((spark, dir) => {
+      val li = Tables(spark, dir).lineitem
+      val edges = coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"),
+        minSupport = 2L)
+      triangleCounts(edges).orderBy(col("node"))
+    })
+  )
+}

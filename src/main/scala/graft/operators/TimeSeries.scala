@@ -1,0 +1,129 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization operators over the event log: resampling an
+  * irregular per-key series onto a fixed grid with linear interpolation —
+  * the companion of the LOCF backfill (q90) for feature pipelines that need
+  * evenly-spaced inputs. (Reference context: the event log is exactly the
+  * shape `HQL/repldump.hql` ships between warehouses; these are its
+  * consumer-side transforms.)
+  */
+object TimeSeries {
+
+  /** Per-key gap-fill onto a fixed `stepUs` grid with linear interpolation.
+    *
+    * `obs` carries (key, us, value, obs_id) irregular observations; the
+    * output has one row per key per grid instant (whole multiples of
+    * `stepUs` strictly inside the key's observed span), with the value
+    * linearly interpolated between the surrounding observations. A grid
+    * instant that coincides with an observation returns that observation's
+    * value (the latest by `obs_id` if several share the instant).
+    *
+    * 100 TB shape: grid rows are generated from a per-key min/max aggregate
+    * (one map-side-combinable shuffle, output = keys), then unioned with
+    * the observations and resolved by two running windows per key — forward
+    * for the previous observation, backward for the next. Both windows
+    * partition on the key, so Catalyst plans ONE hash exchange; the second
+    * window adds only a re-sort within partitions. No join of grid against
+    * observations (the naive as-of-join-per-grid-point doubles the shuffle
+    * volume), no per-key collect, per-key state bounded by the span/step
+    * ratio. Skewed keys (one device's years-long series) bound the sort,
+    * not memory — windows stream within a partition.
+    */
+  def gapFillInterpolate(obs: DataFrame, stepUs: Long): DataFrame = {
+    val step = lit(stepUs)
+    // Integral floor-division (Column./ is fractional) keeps the grid exact
+    // at epoch-micros magnitude.
+    val rng = obs.groupBy(col("key"))
+      .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
+      .select(col("key"),
+        expr(s"(mn DIV $stepUs + 1) * $stepUs").as("lo"),
+        expr(s"(mx DIV $stepUs) * $stepUs").as("hi"))
+    val grid = rng.filter(col("hi") >= col("lo"))
+      .select(col("key"),
+        explode(sequence(col("lo"), col("hi"), step)).as("us"))
+    val unioned = obs
+      .select(col("key"), col("us"), col("value"), lit(0).as("is_grid"),
+        col("obs_id"))
+      .unionAll(grid.select(col("key"), col("us"),
+        lit(null).cast("double").as("value"), lit(1).as("is_grid"),
+        lit(null).cast("long").as("obs_id")))
+    val fw = Window.partitionBy(col("key"))
+      .orderBy(col("us"), col("is_grid"), col("obs_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val bw = Window.partitionBy(col("key"))
+      .orderBy(col("us").desc, col("is_grid").desc, col("obs_id").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val obsUs = when(col("is_grid") === 0, col("us"))
+    unioned
+      .withColumn("prev_v", last(col("value"), ignoreNulls = true).over(fw))
+      .withColumn("prev_us", last(obsUs, ignoreNulls = true).over(fw))
+      .withColumn("next_v", last(col("value"), ignoreNulls = true).over(bw))
+      .withColumn("next_us", last(obsUs, ignoreNulls = true).over(bw))
+      .filter(col("is_grid") === 1)
+      .select(col("key"), col("us"),
+        when(col("next_us") === col("prev_us"), col("prev_v"))
+          .otherwise(col("prev_v") + (col("next_v") - col("prev_v")) *
+            ((col("us") - col("prev_us")) * lit(1.0) /
+             (col("next_us") - col("prev_us")))).as("v_raw"))
+  }
+
+  val queries: Seq[Query] = Seq(
+    // Hourly regularization of each sampled user's event-value series:
+    // grid instants strictly inside the user's span, linearly interpolated
+    // between the surrounding events. The identical window construction on
+    // both engines makes the interpolation arithmetic (exact int64 micros
+    // promoted to double the same way) match to the rounded digit.
+    Query(
+      "q120_gap_fill",
+      Some("""
+        WITH obs AS (
+          SELECT user_id, epoch_us(ts) AS us, value, event_id
+          FROM events WHERE user_id % 10 = 0),
+        rng AS (SELECT user_id,
+                  (min(us) // 3600000000 + 1) * 3600000000 AS lo,
+                  (max(us) // 3600000000) * 3600000000 AS hi
+                FROM obs GROUP BY 1),
+        grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS us
+                 FROM rng WHERE hi >= lo),
+        u AS (
+          SELECT user_id, us, value, 0 AS is_grid, event_id FROM obs
+          UNION ALL
+          SELECT user_id, us, NULL, 1, NULL FROM grid),
+        f AS (
+          SELECT user_id, us, is_grid,
+            last_value(value IGNORE NULLS) OVER fw AS prev_v,
+            last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+              OVER fw AS prev_us,
+            last_value(value IGNORE NULLS) OVER bw AS next_v,
+            last_value(CASE WHEN is_grid = 0 THEN us END IGNORE NULLS)
+              OVER bw AS next_us
+          FROM u
+          WINDOW fw AS (PARTITION BY user_id ORDER BY us, is_grid, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+                 bw AS (PARTITION BY user_id
+                        ORDER BY us DESC, is_grid DESC, event_id DESC
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT user_id, us,
+               round(CASE WHEN next_us = prev_us THEN prev_v
+                          ELSE prev_v + (next_v - prev_v) *
+                               ((us - prev_us) * 1.0 / (next_us - prev_us))
+                     END, 6) AS v_interp
+        FROM f WHERE is_grid = 1
+        ORDER BY user_id, us"""))((spark, dir) => {
+      val obs = Tables(spark, dir).events
+        .filter(col("user_id") % 10 === 0)
+        .select(col("user_id").as("key"),
+          unix_micros(col("ts").cast("timestamp")).as("us"),
+          col("value"), col("event_id").as("obs_id"))
+      gapFillInterpolate(obs, stepUs = 3600000000L)
+        .select(col("key").as("user_id"), col("us"),
+          round(col("v_raw"), 6).as("v_interp"))
+        .orderBy(col("user_id"), col("us"))
+    })
+  )
+}

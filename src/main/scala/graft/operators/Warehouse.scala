@@ -131,6 +131,39 @@ object Warehouse {
       .select(keyCols.map(col) :+ col("change_type"): _*)
   }
 
+  /** Incremental maintenance of a materialized aggregate from a change
+    * stream (delta-maintained view): `base` is the already-materialized
+    * per-key aggregate (count + additive measure), `changes` carries
+    * (op, key, measure) rows with op ∈ I/D — callers expand an update into
+    * a delete of the old row plus an insert of the new one, so key-moving
+    * updates maintain BOTH groups correctly. The maintained result is the
+    * base merged with the signed per-key delta aggregate; groups whose
+    * count reaches zero vanish (exactly as a recompute would drop them).
+    *
+    * 100 TB shape: cost tracks the DELTA, never the view — the change
+    * stream aggregates with map-side combine down to (affected keys) rows,
+    * then one full-outer hash join against the materialized view touches
+    * only matching view partitions (with the view bucketed/partitioned by
+    * key, this is the same partition-scoped merge the replication plane's
+    * `Catalog.mergeDelta` runs — this operator is its aggregate-view
+    * consumer). COUNT and SUM are self-maintainable; MIN/MAX or DISTINCT
+    * would need per-group auxiliary state, deliberately out of scope.
+    */
+  def maintainAgg(base: DataFrame, changes: DataFrame): DataFrame = {
+    val signed = changes.select(col("key"),
+        when(col("op") === "D", lit(-1L)).otherwise(lit(1L)).as("sgn"),
+        col("measure"))
+    val delta = signed.groupBy(col("key")).agg(
+      sum(col("sgn")).as("d_cnt"),
+      sum(col("sgn") * col("measure").cast("decimal(28,2)")).as("d_sum"))
+    base.join(delta, Seq("key"), "full_outer")
+      .select(col("key"),
+        (coalesce(col("cnt"), lit(0L)) + coalesce(col("d_cnt"), lit(0L))).as("cnt"),
+        (coalesce(col("sum_m"), lit(0).cast("decimal(28,2)")) +
+         coalesce(col("d_sum"), lit(0).cast("decimal(28,2)"))).as("sum_m"))
+      .filter(col("cnt") > 0)
+  }
+
   /** Shared oracle CTE: the SCD2 customer-segment dimension derived from
     * the orders change stream (priority observed per order, consecutive
     * duplicates compacted). Kept as one string so q114's output and
@@ -250,6 +283,55 @@ object Warehouse {
       val neu = o.filter(col("o_orderkey") % 89 =!= 0)
       snapshotDiff(old, neu, Seq("o_orderkey"))
         .orderBy(col("o_orderkey"))
+    }),
+
+    // Incremental materialized-aggregate maintenance: revenue per priority,
+    // materialized over the base snapshot (keys % 10 <> 0), then maintained
+    // through a change batch — inserts (% 10 = 0), deletes (% 89 = 0 of the
+    // base) and KEY-MOVING updates (% 13 = 0 survivors repriced +100 and
+    // moved to priority '0-REPRICED', expanded to delete+insert). The
+    // engine runs the delta-merge path; the oracle RECOMPUTES the aggregate
+    // over the post-change state — passing proves maintenance ≡ recompute,
+    // including group birth ('0-REPRICED') and group shrinkage.
+    Query(
+      "q119_incremental_agg",
+      Some("""
+        WITH base AS (SELECT * FROM orders WHERE o_orderkey % 10 <> 0),
+        final AS (
+          SELECT o_orderpriority AS key, o_totalprice AS m FROM base
+          WHERE o_orderkey % 89 <> 0 AND o_orderkey % 13 <> 0
+          UNION ALL
+          SELECT '0-REPRICED', o_totalprice + 100 FROM base
+          WHERE o_orderkey % 89 <> 0 AND o_orderkey % 13 = 0
+          UNION ALL
+          SELECT o_orderpriority, o_totalprice FROM orders
+          WHERE o_orderkey % 10 = 0)
+        SELECT key, COUNT(*) AS cnt,
+               round(CAST(SUM(CAST(m AS DECIMAL(28,2))) AS DOUBLE), 2) AS revenue
+        FROM final GROUP BY key ORDER BY key"""))((spark, dir) => {
+      val o = Tables(spark, dir).orders
+      val base = o.filter(col("o_orderkey") % 10 =!= 0)
+        .groupBy(col("o_orderpriority").as("key"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(col("o_totalprice").cast("decimal(28,2)")).as("sum_m"))
+      val inserts = o.filter(col("o_orderkey") % 10 === 0)
+        .select(lit("I").as("op"), col("o_orderpriority").as("key"),
+          col("o_totalprice").as("measure"))
+      val deletes = o.filter(col("o_orderkey") % 10 =!= 0 &&
+          col("o_orderkey") % 89 === 0)
+        .select(lit("D").as("op"), col("o_orderpriority").as("key"),
+          col("o_totalprice").as("measure"))
+      val updated = o.filter(col("o_orderkey") % 10 =!= 0 &&
+        col("o_orderkey") % 89 =!= 0 && col("o_orderkey") % 13 === 0)
+      val updDel = updated.select(lit("D").as("op"),
+        col("o_orderpriority").as("key"), col("o_totalprice").as("measure"))
+      val updIns = updated.select(lit("I").as("op"),
+        lit("0-REPRICED").as("key"), (col("o_totalprice") + 100).as("measure"))
+      val changes = inserts.unionAll(deletes).unionAll(updDel).unionAll(updIns)
+      maintainAgg(base, changes)
+        .select(col("key"), col("cnt"),
+          round(col("sum_m").cast("double"), 2).as("revenue"))
+        .orderBy(col("key"))
     })
   )
 }

@@ -1,0 +1,44 @@
+package graft.operators
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class GraphSpec extends SparkSpec {
+
+  test("triangleCounts: hand graph — K4 minus an edge plus a triangle-free edge") {
+    import spark.implicits._
+    // K4 on {1,2,3,4} minus (3,4): triangles {1,2,3} and {1,2,4}.
+    // (5,6) participates in none.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (5L, 6L))
+      .toDF("u", "v")
+    val got = Graph.triangleCounts(edges).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 1L), (4L, 1L)))
+  }
+
+  test("degree-ordered enumeration equals the naive u<v<w census on real data") {
+    val edges = Graph.coOccurrenceEdges(Tables(spark, sf()).lineitem,
+      col("l_orderkey"), col("l_partkey"), minSupport = 2L).cache()
+    val naive = edges.as("e1")
+      .join(edges.as("e2"), col("e1.v") === col("e2.u"))
+      .join(edges.as("e3"),
+        col("e3.u") === col("e1.u") && col("e3.v") === col("e2.v"))
+      .select(explode(array(col("e1.u"), col("e1.v"), col("e2.v"))).as("node"))
+      .groupBy("node").agg(count(lit(1)).as("n_triangles"))
+      .orderBy("node").collect().toSeq
+    val fast = Graph.triangleCounts(edges).orderBy("node").collect().toSeq
+    assert(naive.nonEmpty)
+    assert(fast == naive)
+    edges.unpersist()
+  }
+
+  test("triangleCounts is partitioning-independent") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (2L, 4L), (3L, 4L))
+      .toDF("u", "v")
+    val a = Graph.triangleCounts(edges).orderBy("node").collect().toSeq
+    val b = Graph.triangleCounts(edges.repartition(7)).orderBy("node")
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+}

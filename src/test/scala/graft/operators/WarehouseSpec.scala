@@ -91,6 +91,64 @@ class WarehouseSpec extends SparkSpec {
       (4L, "removed"), (5L, "added")))
   }
 
+  test("maintainAgg: births, deaths and key-moving updates equal a recompute") {
+    import spark.implicits._
+    val baseRows = Seq(("A", 10.0), ("A", 20.0), ("B", 5.0))
+    val base = baseRows.toDF("key", "m").groupBy("key")
+      .agg(count(lit(1)).as("cnt"), sum(col("m").cast("decimal(28,2)")).as("sum_m"))
+    // Delete B entirely (group death); move one A row to new group C
+    // (delete old + insert new, repriced); insert a fresh C row.
+    val changes = Seq(
+      ("D", "B", 5.0), ("D", "A", 20.0), ("I", "C", 25.0), ("I", "C", 1.0)
+    ).toDF("op", "key", "measure")
+    val got = Warehouse.maintainAgg(base, changes)
+      .select(col("key"), col("cnt"), col("sum_m").cast("double"))
+      .orderBy("key").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq(("A", 1L, 10.0), ("C", 2L, 26.0)))
+  }
+
+  test("maintainAgg over the orders change batch equals the recomputed aggregate") {
+    val o = Tables(spark, sf()).orders.cache()
+    val base = o.filter(col("o_orderkey") % 10 =!= 0)
+      .groupBy(col("o_orderpriority").as("key"))
+      .agg(count(lit(1)).as("cnt"),
+        sum(col("o_totalprice").cast("decimal(28,2)")).as("sum_m"))
+    val survivors = col("o_orderkey") % 10 =!= 0 &&
+      col("o_orderkey") % 89 =!= 0
+    val changes = o.filter(col("o_orderkey") % 10 === 0)
+      .select(lit("I").as("op"), col("o_orderpriority").as("key"),
+        col("o_totalprice").as("measure"))
+      .unionAll(o.filter(col("o_orderkey") % 10 =!= 0 &&
+          col("o_orderkey") % 89 === 0)
+        .select(lit("D").as("op"), col("o_orderpriority").as("key"),
+          col("o_totalprice").as("measure")))
+      .unionAll(o.filter(survivors && col("o_orderkey") % 13 === 0)
+        .select(lit("D").as("op"), col("o_orderpriority").as("key"),
+          col("o_totalprice").as("measure")))
+      .unionAll(o.filter(survivors && col("o_orderkey") % 13 === 0)
+        .select(lit("I").as("op"), lit("0-REPRICED").as("key"),
+          (col("o_totalprice") + 100).as("measure")))
+    val maintained = Warehouse.maintainAgg(base, changes)
+      .select(col("key"), col("cnt"),
+        round(col("sum_m").cast("double"), 2).as("rev"))
+      .orderBy("key").collect().toSeq
+    val recomputed = o.filter(survivors && col("o_orderkey") % 13 =!= 0)
+      .select(col("o_orderpriority").as("key"), col("o_totalprice").as("m"))
+      .unionAll(o.filter(survivors && col("o_orderkey") % 13 === 0)
+        .select(lit("0-REPRICED").as("key"),
+          (col("o_totalprice") + 100).as("m")))
+      .unionAll(o.filter(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority").as("key"), col("o_totalprice").as("m")))
+      .groupBy("key")
+      .agg(count(lit(1)).as("cnt"),
+        round(sum(col("m").cast("decimal(28,2)")).cast("double"), 2).as("rev"))
+      .orderBy("key").collect().toSeq
+    assert(maintained.nonEmpty && maintained.exists(_.getString(0) == "0-REPRICED"))
+    assert(maintained == recomputed)
+    o.unpersist()
+  }
+
   test("snapshotDiff: refuses mismatched schemas") {
     import spark.implicits._
     val a = Seq((1L, "x")).toDF("id", "s")
