@@ -144,4 +144,47 @@ class DedupSpec extends SparkSpec {
       .select(md5(col("text")).as("h")).filter(might(col("h"))).count()
     assert(hits <= 20, s"bloom passed $hits of 200 all-new rows")
   }
+
+  test("setSimJoinPrefix equals the unfiltered shared-shingle Jaccard join") {
+    val docs = Tables(spark, sf()).documents
+    val got = Dedup.setSimJoinPrefix(docs, "text", "doc_id", n = 3, threshold = 0.5)
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // Naive reference: candidates = ALL pairs sharing any shingle hash.
+    val sh = docs.select(col("doc_id").as("doc"),
+      explode(array_distinct(
+        graft.functions.TextHashFunctions.hashedShingles(col("text"), 3))).as("sh"))
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val ref = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("sz", "sza"), "da")
+      .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("sz", "szb"), "db")
+      .withColumn("j", col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")))
+      .filter(col("j") >= 0.5)
+      .select(col("da"), col("db"), round(col("j"), 6))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got == ref)
+  }
+
+  test("setSimJoinPrefix: awkward thresholds (t*n an ulp above an integer) lose no pairs") {
+    import spark.implicits._
+    // 10 distinct tokens per doc; pair (1,2) shares 6 of 10+10 distinct
+    // => J = 6/14 ≈ 0.4286; pair (3,4) identical => J = 1.
+    val mk = (ws: Seq[String]) => ws.mkString(" ")
+    val docs = Seq(
+      (1L, mk((1 to 10).map("w" + _))),
+      (2L, mk((5 to 14).map("w" + _))),
+      (3L, mk((20 to 29).map("w" + _))),
+      (4L, mk((20 to 29).map("w" + _)))
+    ).toDF("doc_id", "text")
+    // n=1 unigram sets; t=0.3: 0.3*10 = 3.0000000000000004 in doubles —
+    // a naive ceil would demand overlap 4 and shrink prefixes by one.
+    val got = Dedup.setSimJoinPrefix(docs, "text", "doc_id", n = 1, threshold = 0.3)
+      .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == Set((1L, 2L), (3L, 4L)))
+  }
 }
