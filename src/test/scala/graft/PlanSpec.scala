@@ -285,6 +285,35 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p.take(800))
   }
 
+  test("q120: forward + backward gap-fill windows share one key exchange") {
+    val plan = executed(q("q120_gap_fill"))
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    // budget: one hash exchange on the key serves BOTH running windows
+    // (the second adds only a re-sort); the grid side needs its own
+    // min/max agg exchange pair (partial+final) feeding the union; the
+    // trailing oracle orderBy adds one range exchange. Anything beyond
+    // that means a window repartitioned per direction — the regression
+    // this gate exists to catch.
+    assert(shuffles.size <= 5, s"${shuffles.size} shuffles: ${plan.toString.take(1500)}")
+    val hashOnKey = shuffles.count(_.outputPartitioning.toString.contains("hashpartitioning"))
+    assert(hashOnKey >= 1, plan.toString.take(800))
+  }
+
+  test("q119: the change-stream delta aggregates partial+final before the view merge") {
+    val p = planString("q119_incremental_agg")
+    // map-side combine on the delta: both HashAggregate phases present,
+    // and the base-vs-delta merge is a real join (no nested loop).
+    assert(p.contains("HashAggregate"), p.take(800))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
+  test("q121: prefix-filtered candidates verify via doc-keyed joins, never nested-loop") {
+    val p = planString("q121_setsim_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
