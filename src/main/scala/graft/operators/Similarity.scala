@@ -130,30 +130,41 @@ object Similarity {
     */
   def annIvf(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
              k: Int, nCells: Int = 16, nProbe: Int = 2,
-             centroids: Option[DataFrame] = None): DataFrame = {
+             centroids: Option[DataFrame] = None,
+             matchCol: Option[String] = None): DataFrame = {
     import graft.functions.VectorFunctions._
+    val mc = matchCol.toSeq
     val cent = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv")))
     // Nearest-centroid assignment: argmax cosine, ties to the smaller cid.
     // max(struct(cos, -cid, v)) is partially aggregatable, so the corpus
     // never shuffles its vectors — only one candidate struct per group.
-    val assigned = corpus.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    // `matchCol` (filtered search: a metadata column that must MATCH
+    // between query and corpus — tenant, language, label) rides the
+    // grouping (functionally dependent on the vector id) and then joins
+    // as part of the candidate KEY below: the filter shrinks the
+    // candidate join instead of post-filtering a top-k (which would
+    // silently return < k) or scanning unfiltered cells.
+    val assigned = corpus
+      .select(col(idCol).as("vec_id") +: col(vecCol).as("v") +: mc.map(col): _*)
       .join(broadcast(cent))
-      .groupBy(col("vec_id"))
+      .groupBy(col("vec_id") +: mc.map(col): _*)
       .agg(max(struct(
         cosineFast(col("v"), col("cv")).as("cos"),
         (-col("cid")).as("ncid"),
         col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+      .select(col("vec_id") +: (-col("m.ncid")).as("cell") +:
+        col("m.v").as("v") +: mc.map(col): _*)
     // Probe list: each query's nProbe nearest centroids (query side is small).
-    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val probes = queries
+      .select(col(idCol).as("query_id") +: col(vecCol).as("qv") +: mc.map(col): _*)
       .join(broadcast(cent))
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("query_id"))
           .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
       .filter(col("rn") <= nProbe)
-      .select(col("query_id"), col("qv"), col("cid").as("cell"))
-    val scored = assigned.join(broadcast(probes), Seq("cell"))
+      .select(col("query_id") +: col("qv") +: col("cid").as("cell") +: mc.map(col): _*)
+    val scored = assigned.join(broadcast(probes), Seq("cell") ++ mc)
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("vec_id"), cosineFast(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
@@ -699,6 +710,50 @@ object Similarity {
       val t = Tables(spark, dir)
       val qs = t.embeddings.filter(col("vec_id") % 100 === 0)
       annIvf(t.embeddings, qs, "embedding", "vec_id", k = 5)
+        .orderBy(col("query_id"), col("rank"))
+    }),
+
+    // Filtered vector search: per-query top-k restricted to corpus vectors
+    // whose label MATCHES the query's — the tenant/language/label filter
+    // every production retrieval stack needs. The filter is part of the
+    // candidate-join KEY (cell, label), not a post-filter of an unfiltered
+    // top-k (which silently under-returns) nor an unfiltered cell scan
+    // (which wastes the probe). Deterministic centroids again make the
+    // whole result SQL-reproducible — a full hash-match oracle.
+    Query(
+      "q122_ann_filtered",
+      Some(s"""
+        WITH cent AS ${centSql(16)},
+        a AS (SELECT e.vec_id, e.label, c.cid, e.embedding,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c),
+        cells AS (SELECT vec_id, label, cid AS cell, embedding FROM a WHERE rn = 1),
+        q AS (SELECT vec_id AS query_id, label, embedding AS qv FROM embeddings
+              WHERE vec_id % 100 = 0),
+        p AS (SELECT q.query_id, q.label, q.qv, c.cid AS cell,
+                ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM q CROSS JOIN cent c),
+        probes AS (SELECT query_id, label, qv, cell FROM p WHERE rn <= 2),
+        scored AS (SELECT pr.query_id, ce.vec_id,
+                     list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]) AS cos
+                   FROM probes pr JOIN cells ce
+                     ON ce.cell = pr.cell AND ce.label = pr.label
+                   WHERE ce.vec_id <> pr.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS rank
+                   FROM scored)
+        SELECT query_id, rank, vec_id, round(cos, 6) AS cos_sim
+        FROM ranked WHERE rank <= 5
+        ORDER BY query_id, rank"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val qs = t.embeddings.filter(col("vec_id") % 100 === 0)
+      annIvf(t.embeddings, qs, "embedding", "vec_id", k = 5,
+          matchCol = Some("label"))
         .orderBy(col("query_id"), col("rank"))
     }),
 

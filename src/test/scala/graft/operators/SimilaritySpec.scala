@@ -168,4 +168,25 @@ class SimilaritySpec extends SparkSpec {
     val perQ = truth.groupBy(_._1).map { case (q, ts) => (ts intersect a).size }
     assert(perQ.forall(_ >= 3), s"recall dipped: $perQ")
   }
+
+  test("filtered ANN: every neighbor carries the query's label; the filter bites") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.Tables(spark, sf()).embeddings
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    val got = Similarity.annIvf(embs, qs, "embedding", "vec_id", k = 5,
+      matchCol = Some("label"))
+    val labels = embs.select(col("vec_id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = got.select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, v) => labels(q) == labels(v) },
+      "a neighbor crossed the label filter")
+    // the unfiltered result must differ (some top-k neighbors have other
+    // labels on this corpus) — otherwise the case proves nothing
+    val unfiltered = Similarity.annIvf(embs, qs, "embedding", "vec_id", k = 5)
+      .select("query_id", "vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(rows.toSet != unfiltered)
+  }
 }
