@@ -110,6 +110,16 @@ object BenchScale {
           operators.Curation.curationPipeline(t.documents, "text", "doc_id",
             "source", col("n_chars"), capN = 15 * scale, maxOov = 0.5,
             minDf = 5 * scale).count(); ()
+        },
+        // Degree-ordered triangle census over the co-purchase graph: the
+        // replicas are key-disjoint, so the graph is `scale` disjoint
+        // copies — edges ∝ scale at constant support distribution
+        // (minSupport stays 2) and the orientation bound must hold the
+        // wedge join ≈ linear.
+        "q118_triangles" -> bestOf2 {
+          operators.Graph.triangleCounts(
+            operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
+              col("l_partkey"), minSupport = 2L)).count(); ()
         })
     }
 
@@ -129,6 +139,16 @@ object BenchScale {
           Pipeline.connectedComponents(exactPairs()).count(); ()
         },
         "q56_corpus_dedup_exact" -> bestOf2 { dedupVia(exactPairs()) })
+      // q121 (prefix-filtered exact Jaccard join) is deliberately NOT a
+      // study row in ANY configuration: on the saturating-vocabulary
+      // replicas its candidate volume is Σ (prefix-df)² ∝ n² (measured
+      // 0.43 M → 47 M → ~0.4 B pairs; OOM at 30× both uncapped and with
+      // the dfCapFor-scaled cap, which at 30× barely binds — cap 600 vs
+      // max df ~750 — and the verify step ships both hash arrays per
+      // surviving candidate). The q49/q56 _exact rows already measure the
+      // capped shingle-share family's bend; q121's scale position is
+      // documented on the operator: bounded corpora / blocks only, LSH
+      // (q27) at 100 TB.
     }
 
     /** Replication-plane scale rows: the merge path's exponent, fitted over

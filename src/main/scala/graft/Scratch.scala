@@ -20,6 +20,14 @@ object Scratch {
     for (q <- args) {
       if (q == "pr_probe") prProbe(spark, dir, t)
       else if (q == "repl_probe") replProbe(spark, dir, t)
+      else if (q == "setsim_capped_probe") {
+        val tb = Tables(spark, dir)
+        val cap = operators.Dedup.dfCapFor(tb.documents.count())
+        t(s"setsim capped (df<=$cap)") {
+          operators.Dedup.setSimJoinPrefix(tb.documents, "text", "doc_id",
+            n = 3, threshold = 0.5, maxDf = Some(cap)).count(); ()
+        }
+      }
       else {
         t(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
         t(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())

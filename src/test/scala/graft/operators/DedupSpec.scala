@@ -170,6 +170,36 @@ class DedupSpec extends SparkSpec {
     assert(got == ref)
   }
 
+  test("setSimJoinPrefix with maxDf equals the capped naive join (q24 contract)") {
+    val docs = Tables(spark, sf()).documents
+    val cap = 20
+    val got = Dedup.setSimJoinPrefix(docs, "text", "doc_id", n = 3,
+        threshold = 0.5, maxDf = Some(cap))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    // Capped naive reference: Jaccard over the df<=cap shingle sets.
+    val shAll = docs.select(col("doc_id").as("doc"),
+      explode(array_distinct(
+        graft.functions.TextHashFunctions.hashedShingles(col("text"), 3))).as("sh"))
+    val ok = shAll.groupBy("sh").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= cap).select("sh")
+    val sh = shAll.join(ok, "sh")
+    val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
+    val ref = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("da"), col("b.doc").as("db"))
+      .agg(count(lit(1)).as("i"))
+      .join(sizes.withColumnRenamed("doc", "da").withColumnRenamed("sz", "sza"), "da")
+      .join(sizes.withColumnRenamed("doc", "db").withColumnRenamed("sz", "szb"), "db")
+      .withColumn("j", col("i") * lit(1.0) / (col("sza") + col("szb") - col("i")))
+      .filter(col("j") >= 0.5)
+      .select(col("da"), col("db"), round(col("j"), 6))
+      .orderBy("da", "db").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got.nonEmpty)
+    assert(got == ref)
+  }
+
   test("setSimJoinPrefix: awkward thresholds (t*n an ulp above an integer) lose no pairs") {
     import spark.implicits._
     // 10 distinct tokens per doc; pair (1,2) shares 6 of 10+10 distinct
