@@ -34,7 +34,12 @@ object TimeSeries {
     * ratio. Skewed keys (one device's years-long series) bound the sort,
     * not memory — windows stream within a partition.
     */
-  def gapFillInterpolate(obs: DataFrame, stepUs: Long): DataFrame = {
+  def gapFillInterpolate(obsRaw: DataFrame, stepUs: Long): DataFrame = {
+    // Null-valued observations would desynchronize prev_v from prev_us
+    // (the value window skips them, the timestamp window would not) —
+    // they carry no interpolation signal, so they leave the operator
+    // entirely (including the grid-range aggregate).
+    val obs = obsRaw.filter(col("value").isNotNull)
     val step = lit(stepUs)
     // Integral floor-division (Column./ is fractional) keeps the grid exact
     // at epoch-micros magnitude.

@@ -35,6 +35,19 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("null-valued observations leave the operator entirely (span included)") {
+    import spark.implicits._
+    // A trailing null obs at 9000 must not extend the grid past the last
+    // REAL observation at 5000, and must not perturb interpolation.
+    val rows = Seq((1L, 1000L, Some(10.0), 1L), (1L, 5000L, Some(50.0), 2L),
+      (1L, 9000L, None: Option[Double], 3L))
+    val got = TimeSeries.gapFillInterpolate(
+        rows.toDF("key", "us", "value", "obs_id"), stepUs = 2000L)
+      .orderBy("us").collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Double]("v_raw"))).toSeq
+    assert(got == Seq((2000L, 20.0), (4000L, 40.0)))
+  }
+
   test("gapFillInterpolate is partitioning-independent") {
     val obs = obsDf(Seq(
       (1L, 1000L, 10.0, 1L), (1L, 5000L, 50.0, 2L), (1L, 9000L, 10.0, 3L),
