@@ -314,6 +314,21 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q122: filtered ANN joins candidates on (cell, label); probes broadcast") {
+    val plan = executed(q("q122_ann_filtered"))
+    val p = plan.toString
+    // (the 16-row centroid fan-out is a DELIBERATE broadcast nested-loop
+    // cross, as in q51 — only an unbounded cartesian would be a defect)
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // the candidate join must be a broadcast HASH join keyed on BOTH
+    // (cell, label) — label as a join key, not a post-filter — with the
+    // corpus side never shuffled for it
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bhj = deepNodes(plan).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.exists(_.leftKeys.size >= 2) || bhj.exists(_.rightKeys.size >= 2),
+      s"no multi-key broadcast hash join found: ${p.take(1200)}")
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
