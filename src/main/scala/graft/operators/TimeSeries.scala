@@ -18,10 +18,14 @@ object TimeSeries {
     *
     * `obs` carries (key, us, value, obs_id) irregular observations; the
     * output has one row per key per grid instant (whole multiples of
-    * `stepUs` strictly inside the key's observed span), with the value
-    * linearly interpolated between the surrounding observations. A grid
-    * instant that coincides with an observation returns that observation's
-    * value (the latest by `obs_id` if several share the instant).
+    * `stepUs` inside the key's observed span, INCLUSIVE when an endpoint
+    * lands exactly on the grid), with the value linearly interpolated
+    * between the surrounding observations. A grid instant that coincides
+    * with an observation returns that observation's value (the latest by
+    * `obs_id` if several share the instant). Null-valued or null-timestamp
+    * observations leave the operator entirely (they carry no interpolation
+    * signal, and would desynchronize the carried value from the carried
+    * timestamp).
     *
     * 100 TB shape: grid rows are generated from a per-key min/max aggregate
     * (one map-side-combinable shuffle, output = keys), then unioned with
@@ -39,15 +43,17 @@ object TimeSeries {
     // (the value window skips them, the timestamp window would not) —
     // they carry no interpolation signal, so they leave the operator
     // entirely (including the grid-range aggregate).
-    val obs = obsRaw.filter(col("value").isNotNull)
+    val obs = obsRaw.filter(col("value").isNotNull && col("us").isNotNull)
     val step = lit(stepUs)
-    // Integral floor-division (Column./ is fractional) keeps the grid exact
-    // at epoch-micros magnitude.
+    // Exact integral grid endpoints via pmod (Column./ is fractional; raw
+    // DIV truncates toward zero, which drops in-span points on negative
+    // spans): floor-multiple fm(x) = x - pmod(x, step) and ceil-multiple
+    // fm(x + step - 1) are correct for any sign of x.
     val rng = obs.groupBy(col("key"))
       .agg(min(col("us")).as("mn"), max(col("us")).as("mx"))
       .select(col("key"),
-        expr(s"(mn DIV $stepUs + 1) * $stepUs").as("lo"),
-        expr(s"(mx DIV $stepUs) * $stepUs").as("hi"))
+        expr(s"mn + $stepUs - 1 - pmod(mn + $stepUs - 1, $stepUs)").as("lo"),
+        expr(s"mx - pmod(mx, $stepUs)").as("hi"))
     val grid = rng.filter(col("hi") >= col("lo"))
       .select(col("key"),
         explode(sequence(col("lo"), col("hi"), step)).as("us"))
@@ -60,8 +66,12 @@ object TimeSeries {
     val fw = Window.partitionBy(col("key"))
       .orderBy(col("us"), col("is_grid"), col("obs_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // Backward pass: observations must precede grid rows at EQUAL us here
+    // too (is_grid ASC within the DESC scan) — otherwise a grid instant
+    // coinciding with a key's MAXIMUM observation sees no successor and
+    // emits null instead of the observation's value.
     val bw = Window.partitionBy(col("key"))
-      .orderBy(col("us").desc, col("is_grid").desc, col("obs_id").desc)
+      .orderBy(col("us").desc, col("is_grid").asc, col("obs_id").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val obsUs = when(col("is_grid") === 0, col("us"))
     unioned
@@ -79,8 +89,9 @@ object TimeSeries {
 
   val queries: Seq[Query] = Seq(
     // Hourly regularization of each sampled user's event-value series:
-    // grid instants strictly inside the user's span, linearly interpolated
-    // between the surrounding events. The identical window construction on
+    // grid instants inside the user's span (inclusive at grid-aligned
+    // endpoints), linearly interpolated between the surrounding events.
+    // The identical window construction on
     // both engines makes the interpolation arithmetic (exact int64 micros
     // promoted to double the same way) match to the rounded digit.
     Query(
@@ -88,10 +99,14 @@ object TimeSeries {
       Some("""
         WITH obs AS (
           SELECT user_id, epoch_us(ts) AS us, value, event_id
-          FROM events WHERE user_id % 10 = 0),
+          FROM events
+          WHERE user_id % 10 = 0 AND value IS NOT NULL AND ts IS NOT NULL),
         rng AS (SELECT user_id,
-                  (min(us) // 3600000000 + 1) * 3600000000 AS lo,
-                  (max(us) // 3600000000) * 3600000000 AS hi
+                  min(us) + 3599999999
+                    - ((((min(us) + 3599999999) % 3600000000) + 3600000000)
+                       % 3600000000) AS lo,
+                  max(us) - (((max(us) % 3600000000) + 3600000000)
+                       % 3600000000) AS hi
                 FROM obs GROUP BY 1),
         grid AS (SELECT user_id, unnest(generate_series(lo, hi, 3600000000)) AS us
                  FROM rng WHERE hi >= lo),
@@ -111,7 +126,7 @@ object TimeSeries {
           WINDOW fw AS (PARTITION BY user_id ORDER BY us, is_grid, event_id
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
                  bw AS (PARTITION BY user_id
-                        ORDER BY us DESC, is_grid DESC, event_id DESC
+                        ORDER BY us DESC, is_grid ASC, event_id DESC
                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
         SELECT user_id, us,
                round(CASE WHEN next_us = prev_us THEN prev_v

@@ -28,34 +28,22 @@ final case class MetadataStore(spark: SparkSession, targetRoot: String) {
   private def wmPath(db: String) = new Path(targetRoot, s"_repl_metadata/$db/watermark")
 
   /** Post/pre-load watermark; None = never replicated. */
-  def watermark(db: String): Option[Long] = {
-    val p = wmPath(db)
-    if (!fs.exists(p)) None
-    else {
-      val in = fs.open(p)
-      try {
-        val bytes = new Array[Byte](64)
-        val n = in.read(bytes)
-        Some(new String(bytes, 0, n, StandardCharsets.UTF_8).trim.toLong)
-      } finally in.close()
-    }
-  }
+  def watermark(db: String): Option[Long] =
+    graft.util.AtomicPointer.read(spark.sparkContext.hadoopConfiguration,
+      wmPath(db)).map(_.toLong)
 
-  /** Atomically commit the watermark: write `watermark.tmp`, then rename over
-    * the old file. On HDFS rename is atomic within a directory; on object
-    * stores the engine would swap this for a conditional put — the call site
-    * contract (commit LAST, after all data is applied) is what matters.
+  /** Atomically commit the watermark via [[graft.util.AtomicPointer]]
+    * (write `watermark.tmp`, OVERWRITE-rename over the old file — atomic on
+    * HDFS and the local fs, with no instant at which the watermark is
+    * missing; a crash mid-commit leaves old or new, never neither, so a
+    * restart can never mistake a replicated db for a bootstrap candidate).
+    * On object stores the engine would swap this for a conditional put —
+    * the call-site contract (commit LAST, after all data is applied) is
+    * what matters.
     */
-  def commitWatermark(db: String, id: Long): Unit = {
-    val p = wmPath(db)
-    val tmp = new Path(p.getParent, s"watermark.tmp")
-    fs.mkdirs(p.getParent)
-    val out = fs.create(tmp, true)
-    try out.write(id.toString.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new IllegalStateException(s"watermark commit rename failed for $db")
-  }
+  def commitWatermark(db: String, id: Long): Unit =
+    graft.util.AtomicPointer.commit(spark.sparkContext.hadoopConfiguration,
+      wmPath(db), id.toString)
 
   /** Append a run report to the engine run log (newline-delimited JSON file
     * per run — tiny control-plane records, kept out of the data plane).

@@ -35,6 +35,24 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.count() == 0)
   }
 
+  test("grid-aligned span endpoints are included and return the endpoint observation") {
+    val got = TimeSeries.gapFillInterpolate(
+        obsDf(Seq((1L, 0L, 10.0, 1L), (1L, 4000L, 50.0, 2L))), stepUs = 2000L)
+      .orderBy("us").collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Double]("v_raw"))).toSeq
+    assert(got == Seq((0L, 10.0), (2000L, 30.0), (4000L, 50.0)))
+  }
+
+  test("negative (pre-epoch) spans keep every in-span grid point") {
+    // floor/ceil multiples must not truncate toward zero: span [-3000, -100]
+    // contains exactly the grid point -2000.
+    val got = TimeSeries.gapFillInterpolate(
+        obsDf(Seq((1L, -3000L, 0.0, 1L), (1L, -100L, 29.0, 2L))), stepUs = 2000L)
+      .orderBy("us").collect()
+      .map(r => (r.getAs[Long]("us"), r.getAs[Double]("v_raw"))).toSeq
+    assert(got == Seq((-2000L, 10.0)))
+  }
+
   test("null-valued observations leave the operator entirely (span included)") {
     import spark.implicits._
     // A trailing null obs at 9000 must not extend the grid past the last
