@@ -1,0 +1,60 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.Warehouse
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class Scd2MaintenanceSpec extends SparkSpec {
+
+  private def dimTuples(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("k"), col("segment"), col("valid_from"),
+        col("valid_to"), col("version").cast("long"), col("is_current"))
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        Option(r.get(3)).map(_.toString), r.getLong(4), r.getBoolean(5)))
+      .toSet
+
+  test("streamed SCD2 maintenance equals the batch recompute over all observations") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2m").toString
+
+    val mem = MemoryStream[(Long, Long, Long, String)]
+    val q = Scd2Maintenance.maintainStream(
+      mem.toDS().toDF("key", "ts", "tb", "attr"), s"$dir/dim", s"$dir/ckpt")
+
+    // event-time ordered per key across batches
+    mem.addData((1L, 10L, 1L, "A"), (2L, 15L, 2L, "Z"))
+    q.processAllAvailable()
+    mem.addData((1L, 20L, 3L, "A"), (1L, 30L, 4L, "B"), (3L, 25L, 5L, "Q"))
+    q.processAllAvailable()
+    mem.addData((1L, 40L, 6L, "A"), (2L, 45L, 7L, "Y"))
+    q.processAllAvailable()
+    q.stop()
+
+    val all = Seq((1L, 10L, 1L, "A"), (2L, 15L, 2L, "Z"), (1L, 20L, 3L, "A"),
+      (1L, 30L, 4L, "B"), (3L, 25L, 5L, "Q"), (1L, 40L, 6L, "A"),
+      (2L, 45L, 7L, "Y")).toDF("key", "ts", "tb", "attr")
+    val expected = dimTuples(Warehouse.scd2(all, col("key"), col("ts"),
+      col("tb"), col("attr")))
+    val got = dimTuples(Scd2Maintenance.readDim(spark, s"$dir/dim").get)
+    // key 1: A@10 (20 compacted), B@30, A@40 -> 3 versions; key 2: Z,Y.
+    assert(got.count(_._1 == 1L) == 3)
+    assert(got == expected)
+  }
+
+  test("same-segment observations keep compacting away incrementally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2m2").toString
+    def b(rows: (Long, Long, Long, String)*) =
+      rows.toDF("key", "ts", "tb", "attr")
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim", b((1L, 10L, 1L, "A")), 0L)
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim", b((1L, 20L, 2L, "A")), 1L)
+    val got = dimTuples(Scd2Maintenance.readDim(spark, s"$dir/dim").get)
+    assert(got == Set((1L, "A", 10L, None, 1L, true)))
+    // replay of batch 1 with different content: no-op
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim", b((1L, 99L, 9L, "X")), 1L)
+    assert(dimTuples(Scd2Maintenance.readDim(spark, s"$dir/dim").get) == got)
+  }
+}
