@@ -623,10 +623,23 @@ object Similarity {
             (c, j) => element_at(element_at(col("pd"), j + 1), c + 1)),
           lit(0.0), (acc, x) => acc + x))
       .withColumn("acos", col("adot") / (col("vnorm") * col("qnorm")))
-    val ws = Window.partitionBy(col("query_id"))
+    // Salted two-phase shortlist ([[topKBruteForce]]'s pattern): an
+    // unsalted Window.partitionBy(query_id) would funnel the whole
+    // corpus-per-query ADC frame through one reducer partition per query —
+    // the giant-partition shape this file exists to avoid. Each salt keeps
+    // its own top-`shortlist` (a superset of the global one), then the
+    // exact cut runs over shortlist × nSalts survivors.
+    val nSalts = 16
+    val saltedS = approx.withColumn("salt",
+      pmod(crc32(col("vec_id").cast("string")), lit(nSalts)))
+    val ws1 = Window.partitionBy(col("query_id"), col("salt"))
       .orderBy(col("acos").desc, col("vec_id"))
-    val short = approx.withColumn("rn", row_number().over(ws))
+    val ws2 = Window.partitionBy(col("query_id"))
+      .orderBy(col("acos").desc, col("vec_id"))
+    val short = saltedS.withColumn("rn", row_number().over(ws1))
       .filter(col("rn") <= shortlist)
+      .withColumn("rn2", row_number().over(ws2))
+      .filter(col("rn2") <= shortlist)
       .select(col("query_id"), col("vec_id"))
     // Exact re-rank of the shortlist.
     val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),

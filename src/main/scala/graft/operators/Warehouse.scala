@@ -23,10 +23,14 @@ object Warehouse {
   /** SCD Type-2 version table from a change stream.
     *
     * `changes` rows are (key, ts, tieBreak, attr) observations; consecutive
-    * observations with the SAME attr value are CDC-compacted away (lag),
-    * then each surviving change opens a version: `valid_from` = its ts,
-    * `valid_to` = the next version's ts (null while current), `version` =
-    * 1-based per-key ordinal, `is_current` = open-ended.
+    * observations with the SAME attr value are CDC-compacted away (lag,
+    * null-SAFELY: to/from-NULL transitions version, consecutive NULLs
+    * compact), then each surviving change opens a version: `valid_from` =
+    * its ts, `valid_to` = the next version's ts (null while current),
+    * `version` = 1-based per-key ordinal, `is_current` = open-ended. The
+    * opening observation's `tb` is RETAINED so downstream maintainers
+    * ([[graft.streaming.Scd2Maintenance]]) can replay versions as
+    * observations with their original tie-break.
     *
     * 100 TB shape: both windows partition by the dimension key — per-key
     * history is warehouse-bounded (thousands, not billions), so no window
@@ -37,18 +41,23 @@ object Warehouse {
     */
   def scd2(changes: DataFrame, key: Column, ts: Column, tieBreak: Column,
            attr: Column): DataFrame = {
-    val obs = Window.partitionBy(key).orderBy(ts, tieBreak)
+    val obsW = Window.partitionBy(col("k")).orderBy(col("valid_from"), col("tb"))
     val compacted = changes
       .select(key.as("k"), ts.as("valid_from"), tieBreak.as("tb"), attr.as("segment"))
-      .withColumn("_prev", lag(col("segment"), 1).over(
-        Window.partitionBy(col("k")).orderBy(col("valid_from"), col("tb"))))
-      .filter(col("_prev").isNull || col("_prev") =!= col("segment"))
+      // Null-SAFE change detection: an attr transitioning to/from NULL is a
+      // real version change, and consecutive NULL attrs compact away —
+      // `=!=` would silently drop the former and split the latter. The
+      // first observation is detected by lagging a constant (a null
+      // `lag(segment)` is ambiguous when the first attr is itself null).
+      .withColumn("_first", lag(lit(1), 1).over(obsW).isNull)
+      .withColumn("_prev", lag(col("segment"), 1).over(obsW))
+      .filter(col("_first") || !(col("_prev") <=> col("segment")))
     val ver = Window.partitionBy(col("k")).orderBy(col("valid_from"), col("tb"))
     compacted
       .withColumn("valid_to", lead(col("valid_from"), 1).over(ver))
       .withColumn("version", row_number().over(ver))
       .withColumn("is_current", col("valid_to").isNull)
-      .drop("_prev", "tb")
+      .drop("_prev", "_first")
   }
 
   /** Point-in-time (PIT) lookup: for each fact row, the dimension version
@@ -93,10 +102,27 @@ object Warehouse {
   def heavyHitters(df: DataFrame, keyCol: String, threshold: Long,
                    eps: Double = 5e-5, confidence: Double = 0.999,
                    seed: Int = 42): DataFrame = {
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType, StringType}
     val cms = df.stat.countMinSketch(keyCol, eps, confidence, seed)
     val bc = df.sparkSession.sparkContext.broadcast(cms)
-    val candidate = udf((k: Long) => bc.value.estimateCount(k) >= threshold)
-    df.filter(candidate(col(keyCol).cast("long")))
+    // Probe with the SAME representation the sketch was built over —
+    // `df.stat.countMinSketch` adds longs for integral columns and UTF-8
+    // strings for string columns; a blanket cast-to-long would hash string
+    // keys down the wrong path and return 0 for every one of them.
+    val candidate = df.schema(keyCol).dataType match {
+      case ByteType | ShortType | IntegerType | LongType =>
+        val f = udf((k: Long) => bc.value.estimateCount(k) >= threshold)
+        f(col(keyCol).cast("long"))
+      case StringType =>
+        val f = udf((k: String) => bc.value.estimateCount(k) >= threshold)
+        f(col(keyCol))
+      case t => throw new IllegalArgumentException(
+        s"heavyHitters: unsupported key dtype $t (integral or string)")
+    }
+    // NULL keys never enter a CMS — they bypass the prefilter so the exact
+    // pass can still report a heavy null group, exactly as the plain
+    // groupBy-filter would.
+    df.filter(col(keyCol).isNull || candidate)
       .groupBy(col(keyCol))
       .agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= threshold)
@@ -172,6 +198,9 @@ object Warehouse {
   private val scd2Cte = """
     ch AS (SELECT o_custkey AS c_custkey, o_orderdate AS valid_from,
                   o_orderkey AS tb, o_orderpriority AS segment,
+                  lag(1) OVER
+                    (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                    AS not_first,
                   lag(o_orderpriority) OVER
                     (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
                     AS prev_seg
@@ -182,7 +211,8 @@ object Warehouse {
                  CAST(row_number() OVER
                    (PARTITION BY c_custkey ORDER BY valid_from, tb) AS BIGINT)
                    AS version
-          FROM ch WHERE prev_seg IS NULL OR prev_seg <> segment)"""
+          FROM ch
+          WHERE not_first IS NULL OR prev_seg IS DISTINCT FROM segment)"""
 
   val queries: Seq[Query] = Seq(
     // SCD Type-2 customer-segment dimension from the orders change stream.

@@ -22,11 +22,13 @@ import org.apache.spark.sql.streaming.StreamingQuery
   * carried over verbatim (anti-join).
   *
   * Ordering contract: per-key EVENT-TIME-ORDERED delivery across batches
-  * (the watermarked-CDC norm). A late observation landing between two
-  * already-compacted historical observations can differ from a full-history
-  * recompute (the compacted duplicates are gone by design — the dimension
-  * is the retained state, not the raw log). Within a batch, order is free:
-  * `scd2` sorts.
+  * (the watermarked-CDC norm). Equal-(ts, tb) collisions with history are
+  * exact — versions replay with their ORIGINAL retained tie-break, so ties
+  * resolve as the batch recompute would. The one divergence from a
+  * full-history recompute is a late observation landing between two
+  * already-COMPACTED historical observations (the compacted duplicates are
+  * gone by design — the dimension is the retained state, not the raw log).
+  * Within a batch, order is free: `scd2` sorts.
   *
   * Exactly-once effect and 100 TB shape: [[graft.util.VersionedView]]
   * commits (atomic pointer swap, replay no-ops, keep-two pruning); per
@@ -36,9 +38,12 @@ import org.apache.spark.sql.streaming.StreamingQuery
   */
 object Scd2Maintenance {
 
-  /** Apply one micro-batch of (key, ts, tb, attr) rows. */
+  /** Apply one micro-batch of (key, ts, tb, attr) rows. Empty batches (an
+    * idle trigger) are a no-op — no version rewrite, no commit.
+    */
   def applyBatch(spark: SparkSession, dimDir: String, batch: DataFrame,
                  batchId: Long): Unit = {
+    if (batch.isEmpty) return
     VersionedView(spark, dimDir).applyBatch(batchId) { cur =>
       val obs = batch.select(col("key").as("k"), col("ts"), col("tb"),
         col("attr").as("segment"))
@@ -46,14 +51,21 @@ object Scd2Maintenance {
         case None =>
           Warehouse.scd2(obs, col("k"), col("ts"), col("tb"), col("segment"))
         case Some(dim) =>
-          val affectedKeys = obs.select(col("k")).distinct()
-          val affected = dim.join(affectedKeys, Seq("k"), "left_semi")
-          val untouched = dim.join(affectedKeys, Seq("k"), "left_anti")
-          // Existing versions re-enter as observations; the version ordinal
-          // serves as the tie-break (at an equal ts it orders existing
-          // history before — and deterministically among — its own rows).
+          // Null-SAFE key joins: a null dimension key must route through
+          // the affected path like any other (plain equality would dump it
+          // in `untouched` AND rebuild it fresh — duplicating its history
+          // every batch it appears in).
+          val affectedKeys = obs.select(col("k").as("_ak")).distinct()
+          val affected = dim.join(affectedKeys,
+            dim("k") <=> affectedKeys("_ak"), "left_semi")
+          val untouched = dim.join(affectedKeys,
+            dim("k") <=> affectedKeys("_ak"), "left_anti")
+          // Existing versions re-enter as observations with their ORIGINAL
+          // retained tie-break (scd2 keeps the opening observation's tb),
+          // so an equal-ts arrival lands exactly where the batch recompute
+          // would put it.
           val replay = affected.select(col("k"), col("valid_from").as("ts"),
-              col("version").cast("long").as("tb"), col("segment"))
+              col("tb"), col("segment"))
             .unionByName(obs)
           untouched.unionByName(
             Warehouse.scd2(replay, col("k"), col("ts"), col("tb"),

@@ -48,6 +48,7 @@ object ViewMaintenance {
     */
   def applyBatch(spark: SparkSession, viewDir: String, batch: DataFrame,
                  batchId: Long): Unit = {
+    if (batch.isEmpty) return // idle trigger: no view rewrite, no commit
     VersionedView(spark, viewDir).applyBatch(batchId) { cur =>
       val base = cur.getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ViewSchema))

@@ -13,10 +13,20 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * rename — no crash instant without a pointer). A replayed batch
   * (`batchId <= committed`) is a no-op; a crash between the version write
   * and the pointer swap replays by overwriting the same version directory.
-  * After each commit, ALL versions `<= current - 2` are pruned (listing
-  * makes the cleanup self-healing if a past prune was crash-skipped).
+  * After each commit, ALL versions `<= current - keepVersions` are pruned
+  * (listing makes the cleanup self-healing if a past prune was
+  * crash-skipped).
+  *
+  * Reader contract: a DataFrame from `read()` stays valid for
+  * `keepVersions - 1` further commits before its files can be pruned — an
+  * external server holding views across triggers should raise
+  * `keepVersions` to cover its longest read (or retry on
+  * FileNotFoundException); the default 2 covers the maintainers' own
+  * read-merge-commit cycle plus one commit of external grace.
   */
-final case class VersionedView(spark: SparkSession, dir: String) {
+final case class VersionedView(spark: SparkSession, dir: String,
+                               keepVersions: Int = 2) {
+  require(keepVersions >= 1, "keepVersions must be >= 1")
 
   private def conf = spark.sparkContext.hadoopConfiguration
   private def pointer = new Path(dir, "CURRENT")
@@ -47,7 +57,7 @@ final case class VersionedView(spark: SparkSession, dir: String) {
     val f = new Path(dir).getFileSystem(conf)
     f.globStatus(new Path(dir, "view_v*")).foreach { st =>
       val v = st.getPath.getName.stripPrefix("view_v")
-      if (v.forall(_.isDigit) && v.toLong <= newV - 2)
+      if (v.forall(_.isDigit) && v.toLong <= newV - keepVersions)
         f.delete(st.getPath, true)
     }
     true

@@ -24,6 +24,32 @@ class WarehouseSpec extends SparkSpec {
       (2L, "Z", 15L, None, 1, true)))
   }
 
+  test("scd2 is null-safe: to/from-null transitions version; null runs compact") {
+    import spark.implicits._
+    // key 1: A, null, null (compacted), A  -> versions A, null, A.
+    // key 2: starts null, then B           -> versions null, B.
+    val ch = Seq(
+      (1L, 10L, 1L, Some("A")), (1L, 20L, 2L, None), (1L, 30L, 3L, None),
+      (1L, 40L, 4L, Some("A")), (2L, 5L, 5L, None), (2L, 15L, 6L, Some("B"))
+    ).toDF("k0", "ts", "tb", "a")
+    val v = Warehouse.scd2(ch, col("k0"), col("ts"), col("tb"), col("a"))
+      .orderBy("k", "version").collect()
+      .map(r => (r.getAs[Long]("k"), Option(r.getAs[String]("segment")),
+        r.getAs[Long]("valid_from"), r.getAs[Int]("version")))
+    assert(v.toSeq == Seq(
+      (1L, Some("A"), 10L, 1), (1L, None, 20L, 2), (1L, Some("A"), 40L, 3),
+      (2L, None, 5L, 1), (2L, Some("B"), 15L, 2)))
+  }
+
+  test("heavyHitters probes string keys with string hashing") {
+    import spark.implicits._
+    val df = (Seq.fill(80)("alpha") ++ Seq.fill(90)("beta") ++
+      (1 to 500).map(i => s"rare$i")).toDF("name")
+    val got = Warehouse.heavyHitters(df, "name", 75L, eps = 1e-3)
+      .orderBy("name").collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("alpha", 80L), ("beta", 90L)))
+  }
+
   test("scd2 + pitJoin: lookup lands in the half-open interval; pre-history is null") {
     import spark.implicits._
     val ch = Seq((1L, 10L, 1L, "A"), (1L, 30L, 2L, "B")).toDF("k0", "ts", "tb", "a")

@@ -44,6 +44,49 @@ class Scd2MaintenanceSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("equal-ts arrival across batches resolves by the ORIGINAL tie-break") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2m3").toString
+    def b(rows: (Long, Long, Long, String)*) =
+      rows.toDF("key", "ts", "tb", "attr")
+    // batch recompute over the raw log: A@10(tb1), B@20(tb5), C@20(tb3):
+    // at ts=20, tb orders C before B -> A, C (zero-width), B current.
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim",
+      b((1L, 10L, 1L, "A"), (1L, 20L, 5L, "B")), 0L)
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim", b((1L, 20L, 3L, "C")), 1L)
+    val got = dimTuples(Scd2Maintenance.readDim(spark, s"$dir/dim").get)
+    val expected = dimTuples(Warehouse.scd2(
+      b((1L, 10L, 1L, "A"), (1L, 20L, 5L, "B"), (1L, 20L, 3L, "C")),
+      col("key"), col("ts"), col("tb"), col("attr")))
+    assert(got == expected)
+    assert(got.exists(t => t._2 == "B" && t._6)) // B stays current
+  }
+
+  test("null keys extend their history instead of duplicating it") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2m4").toString
+    def b(rows: (Option[Long], Long, Long, String)*) =
+      rows.toDF("key", "ts", "tb", "attr")
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim",
+      b((None, 10L, 1L, "A")), 0L)
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim",
+      b((None, 20L, 2L, "B")), 1L)
+    val dim = Scd2Maintenance.readDim(spark, s"$dir/dim").get.collect()
+    assert(dim.length == 2) // one closed A + one current B, no duplicates
+    assert(dim.count(_.getAs[Boolean]("is_current")) == 1)
+  }
+
+  test("an empty micro-batch commits nothing and rewrites nothing") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2m5").toString
+    def b(rows: (Long, Long, Long, String)*) =
+      rows.toDF("key", "ts", "tb", "attr")
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim", b((1L, 10L, 1L, "A")), 0L)
+    val before = graft.util.VersionedView(spark, s"$dir/dim").committed
+    Scd2Maintenance.applyBatch(spark, s"$dir/dim", b(), 1L)
+    assert(graft.util.VersionedView(spark, s"$dir/dim").committed == before)
+  }
+
   test("same-segment observations keep compacting away incrementally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-scd2m2").toString
