@@ -276,6 +276,77 @@ object Curation {
       .select(col(idCol), col(sourceCol), col("tok"), col("global_idx"))
   }
 
+  // ------------------------------------------------ DSIR importance weights
+
+  /** Data Selection via Importance Resampling (Xie et al. 2023): score every
+    * document by how much more likely its hashed-unigram bag is under the
+    * TARGET distribution than under the raw-pool distribution,
+    * `w(d) = Σ_tok  ln( p_target(f(tok)) / p_raw(f(tok)) )`,
+    * with `f(tok) = h48(tok) mod nFeatures` and add-α smoothing on both
+    * distributions. Selecting the top-weighted raw docs shifts the pool
+    * toward the target domain without a trained classifier — the published
+    * cheap alternative to quality-model filtering.
+    *
+    * Determinism: per-feature log-ratios are rounded ONCE to integer
+    * micro-nats (`round(ln(ratio)·1e6)`), so the per-doc score is an exact
+    * BIGINT sum — independent of partitioning and aggregation order, and
+    * bit-reproducible in DuckDB (the ratio's numerator/denominator are
+    * exact integer products < 2⁵³, so even the `ln` argument is identical;
+    * a last-ulp `ln` difference would have to land within 5e-7 of a
+    * rounding boundary to flip anything).
+    *
+    * 100 TB shape: one corpus scan explodes tokens to feature ids; the
+    * feature stats are an `nFeatures`-row aggregate (map-side combined —
+    * the key space is FIXED at nFeatures regardless of corpus size) that
+    * comes back as a broadcast λ-table; the scoring pass is then a
+    * broadcast join + one exact per-doc LONG sum on the doc key. Nothing
+    * driver-side, no vocabulary explosion — that is the point of hashed
+    * features.
+    */
+  def dsirWeights(docs: DataFrame, textCol: String, idCol: String,
+                  isTarget: Column, nFeatures: Int = 1024,
+                  alpha: Long = 1L): DataFrame = {
+    val occ = docs
+      .select(col(idCol).as("doc"), isTarget.as("tgt"),
+        explode(tokens(col(textCol))).as("tok"))
+      .select(col("doc"), col("tgt"), pmod(h48(col("tok")), lit(nFeatures)).as("f"))
+    val stats = occ.groupBy("f").agg(
+      sum(when(col("tgt"), 1L).otherwise(0L)).as("tf"),
+      count(lit(1)).as("rf"))
+    val tot = stats.agg(sum(col("tf")).as("t_tot"), sum(col("rf")).as("r_tot"))
+    val lam = stats.crossJoin(broadcast(tot))
+      .select(col("f"),
+        round(log(((col("tf") + alpha) * (col("r_tot") + alpha * nFeatures)) /
+                  ((col("rf") + alpha) * (col("t_tot") + alpha * nFeatures)))
+          * 1e6).cast("long").as("lam"))
+    occ.join(broadcast(lam), "f")
+      .groupBy(col("doc"))
+      .agg(sum(col("lam")).as("w_micro"))
+  }
+
+  /** DuckDB twin of [[dsirWeights]]' arithmetic, as CTEs over `table`
+    * ending in `per(doc, w_micro)`. `targetPred` is the SQL form of
+    * `isTarget`.
+    */
+  def dsirOracleCtes(table: String, textCol: String, idCol: String,
+                     targetPred: String, nFeatures: Int = 1024,
+                     alpha: Long = 1L): String =
+    s"""occ AS (SELECT $idCol AS doc, $targetPred AS tgt,
+                  unnest(${sqlTokens(textCol)}) AS tok
+                FROM $table),
+        fo AS (SELECT doc, tgt, ${sqlH48("tok")} % $nFeatures AS f FROM occ),
+        stats AS (SELECT f, SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS tf,
+                         COUNT(*) AS rf
+                  FROM fo GROUP BY f),
+        tot AS (SELECT SUM(tf) AS t_tot, SUM(rf) AS r_tot FROM stats),
+        lam AS (SELECT f,
+                  CAST(round(ln( ((tf + $alpha) * (r_tot + $alpha * $nFeatures)) * 1.0
+                               / ((rf + $alpha) * (t_tot + $alpha * $nFeatures)) )
+                    * 1e6) AS BIGINT) AS lam
+                FROM stats CROSS JOIN tot),
+        per AS (SELECT doc, CAST(SUM(lam) AS BIGINT) AS w_micro
+                FROM fo JOIN lam USING (f) GROUP BY doc)"""
+
   // ------------------------------------------------ driver-facing queries
 
   val queries: Seq[Query] = Seq(
@@ -495,6 +566,38 @@ object Curation {
       curationPipeline(Tables(spark, dir).documents, "text", "doc_id",
           "source", col("n_chars"), capN = 15, maxOov = 0.5)
         .orderBy(col("global_idx"))
+    }),
+
+    // DSIR importance resampling: English docs are the target domain; every
+    // NON-English doc is scored by its hashed-unigram importance weight and
+    // the top 3 per source survive (the per-domain quota keeps the selected
+    // set mixture-shaped instead of single-source). Selection runs through
+    // the salted two-phase top-k; the oracle's plain window proves the
+    // two-phase exact. Integer micro-nat weights make the ranking — not
+    // just the weights — engine-exact.
+    Query(
+      "q124_dsir",
+      Some(s"""
+        WITH ${dsirOracleCtes("documents", "text", "doc_id",
+                              targetPred = "lang = 'en'")},
+        raw AS (SELECT d.doc_id, d.source, p.w_micro
+                FROM documents d JOIN per p ON p.doc = d.doc_id
+                WHERE d.lang <> 'en'),
+        rk AS (SELECT doc_id, source, w_micro,
+                 row_number() OVER (PARTITION BY source
+                                    ORDER BY w_micro DESC, doc_id) AS rank
+               FROM raw)
+        SELECT source, CAST(rank AS BIGINT) AS rank, doc_id, w_micro
+        FROM rk WHERE rank <= 3
+        ORDER BY source, rank"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val w = dsirWeights(docs, "text", "doc_id", isTarget = col("lang") === "en")
+      val raw = docs.filter(col("lang") =!= "en")
+        .select(col("doc_id"), col("source"))
+        .join(w, col("doc_id") === col("doc"))
+      domainCap(raw, "source", col("w_micro"), "doc_id", n = 3)
+        .select(col("source"), col("rank"), col("doc_id"), col("w_micro"))
+        .orderBy(col("source"), col("rank"))
     })
   )
 }

@@ -80,6 +80,63 @@ object Graph {
       .groupBy(col("node")).agg(count(lit(1)).as("n_triangles"))
   }
 
+  /** `rounds` synchronized peels toward the k-core (the maximal subgraph
+    * where every node keeps degree ≥ k): each round recomputes degrees over
+    * the surviving edge list and drops nodes below k, cascading — the
+    * network-core extraction behind influence analysis and the "dense
+    * cluster of near-identical docs" view of a dedup pair graph.
+    *
+    * The round count is EXPLICIT (not run-to-convergence) so the op is
+    * bit-reproducible against [[kCoreOracleSql]]'s unrolled-CTE oracle —
+    * the q85 PageRank pattern; peeling is monotone, so `rounds` is a lower
+    * bound on the fixpoint (equal once the cascade settles; GraphSpec
+    * proves fixpoint identity by running extra rounds).
+    *
+    * 100 TB shape: each round is one degree aggregate (map-side combined
+    * on the node key) + two semi-shaped joins of edges against the
+    * shrinking keep-set — all hash-partitioned on node ids, no driver
+    * data. The surviving edge list `localCheckpoint`s every round: the
+    * lineage would otherwise nest `rounds` deep and the superseded
+    * iteration's plan would defeat AQE (the q85 lesson). Peeling only
+    * shrinks the frame, so checkpoint size is monotonically decreasing.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
+    var e = edges.select(col("u"), col("v"))
+    for (_ <- 1 to rounds) {
+      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("d"))
+      val keep = deg.filter(col("d") >= k).select(col("n"))
+      e = e.join(keep.withColumnRenamed("n", "u"), "u")
+        .join(keep.withColumnRenamed("n", "v"), "v")
+        .select(col("u"), col("v"))
+        .localCheckpoint()
+    }
+    e.select(col("u").as("node")).unionAll(e.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("core_deg"))
+  }
+
+  /** Unrolled-CTE DuckDB twin of [[kCore]]: `edgesCte` must define
+    * `e0(u, v)`; each round r materializes the ≥ k survivors `n_r` and the
+    * induced edge list `e_r`. Machine-generated, same round count.
+    */
+  def kCoreOracleSql(edgesCte: String, k: Int, rounds: Int): String = {
+    // Each e_r is referenced three times by round r+1; MATERIALIZED stops
+    // DuckDB's CTE inlining from exponentiating the base-table scans.
+    val peels = (1 to rounds).map { r =>
+      s"""n$r AS MATERIALIZED (SELECT node FROM (SELECT u AS node FROM e${r - 1}
+                                    UNION ALL SELECT v FROM e${r - 1})
+                  GROUP BY node HAVING COUNT(*) >= $k),
+          e$r AS MATERIALIZED (SELECT u, v FROM e${r - 1}
+                  WHERE u IN (SELECT node FROM n$r)
+                    AND v IN (SELECT node FROM n$r))"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+        $peels
+        SELECT node, COUNT(*) AS core_deg
+        FROM (SELECT u AS node FROM e$rounds UNION ALL SELECT v FROM e$rounds)
+        GROUP BY node ORDER BY node"""
+  }
+
   val queries: Seq[Query] = Seq(
     // Triangle census of the co-purchase graph (parts co-ordered >= 2
     // times): per-part triangle participation. The oracle enumerates
@@ -104,6 +161,26 @@ object Graph {
       val edges = coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"),
         minSupport = 2L)
       triangleCounts(edges).orderBy(col("node"))
+    }),
+
+    // 3-core of the co-purchase graph after 6 synchronized peels (the
+    // dense heart of the graph; at sf0.01 peeling removes ~40% of the
+    // edges and is still cascading at round 6, so the multi-round
+    // semantics — not just one degree filter — are what the hash compare
+    // proves). Same edge fixture as q118.
+    Query(
+      "q126_kcore",
+      Some(kCoreOracleSql(
+        """b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           e0 AS MATERIALIZED (SELECT a.l_partkey AS u, c.l_partkey AS v
+                  FROM b a JOIN b c
+                    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""",
+        k = 3, rounds = 6)))((spark, dir) => {
+      val li = Tables(spark, dir).lineitem
+      val edges = coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"),
+        minSupport = 2L)
+      kCore(edges, k = 3, rounds = 6).orderBy(col("node"))
     })
   )
 }

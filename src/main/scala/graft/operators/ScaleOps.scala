@@ -434,8 +434,64 @@ object ScaleOps {
         .select(col("blk"), col("n"), col("lo"), col("hi"),
           (col("n") === col("hi") - col("lo") + 1).as("internally_complete"))
         .orderBy(col("blk"))
+    }),
+
+    // Event-type Markov transition matrix: per-user event sequences (one
+    // key-partitioned window, ordered by ts with event_id as the
+    // deterministic equal-ts tie-break) → (src, dst) transition counts and
+    // row-normalized probabilities. The user-journey summary behind
+    // next-event prediction and anomaly scoring. Scale shape: the window
+    // partitions by user (bounded by a user's history, never the corpus —
+    // sessionize hot service accounts first if a key can grow unbounded);
+    // the transition aggregate's key space is |event types|², a
+    // broadcast-sized matrix, and the row totals join back as a broadcast.
+    // p = n/t is a single division of exact counts — engine-identical.
+    Query(
+      "q125_markov_transitions",
+      Some("""
+        WITH seq AS (SELECT user_id, event_type,
+                       lead(event_type) OVER (PARTITION BY user_id
+                                              ORDER BY ts, event_id) AS nxt
+                     FROM events),
+        tr AS (SELECT event_type AS src, nxt AS dst, COUNT(*) AS n
+               FROM seq WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        tot AS (SELECT src, SUM(n) AS t FROM tr GROUP BY src)
+        SELECT src, dst, n, round(n * 1.0 / t, 6) AS p
+        FROM tr JOIN tot USING (src)
+        ORDER BY src, dst"""))((spark, dir) => {
+      markovTransitions(Tables(spark, dir).events, col("user_id"),
+          col("event_type"), Seq(col("ts"), col("event_id")))
+        .orderBy(col("src"), col("dst"))
     })
   )
+
+  /** Event-type Markov transition matrix: per-key sequences in
+    * `orderCols` order → (src, dst) transition counts and row-normalized
+    * probabilities. The last element of `orderCols` must be a unique
+    * tie-break so equal-timestamp neighbors resolve deterministically.
+    * Scale shape: the lead window partitions by the sequence key (bounded
+    * by one key's history, never the corpus); the transition aggregate's
+    * key space is |event types|² — a broadcast-sized matrix — and the
+    * row totals come back as a broadcast join. p = n/t divides exact
+    * counts, so the matrix is engine-identical.
+    */
+  def markovTransitions(events: org.apache.spark.sql.DataFrame,
+                        keyCol: org.apache.spark.sql.Column,
+                        typeCol: org.apache.spark.sql.Column,
+                        orderCols: Seq[org.apache.spark.sql.Column])
+      : org.apache.spark.sql.DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols: _*)
+    val tr = events
+      .select(typeCol.as("et"), lead(typeCol, 1).over(w).as("nxt"))
+      .filter(col("nxt").isNotNull)
+      .groupBy(col("et").as("src"), col("nxt").as("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = tr.groupBy(col("src")).agg(sum(col("n")).as("t"))
+    tr.join(broadcast(tot), "src")
+      .select(col("src"), col("dst"), col("n"),
+        round(col("n") * lit(1.0) / col("t"), 6).as("p"))
+  }
 
   /** Write the bucketed copies of orders/customer (idempotent overwrite) and
     * register them in the session catalog. Public so PlanSpec can set up the

@@ -329,6 +329,27 @@ class PlanSpec extends SparkSpec {
       s"no multi-key broadcast hash join found: ${p.take(1200)}")
   }
 
+  test("q123: the band-index probe broadcasts the batch side on the full band key") {
+    val plan = executed(q("q123_lsh_incremental"))
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bhj = deepNodes(plan).collect { case j: BroadcastHashJoinExec => j }
+    // candidate lookup = hash join on (band, s0, s1) — the index is probed
+    // by key, the corpus band table is never shuffled for the batch
+    assert(bhj.exists(j => j.leftKeys.size >= 3 || j.rightKeys.size >= 3),
+      s"no band-key broadcast hash join: ${plan.toString.take(1200)}")
+  }
+
+  test("q124: the λ-table joins broadcast; no feature-keyed corpus shuffle") {
+    val plan = executed(q("q124_dsir"))
+    val p = plan.toString
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    val bhj = deepNodes(plan).collect { case j: BroadcastHashJoinExec => j }
+    assert(bhj.nonEmpty, s"λ join not broadcast: ${p.take(1200)}")
+    // the per-doc weight sum must partial-aggregate before its exchange
+    assert(p.contains("partial_sum") || p.contains("partial"),
+      s"no partial aggregation in: ${p.take(1200)}")
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

@@ -177,4 +177,58 @@ class CurationSpec extends SparkSpec {
     assert(approx("head") >= 100 && approx("head") <= 150)
     assert(approx("tail") >= 100 && approx("tail") <= 150)
   }
+
+  test("dsirWeights: on-target vocabulary scores above off-target") {
+    import spark.implicits._
+    // Target docs speak vocabulary A, the raw pool vocabulary B. Among
+    // three EQUAL-LENGTH raw docs (weights are per-token log-ratio SUMS,
+    // so length is part of the score — the paper's semantics), pure A must
+    // outscore the 3/2 mix, which must outscore pure B.
+    val a = "alpha beta gamma delta epsilon"
+    val b = "zulu yankee xray whiskey victor"
+    val d = (Seq.tabulate(8)(i => (i.toLong, a, true)) ++ Seq(
+      (100L, a, false), (101L, "alpha beta gamma zulu yankee", false),
+      (102L, b, false)))
+      .toDF("doc_id", "text", "tgt")
+    val w = Curation.dsirWeights(d, "text", "doc_id", isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(w(100L) > w(101L) && w(101L) > w(102L))
+  }
+
+  test("dsirWeights matches a sequential reference implementation exactly") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "spark scales out with partitions", true),
+      (2L, "partitions shuffle data across executors", true),
+      (3L, "ducks swim on the quiet pond", false),
+      (4L, "spark partitions beat the pond ducks", false))
+    val d = rows.toDF("doc_id", "text", "tgt")
+    // engine-independent reference: same h48 features, α=1 smoothing,
+    // per-feature micro-nat rounding, exact integer sum
+    val nF = 1024
+    def feats(t: String): Seq[Int] = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      t.trim.toLowerCase.split(" +").toSeq.map { tok =>
+        val hex = md.digest(tok.getBytes("UTF-8")).take(6)
+          .map("%02x".format(_)).mkString
+        (java.lang.Long.parseLong(hex, 16) % nF).toInt
+      }
+    }
+    val all = rows.flatMap { case (_, t, tgt) => feats(t).map(_ -> tgt) }
+    val tf = all.filter(_._2).groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val rf = all.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+    val (tTot, rTot) = (tf.values.sum, rf.values.sum)
+    def lam(f: Int): Long =
+      math.round(math.log(
+        ((tf.getOrElse(f, 0L) + 1L) * (rTot + nF)).toDouble /
+        ((rf(f) + 1L) * (tTot + nF)).toDouble) * 1e6)
+    val expected = rows.map { case (id, t, _) => id -> feats(t).map(lam).sum }.toMap
+    val got = Curation.dsirWeights(d, "text", "doc_id", isTarget = col("tgt"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == expected)
+    // exact integer weights are partitioning-independent by construction
+    val re = Curation.dsirWeights(d.repartition(7), "text", "doc_id",
+      isTarget = col("tgt")).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(re == expected)
+  }
 }

@@ -217,4 +217,35 @@ class DedupSpec extends SparkSpec {
       .select("da", "db").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(got == Set((1L, 2L), (3L, 4L)))
   }
+
+  test("lshIncrementalDedup equals the full exact batch-vs-corpus compare (q71)") {
+    // The LSH index probe and the corpus-shingle-scan incremental dedup
+    // share semantics exactly (corpus df cap, exact-Jaccard verify,
+    // min-corpus-doc survivor); the probe only prunes the candidate space.
+    // Equality on real data proves the index path loses nothing here —
+    // the residual banding miss probability at j=0.5 is ~1e-4 per pair,
+    // and the hash family is deterministic, so this comparison is stable.
+    val isBatch = col("doc_id") % 10 === 0
+    val viaIndex = Dedup.lshIncrementalDedup(docs, "text", "doc_id", isBatch)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    val viaScan = Dedup.incrementalDedup(docs, "text", "doc_id", isBatch)
+      .collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    assert(viaIndex == viaScan)
+    assert(viaIndex.exists(!_._3), "fixture should contain at least one dup")
+    assert(viaIndex.exists(_._3), "fixture should contain at least one novel doc")
+  }
+
+  test("lshIncrementalDedup: planted near-copy is caught, novel doc is kept") {
+    import spark.implicits._
+    val corpusText = "the quick brown fox jumps over the lazy dog " * 4
+    val rows = (1L to 9L).map(i => (i, corpusText + s" corpus marker $i")) :+
+      (10L, corpusText + " corpus marker 3x") :+ // near-copy of corpus doc 3
+      (20L, "completely novel content with its own vocabulary entirely " * 5)
+    val df = rows.toDF("doc_id", "text")
+    val got = Dedup.lshIncrementalDedup(df, "text", "doc_id",
+        isBatch = col("doc_id") >= 10L)
+      .collect().map(r => r.getLong(0) -> ((Option(r.get(1)), r.getBoolean(2)))).toMap
+    assert(!got(10L)._2, "near-copy must be flagged")
+    assert(got(20L) == (None, true), "novel doc must be kept")
+  }
 }

@@ -41,4 +41,37 @@ class GraphSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("kCore: peeling a tail cascades away; the triangle survives at k=2") {
+    import spark.implicits._
+    // Triangle {1,2,3} with a tail 3-5-6: node 6 has degree 1, dropping it
+    // leaves 5 at degree 1 — the cascade must run more than one round.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val got = Graph.kCore(edges, k = 2, rounds = 3).orderBy("node").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 2L), (2L, 2L), (3L, 2L)))
+  }
+
+  test("kCore: extra rounds past the fixpoint change nothing (real data)") {
+    val edges = Graph.coOccurrenceEdges(Tables(spark, sf()).lineitem,
+      col("l_orderkey"), col("l_partkey"), minSupport = 2L).cache()
+    val atFix = Graph.kCore(edges, k = 3, rounds = 12).orderBy("node")
+      .collect().toSeq
+    val past = Graph.kCore(edges, k = 3, rounds = 15).orderBy("node")
+      .collect().toSeq
+    assert(atFix == past)
+    edges.unpersist()
+  }
+
+  test("kCore is partitioning-independent") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L), (4L, 5L),
+        (3L, 5L), (5L, 6L))
+      .toDF("u", "v")
+    val a = Graph.kCore(edges, 2, 4).orderBy("node").collect().toSeq
+    val b = Graph.kCore(edges.repartition(7), 2, 4).orderBy("node")
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
