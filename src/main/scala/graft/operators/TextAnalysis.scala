@@ -391,6 +391,45 @@ object TextAnalysis {
           .as("oov_rate")): _*)
   }
 
+  /** Per-document TF-IDF keyword extraction: the top `topK` tokens of each
+    * document by `tf · idf`, the corpus-statistics counterpart of the
+    * per-query retrieval ranking ([[bm25TopK]] ranks DOCS for a query; this
+    * ranks TOKENS for a doc — the tagging/labeling op of a curation
+    * pipeline).
+    *
+    * Determinism across engines: idf is rounded ONCE to integer micro-nats
+    * (`round(ln((N+1)/(df+1))·1e6)` — both engines ln() the same exact
+    * integer ratio, the [[Curation.dsirWeights]] trick), so every score is
+    * an exact BIGINT product `tf · idf_micro` and the per-doc ranking is
+    * bit-reproducible regardless of partitioning; ties break by token.
+    *
+    * 100 TB shape: two map-side-combinable aggregates (tf over (doc, token),
+    * df over token), a vocabulary-sized idf table that broadcasts into the
+    * score join, and a per-doc top-k window whose partitions are document
+    * islands (bounded by doc length — no global or skewed partition
+    * anywhere). N is a corpus scalar a stored corpus already has; here it
+    * is computed once and embedded as a literal.
+    */
+  def tfIdfKeywords(docs: DataFrame, textCol: String, idCol: String,
+                    topK: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol).as("doc_id"),
+      explode(tokens(col(textCol))).as("tok"))
+    val tf = toks.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfTab = toks.distinct().groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.count()
+    val idf = dfTab.withColumn("idf_micro",
+      round(log((lit(n) + lit(1.0)) / (col("df") + lit(1.0))) * 1e6).cast("long"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("tok"))
+    tf.join(broadcast(idf), "tok")
+      .withColumn("score_micro", col("tf") * col("idf_micro"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topK)
+      .select(col("doc_id"), col("rank"), col("tok").as("token"),
+        col("tf"), col("score_micro"))
+  }
+
   val queries: Seq[Query] = Seq(
     Query(
       "q29_text_token_stats",
@@ -487,6 +526,32 @@ object TextAnalysis {
         bm25TopK(Tables(spark, dir).documents, "text", "doc_id", Bm25Queries)
           .orderBy(col("query_id"), col("rank"))
       }),
+
+    // Per-doc TF-IDF keywords: top-3 tokens of every document, scores as
+    // exact BIGINT tf·idf_micro products so the ranking hash-matches.
+    Query(
+      "q130_tfidf_keywords",
+      Some(s"""
+        WITH toks AS (SELECT doc_id, unnest(${sqlTokens("text")}) AS tok
+                      FROM documents),
+        tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+        df AS (SELECT tok, COUNT(*) AS df
+               FROM (SELECT DISTINCT doc_id, tok FROM toks) GROUP BY 1),
+        n AS (SELECT COUNT(*) AS n FROM documents),
+        scored AS (SELECT doc_id, tok, tf,
+                     tf * CAST(round(ln((n + 1.0) / (df + 1.0)) * 1000000)
+                               AS BIGINT) AS score_micro
+                   FROM tf JOIN df USING (tok) CROSS JOIN n),
+        r AS (SELECT doc_id, tok, tf, score_micro,
+                row_number() OVER (PARTITION BY doc_id
+                                   ORDER BY score_micro DESC, tok) AS rank
+              FROM scored)
+        SELECT doc_id, rank, tok AS token, tf, score_micro
+        FROM r WHERE rank <= 3
+        ORDER BY doc_id, rank"""))((spark, dir) => {
+      tfIdfKeywords(Tables(spark, dir).documents, "text", "doc_id", topK = 3)
+        .orderBy(col("doc_id"), col("rank"))
+    }),
 
     // PII scrubbing — the redaction pass a training pipeline runs before
     // text reaches a model. The synthetic corpus carries no PII, so each

@@ -87,6 +87,58 @@ object TimeSeries {
              (col("next_us") - col("prev_us")))).as("v_raw"))
   }
 
+  /** Rolling z-score anomaly detection over a keyed count series.
+    *
+    * `series` carries one row per (key, hr) with an integral `cnt` (hr =
+    * hours since epoch). Each point is scored against the TRAILING 24-hour
+    * window `[hr-24, hr-1]` — a RANGE frame on the integer hour, so gaps in
+    * the series shrink the sample instead of silently stretching the
+    * lookback (a ROWS frame over a sparse series compares against last
+    * week, not last day). Points with fewer than `minPrev` prior
+    * observations or zero variance score null; `is_anomaly` flags
+    * |z| > `threshold`.
+    *
+    * Determinism: mean/variance come from the closed form over exact
+    * integer window sums (n, Σc, Σc²) — counts are integers, so the sums
+    * are exact in any engine and the double arithmetic is the identical
+    * IEEE expression tree on both sides (no Welford state whose update
+    * order depends on row order). The z is rounded once and the flag is
+    * derived from the ROUNDED value, so the anomaly boundary cannot flip
+    * on a last-ulp difference.
+    *
+    * 100 TB shape: one map-side-combinable aggregate to the hourly grain
+    * (output = keys × hours, tiny vs the event log), then one window on a
+    * single key-hash exchange. Monitoring fleets key by (metric, host) —
+    * millions of keys, each a short series: the partition count, not the
+    * per-key history, carries the scale. No self-join of the series
+    * against its own lookback (the naive formulation shuffles 24× the
+    * grid), no global window anywhere.
+    */
+  def rollingZScore(series: DataFrame, lookbackHours: Int = 24,
+                    minPrev: Int = 12, threshold: Double = 2.0): DataFrame = {
+    require(minPrev >= 2, "minPrev must be >= 2 (sample variance needs n > 1)")
+    val w = Window.partitionBy(col("key")).orderBy(col("hr"))
+      .rangeBetween(-lookbackHours, -1)
+    // divisions live INSIDE the n_prev guard (CASE branches evaluate
+    // lazily), so an empty or single-point lookback cannot trip ANSI
+    // divide-by-zero
+    val varPrev = (col("s2") - col("s") * lit(1.0) * col("s") / col("n_prev")) /
+      (col("n_prev") - 1)
+    series
+      .withColumn("n_prev", count(col("cnt")).over(w))
+      .withColumn("s", sum(col("cnt")).over(w))
+      .withColumn("s2", sum(col("cnt") * col("cnt")).over(w))
+      .withColumn("z",
+        when(col("n_prev") >= minPrev,
+          when(varPrev > 0,
+            round((col("cnt") - col("s") * lit(1.0) / col("n_prev")) /
+              sqrt(varPrev), 6))))
+      .withColumn("is_anomaly",
+        coalesce(abs(col("z")) > threshold, lit(false)))
+      .select(col("key"), col("hr"), col("cnt"), col("n_prev"),
+        col("z"), col("is_anomaly"))
+  }
+
   val queries: Seq[Query] = Seq(
     // Hourly regularization of each sampled user's event-value series:
     // grid instants inside the user's span (inclusive at grid-aligned
@@ -144,6 +196,47 @@ object TimeSeries {
         .select(col("key").as("user_id"), col("us"),
           round(col("v_raw"), 6).as("v_interp"))
         .orderBy(col("user_id"), col("us"))
+    }),
+
+    // Operational anomaly detection: each event type's hourly volume
+    // scored against its own trailing 24 hours. The closed-form
+    // integer-sum variance makes the z reproducible bit-for-bit in
+    // DuckDB; the flag derives from the rounded z so the |z| > 2
+    // boundary cannot flip on engine ulps.
+    Query(
+      "q127_anomaly_zscore",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        scored AS (
+          SELECT key, hr, cnt,
+            COUNT(cnt) OVER w AS n_prev,
+            SUM(cnt) OVER w AS s,
+            SUM(cnt * cnt) OVER w AS s2
+          FROM hourly
+          WINDOW w AS (PARTITION BY key ORDER BY hr
+                       RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING)),
+        z AS (
+          SELECT key, hr, cnt, n_prev,
+            CASE WHEN n_prev >= 12
+                  AND (s2 - s * 1.0 * s / n_prev) / (n_prev - 1) > 0
+                 THEN round((cnt - s * 1.0 / n_prev) /
+                        sqrt((s2 - s * 1.0 * s / n_prev) / (n_prev - 1)), 6)
+            END AS z
+          FROM scored)
+        SELECT key, hr, cnt, n_prev, z,
+               COALESCE(abs(z) > 2.0, FALSE) AS is_anomaly
+        FROM z
+        ORDER BY key, hr"""))((spark, dir) => {
+      val hourly = Tables(spark, dir).events
+        .select(col("event_type").as("key"),
+          expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
+        .groupBy(col("key"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      rollingZScore(hourly, lookbackHours = 24, minPrev = 12, threshold = 2.0)
+        .orderBy(col("key"), col("hr"))
     })
   )
 }

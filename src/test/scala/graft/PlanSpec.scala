@@ -350,6 +350,57 @@ class PlanSpec extends SparkSpec {
       s"no partial aggregation in: ${p.take(1200)}")
   }
 
+  test("q127: hourly agg partial+final, z-window on one key exchange") {
+    val plan = executed(q("q127_anomaly_zscore"))
+    val p = plan.toString
+    // map-side combine to the hourly grain before any exchange
+    assert(p.contains("HashAggregate") && p.contains("partial"), p.take(1200))
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    // budget: one hash exchange for the hourly aggregate, one for the
+    // per-key window (n/s/s2 all ride the SAME frame), one range exchange
+    // for the oracle orderBy — a fourth means a window repartitioned per
+    // statistic
+    assert(shuffles.size <= 3, s"${shuffles.size} shuffles: ${p.take(1500)}")
+  }
+
+  test("q128: neighbor candidates are an equi-join on the block id; offsets broadcast") {
+    val plan = executed(q("q128_sorted_neighborhood"))
+    val p = plan.toString
+    assert(!p.contains("CartesianProduct"), p.take(1500))
+    // rank offsets (per-shard counts) must broadcast into the rank join,
+    // and the block-banded candidate join must be a hash join — a
+    // nested-loop on the rank inequality is the n² shape this operator
+    // exists to avoid
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    assert(deepNodes(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]), p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+  }
+
+  test("q129: signatures aggregate partial+final; shingle frames never self-join") {
+    val plan = executed(q("q129_source_overlap"))
+    val p = plan.toString
+    // the only pairwise work is over the sources×k signature table (a
+    // deliberate tiny broadcast cross); the (source, shingle) frame must
+    // aggregate with map-side combine and never sort-merge against itself
+    assert(p.contains("HashAggregate") && p.contains("partial"), p.take(1200))
+    import org.apache.spark.sql.execution.joins.SortMergeJoinExec
+    assert(!deepNodes(plan).exists(_.isInstanceOf[SortMergeJoinExec]), p.take(1500))
+  }
+
+  test("q130: idf broadcasts into the score join; top-k window is per-doc") {
+    val plan = executed(q("q130_tfidf_keywords"))
+    val p = plan.toString
+    import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
+    assert(deepNodes(plan).exists(_.isInstanceOf[BroadcastHashJoinExec]),
+      s"idf join not broadcast: ${p.take(1200)}")
+    // no global (empty-partition) window anywhere — the ranking must
+    // partition by doc_id
+    assert(!p.contains("Window [") || !p.contains("windowspecdefinition()"),
+      p.take(1200))
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

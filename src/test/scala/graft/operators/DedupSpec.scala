@@ -248,4 +248,65 @@ class DedupSpec extends SparkSpec {
     assert(!got(10L)._2, "near-copy must be flagged")
     assert(got(20L) == (None, true), "novel doc must be kept")
   }
+
+  test("sortedNeighborhood equals the naive global-rank window join") {
+    import spark.implicits._
+    // names whose typos share a SUFFIX (prefix blocking would miss them);
+    // enough rows that the default first-char sharding crosses shards
+    val names = (0 until 60).map(i => (i.toLong, f"acct-$i%04d")) ++
+      Seq((100L, "bcct-0013"), (101L, "acct-9999"), (102L, "acct_0042"))
+    val df = names.toDF("id", "nm")
+    val sk = reverse(lower(col("nm")))
+    val got = Dedup.sortedNeighborhood(df, col("nm"), col("id"),
+        sortKey = sk, w = 3, maxDist = 1)
+      .select("key_a", "key_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // naive: global rank via a single-partition window, all pairs within w
+    val ranked = df.withColumn("rnk",
+      row_number().over(org.apache.spark.sql.expressions.Window
+        .orderBy(sk, col("id")))).select("id", "nm", "rnk")
+    val naive = ranked.as("a").join(ranked.as("b"),
+        col("b.rnk") > col("a.rnk") && col("b.rnk") <= col("a.rnk") + 3)
+      .filter(levenshtein(col("a.nm"), col("b.nm")) <= 1)
+      .select(col("a.id"), col("b.id"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == naive && got.nonEmpty)
+    // the suffix-typo pair (acct-0013, bcct-0013) is adjacent in reversed
+    // order and must be found — the pair q75-style prefix blocking misses
+    assert(got.exists { case (x, y) => Set(x, y) == Set(13L, 100L) })
+  }
+
+  test("sortedNeighborhood is partitioning-independent") {
+    import spark.implicits._
+    val df = (0 until 200).map(i => (i.toLong, f"n-${i * 7 % 1000}%04d")).toDF("id", "nm")
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Dedup.sortedNeighborhood(d, col("nm"), col("id"),
+          sortKey = reverse(col("nm")), w = 4, maxDist = 1)
+        .orderBy("key_a", "key_b").collect().toSeq
+    assert(run(df) == run(df.repartition(7)) && run(df).nonEmpty)
+  }
+
+  test("sourceOverlapMinhash: identical sources estimate 1, disjoint estimate 0") {
+    import spark.implicits._
+    val a = (0 until 30).map(i => (i.toLong, s"alpha beta gamma delta $i common tail", "sA"))
+    val b = (0 until 30).map(i => (i.toLong + 100, s"alpha beta gamma delta $i common tail", "sB"))
+    val c = (0 until 30).map(i => (i.toLong + 200, s"zeta eta theta iota kappa ${i + 777} lambda", "sC"))
+    val docs = (a ++ b ++ c).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlapMinhash(docs, "text", "source", n = 3, k = 16)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getAs[Double]("est_jaccard")).toMap
+    assert(got(("sA", "sB")) == 1.0, "identical shingle sets -> all mins equal")
+    assert(got(("sA", "sC")) == 0.0 && got(("sB", "sC")) == 0.0,
+      "disjoint shingle sets -> no min collides (w.h.p.)")
+    assert(got.size == 3)
+  }
+
+  test("sourceOverlapMinhash estimate tracks exact Jaccard on the test corpus") {
+    val got = Dedup.sourceOverlapMinhash(docs, "text", "source", n = 3, k = 16)
+      .collect()
+    assert(got.length > 0)
+    // estimates are proper probabilities in k-th increments
+    assert(got.forall { r =>
+      val e = r.getAs[Double]("est_jaccard")
+      e >= 0.0 && e <= 1.0 && (e * 16) == math.rint(e * 16)
+    })
+  }
 }

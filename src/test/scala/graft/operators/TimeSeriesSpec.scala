@@ -66,6 +66,57 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got == Seq((2000L, 20.0), (4000L, 40.0)))
   }
 
+  private def seriesDf(rows: Seq[(String, Long, Long)]) = {
+    import spark.implicits._
+    rows.toDF("key", "hr", "cnt")
+  }
+
+  test("rollingZScore: hand-computed z over a dense window") {
+    // 13 prior hours of cnt=10, then a spike of 20: mean=10, var=0 -> the
+    // flat history scores null; make history {9,11} alternating so var>0.
+    val hist = (0L until 12L).map(h => ("m", h, if (h % 2 == 0) 9L else 11L))
+    val got = TimeSeries.rollingZScore(seriesDf(hist :+ (("m", 12L, 20L))),
+        lookbackHours = 24, minPrev = 12, threshold = 2.0)
+      .filter(col("hr") === 12).collect().head
+    // n=12, s=120, s2=1212; mean=10; var=(1212-1200)/11=12/11
+    val z = (20.0 - 10.0) / math.sqrt(12.0 / 11.0)
+    assert(got.getAs[Long]("n_prev") == 12L)
+    assert(math.abs(got.getAs[Double]("z") - math.rint(z * 1e6) / 1e6) < 1e-9)
+    assert(got.getAs[Boolean]("is_anomaly"))
+  }
+
+  test("rollingZScore: RANGE frame sees true hours, not row offsets") {
+    // A 30-hour gap: the point after the gap has NO prior rows in its
+    // 24-hour range even though 12 rows precede it in row order.
+    val hist = (0L until 12L).map(h => ("m", h, 5L))
+    val got = TimeSeries.rollingZScore(seriesDf(hist :+ (("m", 42L, 50L))),
+        minPrev = 2)
+      .filter(col("hr") === 42).collect().head
+    assert(got.getAs[Long]("n_prev") == 0L)
+    assert(got.isNullAt(got.fieldIndex("z")))
+    assert(!got.getAs[Boolean]("is_anomaly"))
+  }
+
+  test("rollingZScore: zero variance and short history score null, never error") {
+    val flat = (0L until 20L).map(h => ("m", h, 7L))
+    val rows = TimeSeries.rollingZScore(seriesDf(flat), minPrev = 2).collect()
+    assert(rows.length == 20)
+    assert(rows.forall(r => r.isNullAt(r.fieldIndex("z"))))
+    // single-point lookback (n_prev=1) must not trip ANSI divide-by-zero
+    val two = TimeSeries.rollingZScore(
+      seriesDf(Seq(("m", 0L, 1L), ("m", 1L, 9L))), minPrev = 2).collect()
+    assert(two.length == 2)
+  }
+
+  test("rollingZScore is partitioning-independent") {
+    val series = seriesDf((0L until 40L).map(h => ("a", h, (h * 7 % 13))) ++
+      (0L until 40L).map(h => ("b", h, (h * 11 % 17))))
+    val a = TimeSeries.rollingZScore(series).orderBy("key", "hr").collect().toSeq
+    val b = TimeSeries.rollingZScore(series.repartition(7))
+      .orderBy("key", "hr").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("gapFillInterpolate is partitioning-independent") {
     val obs = obsDf(Seq(
       (1L, 1000L, 10.0, 1L), (1L, 5000L, 50.0, 2L), (1L, 9000L, 10.0, 3L),
