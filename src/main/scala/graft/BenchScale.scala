@@ -47,7 +47,18 @@ object BenchScale {
       math.min(a, b)
     }
 
-    import operators.{Dedup, Pipeline, Similarity}
+    import operators.{Dedup, Pipeline, Similarity, TextAnalysis, TimeSeries}
+
+    // SPARK_GRAFT_SCALE_ONLY=q27_minhash_lsh,… restricts the study to the
+    // named rows (and skips un-selected rows BEFORE they run — a selected
+    // subset costs only its own time). Used to fit newly-added rows
+    // without re-paying the multi-minute comparison rows.
+    val onlySel: String => Boolean = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+      .map(s => (n: String) => s.contains(n))
+      .getOrElse((_: String) => true)
+    def row(name: String)(body: => Double): Seq[(String, Double)] =
+      if (onlySel(name)) Seq(name -> body) else Seq.empty
 
     /** One scale point's rows; `scale` drives the scaled parameters.
       * Two configurations where the first three-point run caught a bend
@@ -78,71 +89,108 @@ object BenchScale {
         t.documents.join(broadcast(drop),
           col("doc_id") === col("drop_doc"), "left_anti").count(); ()
       }
-      Seq(
-        "q27_minhash_lsh" -> bestOf2 { lshPairs().count(); () },
-        "q49_clusters" -> bestOf2 {
-          Pipeline.connectedComponents(lshPairs()).count(); ()
-        },
-        "q56_corpus_dedup" -> bestOf2 { dedupVia(lshPairs()) },
-        "q85_pagerank" -> bestOf2 {
-          SparkEntry.queries("q85_pagerank")(spark, dir).count(); ()
-        },
-        "q86_knn_scaled_cells" -> bestOf2 {
-          Similarity.knnJoinInCellHier(t.embeddings, "embedding", "vec_id",
-            nCells = 16 * scale).count(); ()
-        },
-        // ExactSubstr cut list in its scale configuration: span groupBy +
-        // join keyed by xxhash64 (8-byte shuffle keys, span text pruned
-        // from both shuffles); cost ∝ corpus tokens, target exponent ≈ 1.
-        "q104_span_merge_hashed" -> bestOf2 {
-          operators.Curation.mergedDuplicateSpans(
-            t.documents, "text", "doc_id", hashKeys = true).count(); ()
-        },
-        "q86_knn_scaled_cells_flat" -> bestOf2 {
-          Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
-            nCells = 16 * scale).count(); ()
-        },
-        // The composed curation layer (dedup → LM quality gate → domain
-        // cap → epoch order) with BOTH absolute thresholds scaled to keep
-        // selectivity constant — the nightly-job shape whose composed
-        // exponent the 100 TB claim actually needs.
-        "q110_curation_e2e" -> bestOf2 {
-          operators.Curation.curationPipeline(t.documents, "text", "doc_id",
-            "source", col("n_chars"), capN = 15 * scale, maxOov = 0.5,
-            minDf = 5 * scale).count(); ()
-        },
-        // Degree-ordered triangle census over the co-purchase graph: the
-        // replicas are key-disjoint, so the graph is `scale` disjoint
-        // copies — edges ∝ scale at constant support distribution
-        // (minSupport stays 2) and the orientation bound must hold the
-        // wedge join ≈ linear.
-        "q118_triangles" -> bestOf2 {
-          operators.Graph.triangleCounts(
-            operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
-              col("l_partkey"), minSupport = 2L)).count(); ()
-        },
-        // Incremental-LSH probe with the index PREBUILT (cached + forced
-        // outside the timer) and a FIXED ~500-doc batch (the 1×-replica
-        // originals — GenScale shifts replica ids upward, so doc_id<5000
-        // is the same batch at every point): the steady-state per-batch
-        // cost of continuous-crawl dedup as the corpus index grows. The
-        // residual growth terms are the corpus-band/ok-table SCANS that a
-        // persisted bucketed index prunes to the probed keys; target
-        // exponent well below 1. One cold probe per point — best-of-2
-        // would rehit the probe's own batch-side cache and flatter it.
-        "q123_lsh_probe" -> {
-          val docs = t.documents
-          val isBatch = col("doc_id") % 10 === 0 && col("doc_id") < 5000
-          val idx = Dedup.lshIndexBuild(docs.filter(!isBatch), "text",
-            "doc_id", maxShingleDf = dfCap)
-          idx.ok.cache().count(); idx.sets.count(); idx.bands.cache().count()
-          val s = time {
-            Dedup.lshIndexProbe(idx, docs.filter(isBatch), "text", "doc_id")
-              .count(); ()
-          }
-          spark.catalog.clearCache()
-          s
-        })
+      row("q27_minhash_lsh")(bestOf2 { lshPairs().count(); () }) ++
+      row("q49_clusters")(bestOf2 {
+        Pipeline.connectedComponents(lshPairs()).count(); ()
+      }) ++
+      row("q56_corpus_dedup")(bestOf2 { dedupVia(lshPairs()) }) ++
+      row("q85_pagerank")(bestOf2 {
+        SparkEntry.queries("q85_pagerank")(spark, dir).count(); ()
+      }) ++
+      row("q86_knn_scaled_cells")(bestOf2 {
+        Similarity.knnJoinInCellHier(t.embeddings, "embedding", "vec_id",
+          nCells = 16 * scale).count(); ()
+      }) ++
+      // ExactSubstr cut list in its scale configuration: span groupBy +
+      // join keyed by xxhash64 (8-byte shuffle keys, span text pruned
+      // from both shuffles); cost ∝ corpus tokens, target exponent ≈ 1.
+      row("q104_span_merge_hashed")(bestOf2 {
+        operators.Curation.mergedDuplicateSpans(
+          t.documents, "text", "doc_id", hashKeys = true).count(); ()
+      }) ++
+      row("q86_knn_scaled_cells_flat")(bestOf2 {
+        Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
+          nCells = 16 * scale).count(); ()
+      }) ++
+      // The composed curation layer (dedup → LM quality gate → domain
+      // cap → epoch order) with BOTH absolute thresholds scaled to keep
+      // selectivity constant — the nightly-job shape whose composed
+      // exponent the 100 TB claim actually needs.
+      row("q110_curation_e2e")(bestOf2 {
+        operators.Curation.curationPipeline(t.documents, "text", "doc_id",
+          "source", col("n_chars"), capN = 15 * scale, maxOov = 0.5,
+          minDf = 5 * scale).count(); ()
+      }) ++
+      // Degree-ordered triangle census over the co-purchase graph: the
+      // replicas are key-disjoint, so the graph is `scale` disjoint
+      // copies — edges ∝ scale at constant support distribution
+      // (minSupport stays 2) and the orientation bound must hold the
+      // wedge join ≈ linear.
+      row("q118_triangles")(bestOf2 {
+        operators.Graph.triangleCounts(
+          operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
+            col("l_partkey"), minSupport = 2L)).count(); ()
+      }) ++
+      // Monitoring-fleet anomaly scan: keys ∝ scale at constant per-key
+      // series density ((event_type, user-bucket) with buckets ∝ scale —
+      // GenScale shifts user ids, so users grow with the corpus). One
+      // hourly aggregate + one key-partitioned window; target exponent
+      // ≈ 1 (cost tracks the event scan, the window adds no join).
+      row("q127_anomaly_keys")(bestOf2 {
+        val hourly = t.events.select(
+            concat_ws(":", col("event_type"),
+              pmod(col("user_id"), lit(50L * scale))).as("key"),
+            expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
+          .groupBy(col("key"), col("hr")).agg(count(lit(1)).as("cnt"))
+        TimeSeries.rollingZScore(hourly).count(); ()
+      }) ++
+      // Sorted-neighborhood ER: ranks from the sharded prefix scan, then
+      // a width-w block equi-join — candidates w·n by construction, so
+      // the exponent must track the sort/scan, never the n² the naive
+      // rank inequality join would pay. (Replica names collide across
+      // copies — MORE duplicate structure than production, a conservative
+      // stress of the candidate volume.)
+      row("q128_sorted_neighborhood")(bestOf2 {
+        Dedup.sortedNeighborhood(t.customer, col("c_name"), col("c_custkey"),
+          sortKey = reverse(lower(col("c_name"))), w = 4, maxDist = 1)
+          .count(); ()
+      }) ++
+      // Corpus-overlap signatures: the per-source MinHash aggregate scans
+      // the corpus once (k rehashed mins, map-side combined); the pair
+      // stage is constant (20 sources). Target exponent ≈ 1 — a bend
+      // here would mean the signature aggregate stopped combining.
+      row("q129_source_overlap")(bestOf2 {
+        Dedup.sourceOverlapMinhash(t.documents, "text", "source").count(); ()
+      }) ++
+      // TF-IDF keywords: two map-side-combinable aggregates + a
+      // vocabulary-sized broadcast join + per-doc top-k windows. The
+      // permuted replica vocabulary grows ∝ scale, so this row also
+      // guards the idf broadcast staying sub-threshold as vocab grows.
+      row("q130_tfidf_keywords")(bestOf2 {
+        TextAnalysis.tfIdfKeywords(t.documents, "text", "doc_id").count(); ()
+      }) ++
+      // Incremental-LSH probe with the index PREBUILT (cached + forced
+      // outside the timer) and a FIXED ~500-doc batch (the 1×-replica
+      // originals — GenScale shifts replica ids upward, so doc_id<5000
+      // is the same batch at every point): the steady-state per-batch
+      // cost of continuous-crawl dedup as the corpus index grows. The
+      // residual growth terms are the corpus-band/ok-table SCANS that a
+      // persisted bucketed index prunes to the probed keys; target
+      // exponent well below 1. One cold probe per point — best-of-2
+      // would rehit the probe's own batch-side cache and flatter it.
+      row("q123_lsh_probe") {
+        val docs = t.documents
+        val isBatch = col("doc_id") % 10 === 0 && col("doc_id") < 5000
+        val idx = Dedup.lshIndexBuild(docs.filter(!isBatch), "text",
+          "doc_id", maxShingleDf = dfCap)
+        idx.ok.cache().count(); idx.sets.count(); idx.bands.cache().count()
+        val s = time {
+          Dedup.lshIndexProbe(idx, docs.filter(isBatch), "text", "doc_id")
+            .count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      }
     }
 
     def comparisonAt(dir: String): Seq[(String, Double)] = {
@@ -156,11 +204,10 @@ object BenchScale {
         t.documents.join(broadcast(drop),
           col("doc_id") === col("drop_doc"), "left_anti").count(); ()
       }
-      Seq(
-        "q49_clusters_exact" -> bestOf2 {
-          Pipeline.connectedComponents(exactPairs()).count(); ()
-        },
-        "q56_corpus_dedup_exact" -> bestOf2 { dedupVia(exactPairs()) })
+      row("q49_clusters_exact")(bestOf2 {
+        Pipeline.connectedComponents(exactPairs()).count(); ()
+      }) ++
+      row("q56_corpus_dedup_exact")(bestOf2 { dedupVia(exactPairs()) })
       // q121 (prefix-filtered exact Jaccard join) is deliberately NOT a
       // study row in ANY configuration: on the saturating-vocabulary
       // replicas its candidate volume is Σ (prefix-df)² ∝ n² (measured
@@ -195,6 +242,12 @@ object BenchScale {
       */
     def replAt(dir: String, scale: Int): Seq[(String, Double)] = {
       import graft.repl._
+      // the four rows share one replication fixture; a selection that
+      // includes none of them skips the whole (bootstrap-priced) setup
+      val replNames = Seq("repl_bootstrap_fact", "repl_noop_cycle",
+        "repl_incremental_fact_1000txn",
+        "repl_incremental_fact_partitioned_1000txn")
+      if (!replNames.exists(onlySel)) return Seq.empty
       val root = java.nio.file.Files.createTempDirectory("graft-scale-repl").toString
       val li = Tables(spark, dir).lineitem
       def bestOf2Inc(run: Int => Double): Double = math.min(run(1), run(2))
@@ -241,6 +294,7 @@ object BenchScale {
           "repl_noop_cycle" -> noop,
           "repl_incremental_fact_1000txn" -> inc,
           "repl_incremental_fact_partitioned_1000txn" -> incP)
+        .filter(r => onlySel(r._1))
     }
 
     def docs(dir: String): Long =
