@@ -139,6 +139,40 @@ object TimeSeries {
         col("z"), col("is_anomaly"))
   }
 
+  /** Two-sided CUSUM drift detection over a keyed count series — the
+    * change-POINT companion of [[rollingZScore]]'s change-SPIKE detector
+    * (a slow mean shift never trips a z-score against a window that
+    * absorbs the shift; CUSUM accumulates it).
+    *
+    * Standard tabular CUSUM: `S⁺_t = max(0, S⁺_{t-1} + (x_t − μ − κ))`,
+    * `S⁻_t = max(0, S⁻_{t-1} + (μ − κ − x_t))`, alarm when either exceeds
+    * `h`. The recurrence LOOKS stateful, but has the exact prefix closed
+    * form `S_t = P_t − min(0, min_{j≤t} P_j)` for `P` the running sum of
+    * the increments — so both sides compute as ONE running sum + ONE
+    * running min per direction on the same key window, no recursion, no
+    * per-key iteration. With integral counts and integral `mu`/`kappa`,
+    * every intermediate is an exact BIGINT — bit-identical on any engine
+    * and any partitioning.
+    *
+    * 100 TB shape: all four running windows partition on the key and
+    * share one key-hash exchange (same partitioning + ordering); cost
+    * tracks the series scan exactly like [[rollingZScore]]. A streaming
+    * deployment serves it over [[graft.streaming.AnomalyMonitor]]'s
+    * maintained count view unchanged.
+    */
+  def cusum(series: DataFrame, mu: Long, kappa: Long, h: Long): DataFrame = {
+    val w = Window.partitionBy(col("key")).orderBy(col("hr"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    series
+      .withColumn("p_hi", sum(col("cnt") - mu - kappa).over(w))
+      .withColumn("p_lo", sum(lit(mu - kappa) - col("cnt")).over(w))
+      .withColumn("s_hi", col("p_hi") - least(lit(0L), min(col("p_hi")).over(w)))
+      .withColumn("s_lo", col("p_lo") - least(lit(0L), min(col("p_lo")).over(w)))
+      .withColumn("alarm", col("s_hi") > h || col("s_lo") > h)
+      .select(col("key"), col("hr"), col("cnt"),
+        col("s_hi"), col("s_lo"), col("alarm"))
+  }
+
   val queries: Seq[Query] = Seq(
     // Hourly regularization of each sampled user's event-value series:
     // grid instants inside the user's span (inclusive at grid-aligned
@@ -236,6 +270,45 @@ object TimeSeries {
         .groupBy(col("key"), col("hr"))
         .agg(count(lit(1)).as("cnt"))
       rollingZScore(hourly, lookbackHours = 24, minPrev = 12, threshold = 2.0)
+        .orderBy(col("key"), col("hr"))
+    }),
+
+    // Two-sided CUSUM drift detection per event type (μ=3, κ=1, h=20):
+    // exact BIGINT prefix sums/mins, so the alarm sequence hash-matches.
+    // The oracle computes the identical prefix closed form.
+    Query(
+      "q131_cusum",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        p1 AS (
+          SELECT key, hr, cnt,
+            SUM(cnt - 4) OVER w AS p_hi,
+            SUM(2 - cnt) OVER w AS p_lo
+          FROM hourly
+          WINDOW w AS (PARTITION BY key ORDER BY hr
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+        p2 AS (
+          SELECT key, hr, cnt, p_hi, p_lo,
+            least(0, min(p_hi) OVER w2) AS f_hi,
+            least(0, min(p_lo) OVER w2) AS f_lo
+          FROM p1
+          WINDOW w2 AS (PARTITION BY key ORDER BY hr
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+        SELECT key, hr, cnt,
+               CAST(p_hi - f_hi AS BIGINT) AS s_hi,
+               CAST(p_lo - f_lo AS BIGINT) AS s_lo,
+               (p_hi - f_hi > 20 OR p_lo - f_lo > 20) AS alarm
+        FROM p2
+        ORDER BY key, hr"""))((spark, dir) => {
+      val hourly = Tables(spark, dir).events
+        .select(col("event_type").as("key"),
+          expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
+        .groupBy(col("key"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      cusum(hourly, mu = 3L, kappa = 1L, h = 20L)
         .orderBy(col("key"), col("hr"))
     })
   )

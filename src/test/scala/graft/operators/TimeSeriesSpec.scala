@@ -117,6 +117,45 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("cusum: closed form equals the stateful recurrence, alarms on drift") {
+    // history at the target mean, then a sustained +3 shift: the z-score's
+    // trailing window absorbs a slow shift, CUSUM accumulates it.
+    val counts = Seq.fill(10)(3L) ++ Seq.fill(10)(6L)
+    val series = seriesDf(counts.zipWithIndex.map { case (c, h) => ("m", h.toLong, c) })
+    val got = TimeSeries.cusum(series, mu = 3L, kappa = 1L, h = 8L)
+      .orderBy("hr").collect()
+      .map(r => (r.getAs[Long]("s_hi"), r.getAs[Long]("s_lo"),
+        r.getAs[Boolean]("alarm")))
+    // reference: the literal recurrence
+    var (sh, sl) = (0L, 0L)
+    val want = counts.map { c =>
+      sh = math.max(0L, sh + (c - 3 - 1)); sl = math.max(0L, sl + (3 - 1 - c))
+      (sh, sl, sh > 8 || sl > 8)
+    }
+    assert(got.toSeq == want)
+    assert(got.last._3, "sustained +3 drift must alarm")
+    assert(!got(9)._3, "no alarm while on target")
+  }
+
+  test("cusum: downward drift trips the low side with exact integers") {
+    val counts = Seq.fill(6)(10L) ++ Seq.fill(8)(2L)
+    val series = seriesDf(counts.zipWithIndex.map { case (c, h) => ("m", h.toLong, c) })
+    val rows = TimeSeries.cusum(series, mu = 10L, kappa = 2L, h = 20L)
+      .orderBy("hr").collect()
+    assert(rows.last.getAs[Boolean]("alarm"))
+    assert(rows.last.getAs[Long]("s_lo") == 8 * (10 - 2 - 2))
+    assert(rows.forall(_.getAs[Long]("s_hi") == 0L))
+  }
+
+  test("cusum is partitioning-independent") {
+    val series = seriesDf((0L until 50L).map(h => ("a", h, h * 13 % 7)) ++
+      (0L until 50L).map(h => ("b", h, h * 17 % 11)))
+    val a = TimeSeries.cusum(series, 3L, 1L, 10L).orderBy("key", "hr").collect().toSeq
+    val b = TimeSeries.cusum(series.repartition(7), 3L, 1L, 10L)
+      .orderBy("key", "hr").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("gapFillInterpolate is partitioning-independent") {
     val obs = obsDf(Seq(
       (1L, 1000L, 10.0, 1L), (1L, 5000L, 50.0, 2L), (1L, 9000L, 10.0, 3L),
