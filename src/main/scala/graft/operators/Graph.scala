@@ -137,6 +137,72 @@ object Graph {
         GROUP BY node ORDER BY node"""
   }
 
+  /** `rounds` synchronized label-propagation steps for community detection:
+    * every node simultaneously adopts the most frequent label among its
+    * neighbors (ties → smallest label), starting from label = own id. The
+    * non-overlapping-community complement of [[Pipeline.connectedComponents]]
+    * (which only finds REACHABILITY islands — LPA splits a connected graph
+    * into densely-linked groups; on a dedup pair graph it separates "hub
+    * bridges two clusters" cases CC merges).
+    *
+    * Synchronized rounds + the (count DESC, label ASC) argmax make the
+    * result a pure function of the edge list — no async sweep order, no
+    * RNG — so a machine-generated unrolled-CTE oracle ([[lpaOracleSql]])
+    * reproduces it bit-for-bit, the q126 pattern.
+    *
+    * 100 TB shape: per round, one hash join of the (node, nbr) adjacency
+    * against the nodes-sized label frame, one (node, label) count
+    * aggregate (map-side combined), and a per-node argmax window — all
+    * partitioned on node ids, no driver data. The adjacency materializes
+    * ONCE (localCheckpoint) and every round joins against it; labels
+    * localCheckpoint per round so lineage never nests (the q85 lesson).
+    * Hubs bound the argmax window by their distinct neighbor LABELS, which
+    * shrinks as communities coalesce.
+    */
+  def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nbrs = edges.select(col("u").as("node"), col("v").as("nbr"))
+      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+      .localCheckpoint()
+    var labels = nbrs.select(col("node")).distinct()
+      .withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val counted = nbrs
+        .join(labels.withColumnRenamed("node", "nbr"), "nbr")
+        .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
+      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
+      labels = counted.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("node"), col("label"))
+        .localCheckpoint()
+    }
+    labels.select(col("node"), col("label").as("community"))
+  }
+
+  /** Unrolled-CTE DuckDB twin of [[labelPropagation]]: `edgesCte` must
+    * define `e0(u, v)`; same round count, same argmax tie-break.
+    */
+  def lpaOracleSql(edgesCte: String, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""l$r AS MATERIALIZED (
+            SELECT node, label FROM (
+              SELECT n.node, l.label, COUNT(*) AS c,
+                     row_number() OVER (PARTITION BY n.node
+                                        ORDER BY COUNT(*) DESC, l.label) AS rn
+              FROM nbrs n JOIN l${r - 1} l ON n.nbr = l.node
+              GROUP BY n.node, l.label)
+            WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+        nbrs AS MATERIALIZED (SELECT u AS node, v AS nbr FROM e0
+                              UNION ALL SELECT v, u FROM e0),
+        l0 AS MATERIALIZED (SELECT node, node AS label
+                            FROM (SELECT u AS node FROM e0
+                                  UNION SELECT v FROM e0)),
+        $steps
+        SELECT node, label AS community FROM l$rounds ORDER BY node"""
+  }
+
   val queries: Seq[Query] = Seq(
     // Triangle census of the co-purchase graph (parts co-ordered >= 2
     // times): per-part triangle participation. The oracle enumerates
@@ -181,6 +247,24 @@ object Graph {
       val edges = coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"),
         minSupport = 2L)
       kCore(edges, k = 3, rounds = 6).orderBy(col("node"))
+    }),
+
+    // Communities of the co-purchase graph after 4 synchronized LPA
+    // rounds — same edge fixture as q118/q126; the unrolled oracle proves
+    // the multi-round synchronized semantics, not just one argmax.
+    Query(
+      "q132_label_prop",
+      Some(lpaOracleSql(
+        """b AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+           e0 AS MATERIALIZED (SELECT a.l_partkey AS u, c.l_partkey AS v
+                  FROM b a JOIN b c
+                    ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
+                  GROUP BY 1, 2 HAVING COUNT(*) >= 2)""",
+        rounds = 4)))((spark, dir) => {
+      val li = Tables(spark, dir).lineitem
+      val edges = coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"),
+        minSupport = 2L)
+      labelPropagation(edges, rounds = 4).orderBy(col("node"))
     })
   )
 }

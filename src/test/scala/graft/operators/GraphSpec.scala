@@ -74,4 +74,37 @@ class GraphSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("labelPropagation: disjoint cliques converge to their min labels") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L), (5L, 6L))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 3).orderBy("node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L, 6L -> 4L))
+  }
+
+  test("labelPropagation: hand-traced synchronized rounds across a bridge") {
+    import spark.implicits._
+    // two triangles joined by bridge 3-4; synchronized updates with the
+    // (count DESC, label ASC) tie-break trace to A={1}, B={3} at round 4
+    // (the bridge node's label leaks into B before A coalesces — exactly
+    // what the synchronized semantics prescribe, and what an async sweep
+    // would NOT reproduce)
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (4L, 5L), (4L, 6L),
+        (5L, 6L), (3L, 4L))
+      .toDF("u", "v")
+    val got = Graph.labelPropagation(edges, rounds = 4).orderBy("node")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 3L, 5L -> 3L, 6L -> 3L))
+  }
+
+  test("labelPropagation is partitioning-independent on real edges") {
+    val edges = Graph.coOccurrenceEdges(Tables(spark, sf()).lineitem,
+      col("l_orderkey"), col("l_partkey"), minSupport = 2L)
+    val a = Graph.labelPropagation(edges, 4).orderBy("node").collect().toSeq
+    val b = Graph.labelPropagation(edges.repartition(7), 4).orderBy("node")
+      .collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
