@@ -598,12 +598,26 @@ object Similarity {
     val index = pqEncode(corpus, vecCol, idCol, cb)
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val sub = dim / m
-    // One row per query: pd[j][code] = dot(q_subj, codebook(j, code)), plus
-    // the exact query norm.
+    // ADC score: sum of m table lookups; approx cosine divides by the
+    // EXACT norms (only the dot is quantized).
+    val approx = index.crossJoin(broadcast(pqQueryTables(queries, cb, vecCol, idCol, sub)))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adot", adcSum(m))
+      .withColumn("acos", col("adot") / (col("vnorm") * col("qnorm")))
+    shortlistExact(approx, corpus, queries, vecCol, idCol, k, shortlist)
+  }
+
+  /** Per-query ADC lookup tables against codebooks `cb`: one row per query
+    * with the m × nCodes partial-dot table `pd` (pd[j][code] =
+    * dot(q_subj, codebook(j, code))) and the exact query norm.
+    */
+  private def pqQueryTables(queries: DataFrame, cb: DataFrame, vecCol: String,
+                            idCol: String, sub: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
     val pd = queries.select(col(idCol).cast("long").as("query_id"),
         col(vecCol).cast("array<double>").as("qv"))
       .join(broadcast(cb))
-      .withColumn("pdot", graft.functions.VectorFunctions.dotd(
+      .withColumn("pdot", dotd(
         slice(col("qv"), col("j") * sub + 1, lit(sub)), col("cv")))
       .groupBy(col("query_id"), col("j"))
       .agg(transform(array_sort(collect_list(struct(col("code"), col("pdot")))),
@@ -613,22 +627,31 @@ object Similarity {
         x => x.getField("row")).as("pd"))
     val qn = queries.select(col(idCol).cast("long").as("query_id"),
       norm2(toDense(col(vecCol))).as("qnorm"))
-    // ADC score: sum of m table lookups; approx cosine divides by the
-    // EXACT norms (only the dot is quantized).
-    val approx = index.crossJoin(broadcast(pd.join(qn, "query_id")))
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("adot",
-        aggregate(
-          zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-            (c, j) => element_at(element_at(col("pd"), j + 1), c + 1)),
-          lit(0.0), (acc, x) => acc + x))
-      .withColumn("acos", col("adot") / (col("vnorm") * col("qnorm")))
-    // Salted two-phase shortlist ([[topKBruteForce]]'s pattern): an
-    // unsalted Window.partitionBy(query_id) would funnel the whole
-    // corpus-per-query ADC frame through one reducer partition per query —
-    // the giant-partition shape this file exists to avoid. Each salt keeps
-    // its own top-`shortlist` (a superset of the global one), then the
-    // exact cut runs over shortlist × nSalts survivors.
+    pd.join(qn, "query_id")
+  }
+
+  /** The m ADC table lookups for a `codes` row against the joined `pd`. */
+  private def adcSum(m: Int): Column =
+    aggregate(
+      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+        (c, j) => element_at(element_at(col("pd"), j + 1), c + 1)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Shared approximate-score tail: salted two-phase shortlist over an
+    * `approx` frame carrying (query_id, vec_id, acos), then exact-cosine
+    * re-rank of the survivors to the top k.
+    *
+    * The salting is [[topKBruteForce]]'s pattern: an unsalted
+    * Window.partitionBy(query_id) would funnel the whole corpus-per-query
+    * score frame through one reducer partition per query — the
+    * giant-partition shape this file exists to avoid. Each salt keeps its
+    * own top-`shortlist` (a superset of the global one), then the exact
+    * cut runs over shortlist × nSalts survivors.
+    */
+  private def shortlistExact(approx: DataFrame, corpus: DataFrame,
+                             queries: DataFrame, vecCol: String, idCol: String,
+                             k: Int, shortlist: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
     val nSalts = 16
     val saltedS = approx.withColumn("salt",
       pmod(crc32(col("vec_id").cast("string")), lit(nSalts)))
@@ -641,7 +664,6 @@ object Similarity {
       .withColumn("rn2", row_number().over(ws2))
       .filter(col("rn2") <= shortlist)
       .select(col("query_id"), col("vec_id"))
-    // Exact re-rank of the shortlist.
     val vecs = corpus.select(col(idCol).cast("long").as("vec_id"),
       toDense(col(vecCol)).as("v"))
     val qvs = queries.select(col(idCol).cast("long").as("query_id"),
@@ -653,6 +675,117 @@ object Similarity {
       .withColumn("rn", row_number().over(wk))
       .filter(col("rn") <= k)
       .select(col("query_id"), col("vec_id"), round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** IVF-PQ with residual encoding — the production billion-vector layout
+    * (FAISS `IVFx,PQy`): a coarse quantizer routes each vector to a cell,
+    * PQ codebooks are trained on the RESIDUALS `v − centroid(cell)`
+    * (residuals concentrate near the origin, so the same code budget
+    * quantizes them with far less error than raw vectors), and a query
+    * scores only its `nProbe` probed cells via
+    * `dot(q, v) ≈ dot(q, centroid) + Σ_j pd[j][code_j]` — one exact
+    * per-probe term plus m table lookups. Composes q51's compute-side
+    * pruning (scan nProbe/nCells of the corpus) with q113's memory-side
+    * compression (m bytes + one float per vector); the float vectors are
+    * touched only for the exact re-rank of the shortlist.
+    *
+    * 100 TB shape: the cell assignment is the same partially-aggregatable
+    * argmax as [[annIvf]] (corpus vectors never shuffle); codebook
+    * training/encoding stream through [[pqCodebooks]]/[[pqEncode]] (model
+    * crossing the driver = m·nCodes rows); the candidate join is keyed on
+    * the probed CELL (broadcast probe list), so serving cost ∝
+    * nProbe/nCells of the code index — which at 16 B/vector is the only
+    * thing resident. Shortlist + exact re-rank run the salted two-phase
+    * cut. Centroids/codebooks are deterministic (seeded), so results are
+    * reproducible across partitionings.
+    */
+  def ivfSeedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                       nCells: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long").as("cid"),
+        col(vecCol).cast("array<double>").as("cv"))
+
+  /** The (vec_id, cell) assignment [[annIvfPq]] routes by — public so its
+    * probe SCOPE is inspectable (SimilaritySpec proves every served
+    * neighbor lies in a probed cell, and q133's gate scores recall against
+    * the truth WITHIN that scope: cell routing on near-random vectors is a
+    * documented cost/recall knob, the ADC machinery is what must not lose
+    * neighbors). Same argmax + tie-break as the operator's internal
+    * assignment.
+    */
+  def ivfAssignCells(corpus: DataFrame, vecCol: String, idCol: String,
+                     cent: DataFrame): DataFrame = {
+    import graft.functions.VectorFunctions._
+    corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("cv")).as("cos"),
+        (-col("cid")).as("ncid"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"))
+  }
+
+  /** Each query's `nProbe` nearest cells under `cent` — [[annIvfPq]]'s
+    * probe list, exposed for scope inspection (see [[ivfAssignCells]]).
+    */
+  def ivfProbeCells(queries: DataFrame, cent: DataFrame, vecCol: String,
+                    idCol: String, nProbe: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    queries.select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .join(broadcast(cent))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"))
+  }
+
+  def annIvfPq(corpus: DataFrame, queries: DataFrame, vecCol: String,
+               idCol: String, k: Int, nCells: Int = 8, nProbe: Int = 3,
+               m: Int = 16, nCodes: Int = 32, iters: Int = 3,
+               shortlist: Int = 64): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
+    val sub = dim / m
+    val cent = ivfSeedCentroids(corpus, vecCol, idCol, nCells)
+    // Nearest-centroid assignment (argmax cosine, ties to smaller cid) +
+    // residual against the winning centroid + the EXACT original norm.
+    val resid = corpus
+      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("cv")).as("cos"),
+        (-col("cid")).as("ncid"),
+        col("v").as("v"), col("cv").as("ccv"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"),
+        zip_with(col("m.v").cast("array<double>"), col("m.ccv"),
+          (a, b) => a - b).as("resid"),
+        norm2(toDense(col("m.v"))).as("vnorm"))
+      .cache()
+    val cb = pqCodebooks(resid, "resid", "vec_id", m, nCodes, iters)
+    val index = pqEncode(resid, "resid", "vec_id", cb)
+      .select(col("vec_id"), col("codes"))
+      .join(resid.select(col("vec_id"), col("cell"), col("vnorm")), "vec_id")
+    // Probe list with the exact query·centroid dot per probed cell.
+    val probes = queries
+      .select(col(idCol).cast("long").as("query_id"),
+        col(vecCol).cast("array<double>").as("qv"))
+      .join(broadcast(cent))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("query_id"), col("cid").as("cell"),
+        dotd(col("qv"), col("cv")).as("qcdot"))
+    val approx = index
+      .join(broadcast(probes.join(pqQueryTables(queries, cb, vecCol, idCol, sub),
+        "query_id")), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("adot", col("qcdot") + adcSum(m))
+      .withColumn("acos", col("adot") / (col("vnorm") * col("qnorm")))
+    shortlistExact(approx, corpus, queries, vecCol, idCol, k, shortlist)
   }
 
   val queries: Seq[Query] = Seq(
@@ -819,6 +952,54 @@ object Similarity {
         m = 16, nCodes = 32, iters = 3, shortlist = 64)
       val truth = topKBruteForce(t.embeddings, qs, "embedding", "vec_id", k = 5)
       truth.as("t").join(pq.as("a"),
+          col("t.query_id") === col("a.query_id") &&
+            col("t.vec_id") === col("a.vec_id"), "left")
+        .groupBy(col("t.query_id").as("query_id"))
+        .agg((count(col("a.vec_id")) >= 3).as("recall_ok"))
+        .orderBy(col("query_id"))
+    }),
+
+    // IVF-PQ with residual encoding (FAISS IVFx,PQy): coarse cells prune
+    // the scan to nProbe/nCells, PQ codes over RESIDUALS compress what
+    // remains, score = exact q·centroid + m ADC lookups, exact re-rank of
+    // the shortlist. Self-certifying recall gate, scoped to the PROBED
+    // cells: on the near-random synthetic embeddings cell membership
+    // carries little signal, so GLOBAL recall of any nProbe < nCells
+    // routing is a coin flip by construction (q113 covers global recall
+    // by scanning everything) — what q133 must prove is that the
+    // residual-ADC machinery finds the true neighbors WITHIN its probe
+    // scope. Truth = brute-force top-5 restricted to the query's probed
+    // cells (the same public assignment the operator routes by); gate
+    // >= 3 of 5.
+    Query(
+      "q133_ann_ivfpq",
+      Some("""
+        SELECT vec_id AS query_id, TRUE AS recall_ok
+        FROM embeddings WHERE vec_id % 100 = 0
+        ORDER BY query_id"""))((spark, dir) => {
+      import graft.functions.VectorFunctions._
+      val t = Tables(spark, dir)
+      val qs = t.embeddings.filter(col("vec_id") % 100 === 0)
+      val ann = annIvfPq(t.embeddings, qs, "embedding", "vec_id", k = 5,
+        nCells = 8, nProbe = 3, m = 16, nCodes = 32, iters = 3,
+        shortlist = 64)
+      // probed-scope truth via the operator's own public routing
+      val cent = ivfSeedCentroids(t.embeddings, "embedding", "vec_id", 8)
+      val cells = ivfAssignCells(t.embeddings, "embedding", "vec_id", cent)
+      val probes = ivfProbeCells(qs, cent, "embedding", "vec_id", nProbe = 3)
+      val vecs = t.embeddings.select(col("vec_id").cast("long").as("vec_id"),
+        toDense(col("embedding")).as("v"))
+      val qvs = qs.select(col("vec_id").cast("long").as("query_id"),
+        toDense(col("embedding")).as("qv"))
+      val wt = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val truth = probes.join(cells, "cell")
+        .filter(col("vec_id") =!= col("query_id"))
+        .join(vecs, "vec_id").join(broadcast(qvs), "query_id")
+        .withColumn("cos", cosineFast(col("qv"), col("v")))
+        .withColumn("rn", row_number().over(wt))
+        .filter(col("rn") <= 5)
+      truth.as("t").join(ann.as("a"),
           col("t.query_id") === col("a.query_id") &&
             col("t.vec_id") === col("a.vec_id"), "left")
         .groupBy(col("t.query_id").as("query_id"))

@@ -169,6 +169,49 @@ class SimilaritySpec extends SparkSpec {
     assert(perQ.forall(_ >= 3), s"recall dipped: $perQ")
   }
 
+  test("IVF-PQ: neighbors stay inside probed cells; probed-scope recall holds; deterministic") {
+    import org.apache.spark.sql.functions._
+    val embs = graft.Tables(spark, sf()).embeddings
+    val qs = embs.filter(col("vec_id") % 100 === 0)
+    def run(c: org.apache.spark.sql.DataFrame) =
+      Similarity.annIvfPq(c, qs, "embedding", "vec_id", k = 5,
+          nCells = 8, nProbe = 3)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val a = run(embs)
+    assert(a == run(embs.repartition(13)) && a.nonEmpty)
+    // containment: the q133 probed-scope gate is only meaningful if the
+    // operator really serves from the cells the PUBLIC routing reports
+    val cent = Similarity.ivfSeedCentroids(embs, "embedding", "vec_id", 8)
+    val cells = Similarity.ivfAssignCells(embs, "embedding", "vec_id", cent)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val probed = Similarity.ivfProbeCells(qs, cent, "embedding", "vec_id", 3)
+      .collect().groupBy(_.getLong(0))
+      .map { case (q, rs) => q -> rs.map(_.getLong(1)).toSet }
+    assert(a.forall { case (q, v) => probed(q).contains(cells(v)) },
+      "a served neighbor lies outside its query's probed cells")
+    // probed-scope recall: within each query's OWN probed cells, the
+    // residual-ADC path must recover the scoped brute-force truth
+    // (driver-side reference — the sf0.001 corpus is tiny)
+    val vecsArr = embs.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()).toArray)
+    val vmap = vecsArr.toMap
+    def cos(x: Array[Double], y: Array[Double]): Double = {
+      var (d, nx, ny, i) = (0.0, 0.0, 0.0, 0)
+      while (i < x.length) { d += x(i) * y(i); nx += x(i) * x(i); ny += y(i) * y(i); i += 1 }
+      d / math.sqrt(nx * ny)
+    }
+    probed.foreach { case (q, pcells) =>
+      val truth = vecsArr
+        .filter { case (v, _) => v != q && pcells.contains(cells(v)) }
+        .sortBy { case (v, xv) => (-cos(vmap(q), xv), v) }
+        .take(5).map(_._1).toSet
+      val gotQ = a.filter(_._1 == q).map(_._2)
+      assert((truth intersect gotQ).size >= 3,
+        s"probed-scope recall dipped for query $q: ${(truth intersect gotQ).size}")
+    }
+  }
+
   test("filtered ANN: every neighbor carries the query's label; the filter bites") {
     import org.apache.spark.sql.functions._
     val embs = graft.Tables(spark, sf()).embeddings
