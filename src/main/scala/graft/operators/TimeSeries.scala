@@ -173,6 +173,42 @@ object TimeSeries {
         col("s_hi"), col("s_lo"), col("alarm"))
   }
 
+  /** Group-wise OLS trend fit over a keyed integer count series: per key,
+    * the least-squares slope/intercept of cnt vs hr plus r², from the
+    * closed form over exact integer sums (n, Σx, Σy, Σxy, Σx², Σy²) — one
+    * map-side-combinable aggregate per key, output = keys. The
+    * trend-per-metric op of a monitoring stack ("is error volume growing
+    * and how fast"), complementing [[rollingZScore]] (point anomalies) and
+    * [[cusum]] (level shifts) with the long-horizon drift RATE.
+    *
+    * Determinism: counts and hours are integers, so every sum is an exact
+    * BIGINT at any partitioning (no double-summation order anywhere); the
+    * slope/r² doubles come from the identical IEEE expression tree on both
+    * engines. Degenerate keys (one observation, or a single distinct hour
+    * ⇒ zero x-variance) yield null slope; flat series (zero y-variance)
+    * yield null r².
+    */
+  def trendOls(series: DataFrame): DataFrame = {
+    val n = col("n"); val sx = col("sx"); val sy = col("sy")
+    val sxy = col("sxy"); val sxx = col("sxx"); val syy = col("syy")
+    val dx = n * sxx - sx * sx
+    val dy = n * syy - sy * sy
+    val num = n * sxy - sx * sy
+    val slope = num * lit(1.0) / dx
+    series
+      .groupBy(col("key"))
+      .agg(count(lit(1)).as("n"), sum(col("hr")).as("sx"),
+        sum(col("cnt")).as("sy"),
+        sum(col("hr") * col("cnt")).as("sxy"),
+        sum(col("hr") * col("hr")).as("sxx"),
+        sum(col("cnt") * col("cnt")).as("syy"))
+      .select(col("key"), n.as("n_points"),
+        when(dx > 0, round(slope, 6)).as("slope"),
+        when(dx > 0, round((sy - slope * sx) / n, 6)).as("intercept"),
+        when(dx > 0, when(dy > 0,
+          round(num * lit(1.0) * num / (dx * lit(1.0) * dy), 6))).as("r2"))
+  }
+
   val queries: Seq[Query] = Seq(
     // Hourly regularization of each sampled user's event-value series:
     // grid instants inside the user's span (inclusive at grid-aligned
@@ -310,6 +346,44 @@ object TimeSeries {
         .agg(count(lit(1)).as("cnt"))
       cusum(hourly, mu = 3L, kappa = 1L, h = 20L)
         .orderBy(col("key"), col("hr"))
+    }),
+
+    // Per-event-type load trend: OLS slope/intercept/r² of hourly volume
+    // vs time. Sums are exact BIGINTs, the closed-form doubles share one
+    // expression tree — the whole fit hash-matches.
+    Query(
+      "q134_trend_ols",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        s AS (
+          SELECT key, COUNT(*) AS n, SUM(hr) AS sx, SUM(cnt) AS sy,
+                 SUM(hr * cnt) AS sxy, SUM(hr * hr) AS sxx,
+                 SUM(cnt * cnt) AS syy
+          FROM hourly GROUP BY 1)
+        SELECT key, CAST(n AS BIGINT) AS n_points,
+          CASE WHEN n * sxx - sx * sx > 0
+               THEN round((n * sxy - sx * sy) * 1.0 / (n * sxx - sx * sx), 6)
+          END AS slope,
+          CASE WHEN n * sxx - sx * sx > 0
+               THEN round((sy - ((n * sxy - sx * sy) * 1.0
+                                 / (n * sxx - sx * sx)) * sx) / n, 6)
+          END AS intercept,
+          CASE WHEN n * sxx - sx * sx > 0 THEN
+            CASE WHEN n * syy - sy * sy > 0
+                 THEN round((n * sxy - sx * sy) * 1.0 * (n * sxy - sx * sy)
+                        / ((n * sxx - sx * sx) * 1.0 * (n * syy - sy * sy)), 6)
+            END
+          END AS r2
+        FROM s ORDER BY key"""))((spark, dir) => {
+      val hourly = Tables(spark, dir).events
+        .select(col("event_type").as("key"),
+          expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
+        .groupBy(col("key"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      trendOls(hourly).orderBy(col("key"))
     })
   )
 }

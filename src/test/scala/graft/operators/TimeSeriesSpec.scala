@@ -156,6 +156,33 @@ class TimeSeriesSpec extends SparkSpec {
     assert(a == b && a.nonEmpty)
   }
 
+  test("trendOls: exact line recovered; degenerate keys go null, flat keys r2-null") {
+    val series = seriesDf(
+      (0L until 10L).map(h => ("line", h, 2 * h + 1)) ++   // y = 2x + 1
+      Seq(("single", 5L, 7L)) ++                            // one point
+      (0L until 6L).map(h => ("flat", h, 4L)))              // zero y-variance
+    val got = TimeSeries.trendOls(series).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val line = got("line")
+    assert(line.getAs[Double]("slope") == 2.0 &&
+      line.getAs[Double]("intercept") == 1.0 &&
+      line.getAs[Double]("r2") == 1.0)
+    val single = got("single")
+    assert(single.isNullAt(single.fieldIndex("slope")) &&
+      single.isNullAt(single.fieldIndex("r2")))
+    val flat = got("flat")
+    assert(flat.getAs[Double]("slope") == 0.0 &&
+      flat.isNullAt(flat.fieldIndex("r2")))
+  }
+
+  test("trendOls is partitioning-independent") {
+    val series = seriesDf((0L until 200L).map(h => ("a", h, h * 13 % 17)) ++
+      (0L until 200L).map(h => ("b", h, 50 - h % 9)))
+    val a = TimeSeries.trendOls(series).orderBy("key").collect().toSeq
+    val b = TimeSeries.trendOls(series.repartition(7)).orderBy("key").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
+
   test("gapFillInterpolate is partitioning-independent") {
     val obs = obsDf(Seq(
       (1L, 1000L, 10.0, 1L), (1L, 5000L, 50.0, 2L), (1L, 9000L, 10.0, 3L),
