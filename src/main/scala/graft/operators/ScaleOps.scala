@@ -462,8 +462,58 @@ object ScaleOps {
       markovTransitions(Tables(spark, dir).events, col("user_id"),
           col("event_type"), Seq(col("ts"), col("event_id")))
         .orderBy(col("src"), col("dst"))
+    }),
+
+    // Top user journeys: the 20 most frequent 3-step event paths — the
+    // order-2 sequence-mining companion of q125's order-1 matrix (a
+    // path's count is NOT derivable from pairwise transitions). Two leads
+    // on ONE per-user window; the path aggregate's key space is
+    // |event types|³, still broadcast-sized.
+    Query(
+      "q135_event_paths",
+      Some("""
+        WITH seq AS (SELECT event_type AS e1,
+                       lead(event_type, 1) OVER w AS e2,
+                       lead(event_type, 2) OVER w AS e3
+                     FROM events
+                     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        paths AS (SELECT e1 || '>' || e2 || '>' || e3 AS path, COUNT(*) AS n
+                  FROM seq WHERE e3 IS NOT NULL GROUP BY 1)
+        SELECT path, n FROM paths
+        ORDER BY n DESC, path LIMIT 20"""))((spark, dir) => {
+      eventPaths(Tables(spark, dir).events, col("user_id"),
+          col("event_type"), Seq(col("ts"), col("event_id")), steps = 3,
+          topK = 20)
     })
   )
+
+  /** Top-k most frequent `steps`-long event paths per sequence key: the
+    * order-(steps−1) sequence-mining generalization of
+    * [[markovTransitions]]. `steps − 1` lead() calls share ONE per-key
+    * window (same partitioning + ordering ⇒ one exchange); the path
+    * aggregate's key space is |event types|^steps — broadcast-sized for
+    * the small alphabets of product analytics — and the final top-k is a
+    * TakeOrdered over that aggregate, never a global sort of the events.
+    * Ties break by path string for engine-identical cut-offs.
+    */
+  def eventPaths(events: org.apache.spark.sql.DataFrame,
+                 keyCol: org.apache.spark.sql.Column,
+                 typeCol: org.apache.spark.sql.Column,
+                 orderCols: Seq[org.apache.spark.sql.Column],
+                 steps: Int, topK: Int): org.apache.spark.sql.DataFrame = {
+    require(steps >= 2, "a path needs at least 2 steps")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCol).orderBy(orderCols: _*)
+    val stepCols = (0 until steps).map {
+      case 0 => typeCol.as("e0")
+      case i => lead(typeCol, i).over(w).as(s"e$i")
+    }
+    events.select(stepCols: _*)
+      .filter(col(s"e${steps - 1}").isNotNull)
+      .select(concat_ws(">", (0 until steps).map(i => col(s"e$i")): _*).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path")).limit(topK)
+  }
 
   /** Event-type Markov transition matrix: per-key sequences in
     * `orderCols` order → (src, dst) transition counts and row-normalized

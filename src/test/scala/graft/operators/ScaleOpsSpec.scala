@@ -48,4 +48,31 @@ class ScaleOpsSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("eventPaths: hand sequences, paths never cross users") {
+    import spark.implicits._
+    // user 1: A B C B -> paths A>B>C, B>C>B; user 2: C B A -> C>B>A.
+    // A cross-user window would also fabricate B>C>B across the boundary.
+    val ev = Seq((1L, 1L, "A"), (1L, 2L, "B"), (1L, 3L, "C"), (1L, 4L, "B"),
+        (2L, 5L, "C"), (2L, 6L, "B"), (2L, 7L, "A"))
+      .toDF("user_id", "event_id", "et")
+      .withColumn("ts", timestamp_millis(col("event_id") * 100))
+    val got = ScaleOps.eventPaths(ev, col("user_id"), col("et"),
+        Seq(col("ts"), col("event_id")), steps = 3, topK = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A>B>C" -> 1L, "B>C>B" -> 1L, "C>B>A" -> 1L))
+  }
+
+  test("eventPaths is partitioning-independent (incl. the top-k cut)") {
+    import spark.implicits._
+    val ev = (1L to 400L).map(i => (i % 11, i, s"e${(i * 7) % 5}"))
+      .toDF("user_id", "event_id", "et")
+      .withColumn("ts", timestamp_millis(col("event_id") * 250))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ScaleOps.eventPaths(d, col("user_id"), col("et"),
+        Seq(col("ts"), col("event_id")), steps = 3, topK = 5)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val a = run(ev)
+    assert(a == run(ev.repartition(9)) && a.size == 5)
+  }
 }
