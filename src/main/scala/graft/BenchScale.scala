@@ -131,6 +131,17 @@ object BenchScale {
           operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
             col("l_partkey"), minSupport = 2L)).count(); ()
       }) ++
+      // Label propagation: 4 synchronized rounds over the co-purchase
+      // graph — edges ∝ scale (key-disjoint replicas), each round one
+      // node-keyed join + one map-side-combined count + a per-node argmax
+      // window. Target exponent ≈ 1 (iterative, but rounds are FIXED and
+      // per-round cost tracks the edge scan; localCheckpoint keeps
+      // lineage flat).
+      row("q132_label_prop")(bestOf2 {
+        operators.Graph.labelPropagation(
+          operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
+            col("l_partkey"), minSupport = 2L), rounds = 4).count(); ()
+      }) ++
       // Monitoring-fleet anomaly scan: keys ∝ scale at constant per-key
       // series density ((event_type, user-bucket) with buckets ∝ scale —
       // GenScale shifts user ids, so users grow with the corpus). One
