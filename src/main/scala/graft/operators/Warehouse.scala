@@ -214,7 +214,107 @@ object Warehouse {
           FROM ch
           WHERE not_first IS NULL OR prev_seg IS DISTINCT FROM segment)"""
 
+  /** Deequ-style data-quality report: named row-level predicates evaluated
+    * in ONE conditional-aggregate pass over the table (each check is a
+    * `sum(when(violated, 1))` — adding a check adds a column to the same
+    * map-side-combined aggregate, never a scan), unpivoted to one
+    * (check, violations, pass) row per constraint. The admission gate a
+    * training pipeline runs before data enters the tape, and the
+    * warehouse-side twin of the replication digest verify (digest: "are
+    * replicas identical"; this: "does the data satisfy its contract").
+    */
+  def dqRowChecks(df: DataFrame, checks: Seq[(String, Column)]): DataFrame = {
+    val agg = df.agg(
+      sum(when(!checks.head._2, 1L).otherwise(0L)).as("c0"),
+      checks.tail.zipWithIndex.map { case ((_, cond), i) =>
+        sum(when(!cond, 1L).otherwise(0L)).as(s"c${i + 1}") }: _*)
+    val stacked = checks.zipWithIndex.map { case ((name, _), i) =>
+      struct(lit(name).as("check_name"), coalesce(col(s"c$i"), lit(0L)).as("violations"))
+    }
+    agg.select(explode(array(stacked: _*)).as("s"))
+      .select(col("s.check_name").as("check_name"), col("s.violations").as("violations"),
+        (col("s.violations") === 0).as("pass"))
+  }
+
+  /** Key-uniqueness check: violations = rows beyond the first per key
+    * (total − distinct keys — one exact distinct aggregate on the key;
+    * at 100 TB swap in approx_count_distinct for a screening pass and
+    * run the exact count only when the screen trips).
+    */
+  def dqUnique(df: DataFrame, name: String, keys: Seq[Column]): DataFrame =
+    df.agg((count(lit(1)) - countDistinct(keys.head, keys.tail: _*))
+        .as("violations"))
+      .select(lit(name).as("check_name"), col("violations"),
+        (col("violations") === 0).as("pass"))
+
+  /** Referential-integrity check: child rows whose `fk` has no parent
+    * `pk`. One anti-join keyed on the FK — broadcast when the parent key
+    * set is dimension-sized, hash-partitioned otherwise (Catalyst/AQE
+    * picks); null FKs are not violations (SQL FK semantics).
+    */
+  def dqForeignKey(child: DataFrame, name: String, fk: Column,
+                   parent: DataFrame, pk: Column): DataFrame =
+    child.filter(fk.isNotNull)
+      .join(parent.select(pk.as("_pk")).distinct(),
+        fk === col("_pk"), "left_anti")
+      .agg(count(lit(1)).as("violations"))
+      .select(lit(name).as("check_name"), col("violations"),
+        (col("violations") === 0).as("pass"))
+
   val queries: Seq[Query] = Seq(
+    // Data-quality admission report over the fact tables: row predicates
+    // in one conditional-aggregate pass, pk uniqueness, fk integrity —
+    // including one contract the data genuinely violates (quantity <= 10),
+    // so the counting machinery is proved on a nonzero violation count.
+    Query(
+      "q136_dq_checks",
+      Some("""
+        SELECT * FROM (
+          SELECT 'lineitem_quantity_nonnull' AS check_name,
+                 CAST(COUNT(*) FILTER (l_quantity IS NULL) AS BIGINT) AS violations,
+                 COUNT(*) FILTER (l_quantity IS NULL) = 0 AS pass
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem_quantity_range',
+                 CAST(COUNT(*) FILTER (NOT (l_quantity BETWEEN 1 AND 50)) AS BIGINT),
+                 COUNT(*) FILTER (NOT (l_quantity BETWEEN 1 AND 50)) = 0
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem_quantity_max10',
+                 CAST(COUNT(*) FILTER (NOT (l_quantity <= 10)) AS BIGINT),
+                 COUNT(*) FILTER (NOT (l_quantity <= 10)) = 0
+          FROM lineitem
+          UNION ALL
+          SELECT 'lineitem_returnflag_domain',
+                 CAST(COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')) AS BIGINT),
+                 COUNT(*) FILTER (l_returnflag NOT IN ('A', 'N', 'R')) = 0
+          FROM lineitem
+          UNION ALL
+          SELECT 'orders_pk_unique',
+                 CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT),
+                 COUNT(*) - COUNT(DISTINCT o_orderkey) = 0
+          FROM orders
+          UNION ALL
+          SELECT 'lineitem_fk_orders',
+                 CAST(COUNT(*) FILTER (o.o_orderkey IS NULL) AS BIGINT),
+                 COUNT(*) FILTER (o.o_orderkey IS NULL) = 0
+          FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+          WHERE l.l_orderkey IS NOT NULL)
+        ORDER BY check_name"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val li = t.lineitem
+      val rowChecks = dqRowChecks(li, Seq(
+        "lineitem_quantity_nonnull" -> col("l_quantity").isNotNull,
+        "lineitem_quantity_range" -> col("l_quantity").between(1, 50),
+        "lineitem_quantity_max10" -> (col("l_quantity") <= 10),
+        "lineitem_returnflag_domain" -> col("l_returnflag").isin("A", "N", "R")))
+      rowChecks
+        .unionByName(dqUnique(t.orders, "orders_pk_unique", Seq(col("o_orderkey"))))
+        .unionByName(dqForeignKey(li, "lineitem_fk_orders", col("l_orderkey"),
+          t.orders, col("o_orderkey")))
+        .orderBy(col("check_name"))
+    }),
+
     // SCD Type-2 customer-segment dimension from the orders change stream.
     // Open-ended versions surface the classic high-date sentinel instead of
     // NULL (the standard warehouse convention, and it keeps BETWEEN-style

@@ -183,4 +183,49 @@ class WarehouseSpec extends SparkSpec {
       Warehouse.snapshotDiff(a, b, Seq("id"))
     }
   }
+
+  test("dq checks: planted violations are counted exactly; clean checks pass") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, Some(5.0), "A"),           // clean
+      (2L, None, "N"),                // null qty
+      (3L, Some(99.0), "R"),          // out of range
+      (4L, Some(7.0), "Z"),           // bad domain
+      (5L, Some(3.0), "A"))
+      .toDF("id", "qty", "flag")
+    val got = Warehouse.dqRowChecks(rows, Seq(
+        "qty_nonnull" -> col("qty").isNotNull,
+        "qty_range" -> col("qty").between(1, 50),
+        "flag_domain" -> col("flag").isin("A", "N", "R")))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getBoolean(2)))).toMap
+    assert(got("qty_nonnull") == ((1L, false)))
+    // a NULL predicate is not a violation under SQL semantics (row 2
+    // counts only against the nonnull check, not the range check)
+    assert(got("qty_range") == ((1L, false)))
+    assert(got("flag_domain") == ((1L, false)))
+
+    val dup = Seq(10L, 11L, 11L, 12L, 12L, 12L).toDF("k")
+    val u = Warehouse.dqUnique(dup, "pk", Seq(col("k"))).collect().head
+    assert(u.getLong(1) == 3L && !u.getBoolean(2))
+
+    val parent = Seq(1L, 2L).toDF("pk")
+    val child = Seq(Some(1L), Some(2L), Some(3L), None).toDF("fk")
+    val f = Warehouse.dqForeignKey(child, "fk", col("fk"), parent, col("pk"))
+      .collect().head
+    // orphan fk=3 is the only violation; a null fk is not (SQL FK semantics)
+    assert(f.getLong(1) == 1L && !f.getBoolean(2))
+
+    val clean = Warehouse.dqRowChecks(rows, Seq("id_positive" -> (col("id") > 0)))
+      .collect().head
+    assert(clean.getLong(1) == 0L && clean.getBoolean(2))
+  }
+
+  test("dq checks on an empty table: zero violations, all pass") {
+    import spark.implicits._
+    val empty = Seq.empty[(Long, Double)].toDF("id", "qty")
+    val got = Warehouse.dqRowChecks(empty, Seq(
+        "qty_range" -> col("qty").between(1, 50)))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+    assert(got.toSeq == Seq(("qty_range", 0L, true)))
+  }
 }
