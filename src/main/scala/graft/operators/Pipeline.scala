@@ -463,8 +463,98 @@ object Pipeline {
       pageRankFixedPoint(edges, iters = 3)
         .select(col("node"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
+    }),
+
+    // Quality-aware dedup survivor selection: per near-dup cluster (the
+    // q49 components), keep the copy with the HIGHEST q30 quality score
+    // (ties -> smallest doc id), not the smallest id — at corpus scale
+    // near-dup groups routinely pair a clean original with truncated or
+    // boilerplate-wrapped mirrors, and min-id keeps whichever crawled
+    // first. Scale shape: the cluster map is pair-graph sized (tiny vs
+    // the corpus), so membership BROADCASTS into one corpus scan and
+    // quality is computed for members only; the survivor argmax windows
+    // over clusters, whose partitions are cluster-sized. Ranking compares
+    // the once-rounded quality (engine-identical by q30's gate), then
+    // doc id.
+    Query(
+      "q137_dedup_survivor",
+      Some(s"""
+        WITH RECURSIVE sh0 AS (SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                 ${sqlShingles(sqlTokens("text"), 3)}, s -> ${sqlH48("s")}))) AS sh
+             FROM documents),
+        ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20),
+        shf AS (SELECT doc, sh0.sh FROM sh0 JOIN ok USING (sh)),
+        sz AS (SELECT doc, COUNT(*) AS sz FROM shf GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+                  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+                  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        clusters AS (
+          SELECT doc, least(doc, min(dst)) AS cluster_id
+          FROM (SELECT src AS doc, dst FROM reach)
+          GROUP BY doc),
+        q AS (${graft.operators.TextAnalysis.qualityOracleSql(
+                 "documents", "text", "doc_id")}),
+        ranked AS (
+          SELECT c.cluster_id, c.doc, q.quality,
+                 row_number() OVER (PARTITION BY c.cluster_id
+                                    ORDER BY q.quality DESC, c.doc) AS rn,
+                 COUNT(*) OVER (PARTITION BY c.cluster_id) AS n_members
+          FROM clusters c JOIN q ON q.doc = c.doc)
+        SELECT cluster_id, CAST(n_members AS BIGINT) AS n_members,
+               doc AS survivor, quality AS survivor_quality
+        FROM ranked WHERE rn = 1
+        ORDER BY cluster_id"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      val pairs = Dedup.ngramJaccardPairs(t.documents, "text", "doc_id", 3, 0.5)
+      dedupSurvivors(t.documents, "text", "doc_id", connectedComponents(pairs))
+        .orderBy(col("cluster_id"))
     })
   )
+
+  /** Per-cluster survivor selection over a near-dup cluster map
+    * (`clusters`: (doc, label) as produced by [[connectedComponents]]):
+    * each cluster keeps its highest-[[TextAnalysis.qualityScore]] member,
+    * ties broken by smallest doc id. Returns one row per cluster with its
+    * size and the survivor's id + quality.
+    *
+    * 100 TB shape: the cluster map is the output of a thresholded
+    * near-dup pass — tiny relative to the corpus — so it broadcasts into
+    * a single corpus scan (inner join ⇒ quality evaluates ONLY for
+    * cluster members, never the full corpus); the argmax windows
+    * partition per cluster (bounded by cluster size, and the pathological
+    * giant cluster is exactly the boilerplate family a pipeline caps
+    * upstream). Ranking compares the once-rounded quality — already
+    * proved engine-identical by q30's hash gate — then the doc id, so the
+    * survivor choice is deterministic on any engine and partitioning.
+    */
+  def dedupSurvivors(docs: DataFrame, textCol: String, idCol: String,
+                     clusters: DataFrame): DataFrame = {
+    val members = docs.join(
+        broadcast(clusters.select(col("doc").as(idCol),
+          col("label").as("cluster_id"))), idCol)
+      .select(col("cluster_id"), col(idCol).as("doc"),
+        TextAnalysis.qualityScoreExpr(col(textCol)).as("quality"))
+    val w = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality").desc, col("doc"))
+    members
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n_members", count(lit(1)).over(
+        Window.partitionBy(col("cluster_id"))))
+      .filter(col("rn") === 1)
+      .select(col("cluster_id"), col("n_members"), col("doc").as("survivor"),
+        col("quality").as("survivor_quality"))
+  }
 
   /** Fixed-point PageRank over a directed edge list, `iters` synchronous
     * rounds. Ranks are held as INTEGER fixed-point (rank · 10¹²) and every

@@ -484,7 +484,50 @@ object ScaleOps {
       eventPaths(Tables(spark, dir).events, col("user_id"),
           col("event_type"), Seq(col("ts"), col("event_id")), steps = 3,
           topK = 20)
-    })
+    }),
+
+    // Marketing-style touch attribution: every purchase attributed to the
+    // FIRST and LAST preceding click/view within a 24 h lookback, reported
+    // as the (first_touch, last_touch) conversion matrix with revenue in
+    // exact micro units. Unattributed purchases (no touch in window) land
+    // in the (null, null) row — counted, never dropped.
+    Query(
+      "q138_attribution",
+      Some("""
+        WITH e AS (
+          SELECT user_id, event_type, value, epoch_us(ts) AS us,
+                 CASE event_type WHEN 'click' THEN 1
+                                 WHEN 'view' THEN 2 END AS tcode
+          FROM events),
+        k AS (
+          SELECT user_id, event_type, value, us,
+                 CASE WHEN tcode IS NOT NULL THEN us * 8 + tcode END AS tkey
+          FROM e),
+        f AS (
+          SELECT event_type, value,
+                 min(tkey) OVER w AS first_key,
+                 max(tkey) OVER w AS last_key
+          FROM k
+          WINDOW w AS (PARTITION BY user_id ORDER BY us
+                       RANGE BETWEEN 86400000000 PRECEDING AND CURRENT ROW))
+        SELECT
+          CASE first_key % 8 WHEN 1 THEN 'click' WHEN 2 THEN 'view' END
+            AS first_touch,
+          CASE last_key % 8 WHEN 1 THEN 'click' WHEN 2 THEN 'view' END
+            AS last_touch,
+          COUNT(*) AS n_purchases,
+          CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) AS BIGINT)
+            AS revenue_micro
+        FROM f WHERE event_type = 'purchase'
+        GROUP BY 1, 2
+        ORDER BY first_touch NULLS FIRST, last_touch NULLS FIRST"""))(
+      (spark, dir) => {
+        touchAttribution(Tables(spark, dir).events,
+            touchTypes = Seq("click", "view"), convType = "purchase",
+            windowUs = 86400000000L)
+          .orderBy(asc_nulls_first("first_touch"),
+            asc_nulls_first("last_touch"))
+      })
   )
 
   /** Top-k most frequent `steps`-long event paths per sequence key: the
@@ -513,6 +556,62 @@ object ScaleOps {
       .select(concat_ws(">", (0 until steps).map(i => col(s"e$i")): _*).as("path"))
       .groupBy(col("path")).agg(count(lit(1)).as("n"))
       .orderBy(col("n").desc, col("path")).limit(topK)
+  }
+
+  /** First/last-touch attribution: each `convType` event (purchase) is
+    * attributed to the earliest and latest `touchTypes` event (click/view)
+    * of the same user within `windowUs` before it, and the result reports
+    * the (first_touch, last_touch) conversion matrix with per-cell
+    * purchase counts and exact micro-unit revenue.
+    *
+    * The touch argmin/argmax runs as ONE combined BIGINT key
+    * `us · 8 + type_code` (type codes < 8, timestamps dominate), so a
+    * single min/max over a RANGE frame finds both the touch time and its
+    * type with a deterministic equal-instant tie-break (higher code wins
+    * the last-touch, lower the first-touch) — no struct ordering, no join
+    * back. RANGE frames bound by VALUE, so simultaneous events are all in
+    * frame regardless of their sort position — partition-order independent
+    * on both engines; a touch at the conversion's exact instant counts as
+    * preceding. Purchases with no touch in the window report null touches
+    * (the unattributed row) rather than disappearing.
+    *
+    * 100 TB shape: one window exchange on the user key (bounded by one
+    * user's history — sessionize service accounts upstream if a key can
+    * grow unbounded) feeding both frame aggregates, then a
+    * |touchTypes|²-row final aggregate: map-side combinable, broadcast
+    * sized. Revenue sums `round(value·10⁶)` per row ONCE into BIGINT, so
+    * the totals are order-independent exact integers, not a
+    * double-summation race.
+    */
+  def touchAttribution(events: org.apache.spark.sql.DataFrame,
+                       touchTypes: Seq[String], convType: String,
+                       windowUs: Long): org.apache.spark.sql.DataFrame = {
+    require(touchTypes.nonEmpty && touchTypes.size < 8,
+      "touch type codes must fit in 3 bits")
+    val codeOf = touchTypes.zipWithIndex.map { case (t, i) => (t, i + 1) }
+    val tcode = codeOf.foldLeft(lit(null).cast("int")) { case (acc, (t, c)) =>
+      when(col("event_type") === t, lit(c)).otherwise(acc)
+    }
+    val us = unix_micros(col("ts").cast("timestamp"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("us"))
+      .rangeBetween(-windowUs, 0L)
+    val decode = (key: org.apache.spark.sql.Column) =>
+      codeOf.foldLeft(lit(null).cast("string")) { case (acc, (t, c)) =>
+        when(pmod(key, lit(8L)) === c, lit(t)).otherwise(acc)
+      }
+    events
+      .select(col("user_id"), col("event_type"), col("value"), us.as("us"),
+        tcode.as("tcode"))
+      .withColumn("tkey",
+        when(col("tcode").isNotNull, col("us") * 8 + col("tcode")))
+      .withColumn("first_key", min(col("tkey")).over(w))
+      .withColumn("last_key", max(col("tkey")).over(w))
+      .filter(col("event_type") === convType)
+      .groupBy(decode(col("first_key")).as("first_touch"),
+        decode(col("last_key")).as("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum(round(col("value") * 1000000).cast("long")).as("revenue_micro"))
   }
 
   /** Event-type Markov transition matrix: per-key sequences in

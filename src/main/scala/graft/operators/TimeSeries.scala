@@ -209,6 +209,49 @@ object TimeSeries {
           round(num * lit(1.0) * num / (dx * lit(1.0) * dy), 6))).as("r2"))
   }
 
+  /** Seasonal-profile anomaly detection over a keyed hourly count series:
+    * each (key, hr) observation is scored against the key's OWN
+    * hour-of-day profile (all observations sharing `hr % season`), so a
+    * nightly batch spike is judged against other nights, not against the
+    * daytime mean — the seasonality-aware complement of
+    * [[rollingZScore]] (trailing window, blind to periodic structure) and
+    * [[cusum]] (level shifts). The profile includes the scored point
+    * itself (the standard "profile over all history" formulation, and the
+    * only self-consistent one for a batch pass).
+    *
+    * Exactness: with integral counts NOTHING here rounds — the profile
+    * mean reports as floor-micro units (`s·10⁶ div n`, positive operands
+    * so truncating and floor division agree across engines), the residual
+    * reports as `cnt·10⁶ − seasonal_micro`, and the anomaly flag is the
+    * pure-integer inequality `(cnt·n − s)² > z²·(n·s2 − s²)` — i.e.
+    * `(cnt−μ)² > z²σ²_pop` scaled by n², no doubles anywhere, so the flag
+    * cannot flip on engine ulps even AT the threshold boundary. Keys
+    * need `n ≥ minN` observations of an hour-of-day slot to flag.
+    *
+    * 100 TB shape: one (key, hod) aggregate whose output is |keys|·season
+    * rows — broadcast-sized for metric-monitoring cardinalities — joined
+    * back as a broadcast; the series never re-shuffles. (At extreme
+    * per-slot volumes `s·10⁶` approaches BIGINT range around Σcnt ~ 9·10¹²
+    * per slot; promote the two sums to decimal(38,0) before that.)
+    */
+  def seasonalAnomaly(series: DataFrame, season: Int = 24, minN: Long = 4,
+                      z: Long = 3): DataFrame = {
+    val hod = pmod(col("hr"), lit(season.toLong))
+    val prof = series.groupBy(col("key"), hod.as("hod"))
+      .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),
+        sum(col("cnt") * col("cnt")).as("s2"))
+    val residN = col("cnt") * col("n") - col("s")
+    val varN2 = col("n") * col("s2") - col("s") * col("s")
+    series.withColumn("hod", hod)
+      .join(broadcast(prof), Seq("key", "hod"))
+      .select(col("key"), col("hr"), col("hod"), col("cnt"),
+        col("n").as("n_slot"),
+        expr("s * 1000000 DIV n").as("seasonal_micro"),
+        (col("cnt") * lit(1000000L) - expr("s * 1000000 DIV n")).as("resid_micro"),
+        (col("n") >= minN &&
+          residN * residN > lit(z * z) * varN2).as("is_anomaly"))
+  }
+
   val queries: Seq[Query] = Seq(
     // Hourly regularization of each sampled user's event-value series:
     // grid instants inside the user's span (inclusive at grid-aligned
@@ -384,6 +427,39 @@ object TimeSeries {
         .groupBy(col("key"), col("hr"))
         .agg(count(lit(1)).as("cnt"))
       trendOls(hourly).orderBy(col("key"))
+    }),
+
+    // Seasonality-aware anomaly detection: each event type's hourly volume
+    // scored against its own hour-of-day slot (z=3, slots need >= 4
+    // observations). The flag is a pure-integer inequality — nothing
+    // rounds, so the boundary cannot flip on engine ulps.
+    Query(
+      "q139_seasonal_anomaly",
+      Some("""
+        WITH hourly AS (
+          SELECT event_type AS key, epoch_us(ts) // 3600000000 AS hr,
+                 COUNT(*) AS cnt
+          FROM events GROUP BY 1, 2),
+        prof AS (
+          SELECT key, hr % 24 AS hod, COUNT(*) AS n, SUM(cnt) AS s,
+                 SUM(cnt * cnt) AS s2
+          FROM hourly GROUP BY 1, 2)
+        SELECT key, hr, hod, cnt,
+               CAST(n AS BIGINT) AS n_slot,
+               CAST(s * 1000000 // n AS BIGINT) AS seasonal_micro,
+               CAST(cnt * 1000000 - s * 1000000 // n AS BIGINT) AS resid_micro,
+               (n >= 4 AND (cnt * n - s) * (cnt * n - s)
+                           > 9 * (n * s2 - s * s)) AS is_anomaly
+        FROM hourly JOIN prof USING (key)
+        WHERE hourly.hr % 24 = prof.hod
+        ORDER BY key, hr"""))((spark, dir) => {
+      val hourly = Tables(spark, dir).events
+        .select(col("event_type").as("key"),
+          expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
+        .groupBy(col("key"), col("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      seasonalAnomaly(hourly, season = 24, minN = 4L, z = 3L)
+        .orderBy(col("key"), col("hr"))
     })
   )
 }

@@ -401,6 +401,35 @@ class PlanSpec extends SparkSpec {
       p.take(1500))
   }
 
+  test("q137: the cluster map broadcasts into one corpus scan; argmax windows per cluster") {
+    import org.apache.spark.sql.execution.window.WindowExec
+    val plan = executed(q("q137_dedup_survivor"))
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    val wins = deepNodes(plan).collect { case w: WindowExec => w }
+    assert(wins.nonEmpty)
+    wins.foreach(w => assert(w.partitionSpec.nonEmpty,
+      "survivor argmax plans a single-partition window"))
+  }
+
+  test("q138: attribution is join-free — one user window + a matrix-sized aggregate") {
+    val plan = executed(q("q138_attribution"))
+    val p = plan.toString
+    assert(!p.contains("Join"), p.take(1500))
+    val shuffles = deepNodes(plan).collect { case s: ShuffleExchangeExec => s }
+    // one hash exchange on the user key for the RANGE window, one for the
+    // (first, last) matrix aggregate, one range exchange for the oracle
+    // orderBy — nothing else may shuffle
+    assert(shuffles.size <= 3, s"${shuffles.size} shuffles: ${p.take(1200)}")
+  }
+
+  test("q139: the seasonal profile joins back as a broadcast; the series never re-shuffles for it") {
+    val plan = executed(q("q139_seasonal_anomaly"))
+    val p = plan.toString
+    assert(p.contains("BroadcastHashJoin"), p.take(1500))
+    assert(!p.contains("SortMergeJoin"), p.take(1500))
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

@@ -136,4 +136,32 @@ class PipelineSpec extends SparkSpec {
       assert(got == ref, s"nParts=$nParts diverged from sequential packing")
     }
   }
+
+  test("dedupSurvivors keeps the highest-quality member, not the smallest id") {
+    import spark.implicits._
+    val rich = "the quick brown fox jumps over the lazy dog and runs to " +
+      "the old mill where it finds a warm place to rest for the night " +
+      "while stars shine bright in the clear sky above"
+    val docs = Seq(
+      (1L, "junk junk junk junk junk"), // low quality, smallest id
+      (2L, rich),                       // high quality
+      (9L, "unclustered text")          // not in any cluster
+    ).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (2L, 1L)).toDF("doc", "label")
+    val got = Pipeline.dedupSurvivors(docs, "text", "doc_id", clusters)
+      .collect().map(r => (r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("survivor"))).toSeq
+    assert(got == Seq((1L, 2L, 2L)), got.mkString(","))
+  }
+
+  test("dedupSurvivors: exact quality ties fall back to the smallest doc id") {
+    import spark.implicits._
+    val same = "identical copies share one rounded quality score here today"
+    val docs = Seq((7L, same), (3L, same), (5L, same)).toDF("doc_id", "text")
+    val clusters = Seq((7L, 3L), (3L, 3L), (5L, 3L)).toDF("doc", "label")
+    val got = Pipeline.dedupSurvivors(docs, "text", "doc_id", clusters)
+      .collect().map(r => (r.getAs[Long]("cluster_id"),
+        r.getAs[Long]("n_members"), r.getAs[Long]("survivor"))).toSeq
+    assert(got == Seq((3L, 3L, 3L)), got.mkString(","))
+  }
 }

@@ -75,4 +75,68 @@ class ScaleOpsSpec extends SparkSpec {
     val a = run(ev)
     assert(a == run(ev.repartition(9)) && a.size == 5)
   }
+
+  private def attrEvents(rows: Seq[(Long, String, Double, Long)]) = {
+    import spark.implicits._
+    rows.toDF("user_id", "event_type", "value", "us")
+      .withColumn("ts", timestamp_micros(col("us")))
+      .drop("us")
+  }
+
+  test("touchAttribution: first/last touch, window cutoff, unattributed row") {
+    // u1: click -> view -> purchase (both in window): (click, view).
+    // u2: purchase with no touch at all -> (null, null).
+    // u3: click a hair OLDER than 24h -> also (null, null).
+    val day = 86400000000L
+    val got = ScaleOps.touchAttribution(attrEvents(Seq(
+        (1L, "click", 0.0, 1000000L), (1L, "view", 0.0, 2000000L),
+        (1L, "purchase", 10.5, 3000000L),
+        (2L, "purchase", 2.0, 1000000L),
+        (3L, "click", 0.0, 0L), (3L, "purchase", 1.0, day + 1000000L))),
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        windowUs = day)
+      .collect().map(r => (r.getAs[String]("first_touch"),
+        r.getAs[String]("last_touch"), r.getAs[Long]("n_purchases"),
+        r.getAs[Long]("revenue_micro"))).toSet
+    assert(got == Set(("click", "view", 1L, 10500000L),
+      (null, null, 2L, 3000000L)))
+  }
+
+  test("touchAttribution: a touch at the conversion's exact instant counts; equal-instant ties decode deterministically") {
+    // click and view share the purchase's own microsecond: the RANGE frame
+    // includes both; first = click (lower code), last = view (higher code).
+    val got = ScaleOps.touchAttribution(attrEvents(Seq(
+        (1L, "click", 0.0, 5000000L), (1L, "view", 0.0, 5000000L),
+        (1L, "purchase", 1.0, 5000000L))),
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        windowUs = 86400000000L)
+      .collect().map(r => (r.getAs[String]("first_touch"),
+        r.getAs[String]("last_touch"), r.getAs[Long]("n_purchases"))).toSeq
+    assert(got == Seq(("click", "view", 1L)))
+  }
+
+  test("touchAttribution: touches never cross users") {
+    // u1's click must not attribute u2's purchase.
+    val got = ScaleOps.touchAttribution(attrEvents(Seq(
+        (1L, "click", 0.0, 1000000L),
+        (2L, "purchase", 1.0, 2000000L))),
+        touchTypes = Seq("click", "view"), convType = "purchase",
+        windowUs = 86400000000L)
+      .collect().map(r => (r.getAs[String]("first_touch"),
+        r.getAs[String]("last_touch"))).toSeq
+    assert(got == Seq((null, null)))
+  }
+
+  test("touchAttribution is partitioning-independent") {
+    val types = Seq("click", "view", "purchase", "error")
+    val ev = attrEvents((1L to 500L).map(i =>
+      (i % 13, types((i * 7 % 4).toInt), (i % 5).toDouble, i * 1000000L)))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      ScaleOps.touchAttribution(d, Seq("click", "view"), "purchase",
+          windowUs = 60000000L)
+        .orderBy(asc_nulls_first("first_touch"), asc_nulls_first("last_touch"))
+        .collect().toSeq
+    val a = run(ev)
+    assert(a == run(ev.repartition(9)) && a.nonEmpty)
+  }
 }

@@ -193,4 +193,53 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("key", "us").collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("seasonalAnomaly: hand-computed slot stats, spike flagged, peers not") {
+    // Slot hod=1 of key a: hours 1/25/49/73 with counts 5/5/5/50.
+    // n=4, s=65, s2=2575: seasonal_micro = 65e6 div 4 = 16_250_000;
+    // spike residual_n = 50*4-65 = 135, var_n2 = 4*2575-65^2 = 6075 —
+    // z=1 flags the spike (135^2 > 6075), not the 5s (45^2 <= 6075).
+    val series = seriesDf(Seq(
+      ("a", 1L, 5L), ("a", 25L, 5L), ("a", 49L, 5L), ("a", 73L, 50L)))
+    val got = TimeSeries.seasonalAnomaly(series, season = 24, minN = 4, z = 1)
+      .orderBy("hr").collect()
+    assert(got.forall(_.getAs[Long]("seasonal_micro") == 16250000L))
+    assert(got.forall(_.getAs[Long]("n_slot") == 4L))
+    val byHr = got.map(r =>
+      r.getAs[Long]("hr") -> (r.getAs[Long]("resid_micro"),
+        r.getAs[Boolean]("is_anomaly"))).toMap
+    assert(byHr(73L) == ((50000000L - 16250000L, true)))
+    assert(byHr(1L) == ((5000000L - 16250000L, false)))
+  }
+
+  test("seasonalAnomaly: slots are independent; constant slots never flag") {
+    // hod=2 rows are constant -> residual 0; the hod=1 spike cannot leak.
+    val series = seriesDf(Seq(
+      ("a", 1L, 5L), ("a", 25L, 5L), ("a", 49L, 5L), ("a", 73L, 500L),
+      ("a", 2L, 7L), ("a", 26L, 7L), ("a", 50L, 7L), ("a", 74L, 7L)))
+    val got = TimeSeries.seasonalAnomaly(series, season = 24, minN = 4, z = 1)
+      .filter(col("hod") === 2).collect()
+    assert(got.length == 4)
+    assert(got.forall(r => r.getAs[Long]("resid_micro") == 0L &&
+      !r.getAs[Boolean]("is_anomaly")))
+  }
+
+  test("seasonalAnomaly: the minN guard holds even for huge residuals") {
+    // Only 3 observations of the slot: never anomalous at minN=4.
+    val series = seriesDf(Seq(
+      ("a", 1L, 1L), ("a", 25L, 1L), ("a", 49L, 1000L)))
+    val got = TimeSeries.seasonalAnomaly(series, season = 24, minN = 4, z = 1)
+      .collect()
+    assert(got.length == 3 && got.forall(!_.getAs[Boolean]("is_anomaly")))
+  }
+
+  test("seasonalAnomaly is partitioning-independent") {
+    val series = seriesDf((0L until 480L).map(h =>
+      ("k" + (h % 3), h, (h * 31) % 23)))
+    val a = TimeSeries.seasonalAnomaly(series).orderBy("key", "hr")
+      .collect().toSeq
+    val b = TimeSeries.seasonalAnomaly(series.repartition(7))
+      .orderBy("key", "hr").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
