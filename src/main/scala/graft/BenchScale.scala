@@ -180,6 +180,37 @@ object BenchScale {
       row("q130_tfidf_keywords")(bestOf2 {
         TextAnalysis.tfIdfKeywords(t.documents, "text", "doc_id").count(); ()
       }) ++
+      // Quality-aware survivor selection in the 100 TB configuration
+      // (LSH candidate pairs → components → broadcast membership into one
+      // corpus scan + per-cluster argmax). Rides the q56 family's shape;
+      // the extra cost over q56 is quality evaluation for MEMBERS only,
+      // so the exponent must track the pair/cluster stages, not the
+      // corpus.
+      row("q137_survivors")(bestOf2 {
+        Pipeline.dedupSurvivors(t.documents, "text", "doc_id",
+          Pipeline.connectedComponents(lshPairs())).count(); ()
+      }) ++
+      // Touch attribution: one user-key RANGE-window exchange over the
+      // event log + a matrix-sized aggregate. Users grow ∝ scale
+      // (GenScale shifts user ids), so per-user history is constant —
+      // cost must track the event scan, exponent ≈ 1.
+      row("q138_attribution")(bestOf2 {
+        operators.ScaleOps.touchAttribution(t.events,
+          Seq("click", "view"), "purchase", windowUs = 86400000000L)
+          .count(); ()
+      }) ++
+      // Seasonal-profile anomaly scan at keys ∝ scale (the q127 keying):
+      // one hourly aggregate + one (key, hod) profile aggregate that
+      // broadcasts back. The profile is |keys|·24 rows — this row guards
+      // the broadcast staying sub-threshold as keys grow ∝ corpus.
+      row("q139_seasonal_keys")(bestOf2 {
+        val hourly = t.events.select(
+            concat_ws(":", col("event_type"),
+              pmod(col("user_id"), lit(50L * scale))).as("key"),
+            expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
+          .groupBy(col("key"), col("hr")).agg(count(lit(1)).as("cnt"))
+        TimeSeries.seasonalAnomaly(hourly).count(); ()
+      }) ++
       // Incremental-LSH probe with the index PREBUILT (cached + forced
       // outside the timer) and a FIXED ~500-doc batch (the 1×-replica
       // originals — GenScale shifts replica ids upward, so doc_id<5000
