@@ -577,6 +577,204 @@ object Multimodal {
         ORDER BY media_id, frame_ts_ms"""))((spark, dir) => {
       sampleFrames(mediaTable(Tables(spark, dir).documents), 5000)
         .orderBy(col("media_id"), col("frame_ts_ms"))
+    }),
+
+    // Image near-duplicate pairs by perceptual hash: REAL PNG decodes →
+    // 8×8 aHash → banded candidate join → hamming verify. The fixture
+    // plants the near-dups a byte-level dedup CANNOT see: every image
+    // gets a re-encoded copy with a +1 brightness shift (clipped at 255)
+    // under media_id + 10000 — different bytes, different pixels,
+    // near-identical perceptual content. The oracle recomputes both
+    // variants' hashes from the closed-form pixel math (PNG losslessness)
+    // and must agree on every pair AND every distance.
+    Query(
+      "q140_image_phash",
+      Some("""
+        WITH base AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 0),
+        variants AS (SELECT b, b AS d, 0 AS bright FROM base
+                     UNION ALL SELECT b, b + 10000, 1 FROM base),
+        g AS (SELECT d,
+                CASE WHEN bright = 0 THEN
+                  (x*31 + y*17 + b*7) % 256 + (x*13 + y*29 + b*3) % 256
+                    + (x*7 + y*11 + b) % 256
+                ELSE
+                  least((x*31 + y*17 + b*7) % 256 + 1, 255)
+                    + least((x*13 + y*29 + b*3) % 256 + 1, 255)
+                    + least((x*7 + y*11 + b) % 256 + 1, 255)
+                END AS gray,
+                (y * 8 // (b % 16 + 8)) * 8 + (x * 8 // (b % 24 + 8)) AS idx
+              FROM variants,
+                   unnest(generate_series(0, b % 24 + 7)) AS t1(x),
+                   unnest(generate_series(0, b % 16 + 7)) AS t2(y)),
+        cells AS (SELECT d, idx, SUM(gray) AS s_cell, COUNT(*) AS n_cell
+                  FROM g GROUP BY 1, 2),
+        tot AS (SELECT d, SUM(gray) AS s_tot, COUNT(*) AS n_tot
+                FROM g GROUP BY 1),
+        bits AS (SELECT d, idx,
+                   CASE WHEN s_cell * n_tot > s_tot * n_cell
+                        THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d)),
+        bands AS (SELECT d, idx // 16 AS k,
+                    CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2),
+        hash4 AS (SELECT d,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY d),
+        cand AS (SELECT DISTINCT a.d AS da, b.d AS db
+                 FROM bands a JOIN bands b
+                   ON a.k = b.k AND a.v = b.v AND a.d < b.d)
+        SELECT da AS media_a, db AS media_b,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+                 AS BIGINT) AS dist
+        FROM cand JOIN hash4 ha ON ha.d = da JOIN hash4 hb ON hb.d = db
+        WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3
+        ORDER BY media_a, media_b"""))((spark, dir) => {
+      val originals = mediaTableWithImages(Tables(spark, dir).documents)
+        .filter(col("kind") === "image")
+        .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      val corpus = originals.unionByName(
+        brightenedCopies(spark, originals, offset = 10000L, delta = 1))
+      imagePHashPairs(spark, corpus, maxDist = 3)
+        .orderBy(col("media_a"), col("media_b"))
     })
   )
+
+  /** Test-fixture near-dup planter: a re-encoded copy of every image with
+    * each channel shifted by `delta` (clipped at 255) under
+    * `media_id + offset` — the "same picture, different file" class that
+    * byte-level dedup misses and perceptual hashing exists to catch.
+    * Decode → pixel shift → re-encode is a REAL transcode pass (the
+    * resize/re-encode shape of a production media pipeline), one payload
+    * scan, no shuffle.
+    */
+  def brightenedCopies(spark: SparkSession, media: DataFrame, offset: Long,
+                       delta: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val out = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val r = math.min(((p >> 16) & 0xff) + delta, 255)
+              val g = math.min(((p >> 8) & 0xff) + delta, 255)
+              val b = math.min((p & 0xff) + delta, 255)
+              out.setRGB(x, y, (r << 16) | (g << 8) | b)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(out, "png", bos)
+          MediaRow(m.media_id + offset, "image", bos.toByteArray)
+        }
+      }.toDF()
+  }
+
+  final case class PHashRow(media_id: Long, b0: Long, b1: Long, b2: Long,
+                            b3: Long)
+
+  /** Image near-duplicate pairs by 8×8 average-hash over REAL decoded
+    * pixels: each image's PNG decodes once per partition batch
+    * ([[ImageCodec]] shape), its pixels pool into an 8×8 grid of cell
+    * sums, and bit(cell) = 1 iff the cell's mean gray (r+g+b) exceeds the
+    * image's global mean — compared by integer CROSS-MULTIPLICATION
+    * (`s_cell·N > S·n_cell`), so the hash is bit-exact on any engine with
+    * no float thresholds. The 64 bits split into four 16-bit bands;
+    * candidate pairs equi-join on (band index, band value) and verify
+    * exact hamming ≤ `maxDist` via bit_count(xor).
+    *
+    * For `maxDist ≤ 3` the banding is EXACT by pigeonhole (3 flipped bits
+    * cannot touch all 4 bands), so the band join loses nothing vs the
+    * all-pairs scan — the [[Dedup.simhashPairs]] argument, applied to
+    * pixels instead of tokens.
+    *
+    * 100 TB shape: decode + hash is one payload scan with per-partition
+    * codec reuse and NO shuffle (64 longs of state per image, never pixel
+    * rows); candidates are an equi-join on band keys (skewed flat-color
+    * bands are the df-cap analogue — cap band buckets upstream if a
+    * corpus is dominated by one template); the hamming verify joins the
+    * hashes table (4 longs per image) twice by id, broadcast when dims
+    * allow. Pixel volume never shuffles anywhere.
+    */
+  def imagePHashPairs(spark: SparkSession, media: DataFrame,
+                      maxDist: Int): DataFrame = {
+    import spark.implicits._
+    val hashes = media.filter(col("kind") === "image")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        // executor-side, idempotent: in-memory streams, not temp files
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { m =>
+          val img = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(m.payload))
+          require(img != null, "undecodable image payload")
+          val (w, h) = (img.getWidth, img.getHeight)
+          val cellSum = new Array[Long](64)
+          val cellN = new Array[Long](64)
+          var sTot = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val p = img.getRGB(x, y)
+              val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+              val idx = (y * 8 / h) * 8 + (x * 8 / w)
+              cellSum(idx) += gray; cellN(idx) += 1; sTot += gray
+              x += 1
+            }
+            y += 1
+          }
+          val nTot = w.toLong * h
+          val bands = new Array[Long](4)
+          var i = 0
+          while (i < 64) {
+            if (cellSum(i) * nTot > sTot * cellN(i))
+              bands(i / 16) |= 1L << (i % 16)
+            i += 1
+          }
+          PHashRow(m.media_id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }.toDF()
+    val bands = hashes.select(col("media_id"), explode(array(
+        struct(lit(0).as("k"), col("b0").as("v")),
+        struct(lit(1).as("k"), col("b1").as("v")),
+        struct(lit(2).as("k"), col("b2").as("v")),
+        struct(lit(3).as("k"), col("b3").as("v")))).as("b"))
+      .select(col("media_id"), col("b.k").as("k"), col("b.v").as("v"))
+    val cand = bands.as("a").join(bands.as("c"),
+        col("a.k") === col("c.k") && col("a.v") === col("c.v") &&
+          col("a.media_id") < col("c.media_id"))
+      .select(col("a.media_id").as("da"), col("c.media_id").as("db"))
+      .distinct()
+    val ha = hashes.select(col("media_id").as("da"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hb = hashes.select(col("media_id").as("db"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val dist = bit_count(col("a0").bitwiseXOR(col("c0"))) +
+      bit_count(col("a1").bitwiseXOR(col("c1"))) +
+      bit_count(col("a2").bitwiseXOR(col("c2"))) +
+      bit_count(col("a3").bitwiseXOR(col("c3")))
+    cand.join(ha, "da").join(hb, "db")
+      .withColumn("dist", dist.cast("long"))
+      .filter(col("dist") <= maxDist)
+      .select(col("da").as("media_a"), col("db").as("media_b"), col("dist"))
+  }
 }

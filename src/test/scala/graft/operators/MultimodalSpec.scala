@@ -120,4 +120,44 @@ class MultimodalSpec extends SparkSpec {
       .filter(col("count") =!= col("exp")).count()
     assert(bad == 0)
   }
+
+  private lazy val imageRows = Multimodal
+    .mediaTableWithImages(Tables(spark, sf("sf0.001")).documents)
+    .filter(col("kind") === "image")
+    .select(col("media_id").cast("long"), col("kind"), col("payload"))
+    .cache()
+
+  test("imagePHashPairs: an exact re-encode (delta=0) pairs at distance 0") {
+    val corpus = imageRows.limit(20).unionByName(
+      Multimodal.brightenedCopies(spark, imageRows.limit(20),
+        offset = 50000L, delta = 0))
+    val got = Multimodal.imagePHashPairs(spark, corpus, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("media_a"),
+        r.getAs[Long]("media_b"), r.getAs[Long]("dist")))
+    // every original must pair with its byte-different re-encoded twin at
+    // hamming 0; no cross-image pair may sneak under the threshold here
+    val twins = got.filter { case (a, b, _) => b == a + 50000L }
+    assert(twins.length == 20, s"${twins.length} of 20 twins found")
+    assert(twins.forall(_._3 == 0L))
+    assert(got.length == twins.length, s"unexpected cross pairs: ${got.toSeq}")
+  }
+
+  test("imagePHashPairs: brightness-shifted copies stay within the hamming budget") {
+    val corpus = imageRows.unionByName(
+      Multimodal.brightenedCopies(spark, imageRows, offset = 50000L, delta = 1))
+    val got = Multimodal.imagePHashPairs(spark, corpus, maxDist = 3)
+    assert(got.filter(col("media_b") === col("media_a") + 50000L).count() > 0)
+    assert(got.filter(col("dist") > 3).count() == 0)
+  }
+
+  test("imagePHashPairs is partitioning-independent") {
+    val corpus = imageRows.limit(30).unionByName(
+      Multimodal.brightenedCopies(spark, imageRows.limit(30),
+        offset = 50000L, delta = 1))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.imagePHashPairs(spark, d, maxDist = 3)
+        .orderBy("media_a", "media_b").collect().toSeq
+    val a = run(corpus)
+    assert(a == run(corpus.repartition(7)) && a.nonEmpty)
+  }
 }
