@@ -211,6 +211,21 @@ object BenchScale {
           .groupBy(col("key"), col("hr")).agg(count(lit(1)).as("cnt"))
         TimeSeries.seasonalAnomaly(hourly).count(); ()
       }) ++
+      // Perceptual-hash image dedup end-to-end (decode + transcode the
+      // planted copies + hash + banded join + hamming verify): the decode
+      // scan is linear in payload bytes; random-hash band collisions grow
+      // ~n²/2¹⁶ per band and stay far below the scan cost at these n.
+      // Images ∝ scale (replicated documents drive the media table).
+      row("q140_image_phash")(bestOf2 {
+        val originals = operators.Multimodal
+          .mediaTableWithImages(t.documents)
+          .filter(col("kind") === "image")
+          .select(col("media_id").cast("long"), col("kind"), col("payload"))
+        val corpus = originals.unionByName(operators.Multimodal
+          .brightenedCopies(spark, originals, offset = 10000000L, delta = 1))
+        operators.Multimodal.imagePHashPairs(spark, corpus, maxDist = 3)
+          .count(); ()
+      }) ++
       // Incremental-LSH probe with the index PREBUILT (cached + forced
       // outside the timer) and a FIXED ~500-doc batch (the 1×-replica
       // originals — GenScale shifts replica ids upward, so doc_id<5000
