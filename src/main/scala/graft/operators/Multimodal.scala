@@ -641,6 +641,61 @@ object Multimodal {
         brightenedCopies(spark, originals, offset = 10000L, delta = 1))
       imagePHashPairs(spark, corpus, maxDist = 3)
         .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Audio near-dup pairs by 64-frame energy fingerprint over REAL WAV
+    // decodes — q140's modality twin, sharing the banded-hamming tail.
+    // The fixture plants a +1-sample-shifted re-encode of every clip
+    // (different bytes, same sound; measured dists 0–1); the oracle
+    // recomputes both variants' fingerprints from the closed-form sample
+    // math (WAV PCM losslessness) and must agree on every pair and
+    // distance.
+    Query(
+      "q141_audio_fingerprint",
+      Some("""
+        WITH a AS (SELECT doc_id AS b, ((doc_id % 400) + 100)::INT AS n
+                   FROM documents WHERE doc_id % 3 = 1),
+        variants AS (SELECT b, b AS d, 0 AS sh, n FROM a
+                     UNION ALL SELECT b, b + 10000, 1, n FROM a),
+        s AS (SELECT d, n, i,
+                ((i*37 + b*11) % 2001 - 1000) + sh AS val
+              FROM variants, unnest(range(0, n)) AS t(i)),
+        g AS (SELECT d, n, (i * 64 // n) AS f, val * val AS e FROM s),
+        cells AS (SELECT d, f, SUM(e) AS ef, COUNT(*) AS cf
+                  FROM g GROUP BY 1, 2),
+        tot AS (SELECT d, SUM(e) AS et, COUNT(*) AS ct FROM g GROUP BY 1),
+        bits AS (SELECT d, f,
+                   CASE WHEN ef * ct > et * cf THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d)),
+        bands AS (SELECT d, f // 16 AS k,
+                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2),
+        hash4 AS (SELECT d,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY d),
+        cand AS (SELECT DISTINCT a2.d AS da, b2.d AS db
+                 FROM bands a2 JOIN bands b2
+                   ON a2.k = b2.k AND a2.v = b2.v AND a2.d < b2.d)
+        SELECT da AS media_a, db AS media_b,
+               CAST(bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                  + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+                 AS BIGINT) AS dist
+        FROM cand JOIN hash4 ha ON ha.d = da JOIN hash4 hb ON hb.d = db
+        WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3
+        ORDER BY media_a, media_b"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      val originals = mediaTable(docs).filter(col("kind") === "audio")
+        .select(col("media_id").cast("long"), col("kind"),
+          wav(col("media_id")).as("payload"))
+      val corpus = originals.unionByName(
+        shiftedAudioCopies(spark, originals, offset = 10000L, delta = 1))
+      audioFingerprintPairs(spark, corpus, maxDist = 3)
+        .orderBy(col("media_a"), col("media_b"))
     })
   )
 
@@ -753,6 +808,23 @@ object Multimodal {
           PHashRow(m.media_id, bands(0), bands(1), bands(2), bands(3))
         }
       }.toDF()
+    bandedHammingPairs(hashes, maxDist)
+  }
+
+  /** Shared banded-hamming tail for all 64-bit perceptual fingerprints
+    * (image aHash, audio energy hash): `hashes` carries
+    * (media_id, b0..b3) 16-bit bands; candidates equi-join on
+    * (band index, band value) — EXACT by pigeonhole for `maxDist ≤ 3` —
+    * then verify hamming via bit_count(xor) over the four bands.
+    *
+    * 100 TB shape: the band join is the LSH-band shape (hash-partitioned
+    * on small keys, never the payloads); the verify joins the hashes
+    * table (4 longs per item) twice by id. A corpus dominated by one
+    * flat-content template concentrates one band bucket — cap band
+    * buckets upstream (the shingle-df-cap analogue) if that happens.
+    */
+  def bandedHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4x16 banding is only pigeonhole-exact to dist 3")
     val bands = hashes.select(col("media_id"), explode(array(
         struct(lit(0).as("k"), col("b0").as("v")),
         struct(lit(1).as("k"), col("b1").as("v")),
@@ -776,5 +848,88 @@ object Multimodal {
       .withColumn("dist", dist.cast("long"))
       .filter(col("dist") <= maxDist)
       .select(col("da").as("media_a"), col("db").as("media_b"), col("dist"))
+  }
+
+  /** Audio near-duplicate pairs by 64-frame energy fingerprint over REAL
+    * WAV decodes: samples split into 64 contiguous frames, bit(frame) = 1
+    * iff the frame's mean energy (v²) exceeds the clip's global mean
+    * energy — the same integer cross-multiplication as the image hash
+    * (`e_f·n > E·c_f`), so the fingerprint is bit-exact on any engine.
+    * Candidates and verification share [[bandedHammingPairs]]. This is
+    * the energy-profile core of audio fingerprinting (Chromaprint-style
+    * systems add a filterbank; the Spark plumbing — one payload scan,
+    * constant per-clip state, banded join — is identical).
+    */
+  def audioFingerprintPairs(spark: SparkSession, media: DataFrame,
+                            maxDist: Int): DataFrame = {
+    import spark.implicits._
+    val hashes = media.filter(col("kind") === "audio")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val bytes = ais.readAllBytes(); ais.close()
+          val n = bytes.length / 2
+          val eF = new Array[Long](64); val cF = new Array[Long](64)
+          var eTot = 0L
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8))
+              .toShort.toInt
+            val e = v.toLong * v
+            val f = (i.toLong * 64 / n).toInt
+            eF(f) += e; cF(f) += 1; eTot += e
+            i += 1
+          }
+          val bands = new Array[Long](4)
+          var f = 0
+          while (f < 64) {
+            if (eF(f) * n > eTot * cF(f)) bands(f / 16) |= 1L << (f % 16)
+            f += 1
+          }
+          PHashRow(m.media_id, bands(0), bands(1), bands(2), bands(3))
+        }
+      }.toDF()
+    bandedHammingPairs(hashes, maxDist)
+  }
+
+  /** Test-fixture near-dup planter for audio (the [[brightenedCopies]]
+    * twin): a re-encoded copy of every clip with each sample shifted by
+    * `delta` under `media_id + offset` — same sound, different file.
+    */
+  def shiftedAudioCopies(spark: SparkSession, media: DataFrame, offset: Long,
+                         delta: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val fmt = ais.getFormat
+          val bytes = ais.readAllBytes(); ais.close()
+          val n = bytes.length / 2
+          val out = new Array[Byte](n * 2)
+          var i = 0
+          while (i < n) {
+            val v = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8))
+              .toShort.toInt
+            val s = math.max(Short.MinValue.toInt,
+              math.min(v + delta, Short.MaxValue.toInt))
+            out(i * 2) = (s & 0xff).toByte
+            out(i * 2 + 1) = ((s >> 8) & 0xff).toByte
+            i += 1
+          }
+          val outAis = new javax.sound.sampled.AudioInputStream(
+            new java.io.ByteArrayInputStream(out), fmt, n.toLong)
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.sound.sampled.AudioSystem.write(outAis,
+            javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+          MediaRow(m.media_id + offset, "audio", bos.toByteArray)
+        }
+      }.toDF()
   }
 }

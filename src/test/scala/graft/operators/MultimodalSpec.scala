@@ -150,6 +150,47 @@ class MultimodalSpec extends SparkSpec {
     assert(got.filter(col("dist") > 3).count() == 0)
   }
 
+  private lazy val audioRows = {
+    val wav = udf((d: Long) => Multimodal.makeWav(d, Multimodal.audioN(d)))
+    Multimodal.mediaTable(Tables(spark, sf("sf0.001")).documents)
+      .filter(col("kind") === "audio")
+      .select(col("media_id").cast("long"), col("kind"),
+        wav(col("media_id")).as("payload"))
+      .cache()
+  }
+
+  test("audioFingerprintPairs: an exact re-encode (delta=0) pairs at distance 0") {
+    val corpus = audioRows.limit(20).unionByName(
+      Multimodal.shiftedAudioCopies(spark, audioRows.limit(20),
+        offset = 50000L, delta = 0))
+    val got = Multimodal.audioFingerprintPairs(spark, corpus, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("media_a"),
+        r.getAs[Long]("media_b"), r.getAs[Long]("dist")))
+    val twins = got.filter { case (a, b, _) => b == a + 50000L }
+    assert(twins.length == 20, s"${twins.length} of 20 twins found")
+    assert(twins.forall(_._3 == 0L))
+  }
+
+  test("audioFingerprintPairs: sample-shifted copies stay within the hamming budget") {
+    val corpus = audioRows.unionByName(
+      Multimodal.shiftedAudioCopies(spark, audioRows, offset = 50000L,
+        delta = 1))
+    val got = Multimodal.audioFingerprintPairs(spark, corpus, maxDist = 3)
+    assert(got.filter(col("media_b") === col("media_a") + 50000L).count() > 0)
+    assert(got.filter(col("dist") > 3).count() == 0)
+  }
+
+  test("audioFingerprintPairs is partitioning-independent") {
+    val corpus = audioRows.limit(30).unionByName(
+      Multimodal.shiftedAudioCopies(spark, audioRows.limit(30),
+        offset = 50000L, delta = 1))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.audioFingerprintPairs(spark, d, maxDist = 3)
+        .orderBy("media_a", "media_b").collect().toSeq
+    val a = run(corpus)
+    assert(a == run(corpus.repartition(7)) && a.nonEmpty)
+  }
+
   test("imagePHashPairs is partitioning-independent") {
     val corpus = imageRows.limit(30).unionByName(
       Multimodal.brightenedCopies(spark, imageRows.limit(30),
