@@ -696,6 +696,72 @@ object Multimodal {
         shiftedAudioCopies(spark, originals, offset = 10000L, delta = 1))
       audioFingerprintPairs(spark, corpus, maxDist = 3)
         .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Video near-dup pairs by shared frame fingerprints — the third
+    // modality of the q140/q141 family. The fixture plants a TRIMMED
+    // re-container of every clip (first frame cut, surviving frame bytes
+    // verbatim): whole-file hashing sees an unrelated blob, the frame
+    // hashes see every surviving frame. The oracle rebuilds both
+    // variants' per-frame hashes from the closed-form frame pixel math.
+    Query(
+      "q142_video_shingle",
+      Some("""
+        WITH v0 AS (SELECT doc_id AS b, (doc_id % 4 + 2)::INT AS nf,
+                           (doc_id % 12 + 8)::INT AS w,
+                           (doc_id % 10 + 8)::INT AS h
+                    FROM documents WHERE doc_id % 3 = 2),
+        variants AS (SELECT b, b AS d, 0 AS cut, nf, w, h FROM v0
+                     UNION ALL SELECT b, b + 10000, 1, nf, w, h FROM v0),
+        frames AS (SELECT b, d, f, w, h
+                   FROM variants, unnest(generate_series(0, nf - 1)) AS t(f)
+                   WHERE f >= cut),
+        g AS (SELECT d, f,
+                (x*31 + y*17 + b*7 + f*23) % 256
+                  + (x*13 + y*29 + b*3 + f*19) % 256
+                  + (x*7 + y*11 + b + f*5) % 256 AS gray,
+                (y * 8 // h) * 8 + (x * 8 // w) AS idx
+              FROM frames,
+                   unnest(generate_series(0, w - 1)) AS t1(x),
+                   unnest(generate_series(0, h - 1)) AS t2(y)),
+        cells AS (SELECT d, f, idx, SUM(gray) AS s_cell, COUNT(*) AS n_cell
+                  FROM g GROUP BY 1, 2, 3),
+        tot AS (SELECT d, f, SUM(gray) AS s_tot, COUNT(*) AS n_tot
+                FROM g GROUP BY 1, 2),
+        bits AS (SELECT d, f, idx,
+                   CASE WHEN s_cell * n_tot > s_tot * n_cell
+                        THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d, f)),
+        fh AS (SELECT d, f,
+                 CAST(SUM(CASE WHEN idx // 16 = 0
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b0,
+                 CAST(SUM(CASE WHEN idx // 16 = 1
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b1,
+                 CAST(SUM(CASE WHEN idx // 16 = 2
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b2,
+                 CAST(SUM(CASE WHEN idx // 16 = 3
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b3
+               FROM bits GROUP BY 1, 2)
+        SELECT a2.d AS media_a, b2.d AS media_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM fh a2 JOIN fh b2
+          ON a2.b0 = b2.b0 AND a2.b1 = b2.b1 AND a2.b2 = b2.b2
+         AND a2.b3 = b2.b3 AND a2.d < b2.d
+        GROUP BY 1, 2
+        ORDER BY media_a, media_b"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val vid = udf((d: Long) => makeVideo(d))
+      val originals = mediaTable(docs).filter(col("kind") === "video")
+        .select(col("media_id").cast("long"), col("kind"),
+          vid(col("media_id")).as("payload"))
+      val corpus = originals.unionByName(
+        trimmedVideoCopies(spark, originals, offset = 10000L, cut = 1))
+      videoSharedFramePairs(spark, corpus)
+        .orderBy(col("media_a"), col("media_b"))
     })
   )
 
@@ -781,34 +847,43 @@ object Multimodal {
           val img = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(m.payload))
           require(img != null, "undecodable image payload")
-          val (w, h) = (img.getWidth, img.getHeight)
-          val cellSum = new Array[Long](64)
-          val cellN = new Array[Long](64)
-          var sTot = 0L
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val p = img.getRGB(x, y)
-              val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
-              val idx = (y * 8 / h) * 8 + (x * 8 / w)
-              cellSum(idx) += gray; cellN(idx) += 1; sTot += gray
-              x += 1
-            }
-            y += 1
-          }
-          val nTot = w.toLong * h
-          val bands = new Array[Long](4)
-          var i = 0
-          while (i < 64) {
-            if (cellSum(i) * nTot > sTot * cellN(i))
-              bands(i / 16) |= 1L << (i % 16)
-            i += 1
-          }
+          val bands = aHashBands(img)
           PHashRow(m.media_id, bands(0), bands(1), bands(2), bands(3))
         }
       }.toDF()
     bandedHammingPairs(hashes, maxDist)
+  }
+
+  /** 8×8 average-hash of one decoded image as four 16-bit bands:
+    * bit(cell) = 1 iff the cell's mean gray (r+g+b) exceeds the global
+    * mean, compared by integer cross-multiplication (no float
+    * thresholds). Shared by the image, and per-frame video, fingerprints.
+    */
+  private def aHashBands(img: java.awt.image.BufferedImage): Array[Long] = {
+    val (w, h) = (img.getWidth, img.getHeight)
+    val cellSum = new Array[Long](64)
+    val cellN = new Array[Long](64)
+    var sTot = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val p = img.getRGB(x, y)
+        val gray = ((p >> 16) & 0xff) + ((p >> 8) & 0xff) + (p & 0xff)
+        val idx = (y * 8 / h) * 8 + (x * 8 / w)
+        cellSum(idx) += gray; cellN(idx) += 1; sTot += gray
+        x += 1
+      }
+      y += 1
+    }
+    val nTot = w.toLong * h
+    val bands = new Array[Long](4)
+    var i = 0
+    while (i < 64) {
+      if (cellSum(i) * nTot > sTot * cellN(i)) bands(i / 16) |= 1L << (i % 16)
+      i += 1
+    }
+    bands
   }
 
   /** Shared banded-hamming tail for all 64-bit perceptual fingerprints
@@ -893,6 +968,108 @@ object Multimodal {
         }
       }.toDF()
     bandedHammingPairs(hashes, maxDist)
+  }
+
+  final case class FrameHashRow(media_id: Long, f: Int, b0: Long, b1: Long,
+                                b2: Long, b3: Long)
+
+  /** Video near-duplicate pairs by SHARED FRAME fingerprints: every clip's
+    * frames demux (real GRFV container parse) and decode (real per-frame
+    * PNG), each frame hashes to the 64-bit [[aHashBands]] fingerprint, and
+    * two clips pair when any frames collide on the FULL 64-bit hash —
+    * reported with the number of matching frame pairs. This is the
+    * shared-scene detector of video dedup: a trimmed or re-containered
+    * re-upload shares every surviving frame with its source while
+    * whole-file hashing sees two unrelated blobs.
+    *
+    * 100 TB shape: demux+hash is one payload scan emitting 4 longs per
+    * FRAME (pixels never leave the task); the pair stage is an equi-join
+    * on the 64-bit hash (hash-partitioned, candidate volume ∝ genuinely
+    * colliding frames) + one count aggregate. A corpus full of one static
+    * frame (black slates) concentrates a hash bucket — cap frame-hash
+    * buckets upstream, the df-cap analogue, before pairing.
+    */
+  def videoSharedFramePairs(spark: SparkSession, media: DataFrame): DataFrame = {
+    val fh = videoFrameHashes(spark, media)
+    val a = fh.select(col("media_id").as("da"), col("b0"), col("b1"),
+      col("b2"), col("b3"))
+    val b = fh.select(col("media_id").as("db"), col("b0"), col("b1"),
+      col("b2"), col("b3"))
+    a.join(b, Seq("b0", "b1", "b2", "b3"))
+      .filter(col("da") < col("db"))
+      .groupBy(col("da").as("media_a"), col("db").as("media_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Per-frame 64-bit aHash fingerprints of every video row: demux the
+    * GRFV container, decode each PNG frame, hash — one payload scan,
+    * constant state per frame. */
+  def videoFrameHashes(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { m =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val magic = new Array[Byte](4)
+          in.readFully(magic)
+          require(new String(magic, "US-ASCII") == "GRFV", "bad video magic")
+          val nf = in.readInt()
+          (0 until nf).map { f =>
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(bytes))
+            require(img != null, "undecodable frame payload")
+            val bands = aHashBands(img)
+            FrameHashRow(m.media_id, f, bands(0), bands(1), bands(2),
+              bands(3))
+          }
+        }
+      }.toDF()
+  }
+
+  /** Test-fixture near-dup planter for video: a TRIMMED re-container of
+    * every clip — the first `cut` frames dropped, the surviving frames'
+    * PNG bytes copied VERBATIM into a fresh container under
+    * `media_id + offset`. The "re-uploaded with the intro cut" class:
+    * whole-file hashing sees an unrelated blob, frame fingerprints see
+    * every surviving frame.
+    */
+  def trimmedVideoCopies(spark: SparkSession, media: DataFrame, offset: Long,
+                         cut: Int): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.map { m =>
+          val in = new java.io.DataInputStream(
+            new java.io.ByteArrayInputStream(m.payload))
+          val magic = new Array[Byte](4)
+          in.readFully(magic)
+          require(new String(magic, "US-ASCII") == "GRFV", "bad video magic")
+          val nf = in.readInt()
+          val frames = (0 until nf).map { _ =>
+            val len = in.readInt()
+            val bytes = new Array[Byte](len)
+            in.readFully(bytes)
+            bytes
+          }
+          val keep = frames.drop(cut)
+          val bos = new java.io.ByteArrayOutputStream()
+          val out = new java.io.DataOutputStream(bos)
+          out.writeBytes("GRFV")
+          out.writeInt(keep.size)
+          keep.foreach { fb => out.writeInt(fb.length); out.write(fb) }
+          out.flush()
+          MediaRow(m.media_id + offset, "video", bos.toByteArray)
+        }
+      }.toDF()
   }
 
   /** Test-fixture near-dup planter for audio (the [[brightenedCopies]]

@@ -191,6 +191,51 @@ class MultimodalSpec extends SparkSpec {
     assert(a == run(corpus.repartition(7)) && a.nonEmpty)
   }
 
+  private lazy val videoRows = {
+    val vid = udf((d: Long) => Multimodal.makeVideo(d))
+    Multimodal.mediaTable(Tables(spark, sf("sf0.001")).documents)
+      .filter(col("kind") === "video")
+      .select(col("media_id").cast("long"), col("kind"),
+        vid(col("media_id")).as("payload"))
+      .cache()
+  }
+
+  test("videoSharedFramePairs: a trimmed re-container shares exactly its surviving frames") {
+    val corpus = videoRows.limit(15).unionByName(
+      Multimodal.trimmedVideoCopies(spark, videoRows.limit(15),
+        offset = 50000L, cut = 1))
+    val got = Multimodal.videoSharedFramePairs(spark, corpus)
+      .filter(col("media_b") === col("media_a") + 50000L)
+      .collect().map(r => (r.getAs[Long]("media_a"),
+        r.getAs[Long]("n_shared"))).toMap
+    assert(got.size == 15, s"${got.size} of 15 twins found")
+    // original has d % 4 + 2 frames; the copy drops one
+    got.foreach { case (d, n) => assert(n == d % 4 + 1, s"clip $d: $n") }
+  }
+
+  test("videoSharedFramePairs: an untrimmed re-container shares every frame") {
+    val corpus = videoRows.limit(10).unionByName(
+      Multimodal.trimmedVideoCopies(spark, videoRows.limit(10),
+        offset = 50000L, cut = 0))
+    val got = Multimodal.videoSharedFramePairs(spark, corpus)
+      .filter(col("media_b") === col("media_a") + 50000L)
+      .collect().map(r => (r.getAs[Long]("media_a"),
+        r.getAs[Long]("n_shared"))).toMap
+    assert(got.size == 10)
+    got.foreach { case (d, n) => assert(n == d % 4 + 2, s"clip $d: $n") }
+  }
+
+  test("videoSharedFramePairs is partitioning-independent") {
+    val corpus = videoRows.limit(20).unionByName(
+      Multimodal.trimmedVideoCopies(spark, videoRows.limit(20),
+        offset = 50000L, cut = 1))
+    def run(d: org.apache.spark.sql.DataFrame) =
+      Multimodal.videoSharedFramePairs(spark, d)
+        .orderBy("media_a", "media_b").collect().toSeq
+    val a = run(corpus)
+    assert(a == run(corpus.repartition(7)) && a.nonEmpty)
+  }
+
   test("imagePHashPairs is partitioning-independent") {
     val corpus = imageRows.limit(30).unionByName(
       Multimodal.brightenedCopies(spark, imageRows.limit(30),
