@@ -430,6 +430,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p.take(1500))
   }
 
+  test("q140/q141/q142: fingerprint candidates are equi-joins on hash keys, never nested-loop") {
+    for (name <- Seq("q140_image_phash", "q141_audio_fingerprint",
+        "q142_video_shingle")) {
+      val p = planString(name)
+      assert(!p.contains("BroadcastNestedLoopJoin") &&
+        !p.contains("CartesianProduct"), s"$name: ${p.take(1200)}")
+      assert(p.contains("Join"), s"$name plans no join at all")
+    }
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }
