@@ -226,6 +226,35 @@ object BenchScale {
         operators.Multimodal.imagePHashPairs(spark, corpus, maxDist = 3)
           .count(); ()
       }) ++
+      // Audio fingerprint dedup end-to-end (WAV synth + decode + shifted
+      // transcode + hash + banded join): clips ∝ scale, constant per-clip
+      // work — the q140 shape on the audio modality.
+      row("q141_audio_fingerprint")(bestOf2 {
+        val wav = udf((d: Long) =>
+          operators.Multimodal.makeWav(d, operators.Multimodal.audioN(d)))
+        val originals = operators.Multimodal.mediaTable(t.documents)
+          .filter(col("kind") === "audio")
+          .select(col("media_id").cast("long"), col("kind"),
+            wav(col("media_id")).as("payload"))
+        val corpus = originals.unionByName(operators.Multimodal
+          .shiftedAudioCopies(spark, originals, offset = 10000000L, delta = 1))
+        operators.Multimodal.audioFingerprintPairs(spark, corpus, maxDist = 3)
+          .count(); ()
+      }) ++
+      // Video shared-frame dedup end-to-end (GRFV synth + demux + trimmed
+      // re-container + per-frame hash + frame-hash equi-join): frames ∝
+      // scale; the join's candidate volume is genuinely-colliding frames.
+      row("q142_video_shingle")(bestOf2 {
+        val vid = udf((d: Long) => operators.Multimodal.makeVideo(d))
+        val originals = operators.Multimodal.mediaTable(t.documents)
+          .filter(col("kind") === "video")
+          .select(col("media_id").cast("long"), col("kind"),
+            vid(col("media_id")).as("payload"))
+        val corpus = originals.unionByName(operators.Multimodal
+          .trimmedVideoCopies(spark, originals, offset = 10000000L, cut = 1))
+        operators.Multimodal.videoSharedFramePairs(spark, corpus)
+          .count(); ()
+      }) ++
       // Incremental-LSH probe with the index PREBUILT (cached + forced
       // outside the timer) and a FIXED ~500-doc batch (the 1×-replica
       // originals — GenScale shifts replica ids upward, so doc_id<5000
