@@ -634,9 +634,12 @@ object Multimodal {
         WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
             + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3
         ORDER BY media_a, media_b"""))((spark, dir) => {
+      // cache: the originals feed BOTH union branches (hash pass + copy
+      // synthesis) — uncached, every payload would encode twice
       val originals = mediaTableWithImages(Tables(spark, dir).documents)
         .filter(col("kind") === "image")
         .select(col("media_id").cast("long"), col("kind"), col("payload"))
+        .cache()
       val corpus = originals.unionByName(
         brightenedCopies(spark, originals, offset = 10000L, delta = 1))
       imagePHashPairs(spark, corpus, maxDist = 3)
@@ -692,6 +695,7 @@ object Multimodal {
       val originals = mediaTable(docs).filter(col("kind") === "audio")
         .select(col("media_id").cast("long"), col("kind"),
           wav(col("media_id")).as("payload"))
+        .cache() // both union branches read the synthesized payloads
       val corpus = originals.unionByName(
         shiftedAudioCopies(spark, originals, offset = 10000L, delta = 1))
       audioFingerprintPairs(spark, corpus, maxDist = 3)
@@ -758,6 +762,7 @@ object Multimodal {
       val originals = mediaTable(docs).filter(col("kind") === "video")
         .select(col("media_id").cast("long"), col("kind"),
           vid(col("media_id")).as("payload"))
+        .cache() // both union branches read the synthesized payloads
       val corpus = originals.unionByName(
         trimmedVideoCopies(spark, originals, offset = 10000L, cut = 1))
       videoSharedFramePairs(spark, corpus)
