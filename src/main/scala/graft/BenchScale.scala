@@ -221,6 +221,7 @@ object BenchScale {
           .mediaTableWithImages(t.documents)
           .filter(col("kind") === "image")
           .select(col("media_id").cast("long"), col("kind"), col("payload"))
+          .cache() // both union branches read the synthesized payloads
         val corpus = originals.unionByName(operators.Multimodal
           .brightenedCopies(spark, originals, offset = 10000000L, delta = 1))
         operators.Multimodal.imagePHashPairs(spark, corpus, maxDist = 3)
@@ -236,6 +237,7 @@ object BenchScale {
           .filter(col("kind") === "audio")
           .select(col("media_id").cast("long"), col("kind"),
             wav(col("media_id")).as("payload"))
+          .cache() // both union branches read the synthesized payloads
         val corpus = originals.unionByName(operators.Multimodal
           .shiftedAudioCopies(spark, originals, offset = 10000000L, delta = 1))
         operators.Multimodal.audioFingerprintPairs(spark, corpus, maxDist = 3)
@@ -250,10 +252,30 @@ object BenchScale {
           .filter(col("kind") === "video")
           .select(col("media_id").cast("long"), col("kind"),
             vid(col("media_id")).as("payload"))
+          .cache() // both union branches read the synthesized payloads
         val corpus = originals.unionByName(operators.Multimodal
           .trimmedVideoCopies(spark, originals, offset = 10000000L, cut = 1))
         operators.Multimodal.videoSharedFramePairs(spark, corpus)
           .count(); ()
+      }) ++
+      // Fingerprint dedup in the CLUSTER contract — the scale path q141's
+      // super-linear pair row demanded: identical fingerprints group
+      // (linear), the banded pair stage runs over DISTINCT fingerprints
+      // only, components close over the links. Must stay ≈ linear where
+      // the pair row bends.
+      row("q143_audio_clusters")(bestOf2 {
+        val wav = udf((d: Long) =>
+          operators.Multimodal.makeWav(d, operators.Multimodal.audioN(d)))
+        val originals = operators.Multimodal.mediaTable(t.documents)
+          .filter(col("kind") === "audio")
+          .select(col("media_id").cast("long"), col("kind"),
+            wav(col("media_id")).as("payload"))
+          .cache() // both union branches read the synthesized payloads
+        val corpus = originals.unionByName(operators.Multimodal
+          .shiftedAudioCopies(spark, originals, offset = 10000000L, delta = 1))
+        operators.Multimodal.fingerprintDedupClusters(
+          operators.Multimodal.audioFingerprintHashes(spark, corpus),
+          maxDist = 3).count(); ()
       }) ++
       // Incremental-LSH probe with the index PREBUILT (cached + forced
       // outside the timer) and a FIXED ~500-doc batch (the 1×-replica

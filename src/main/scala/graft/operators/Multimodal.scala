@@ -177,16 +177,12 @@ object Multimodal {
       val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
         new java.io.ByteArrayInputStream(payload))
       val rate = ais.getFormat.getSampleRate.toInt
-      val bytes = ais.readAllBytes()
+      val samples = Multimodal.pcm16(ais.readAllBytes())
       ais.close()
-      val n = bytes.length / 2
+      val n = samples.length
       var ss = 0L
       var i = 0
-      while (i < n) {
-        val v = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8)).toShort.toInt
-        ss += v.toLong * v
-        i += 1
-      }
+      while (i < n) { ss += samples(i).toLong * samples(i); i += 1 }
       (rate, n, math.sqrt(ss.toDouble / n))
     }
   }
@@ -767,6 +763,82 @@ object Multimodal {
         trimmedVideoCopies(spark, originals, offset = 10000L, cut = 1))
       videoSharedFramePairs(spark, corpus)
         .orderBy(col("media_a"), col("media_b"))
+    }),
+
+    // Fingerprint dedup with CLUSTER output — the scale-correct contract
+    // the three-point study demanded after q141's pair enumeration went
+    // super-linear (duplicate classes grow with this corpus, so pair
+    // output is quadratic BY CONTRACT). Same corpus as q141; output is
+    // each clip's near-dup cluster label: identical fingerprints group,
+    // distinct fingerprints link through the banded stage, components
+    // close over the links.
+    Query(
+      "q143_audio_dedup_clusters",
+      Some("""
+        WITH RECURSIVE a AS (SELECT doc_id AS b, ((doc_id % 400) + 100)::INT AS n
+                   FROM documents WHERE doc_id % 3 = 1),
+        variants AS (SELECT b, b AS d, 0 AS sh, n FROM a
+                     UNION ALL SELECT b, b + 10000, 1, n FROM a),
+        s AS (SELECT d, n, i,
+                ((i*37 + b*11) % 2001 - 1000) + sh AS val
+              FROM variants, unnest(range(0, n)) AS t(i)),
+        g AS (SELECT d, n, (i * 64 // n) AS f, val * val AS e FROM s),
+        cells AS (SELECT d, f, SUM(e) AS ef, COUNT(*) AS cf
+                  FROM g GROUP BY 1, 2),
+        tot AS (SELECT d, SUM(e) AS et, COUNT(*) AS ct FROM g GROUP BY 1),
+        bits AS (SELECT d, f,
+                   CASE WHEN ef * ct > et * cf THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d)),
+        bands AS (SELECT d, f // 16 AS k,
+                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2),
+        hash4 AS (SELECT d,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY d),
+        grp AS (SELECT b0, b1, b2, b3, MIN(d) AS rep
+                FROM hash4 GROUP BY 1, 2, 3, 4),
+        members AS (SELECT h.d, g2.rep
+                    FROM hash4 h JOIN grp g2 USING (b0, b1, b2, b3)),
+        repfp AS (SELECT rep AS d, b0, b1, b2, b3 FROM grp),
+        bands2 AS (SELECT d, 0 AS k, b0 AS v FROM repfp
+                   UNION ALL SELECT d, 1, b1 FROM repfp
+                   UNION ALL SELECT d, 2, b2 FROM repfp
+                   UNION ALL SELECT d, 3, b3 FROM repfp),
+        cand AS (SELECT DISTINCT a2.d AS da, b2.d AS db
+                 FROM bands2 a2 JOIN bands2 b2
+                   ON a2.k = b2.k AND a2.v = b2.v AND a2.d < b2.d),
+        near AS (SELECT da, db
+                 FROM cand JOIN repfp ha ON ha.d = da
+                           JOIN repfp hb ON hb.d = db
+                 WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3),
+        edges AS (SELECT da AS src, db AS dst FROM near
+                  UNION SELECT db, da FROM near),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        cc AS (SELECT doc, least(doc, MIN(dst)) AS lbl
+               FROM (SELECT src AS doc, dst FROM reach)
+               GROUP BY doc)
+        SELECT m.d AS media_id, COALESCE(c.lbl, m.rep) AS cluster
+        FROM members m LEFT JOIN cc c ON c.doc = m.rep
+        ORDER BY media_id"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      val originals = mediaTable(docs).filter(col("kind") === "audio")
+        .select(col("media_id").cast("long"), col("kind"),
+          wav(col("media_id")).as("payload"))
+        .cache() // both union branches read the synthesized payloads
+      val corpus = originals.unionByName(
+        shiftedAudioCopies(spark, originals, offset = 10000L, delta = 1))
+      fingerprintDedupClusters(
+          audioFingerprintHashes(spark, corpus), maxDist = 3)
+        .orderBy(col("media_id"))
     })
   )
 
@@ -798,9 +870,9 @@ object Multimodal {
             var x = 0
             while (x < w) {
               val p = img.getRGB(x, y)
-              val r = math.min(((p >> 16) & 0xff) + delta, 255)
-              val g = math.min(((p >> 8) & 0xff) + delta, 255)
-              val b = math.min((p & 0xff) + delta, 255)
+              val r = math.max(0, math.min(((p >> 16) & 0xff) + delta, 255))
+              val g = math.max(0, math.min(((p >> 8) & 0xff) + delta, 255))
+              val b = math.max(0, math.min((p & 0xff) + delta, 255))
               out.setRGB(x, y, (r << 16) | (g << 8) | b)
               x += 1
             }
@@ -859,6 +931,37 @@ object Multimodal {
     bandedHammingPairs(hashes, maxDist)
   }
 
+  /** Sign of `a·b − c·d` for NON-NEGATIVE longs without overflow
+    * (128-bit compare via multiplyHigh): the threshold comparison of the
+    * fingerprint hashes. A plain `a*b > c*d` wraps once a long clip's
+    * energy sum (or a gigapixel image's gray sum) crosses 2⁶³ and
+    * silently corrupts fingerprint bits; the DuckDB oracles compute the
+    * same products in 128-bit HUGEINT, so this keeps engine and oracle
+    * exact over the full input range.
+    */
+  private def prodCompare(a: Long, b: Long, c: Long, d: Long): Int = {
+    val hi1 = Math.multiplyHigh(a, b); val lo1 = a * b
+    val hi2 = Math.multiplyHigh(c, d); val lo2 = c * d
+    if (hi1 != hi2) java.lang.Long.compare(hi1, hi2)
+    else java.lang.Long.compareUnsigned(lo1, lo2)
+  }
+
+  /** Little-endian 16-bit mono PCM → samples. THE byte-to-sample decode,
+    * shared by [[AudioCodec]], the audio fingerprint and the fixture
+    * transcoder — a format change lands in one place or the fingerprint
+    * and fixture silently diverge.
+    */
+  private[operators] def pcm16(bytes: Array[Byte]): Array[Int] = {
+    val n = bytes.length / 2
+    val out = new Array[Int](n)
+    var i = 0
+    while (i < n) {
+      out(i) = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8)).toShort.toInt
+      i += 1
+    }
+    out
+  }
+
   /** 8×8 average-hash of one decoded image as four 16-bit bands:
     * bit(cell) = 1 iff the cell's mean gray (r+g+b) exceeds the global
     * mean, compared by integer cross-multiplication (no float
@@ -885,7 +988,8 @@ object Multimodal {
     val bands = new Array[Long](4)
     var i = 0
     while (i < 64) {
-      if (cellSum(i) * nTot > sTot * cellN(i)) bands(i / 16) |= 1L << (i % 16)
+      if (prodCompare(cellSum(i), nTot, sTot, cellN(i)) > 0)
+        bands(i / 16) |= 1L << (i % 16)
       i += 1
     }
     bands
@@ -903,8 +1007,13 @@ object Multimodal {
     * flat-content template concentrates one band bucket — cap band
     * buckets upstream (the shingle-df-cap analogue) if that happens.
     */
-  def bandedHammingPairs(hashes: DataFrame, maxDist: Int): DataFrame = {
+  def bandedHammingPairs(hashesRaw: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4x16 banding is only pigeonhole-exact to dist 3")
+    // The hash table (5 longs per item) feeds TWO independent plan
+    // branches (band candidates; hamming verify sides). Uncached, each
+    // branch would re-run the upstream payload decode — the dominant
+    // cost. Caching here is what makes "one payload scan" true.
+    val hashes = hashesRaw.cache()
     val bands = hashes.select(col("media_id"), explode(array(
         struct(lit(0).as("k"), col("b0").as("v")),
         struct(lit(1).as("k"), col("b1").as("v")),
@@ -941,23 +1050,28 @@ object Multimodal {
     * constant per-clip state, banded join — is identical).
     */
   def audioFingerprintPairs(spark: SparkSession, media: DataFrame,
-                            maxDist: Int): DataFrame = {
+                            maxDist: Int): DataFrame =
+    bandedHammingPairs(audioFingerprintHashes(spark, media), maxDist)
+
+  /** Per-clip 64-frame energy fingerprints (see [[audioFingerprintPairs]])
+    * as (media_id, b0..b3) — the shared front of the pair and cluster
+    * outputs. */
+  def audioFingerprintHashes(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashes = media.filter(col("kind") === "audio")
+    media.filter(col("kind") === "audio")
       .select(col("media_id").cast("long"), col("kind"), col("payload"))
       .as[MediaRow]
       .mapPartitions { it =>
         it.map { m =>
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.payload))
-          val bytes = ais.readAllBytes(); ais.close()
-          val n = bytes.length / 2
+          val samples = pcm16(ais.readAllBytes()); ais.close()
+          val n = samples.length
           val eF = new Array[Long](64); val cF = new Array[Long](64)
           var eTot = 0L
           var i = 0
           while (i < n) {
-            val v = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8))
-              .toShort.toInt
+            val v = samples(i)
             val e = v.toLong * v
             val f = (i.toLong * 64 / n).toInt
             eF(f) += e; cF(f) += 1; eTot += e
@@ -966,13 +1080,54 @@ object Multimodal {
           val bands = new Array[Long](4)
           var f = 0
           while (f < 64) {
-            if (eF(f) * n > eTot * cF(f)) bands(f / 16) |= 1L << (f % 16)
+            if (prodCompare(eF(f), n, eTot, cF(f)) > 0)
+              bands(f / 16) |= 1L << (f % 16)
             f += 1
           }
           PHashRow(m.media_id, bands(0), bands(1), bands(2), bands(3))
         }
       }.toDF()
-    bandedHammingPairs(hashes, maxDist)
+  }
+
+  /** Fingerprint dedup with CLUSTER output — the scale-correct contract
+    * when duplicate classes grow with the corpus. The three-point study
+    * caught [[audioFingerprintPairs]] going super-linear at 30×
+    * (leg 1.32) and the root cause is the OUTPUT: this corpus carries
+    * duplicate classes ∝ scale, so enumerating media-level pairs is
+    * Ω(n²/classes) BY CONTRACT — no join strategy fixes an output that
+    * big. The dedup a pipeline actually needs is the cluster map:
+    *
+    *  1. group identical fingerprints (one map-side-combinable aggregate,
+    *     linear) — rep = min media id per fingerprint;
+    *  2. run the banded near-dup pair stage over DISTINCT fingerprints
+    *     only (12 k rows where the corpus has 100 k clips at 30×);
+    *  3. connected components over the rep pair graph (tiny), then the
+    *     membership join carries every clip to its cluster label.
+    *
+    * Output: (media_id, cluster) — cluster = smallest media id reachable
+    * through identical-fingerprint groups and ≤ maxDist near-dup links.
+    * Cost is linear in clips + quadratic ONLY in distinct fingerprints —
+    * the exact-dedup-then-near-dup layering of [[Dedup]]'s text family,
+    * applied to perceptual hashes.
+    */
+  def fingerprintDedupClusters(hashesRaw: DataFrame, maxDist: Int): DataFrame = {
+    val h = hashesRaw.cache()
+    val fpCols = Seq("b0", "b1", "b2", "b3").map(col)
+    val groups = h.groupBy(fpCols: _*).agg(min(col("media_id")).as("rep"))
+    val members = h.join(groups, Seq("b0", "b1", "b2", "b3"))
+      .select(col("media_id"), col("rep"))
+    val repFps = groups.select(col("rep").as("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3"))
+    // dist-0 pairs cannot occur here (identical fingerprints share a
+    // group), so every pair is a genuine near-link between distinct
+    // fingerprints
+    val near = bandedHammingPairs(repFps, maxDist)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val cc = Pipeline.connectedComponents(near)
+      .select(col("doc").as("cc_rep"), col("label"))
+    members.join(cc, col("rep") === col("cc_rep"), "left")
+      .select(col("media_id"),
+        coalesce(col("label"), col("rep")).as("cluster"))
   }
 
   final case class FrameHashRow(media_id: Long, f: Int, b0: Long, b1: Long,
@@ -995,7 +1150,8 @@ object Multimodal {
     * buckets upstream, the df-cap analogue, before pairing.
     */
   def videoSharedFramePairs(spark: SparkSession, media: DataFrame): DataFrame = {
-    val fh = videoFrameHashes(spark, media)
+    // cached for the same two-branch reason as [[bandedHammingPairs]]
+    val fh = videoFrameHashes(spark, media).cache()
     val a = fh.select(col("media_id").as("da"), col("b0"), col("b1"),
       col("b2"), col("b3"))
     val b = fh.select(col("media_id").as("db"), col("b0"), col("b1"),
@@ -1092,15 +1248,13 @@ object Multimodal {
           val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
             new java.io.ByteArrayInputStream(m.payload))
           val fmt = ais.getFormat
-          val bytes = ais.readAllBytes(); ais.close()
-          val n = bytes.length / 2
+          val samples = pcm16(ais.readAllBytes()); ais.close()
+          val n = samples.length
           val out = new Array[Byte](n * 2)
           var i = 0
           while (i < n) {
-            val v = ((bytes(i * 2) & 0xff) | (bytes(i * 2 + 1) << 8))
-              .toShort.toInt
             val s = math.max(Short.MinValue.toInt,
-              math.min(v + delta, Short.MaxValue.toInt))
+              math.min(samples(i) + delta, Short.MaxValue.toInt))
             out(i * 2) = (s & 0xff).toByte
             out(i * 2 + 1) = ((s >> 8) & 0xff).toByte
             i += 1

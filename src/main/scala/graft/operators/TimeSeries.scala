@@ -234,8 +234,12 @@ object TimeSeries {
     * per-slot volumes `s·10⁶` approaches BIGINT range around Σcnt ~ 9·10¹²
     * per slot; promote the two sums to decimal(38,0) before that.)
     */
-  def seasonalAnomaly(series: DataFrame, season: Int = 24, minN: Long = 4,
+  def seasonalAnomaly(seriesRaw: DataFrame, season: Int = 24, minN: Long = 4,
                       z: Long = 3): DataFrame = {
+    // the series feeds both the profile aggregate and the probe side of
+    // the join — cached, its (usually expensive) upstream aggregation
+    // runs once instead of once per branch
+    val series = seriesRaw.cache()
     val hod = pmod(col("hr"), lit(season.toLong))
     val prof = series.groupBy(col("key"), hod.as("hod"))
       .agg(count(lit(1)).as("n"), sum(col("cnt")).as("s"),

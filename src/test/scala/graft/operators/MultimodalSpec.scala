@@ -128,8 +128,8 @@ class MultimodalSpec extends SparkSpec {
     .cache()
 
   test("imagePHashPairs: an exact re-encode (delta=0) pairs at distance 0") {
-    val corpus = imageRows.limit(20).unionByName(
-      Multimodal.brightenedCopies(spark, imageRows.limit(20),
+    val corpus = imageRows.orderBy("media_id").limit(20).unionByName(
+      Multimodal.brightenedCopies(spark, imageRows.orderBy("media_id").limit(20),
         offset = 50000L, delta = 0))
     val got = Multimodal.imagePHashPairs(spark, corpus, maxDist = 3)
       .collect().map(r => (r.getAs[Long]("media_a"),
@@ -160,8 +160,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("audioFingerprintPairs: an exact re-encode (delta=0) pairs at distance 0") {
-    val corpus = audioRows.limit(20).unionByName(
-      Multimodal.shiftedAudioCopies(spark, audioRows.limit(20),
+    val corpus = audioRows.orderBy("media_id").limit(20).unionByName(
+      Multimodal.shiftedAudioCopies(spark, audioRows.orderBy("media_id").limit(20),
         offset = 50000L, delta = 0))
     val got = Multimodal.audioFingerprintPairs(spark, corpus, maxDist = 3)
       .collect().map(r => (r.getAs[Long]("media_a"),
@@ -181,8 +181,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("audioFingerprintPairs is partitioning-independent") {
-    val corpus = audioRows.limit(30).unionByName(
-      Multimodal.shiftedAudioCopies(spark, audioRows.limit(30),
+    val corpus = audioRows.orderBy("media_id").limit(30).unionByName(
+      Multimodal.shiftedAudioCopies(spark, audioRows.orderBy("media_id").limit(30),
         offset = 50000L, delta = 1))
     def run(d: org.apache.spark.sql.DataFrame) =
       Multimodal.audioFingerprintPairs(spark, d, maxDist = 3)
@@ -201,8 +201,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("videoSharedFramePairs: a trimmed re-container shares exactly its surviving frames") {
-    val corpus = videoRows.limit(15).unionByName(
-      Multimodal.trimmedVideoCopies(spark, videoRows.limit(15),
+    val corpus = videoRows.orderBy("media_id").limit(15).unionByName(
+      Multimodal.trimmedVideoCopies(spark, videoRows.orderBy("media_id").limit(15),
         offset = 50000L, cut = 1))
     val got = Multimodal.videoSharedFramePairs(spark, corpus)
       .filter(col("media_b") === col("media_a") + 50000L)
@@ -214,8 +214,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("videoSharedFramePairs: an untrimmed re-container shares every frame") {
-    val corpus = videoRows.limit(10).unionByName(
-      Multimodal.trimmedVideoCopies(spark, videoRows.limit(10),
+    val corpus = videoRows.orderBy("media_id").limit(10).unionByName(
+      Multimodal.trimmedVideoCopies(spark, videoRows.orderBy("media_id").limit(10),
         offset = 50000L, cut = 0))
     val got = Multimodal.videoSharedFramePairs(spark, corpus)
       .filter(col("media_b") === col("media_a") + 50000L)
@@ -226,8 +226,8 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("videoSharedFramePairs is partitioning-independent") {
-    val corpus = videoRows.limit(20).unionByName(
-      Multimodal.trimmedVideoCopies(spark, videoRows.limit(20),
+    val corpus = videoRows.orderBy("media_id").limit(20).unionByName(
+      Multimodal.trimmedVideoCopies(spark, videoRows.orderBy("media_id").limit(20),
         offset = 50000L, cut = 1))
     def run(d: org.apache.spark.sql.DataFrame) =
       Multimodal.videoSharedFramePairs(spark, d)
@@ -236,9 +236,46 @@ class MultimodalSpec extends SparkSpec {
     assert(a == run(corpus.repartition(7)) && a.nonEmpty)
   }
 
+  test("fingerprintDedupClusters: identical fingerprints group; near-links merge; isolates stand alone") {
+    import spark.implicits._
+    // fp A: ids 1,2 (identical). fp B: id 3, hamming 1 from A (near-link
+    // in band 0, other bands equal). fp C: id 9, far from everything.
+    val hashes = Seq(
+      (1L, 5L, 7L, 9L, 11L),
+      (2L, 5L, 7L, 9L, 11L),
+      (3L, 4L, 7L, 9L, 11L),   // b0 differs by one bit (5^4=1)
+      (9L, 1L << 15, 1L << 14, 1L << 13, 1L << 12))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    val got = Multimodal.fingerprintDedupClusters(hashes, maxDist = 3)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 9L), got.toString)
+  }
+
+  test("fingerprintDedupClusters equals pair output + components on the audio corpus") {
+    // The cluster contract must agree with the pair contract where both
+    // are computable: clusters from dedupClusters == CC over the full
+    // media-level pair graph (plus singletons).
+    val corpus = audioRows.orderBy("media_id").limit(40).unionByName(
+      Multimodal.shiftedAudioCopies(spark,
+        audioRows.orderBy("media_id").limit(40), offset = 50000L, delta = 1))
+    val hashes = Multimodal.audioFingerprintHashes(spark, corpus).cache()
+    val viaClusters = Multimodal.fingerprintDedupClusters(hashes, maxDist = 3)
+      .collect().map(r => r.getAs[Long]("media_id") -> r.getAs[Long]("cluster"))
+      .toMap
+    val pairs = Multimodal.bandedHammingPairs(hashes, maxDist = 3)
+      .select(col("media_a").as("doc_a"), col("media_b").as("doc_b"))
+    val cc = Pipeline.connectedComponents(pairs)
+      .collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("label")).toMap
+    val ids = hashes.select("media_id").collect().map(_.getLong(0))
+    ids.foreach { id =>
+      assert(viaClusters(id) == cc.getOrElse(id, id), s"media $id")
+    }
+  }
+
   test("imagePHashPairs is partitioning-independent") {
-    val corpus = imageRows.limit(30).unionByName(
-      Multimodal.brightenedCopies(spark, imageRows.limit(30),
+    val corpus = imageRows.orderBy("media_id").limit(30).unionByName(
+      Multimodal.brightenedCopies(spark, imageRows.orderBy("media_id").limit(30),
         offset = 50000L, delta = 1))
     def run(d: org.apache.spark.sql.DataFrame) =
       Multimodal.imagePHashPairs(spark, d, maxDist = 3)
