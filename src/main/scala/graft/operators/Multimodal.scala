@@ -839,6 +839,78 @@ object Multimodal {
       fingerprintDedupClusters(
           audioFingerprintHashes(spark, corpus), maxDist = 3)
         .orderBy(col("media_id"))
+    }),
+
+    // Steady-state ingest probe: a batch of re-encoded copies (every 5th
+    // clip, +1 shift, id + 10000) and genuinely NEW clips (fresh sounds
+    // under id + 20000) probes the corpus fingerprint index — copies
+    // must resolve to a corpus dup_of, novel clips must be kept (unless
+    // a corpus clip genuinely shares their fingerprint — decided
+    // identically by both engines).
+    Query(
+      "q144_media_index_probe",
+      Some("""
+        WITH a AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 1),
+        allv AS (SELECT b AS src, b AS d, 0 AS sh, 0 AS is_batch FROM a
+                 UNION ALL
+                 SELECT b, b + 10000, 1, 1 FROM a WHERE b % 5 = 1
+                 UNION ALL
+                 SELECT b + 20000, b + 20000, 0, 1 FROM a WHERE b % 5 = 2),
+        s AS (SELECT d, is_batch, ((src % 400) + 100)::INT AS n, i,
+                ((i*37 + src*11) % 2001 - 1000) + sh AS val
+              FROM allv,
+                   unnest(range(0, ((src % 400) + 100)::INT)) AS t(i)),
+        g AS (SELECT d, is_batch, n, (i * 64 // n) AS f, val * val AS e
+              FROM s),
+        cells AS (SELECT d, is_batch, f, SUM(e) AS ef, COUNT(*) AS cf
+                  FROM g GROUP BY 1, 2, 3),
+        tot AS (SELECT d, is_batch, SUM(e) AS et, COUNT(*) AS ct
+                FROM g GROUP BY 1, 2),
+        bits AS (SELECT d, is_batch, f,
+                   CASE WHEN ef * ct > et * cf THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d, is_batch)),
+        bands AS (SELECT d, is_batch, f // 16 AS k,
+                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2, 3),
+        hash4 AS (SELECT d, is_batch,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT bb.d AS bid, cb.d AS cid
+                 FROM bands bb JOIN bands cb
+                   ON bb.k = cb.k AND bb.v = cb.v
+                  AND bb.is_batch = 1 AND cb.is_batch = 0),
+        dup AS (SELECT bid, MIN(cid) AS dup_of
+                FROM cand
+                JOIN hash4 hb ON hb.d = bid AND hb.is_batch = 1
+                JOIN hash4 hc ON hc.d = cid AND hc.is_batch = 0
+                WHERE bit_count(xor(hb.b0, hc.b0)) + bit_count(xor(hb.b1, hc.b1))
+                    + bit_count(xor(hb.b2, hc.b2)) + bit_count(xor(hb.b3, hc.b3)) <= 3
+                GROUP BY bid)
+        SELECT h.d AS media_id, dup.dup_of, dup.dup_of IS NULL AS kept
+        FROM hash4 h LEFT JOIN dup ON dup.bid = h.d
+        WHERE h.is_batch = 1
+        ORDER BY media_id"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      val originals = mediaTable(docs).filter(col("kind") === "audio")
+        .select(col("media_id").cast("long"), col("kind"),
+          wav(col("media_id")).as("payload"))
+        .cache()
+      val copies = shiftedAudioCopies(spark,
+        originals.filter(col("media_id") % 5 === 1), offset = 10000L,
+        delta = 1)
+      val novel = docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 20000L).as("media_id"),
+          lit("audio").as("kind"),
+          wav(col("doc_id") + 20000L).as("payload"))
+      fingerprintIndexProbe(
+          audioFingerprintHashes(spark, originals),
+          audioFingerprintHashes(spark, copies.unionByName(novel)),
+          maxDist = 3)
+        .orderBy(col("media_id"))
     })
   )
 
@@ -1128,6 +1200,49 @@ object Multimodal {
     members.join(cc, col("rep") === col("cc_rep"), "left")
       .select(col("media_id"),
         coalesce(col("label"), col("rep")).as("cluster"))
+  }
+
+  /** Steady-state media-ingest dedup: an arriving batch's fingerprints
+    * probe the CORPUS fingerprint index instead of re-pairing the corpus —
+    * the perceptual-hash twin of [[Dedup.lshIndexProbe]] (q123). Each
+    * batch clip reports its smallest matching corpus id within `maxDist`
+    * (`dup_of`, null ⇒ `kept`). Per-batch cost is O(batch) hashing +
+    * index lookups on the batch's band keys + candidate verifies — never
+    * corpus-pairing. The index is 4 longs per corpus item; persisted
+    * bucketed by band key, the probe join prunes to the batch's buckets
+    * (the q91 partition-pruned-serving shape). Accepted clips APPEND
+    * their fingerprint rows — the index is a mergeable row set.
+    */
+  def fingerprintIndexProbe(index: DataFrame, batch: DataFrame,
+                            maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4x16 banding is only pigeonhole-exact to dist 3")
+    val idx = index.cache()
+    val b = batch.cache()
+    def bandify(h: DataFrame, idAs: String): DataFrame =
+      h.select(col("media_id").as(idAs), explode(array(
+          struct(lit(0).as("k"), col("b0").as("v")),
+          struct(lit(1).as("k"), col("b1").as("v")),
+          struct(lit(2).as("k"), col("b2").as("v")),
+          struct(lit(3).as("k"), col("b3").as("v")))).as("bd"))
+        .select(col(idAs), col("bd.k").as("k"), col("bd.v").as("v"))
+    val cand = bandify(idx, "cid")
+      .join(broadcast(bandify(b, "bid")), Seq("k", "v"))
+      .select(col("bid"), col("cid")).distinct()
+    val ha = b.select(col("media_id").as("bid"), col("b0").as("a0"),
+      col("b1").as("a1"), col("b2").as("a2"), col("b3").as("a3"))
+    val hc = idx.select(col("media_id").as("cid"), col("b0").as("c0"),
+      col("b1").as("c1"), col("b2").as("c2"), col("b3").as("c3"))
+    val dist = bit_count(col("a0").bitwiseXOR(col("c0"))) +
+      bit_count(col("a1").bitwiseXOR(col("c1"))) +
+      bit_count(col("a2").bitwiseXOR(col("c2"))) +
+      bit_count(col("a3").bitwiseXOR(col("c3")))
+    val dup = cand.join(broadcast(ha), "bid").join(hc, "cid")
+      .filter(dist.cast("long") <= maxDist)
+      .groupBy(col("bid")).agg(min(col("cid")).as("dup_of"))
+    b.select(col("media_id"))
+      .join(broadcast(dup), col("media_id") === col("bid"), "left")
+      .select(col("media_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
   }
 
   final case class FrameHashRow(media_id: Long, f: Int, b0: Long, b1: Long,

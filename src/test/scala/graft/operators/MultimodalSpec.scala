@@ -273,6 +273,37 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("fingerprintIndexProbe: matches resolve to the smallest corpus id; misses are kept") {
+    import spark.implicits._
+    val index = Seq(
+      (10L, 5L, 7L, 9L, 11L), (4L, 5L, 7L, 9L, 11L), // same fp twice
+      (6L, 100L, 200L, 300L, 400L))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    val batch = Seq(
+      (101L, 5L, 7L, 9L, 11L),               // exact match -> dup_of 4
+      (102L, 4L, 7L, 9L, 11L),               // hamming 1 -> dup_of 4
+      (103L, 1L << 15, 1L << 14, 1L << 13, 1L << 12)) // nothing close
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    val got = Multimodal.fingerprintIndexProbe(index, batch, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("media_id"),
+        Option(r.getAs[java.lang.Long]("dup_of")).map(_.toLong),
+        r.getAs[Boolean]("kept"))).toSet
+    assert(got == Set((101L, Some(4L), false), (102L, Some(4L), false),
+      (103L, None, true)), got.toString)
+  }
+
+  test("fingerprintIndexProbe: every re-encoded copy resolves against the corpus index") {
+    val originals = audioRows
+    val copies = Multimodal.shiftedAudioCopies(spark,
+      originals.orderBy("media_id").limit(10), offset = 50000L, delta = 1)
+    val got = Multimodal.fingerprintIndexProbe(
+      Multimodal.audioFingerprintHashes(spark, originals),
+      Multimodal.audioFingerprintHashes(spark, copies), maxDist = 3)
+    assert(got.count() == 10)
+    assert(got.filter(col("kept")).count() == 0,
+      "a planted copy escaped the index probe")
+  }
+
   test("imagePHashPairs is partitioning-independent") {
     val corpus = imageRows.orderBy("media_id").limit(30).unionByName(
       Multimodal.brightenedCopies(spark, imageRows.orderBy("media_id").limit(30),
