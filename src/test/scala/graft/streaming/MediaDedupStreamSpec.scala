@@ -1,0 +1,101 @@
+package graft.streaming
+
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class MediaDedupStreamSpec extends SparkSpec {
+
+  private def fp(id: Long, b0: Long, b1: Long = 7L, b2: Long = 9L,
+                 b3: Long = 11L) = (id, b0, b1, b2, b3)
+
+  test("streamed ingest dedup: in-batch near-dups collapse, cross-batch copies reject, novel clips append") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mds").toString
+
+    val mem = MemoryStream[(Long, Long, Long, Long, Long)]
+    val q = MediaDedupStream.dedupStream(
+      mem.toDS().toDF("media_id", "b0", "b1", "b2", "b3"),
+      s"$dir/index", s"$dir/ckpt")
+
+    // batch 1: two fingerprint-identical clips arrive TOGETHER — only the
+    // smaller id may enter the index — plus one distinct clip.
+    mem.addData(fp(5L, 100L), fp(2L, 100L), fp(9L, 1L << 15, 1L << 14))
+    q.processAllAvailable()
+    // batch 2: a near-copy of clip 2 (hamming 1) arrives later — reject;
+    // a genuinely novel clip — accept.
+    mem.addData(fp(20L, 101L), fp(30L, 1L << 9, 1L << 8, 1L << 7, 1L << 6))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = MediaDedupStream.readIndex(spark, s"$dir/index")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 9L, 30L), got.toString)
+  }
+
+  test("replayed micro-batches are no-ops; the index never double-appends") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mds2").toString
+    val idx = s"$dir/index"
+    def batch(rows: (Long, Long, Long, Long, Long)*) =
+      rows.toDF("media_id", "b0", "b1", "b2", "b3")
+
+    MediaDedupStream.applyBatch(spark, idx, batch(fp(1L, 50L)), 0L)
+    // far from clip 1 in every band (hamming >> 3)
+    MediaDedupStream.applyBatch(spark, idx,
+      batch(fp(2L, 1L << 10, 1L << 11, 1L << 12, 1L << 13)), 1L)
+    // replay of batch 1 with DIFFERENT (bogus) content must be a no-op
+    MediaDedupStream.applyBatch(spark, idx,
+      batch(fp(99L, 1L << 3, 1L << 4, 1L << 5, 1L << 6)), 1L)
+
+    val got = MediaDedupStream.readIndex(spark, idx)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L), got.toString)
+    assert(MediaDedupStream.committed(spark, idx).map(_._1).contains(1L))
+  }
+
+  test("streamed ingest equals the sequential batch reference on real audio fingerprints") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mds3").toString
+    val idx = s"$dir/index"
+    // real fingerprints: originals + shifted copies, split across two
+    // arrival batches so the cross-batch rejection path runs on real data
+    val wav = udf((d: Long) => graft.operators.Multimodal.makeWav(
+      d, graft.operators.Multimodal.audioN(d)))
+    val originals = graft.operators.Multimodal
+      .mediaTable(graft.Tables(spark, sf("sf0.001")).documents)
+      .filter(col("kind") === "audio")
+      .select(col("media_id").cast("long"), col("kind"),
+        wav(col("media_id")).as("payload"))
+      .orderBy("media_id").limit(12).cache()
+    val copies = graft.operators.Multimodal.shiftedAudioCopies(
+      spark, originals, offset = 50000L, delta = 1)
+    val h1 = graft.operators.Multimodal
+      .audioFingerprintHashes(spark, originals).cache()
+    val h2 = graft.operators.Multimodal
+      .audioFingerprintHashes(spark, copies).cache()
+
+    MediaDedupStream.applyBatch(spark, idx, h1, 0L)
+    MediaDedupStream.applyBatch(spark, idx, h2, 1L)
+
+    val streamed = MediaDedupStream.readIndex(spark, idx)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    // sequential reference: batch-1 reps enter; every batch-2 copy whose
+    // fingerprint is within dist 3 of an accepted batch-1 rep is rejected
+    val reps1 = graft.operators.Multimodal
+      .fingerprintDedupClusters(h1, maxDist = 3)
+      .filter(col("media_id") === col("cluster"))
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    val probe2 = graft.operators.Multimodal.fingerprintIndexProbe(
+        h1.join(reps1.toSeq.toDF("media_id"), "media_id"),
+        h2.join(graft.operators.Multimodal
+          .fingerprintDedupClusters(h2, maxDist = 3)
+          .filter(col("media_id") === col("cluster")).select("media_id"),
+          "media_id"),
+        maxDist = 3)
+      .filter(col("kept")).select("media_id")
+      .collect().map(_.getLong(0)).toSet
+    assert(streamed == reps1 ++ probe2, s"streamed=$streamed ref=${reps1 ++ probe2}")
+  }
+}
