@@ -286,6 +286,32 @@ object BenchScale {
       // persisted bucketed index prunes to the probed keys; target
       // exponent well below 1. One cold probe per point — best-of-2
       // would rehit the probe's own batch-side cache and flatter it.
+      // Media-index probe with the index PREBUILT (hashed + cached
+      // outside the timer) and a FIXED ~56-clip batch (1×-replica
+      // originals, the q123 convention): the steady-state per-batch cost
+      // of continuous media ingest as the corpus index grows. Target:
+      // growth tracks the index band join only, well below 1.
+      row("q144_media_probe") {
+        val wav = udf((d: Long) =>
+          operators.Multimodal.makeWav(d, operators.Multimodal.audioN(d)))
+        val audio = operators.Multimodal.mediaTable(t.documents)
+          .filter(col("kind") === "audio")
+          .select(col("media_id").cast("long"), col("kind"),
+            wav(col("media_id")).as("payload"))
+        val isBatch = col("media_id") % 10 === 1 && col("media_id") < 5000
+        val idxHashes = operators.Multimodal
+          .audioFingerprintHashes(spark, audio.filter(!isBatch)).cache()
+        idxHashes.count()
+        val batch = operators.Multimodal.shiftedAudioCopies(spark,
+          audio.filter(isBatch), offset = 10000000L, delta = 1)
+        val s = time {
+          operators.Multimodal.fingerprintIndexProbe(idxHashes,
+            operators.Multimodal.audioFingerprintHashes(spark, batch),
+            maxDist = 3).count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      } ++
       row("q123_lsh_probe") {
         val docs = t.documents
         val isBatch = col("doc_id") % 10 === 0 && col("doc_id") < 5000
