@@ -519,6 +519,62 @@ object Pipeline {
       val pairs = Dedup.ngramJaccardPairs(t.documents, "text", "doc_id", 3, 0.5)
       dedupSurvivors(t.documents, "text", "doc_id", connectedComponents(pairs))
         .orderBy(col("cluster_id"))
+    }),
+
+    // Personalized PageRank (3 rounds, damping 0.85, restart at nation-0
+    // customers) over the same customer-supplier graph as q85: which
+    // suppliers and customers matter RELATIVE to one market. Integer
+    // fixed-point end to end, so the oracle is 3 unrolled CTEs with a
+    // full hash match — the q85 proof extended with a seeded restart.
+    Query(
+      "q145_ppr",
+      Some {
+        def round(i: Int): String = s"""
+        r$i AS (SELECT b.node,
+                 b.restart + (85 * COALESCE(s.m, 0)) // 100 AS r
+               FROM base b
+               LEFT JOIN (SELECT e.dst AS node, SUM(r${i - 1}.r // o.odeg) AS m
+                          FROM edges e JOIN r${i - 1} ON r${i - 1}.node = e.src
+                          JOIN odeg o ON o.src = e.src
+                          GROUP BY e.dst) s ON s.node = b.node)"""
+        s"""
+        WITH e0 AS (SELECT DISTINCT 'c' || CAST(o_custkey AS VARCHAR) AS a,
+                           's' || CAST(l_suppkey AS VARCHAR) AS b
+                    FROM orders JOIN lineitem ON l_orderkey = o_orderkey),
+        edges AS (SELECT a AS src, b AS dst FROM e0
+                  UNION ALL SELECT b, a FROM e0),
+        nodes AS (SELECT DISTINCT src AS node FROM edges),
+        seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                  FROM customer WHERE c_nationkey = 0),
+        sx AS (SELECT COUNT(*) AS n_seeds FROM seeds),
+        odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
+        base AS (SELECT nd.node,
+                   CASE WHEN sd.node IS NOT NULL
+                        THEN 1000000000000 // x.n_seeds ELSE 0 END AS r0,
+                   CASE WHEN sd.node IS NOT NULL
+                        THEN 150000000000 // x.n_seeds ELSE 0 END AS restart
+                 FROM nodes nd CROSS JOIN sx x
+                 LEFT JOIN seeds sd ON sd.node = nd.node),
+        r0 AS (SELECT node, r0 AS r FROM base),
+        ${round(1)},
+        ${round(2)},
+        ${round(3)}
+        SELECT node, CAST(r AS BIGINT) AS pr
+        FROM r3 ORDER BY pr DESC, node LIMIT 20"""
+      })((spark, dir) => {
+      val t = Tables(spark, dir)
+      val bip = t.orders
+        .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
+          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .distinct()
+      val edges = bip.select(col("a").as("src"), col("b").as("dst"))
+        .union(bip.select(col("b").as("src"), col("a").as("dst")))
+      val seeds = t.customer.filter(col("c_nationkey") === 0)
+        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+      personalizedPageRank(edges, seeds, iters = 3)
+        .select(col("node"), col("r").as("pr"))
+        .orderBy(col("pr").desc, col("node")).limit(20)
     })
   )
 
@@ -621,6 +677,72 @@ object Pipeline {
       // this, round i's plan nests i joins, and both optimizer time and
       // task-serialized plan size grow superlinearly in iters. Values are
       // integer fixed-point, so checkpointing cannot perturb the result.
+      if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint()
+    }
+    ranks
+  }
+
+  /** Personalized PageRank: the teleport mass restarts at a SEED set
+    * instead of uniformly — ranks measure importance RELATIVE to the
+    * seeds (crawl prioritization from trusted roots, related-entity
+    * expansion from a query set). Same integer fixed-point contract as
+    * [[pageRankFixedPoint]]: rank·10¹² held as LONG, per-round
+    * `r div odeg` edge contributions, exact sums, `(85·Σ) div 100`
+    * damping — and the per-node restart base is `150000000000 div |S|`
+    * on seeds, 0 elsewhere, so every round is
+    * bit-exact on any engine and partitioning and the oracle is an
+    * unrolled CTE with a full hash match.
+    *
+    * 100 TB shape: identical to the uniform variant (one cached
+    * edge-with-odeg frame, one join + one map-side-combinable aggregate
+    * per round, lineage checkpoint cadence) plus a nodes-sized restart
+    * base computed ONCE (seed set broadcast into one join) and reused by
+    * every round.
+    */
+  def personalizedPageRank(edges0: DataFrame, seeds: DataFrame,
+                           iters: Int = 3,
+                           checkpointEvery: Int = 4): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).cache()
+    val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
+    val nodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct().cache()
+    val nNodes = nodes.count()
+    if (nNodes == 0L) {
+      edges.unpersist(false)
+      return nodes.select(col("node"), lit(0L).as("r"))
+    }
+    // Seed count is a driver literal (control-plane sized), like n_nodes
+    // in the uniform variant; an empty seed set has no restart mass to
+    // distribute, so it is an error, not a silent uniform fallback.
+    val seedSet = seeds.select(col("node")).distinct().cache()
+    val nSeeds = seedSet.count()
+    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    // Restart base per node, computed ONCE and reused by r0 and every
+    // round: 10¹²/|S| initial mass and 15·10¹⁰/|S| per-round teleport on
+    // seeds, zero elsewhere. The seed set broadcasts into the one join.
+    val base = nodes
+      .join(broadcast(seedSet.withColumn("is_seed", lit(true))),
+        Seq("node"), "left")
+      .select(col("node"),
+        when(col("is_seed"), lit(1000000000000L / nSeeds)).otherwise(0L)
+          .as("r0"),
+        when(col("is_seed"), lit(150000000000L / nSeeds)).otherwise(0L)
+          .as("restart"))
+      .localCheckpoint()
+    val ej = edges.join(odeg, "src").cache()
+    ej.count()
+    edges.unpersist(false)
+    var ranks = base.select(col("node"), col("r0").as("r"))
+    for (i <- 1 to iters) {
+      val contrib = ej.join(ranks, ej("src") === ranks("node"))
+        .select(col("dst"), expr("r div odeg").as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("m"))
+      ranks = base
+        .join(contrib, col("node") === contrib("dst"), "left")
+        .select(col("node"),
+          (col("restart") +
+            expr("(85 * coalesce(m, CAST(0 AS BIGINT))) div 100")).as("r"))
       if (checkpointEvery > 0 && i % checkpointEvery == 0 && i < iters)
         ranks = ranks.localCheckpoint()
     }

@@ -137,6 +137,41 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("personalized PageRank: hand-computed single round on a two-node cycle") {
+    import spark.implicits._
+    // A <-> B, seed {A}. r0: A=1e12, B=0. After one round:
+    // A = restart(15e10) + 85% of B's contribution (0) = 150000000000
+    // B = 0 + (85 * 1e12) div 100 = 850000000000
+    val edges = Seq(("A", "B"), ("B", "A")).toDF("src", "dst")
+    val seeds = Seq("A").toDF("node")
+    val got = Pipeline.personalizedPageRank(edges, seeds, iters = 1)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == Map("A" -> 150000000000L, "B" -> 850000000000L), got.toString)
+  }
+
+  test("personalized PageRank with ALL nodes as seeds equals uniform PageRank") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val edges = (1L to 300L).map(i => (s"n${i % 40}", s"n${(i * 7) % 40}"))
+      .filter(e => e._1 != e._2).toDF("src", "dst")
+    val allNodes = edges.select(col("src").as("node"))
+      .union(edges.select(col("dst"))).distinct()
+    val uniform = Pipeline.pageRankFixedPoint(edges, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val personalized = Pipeline.personalizedPageRank(edges, allNodes, iters = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(uniform == personalized && uniform.nonEmpty)
+  }
+
+  test("personalized PageRank rejects an empty seed set") {
+    import spark.implicits._
+    val edges = Seq(("A", "B")).toDF("src", "dst")
+    val none = Seq.empty[String].toDF("node")
+    intercept[IllegalArgumentException] {
+      Pipeline.personalizedPageRank(edges, none, iters = 1)
+    }
+  }
+
   test("dedupSurvivors keeps the highest-quality member, not the smallest id") {
     import spark.implicits._
     val rich = "the quick brown fox jumps over the lazy dog and runs to " +
