@@ -277,15 +277,6 @@ object BenchScale {
           operators.Multimodal.audioFingerprintHashes(spark, corpus),
           maxDist = 3).count(); ()
       }) ++
-      // Incremental-LSH probe with the index PREBUILT (cached + forced
-      // outside the timer) and a FIXED ~500-doc batch (the 1×-replica
-      // originals — GenScale shifts replica ids upward, so doc_id<5000
-      // is the same batch at every point): the steady-state per-batch
-      // cost of continuous-crawl dedup as the corpus index grows. The
-      // residual growth terms are the corpus-band/ok-table SCANS that a
-      // persisted bucketed index prunes to the probed keys; target
-      // exponent well below 1. One cold probe per point — best-of-2
-      // would rehit the probe's own batch-side cache and flatter it.
       // Media-index probe with the index PREBUILT (hashed + cached
       // outside the timer) and a FIXED ~56-clip batch (1×-replica
       // originals, the q123 convention): the steady-state per-batch cost
@@ -312,6 +303,15 @@ object BenchScale {
         spark.catalog.clearCache()
         s
       } ++
+      // Incremental-LSH probe with the index PREBUILT (cached + forced
+      // outside the timer) and a FIXED ~500-doc batch (the 1×-replica
+      // originals — GenScale shifts replica ids upward, so doc_id<5000
+      // is the same batch at every point): the steady-state per-batch
+      // cost of continuous-crawl dedup as the corpus index grows. The
+      // residual growth terms are the corpus-band/ok-table SCANS that a
+      // persisted bucketed index prunes to the probed keys; target
+      // exponent well below 1. One cold probe per point — best-of-2
+      // would rehit the probe's own batch-side cache and flatter it.
       row("q123_lsh_probe") {
         val docs = t.documents
         val isBatch = col("doc_id") % 10 === 0 && col("doc_id") < 5000

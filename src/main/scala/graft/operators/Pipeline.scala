@@ -521,8 +521,10 @@ object Pipeline {
         .orderBy(col("cluster_id"))
     }),
 
-    // Personalized PageRank (3 rounds, damping 0.85, restart at nation-0
-    // customers) over the same customer-supplier graph as q85: which
+    // Personalized PageRank (3 rounds, damping 0.85, restart at the
+    // nation-0 customers PRESENT in the graph — customers with no orders
+    // carry no restart share) over the same customer-supplier graph as
+    // q85: which
     // suppliers and customers matter RELATIVE to one market. Integer
     // fixed-point end to end, so the oracle is 3 unrolled CTEs with a
     // full hash match — the q85 proof extended with a seeded restart.
@@ -544,8 +546,9 @@ object Pipeline {
         edges AS (SELECT a AS src, b AS dst FROM e0
                   UNION ALL SELECT b, a FROM e0),
         nodes AS (SELECT DISTINCT src AS node FROM edges),
-        seeds AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
-                  FROM customer WHERE c_nationkey = 0),
+        seeds0 AS (SELECT DISTINCT 'c' || CAST(c_custkey AS VARCHAR) AS node
+                   FROM customer WHERE c_nationkey = 0),
+        seeds AS (SELECT s.node FROM seeds0 s JOIN nodes n ON n.node = s.node),
         sx AS (SELECT COUNT(*) AS n_seeds FROM seeds),
         odeg AS (SELECT src, COUNT(*) AS odeg FROM edges GROUP BY src),
         base AS (SELECT nd.node,
@@ -712,12 +715,17 @@ object Pipeline {
       edges.unpersist(false)
       return nodes.select(col("node"), lit(0L).as("r"))
     }
-    // Seed count is a driver literal (control-plane sized), like n_nodes
-    // in the uniform variant; an empty seed set has no restart mass to
-    // distribute, so it is an error, not a silent uniform fallback.
-    val seedSet = seeds.select(col("node")).distinct().cache()
+    // Restart mass distributes over seeds PRESENT IN THE GRAPH — a seed
+    // with no edges cannot receive or forward mass, and silently deleting
+    // its 1/|S| share would make total rank mass depend on how stale the
+    // seed list is. Seed count is a driver literal (control-plane sized),
+    // like n_nodes; an all-out-of-graph (or empty) seed set is an error,
+    // not a silent all-zero result.
+    val seedSet = seeds.select(col("node")).distinct()
+      .join(nodes, "node").cache()
     val nSeeds = seedSet.count()
-    require(nSeeds > 0, "personalized PageRank needs a non-empty seed set")
+    require(nSeeds > 0,
+      "personalized PageRank needs at least one seed present in the graph")
     // Restart base per node, computed ONCE and reused by r0 and every
     // round: 10¹²/|S| initial mass and 15·10¹⁰/|S| per-round teleport on
     // seeds, zero elsewhere. The seed set broadcasts into the one join.
@@ -730,6 +738,10 @@ object Pipeline {
         when(col("is_seed"), lit(150000000000L / nSeeds)).otherwise(0L)
           .as("restart"))
       .localCheckpoint()
+    // base is checkpoint-backed; its inputs are dead — drop them before
+    // the rounds (the double-footprint lesson in pageRankFixedPoint)
+    nodes.unpersist(false)
+    seedSet.unpersist(false)
     val ej = edges.join(odeg, "src").cache()
     ej.count()
     edges.unpersist(false)

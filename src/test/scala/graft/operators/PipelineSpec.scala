@@ -163,13 +163,34 @@ class PipelineSpec extends SparkSpec {
     assert(uniform == personalized && uniform.nonEmpty)
   }
 
-  test("personalized PageRank rejects an empty seed set") {
+  test("personalized PageRank rejects empty and all-out-of-graph seed sets") {
     import spark.implicits._
     val edges = Seq(("A", "B")).toDF("src", "dst")
     val none = Seq.empty[String].toDF("node")
     intercept[IllegalArgumentException] {
       Pipeline.personalizedPageRank(edges, none, iters = 1)
     }
+    // seeds that exist nowhere in the graph would silently produce
+    // all-zero ranks if they merely diluted the restart mass — they must
+    // error instead
+    val ghosts = Seq("X", "Y").toDF("node")
+    intercept[IllegalArgumentException] {
+      Pipeline.personalizedPageRank(edges, ghosts, iters = 1)
+    }
+  }
+
+  test("personalized PageRank: out-of-graph seeds do not dilute in-graph restart mass") {
+    import spark.implicits._
+    // seed set {A, GHOST}: only A is in the graph, so A carries the FULL
+    // restart share (|S ∩ nodes| = 1), identical to seeding {A} alone.
+    val edges = Seq(("A", "B"), ("B", "A")).toDF("src", "dst")
+    val withGhost = Pipeline.personalizedPageRank(edges,
+        Seq("A", "GHOST").toDF("node"), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pure = Pipeline.personalizedPageRank(edges,
+        Seq("A").toDF("node"), iters = 2)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(withGhost == pure && pure.nonEmpty)
   }
 
   test("dedupSurvivors keeps the highest-quality member, not the smallest id") {
