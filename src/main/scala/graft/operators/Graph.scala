@@ -203,6 +203,79 @@ object Graph {
         SELECT node, label AS community FROM l$rounds ORDER BY node"""
   }
 
+  /** `iters` synchronized HITS rounds over a DIRECTED edge list:
+    * authority(v) = Σ hub over in-neighbors, then hub(u) = Σ authority
+    * over out-neighbors, starting from all-ones — Kleinberg's hubs &
+    * authorities, the directed-importance complement of PageRank (q85
+    * ranks by random-walk mass; HITS separates "points at good things"
+    * from "is pointed at by good pointers", the two roles of a bipartite
+    * customer→supplier graph).
+    *
+    * Deliberately UNNORMALIZED: the classic per-round L2 normalization
+    * only rescales (the ranking is invariant), and skipping it keeps
+    * every value an exact BIGINT sum — bit-reproducible on any engine
+    * and partitioning, so the oracle is an unrolled CTE with a full hash
+    * match (the q85/q126/q132 pattern). Exactness bound: values grow by
+    * a degree factor per half-round, so `iters` rounds stay in-range
+    * while Π(degree) over the longest alternating chain < 2⁶³ — holds
+    * comfortably at warehouse degrees for the small fixed `iters` used
+    * here; a deployment running many rounds normalizes offline between
+    * blocks.
+    *
+    * 100 TB shape: per round two hash joins of the edge list against the
+    * nodes-sized score frame + two map-side-combinable aggregates, all
+    * partitioned on node ids; edges cache once, scores localCheckpoint
+    * per round (the q85 lesson).
+    */
+  def hitsFixedRounds(edges0: DataFrame, iters: Int): DataFrame = {
+    val edges = edges0.select(col("src"), col("dst")).distinct().cache()
+    val nodes = edges.select(col("src").as("node"))
+      .unionAll(edges.select(col("dst"))).distinct().cache()
+    nodes.count()
+    var scores = nodes.select(col("node"), lit(1L).as("a"), lit(1L).as("h"))
+    for (_ <- 1 to iters) {
+      val auth = edges.join(scores, edges("src") === scores("node"))
+        .groupBy(col("dst")).agg(sum(col("h")).as("sa"))
+      val withA = nodes.join(auth, col("node") === auth("dst"), "left")
+        .select(col("node"), coalesce(col("sa"), lit(0L)).as("a"))
+      val hub = edges.join(withA, edges("dst") === withA("node"))
+        .groupBy(col("src")).agg(sum(col("a")).as("sh"))
+      scores = withA.join(hub, withA("node") === hub("src"), "left")
+        .select(withA("node"), col("a"),
+          coalesce(col("sh"), lit(0L)).as("h"))
+        .localCheckpoint()
+    }
+    nodes.unpersist(false)
+    scores
+  }
+
+  /** Unrolled-CTE DuckDB twin of [[hitsFixedRounds]]: `edgesCte` must
+    * define `e0(src, dst)` (distinct directed edges); same round count.
+    */
+  def hitsOracleSql(edgesCte: String, iters: Int): String = {
+    val rounds = (1 to iters).map { i =>
+      s"""a$i AS MATERIALIZED (
+            SELECT n.node, COALESCE(s.sa, 0) AS a
+            FROM nodes n LEFT JOIN (
+              SELECT e.dst AS node, SUM(s${i - 1}.h) AS sa
+              FROM e0 e JOIN s${i - 1} ON s${i - 1}.node = e.src
+              GROUP BY e.dst) s ON s.node = n.node),
+          s$i AS MATERIALIZED (
+            SELECT a$i.node, a$i.a, COALESCE(t.sh, 0) AS h
+            FROM a$i LEFT JOIN (
+              SELECT e.src AS node, SUM(a$i.a) AS sh
+              FROM e0 e JOIN a$i ON a$i.node = e.dst
+              GROUP BY e.src) t ON t.node = a$i.node)"""
+    }.mkString(",\n")
+    s"""WITH $edgesCte,
+        nodes AS MATERIALIZED (SELECT DISTINCT src AS node FROM e0
+                               UNION SELECT DISTINCT dst FROM e0),
+        s0 AS (SELECT node, 1 AS a, 1 AS h FROM nodes),
+        $rounds
+        SELECT node, CAST(a AS BIGINT) AS authority, CAST(h AS BIGINT) AS hub
+        FROM s$iters"""
+  }
+
   val queries: Seq[Query] = Seq(
     // Triangle census of the co-purchase graph (parts co-ordered >= 2
     // times): per-part triangle participation. The oracle enumerates
@@ -265,6 +338,29 @@ object Graph {
       val edges = coOccurrenceEdges(li, col("l_orderkey"), col("l_partkey"),
         minSupport = 2L)
       labelPropagation(edges, rounds = 4).orderBy(col("node"))
-    })
+    }),
+
+    // HITS over the DIRECTED customer→supplier purchase graph, 2 rounds:
+    // top-20 authorities (the suppliers that well-connected customers
+    // buy from) with their hub scores. Integer-exact, so the unrolled
+    // oracle hash-matches an iterative directed-graph algorithm.
+    Query(
+      "q146_hits",
+      Some(hitsOracleSql(
+        """e0 AS MATERIALIZED (SELECT DISTINCT
+                 'c' || CAST(o_custkey AS VARCHAR) AS src,
+                 's' || CAST(l_suppkey AS VARCHAR) AS dst
+               FROM orders JOIN lineitem ON l_orderkey = o_orderkey)""",
+        iters = 2) + " ORDER BY authority DESC, node LIMIT 20"))(
+      (spark, dir) => {
+        val t = Tables(spark, dir)
+        val edges = t.orders
+          .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
+          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
+            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+        hitsFixedRounds(edges, iters = 2)
+          .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+          .orderBy(col("authority").desc, col("node")).limit(20)
+      })
   )
 }

@@ -107,4 +107,28 @@ class GraphSpec extends SparkSpec {
       .collect().toSeq
     assert(a == b && a.nonEmpty)
   }
+
+  test("HITS: hand-traced two rounds on a tiny bipartite graph") {
+    import spark.implicits._
+    // c1->{s1,s2}, c2->{s1}.
+    // Round 1: a(s1)=2, a(s2)=1; h(c1)=3, h(c2)=2.
+    // Round 2: a(s1)=h(c1)+h(c2)=5, a(s2)=h(c1)=3; h(c1)=8, h(c2)=5.
+    val edges = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1")).toDF("src", "dst")
+    val got = Graph.hitsFixedRounds(edges, iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(
+      "c1" -> (0L, 8L), "c2" -> (0L, 5L),
+      "s1" -> (5L, 0L), "s2" -> (3L, 0L)), got.toString)
+  }
+
+  test("HITS is partitioning-independent") {
+    import spark.implicits._
+    val edges = (1L to 400L).map(i => (s"c${i % 23}", s"s${(i * 11) % 17}"))
+      .toDF("src", "dst")
+    val a = Graph.hitsFixedRounds(edges, iters = 3)
+      .orderBy("node").collect().toSeq
+    val b = Graph.hitsFixedRounds(edges.repartition(9), iters = 3)
+      .orderBy("node").collect().toSeq
+    assert(a == b && a.nonEmpty)
+  }
 }
