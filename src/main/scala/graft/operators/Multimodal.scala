@@ -911,6 +911,74 @@ object Multimodal {
           audioFingerprintHashes(spark, copies.unionByName(novel)),
           maxDist = 3)
         .orderBy(col("media_id"))
+    }),
+
+    // The SERVED form of q144: the same probe answered from the PERSISTED
+    // band-bucketed index with the scan partition-pruned to the batch's
+    // buckets (PlanSpec-gated) — same oracle, bit-identical answer.
+    Query(
+      "q147_media_index_serve",
+      Some("""
+        WITH a AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 1),
+        allv AS (SELECT b AS src, b AS d, 0 AS sh, 0 AS is_batch FROM a
+                 UNION ALL
+                 SELECT b, b + 10000, 1, 1 FROM a WHERE b % 5 = 1
+                 UNION ALL
+                 SELECT b + 20000, b + 20000, 0, 1 FROM a WHERE b % 5 = 2),
+        s AS (SELECT d, is_batch, ((src % 400) + 100)::INT AS n, i,
+                ((i*37 + src*11) % 2001 - 1000) + sh AS val
+              FROM allv,
+                   unnest(range(0, ((src % 400) + 100)::INT)) AS t(i)),
+        g AS (SELECT d, is_batch, n, (i * 64 // n) AS f, val * val AS e
+              FROM s),
+        cells AS (SELECT d, is_batch, f, SUM(e) AS ef, COUNT(*) AS cf
+                  FROM g GROUP BY 1, 2, 3),
+        tot AS (SELECT d, is_batch, SUM(e) AS et, COUNT(*) AS ct
+                FROM g GROUP BY 1, 2),
+        bits AS (SELECT d, is_batch, f,
+                   CASE WHEN ef * ct > et * cf THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d, is_batch)),
+        bands AS (SELECT d, is_batch, f // 16 AS k,
+                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2, 3),
+        hash4 AS (SELECT d, is_batch,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT bb.d AS bid, cb.d AS cid
+                 FROM bands bb JOIN bands cb
+                   ON bb.k = cb.k AND bb.v = cb.v
+                  AND bb.is_batch = 1 AND cb.is_batch = 0),
+        dup AS (SELECT bid, MIN(cid) AS dup_of
+                FROM cand
+                JOIN hash4 hb ON hb.d = bid AND hb.is_batch = 1
+                JOIN hash4 hc ON hc.d = cid AND hc.is_batch = 0
+                WHERE bit_count(xor(hb.b0, hc.b0)) + bit_count(xor(hb.b1, hc.b1))
+                    + bit_count(xor(hb.b2, hc.b2)) + bit_count(xor(hb.b3, hc.b3)) <= 3
+                GROUP BY bid)
+        SELECT h.d AS media_id, dup.dup_of, dup.dup_of IS NULL AS kept
+        FROM hash4 h LEFT JOIN dup ON dup.bid = h.d
+        WHERE h.is_batch = 1
+        ORDER BY media_id"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      val originals = mediaTable(docs).filter(col("kind") === "audio")
+        .select(col("media_id").cast("long"), col("kind"),
+          wav(col("media_id")).as("payload"))
+        .cache()
+      val copies = shiftedAudioCopies(spark,
+        originals.filter(col("media_id") % 5 === 1), offset = 10000L,
+        delta = 1)
+      val novel = docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 20000L).as("media_id"),
+          lit("audio").as("kind"),
+          wav(col("doc_id") + 20000L).as("payload"))
+      mediaIndexServe(spark, dir,
+          audioFingerprintHashes(spark, copies.unionByName(novel)),
+          maxDist = 3)
+        .orderBy(col("media_id"))
     })
   )
 
@@ -1239,6 +1307,86 @@ object Multimodal {
     val dup = cand.join(broadcast(ha), "bid").join(hc, "cid")
       .filter(dist.cast("long") <= maxDist)
       .groupBy(col("bid")).agg(min(col("cid")).as("dup_of"))
+    b.select(col("media_id"))
+      .join(broadcast(dup), col("media_id") === col("bid"), "left")
+      .select(col("media_id"), col("dup_of"),
+        col("dup_of").isNull.as("kept"))
+  }
+
+  /** Persisted band-bucketed fingerprint index + partition-pruned probe —
+    * the serving-tier layout [[fingerprintIndexProbe]]'s docstring names:
+    * band rows (one per fingerprint per band, carrying the full hash)
+    * written ONCE as a parquet table partitioned by `pk = band·64 + v%64`
+    * (256 partitions), so a probe reads ONLY the batch's band buckets:
+    * the batch's distinct pk values are control-plane sized and prune the
+    * scan STATICALLY (`PartitionFilters: pk IN (…)`, gated in PlanSpec) —
+    * the q91 ANN-serving shape applied to perceptual hashes. Serving cost
+    * is O(probed buckets), not O(index).
+    *
+    * Same per-JVM memoized temp-dir contract as the IVF index: rebuilds
+    * within a JVM are memoized, concurrent JVMs never clobber each other.
+    */
+  private lazy val fpIndexRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
+  private val builtFpIndexes =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  private def bandRows(hashes: DataFrame, idAs: String): DataFrame =
+    hashes.select(col("media_id").as(idAs), col("b0"), col("b1"),
+        col("b2"), col("b3"),
+        explode(array(
+          struct(lit(0).as("k"), col("b0").as("v")),
+          struct(lit(1).as("k"), col("b1").as("v")),
+          struct(lit(2).as("k"), col("b2").as("v")),
+          struct(lit(3).as("k"), col("b3").as("v")))).as("bd"))
+      .select(col(idAs), col("b0"), col("b1"), col("b2"), col("b3"),
+        col("bd.k").as("k"), col("bd.v").as("v"),
+        (col("bd.k") * 64 + pmod(col("bd.v"), lit(64L))).cast("int").as("pk"))
+
+  def mediaFpIndexFor(spark: SparkSession, sfDir: String): String =
+    synchronized {
+      builtFpIndexes.getOrElseUpdate(sfDir, {
+        val docs = Tables(spark, sfDir).documents
+        val wav = udf((d: Long) => makeWav(d, audioN(d)))
+        val originals = mediaTable(docs).filter(col("kind") === "audio")
+          .select(col("media_id").cast("long"), col("kind"),
+            wav(col("media_id")).as("payload"))
+        val bands = bandRows(
+          audioFingerprintHashes(spark, originals), "media_id")
+        val path = new java.io.File(fpIndexRoot, "idx_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
+        graft.PartitionedWrites.cluster(bands, "pk")
+          .write.mode("overwrite").partitionBy("pk").parquet(path)
+        path
+      })
+    }
+
+  /** Probe the PERSISTED index with a batch of fingerprints: identical
+    * answer to [[fingerprintIndexProbe]] over the same corpus, but the
+    * index scan is partition-pruned to the batch's band buckets.
+    */
+  def mediaIndexServe(spark: SparkSession, sfDir: String,
+                      batchHashes: DataFrame, maxDist: Int): DataFrame = {
+    require(maxDist <= 3, "4x16 banding is only pigeonhole-exact to dist 3")
+    val idx = spark.read.parquet(mediaFpIndexFor(spark, sfDir))
+    val b = batchHashes.cache()
+    val bBands = bandRows(b, "bid")
+      .select(col("bid"), col("k"), col("v"), col("pk"),
+        col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
+        col("b3").as("a3"))
+      .cache()
+    // control-plane round-trip: ≤ 256 ints prune the partitioned scan
+    val probedPks = bBands.select(col("pk")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val dist = bit_count(col("a0").bitwiseXOR(col("b0"))) +
+      bit_count(col("a1").bitwiseXOR(col("b1"))) +
+      bit_count(col("a2").bitwiseXOR(col("b2"))) +
+      bit_count(col("a3").bitwiseXOR(col("b3")))
+    val dup = idx.filter(col("pk").isin(probedPks: _*))
+      .join(broadcast(bBands), Seq("k", "v"))
+      .filter(dist.cast("long") <= maxDist)
+      .groupBy(col("bid")).agg(min(col("media_id")).as("dup_of"))
     b.select(col("media_id"))
       .join(broadcast(dup), col("media_id") === col("bid"), "left")
       .select(col("media_id"), col("dup_of"),

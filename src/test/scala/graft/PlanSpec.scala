@@ -440,6 +440,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q147: the persisted fingerprint index scan is partition-pruned to the probed band buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val pruned = deepNodes(executed(q("q147_media_index_serve"))).collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty =>
+        f.partitionFilters.mkString(",")
+    }
+    // a small probe list renders as `pk IN (…)`, a larger one as
+    // `pk INSET …` — both are static partition pruning
+    assert(pruned.exists(s => s.contains("pk") &&
+        (s.contains(" IN (") || s.contains("INSET"))),
+      s"no pk IN/INSET partition filter on the index scan: $pruned")
+  }
+
   test("no InMemory/Cartesian surprises across the whole corpus") {
     val offenders = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
       val p = try planString(name) catch { case _: Throwable => "" }

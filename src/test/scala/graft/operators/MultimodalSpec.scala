@@ -304,6 +304,25 @@ class MultimodalSpec extends SparkSpec {
       "a planted copy escaped the index probe")
   }
 
+  test("mediaIndexServe answers bit-identically to the in-memory probe") {
+    val originals = {
+      val wav = udf((d: Long) => Multimodal.makeWav(d, Multimodal.audioN(d)))
+      Multimodal.mediaTable(Tables(spark, sf("sf0.001")).documents)
+        .filter(col("kind") === "audio")
+        .select(col("media_id").cast("long"), col("kind"),
+          wav(col("media_id")).as("payload"))
+    }
+    val batch = Multimodal.shiftedAudioCopies(spark,
+      originals.orderBy("media_id").limit(8), offset = 50000L, delta = 1)
+    val bh = Multimodal.audioFingerprintHashes(spark, batch).cache()
+    val served = Multimodal.mediaIndexServe(spark, sf("sf0.001"), bh, maxDist = 3)
+      .orderBy("media_id").collect().toSeq
+    val probed = Multimodal.fingerprintIndexProbe(
+        Multimodal.audioFingerprintHashes(spark, originals), bh, maxDist = 3)
+      .orderBy("media_id").collect().toSeq
+    assert(served == probed && served.nonEmpty)
+  }
+
   test("imagePHashPairs is partitioning-independent") {
     val corpus = imageRows.orderBy("media_id").limit(30).unionByName(
       Multimodal.brightenedCopies(spark, imageRows.orderBy("media_id").limit(30),
