@@ -312,6 +312,29 @@ object BenchScale {
       // persisted bucketed index prunes to the probed keys; target
       // exponent well below 1. One cold probe per point — best-of-2
       // would rehit the probe's own batch-side cache and flatter it.
+      // Served probe from the PERSISTED band-bucketed index (built +
+      // memoized outside the timer): the q144 probe answered through
+      // partition pruning — the serving-tier cost as the on-disk index
+      // grows. Target: flat, like the in-memory probe.
+      row("q147_media_serve") {
+        val wav = udf((d: Long) =>
+          operators.Multimodal.makeWav(d, operators.Multimodal.audioN(d)))
+        val audio = operators.Multimodal.mediaTable(t.documents)
+          .filter(col("kind") === "audio")
+          .select(col("media_id").cast("long"), col("kind"),
+            wav(col("media_id")).as("payload"))
+        val isBatch = col("media_id") % 10 === 1 && col("media_id") < 5000
+        operators.Multimodal.mediaFpIndexFor(spark, dir) // build outside timer
+        val batch = operators.Multimodal.shiftedAudioCopies(spark,
+          audio.filter(isBatch), offset = 10000000L, delta = 1)
+        val bh = operators.Multimodal.audioFingerprintHashes(spark, batch)
+        val s = time {
+          operators.Multimodal.mediaIndexServe(spark, dir, bh, maxDist = 3)
+            .count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      } ++
       row("q123_lsh_probe") {
         val docs = t.documents
         val isBatch = col("doc_id") % 10 === 0 && col("doc_id") < 5000
