@@ -25,6 +25,30 @@ import org.apache.spark.sql.functions._
 private[graft] object PartitionedWrites {
   val DefaultFanout = 4
 
+  // ------------------------------------------------------- memoized indexes
+  // Per-JVM memoized on-disk index contract shared by every persisted
+  // serving index (IVF cells, fingerprint band buckets): a temp root per
+  // JVM (concurrent JVMs never clobber each other), a TrieMap memo so
+  // rebuilds within a JVM are free, and an on-disk name that is a
+  // FULL-WIDTH md5 of the memo key — the key must cover every input that
+  // shapes the index, and two distinct keys can never share a dir
+  // (hashCode could collide).
+  private lazy val indexRoot: String =
+    java.nio.file.Files.createTempDirectory("graft_idx_").toString
+  private val builtIndexes =
+    new scala.collection.concurrent.TrieMap[String, String]
+
+  def memoizedIndex(memoKey: String)(build: String => Unit): String =
+    synchronized {
+      builtIndexes.getOrElseUpdate(memoKey, {
+        val path = new java.io.File(indexRoot, "idx_" +
+          java.security.MessageDigest.getInstance("MD5").digest(
+            memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
+        build(path)
+        path
+      })
+    }
+
   def cluster(df: DataFrame, partCol: String,
               fanout: Int = DefaultFanout): DataFrame =
     df.schema.fieldNames.find(_ != partCol) match {

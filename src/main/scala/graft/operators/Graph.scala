@@ -245,7 +245,9 @@ object Graph {
           coalesce(col("sh"), lit(0L)).as("h"))
         .localCheckpoint()
     }
+    // the last round's localCheckpoint backs `scores`; both caches are dead
     nodes.unpersist(false)
+    edges.unpersist(false)
     scores
   }
 

@@ -395,6 +395,56 @@ object Multimodal {
 
   // ------------------------------------------------------------ query corpus
 
+  /** Shared DuckDB oracle for the index probe (q144) and its served
+    * form (q147): the two queries are SPECIFIED to return the same
+    * answer, so they must share one oracle — a fix to one cannot
+    * silently diverge the other.
+    */
+  private val probeOracleSql: String = """
+        WITH a AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 1),
+        allv AS (SELECT b AS src, b AS d, 0 AS sh, 0 AS is_batch FROM a
+                 UNION ALL
+                 SELECT b, b + 10000, 1, 1 FROM a WHERE b % 5 = 1
+                 UNION ALL
+                 SELECT b + 20000, b + 20000, 0, 1 FROM a WHERE b % 5 = 2),
+        s AS (SELECT d, is_batch, ((src % 400) + 100)::INT AS n, i,
+                ((i*37 + src*11) % 2001 - 1000) + sh AS val
+              FROM allv,
+                   unnest(range(0, ((src % 400) + 100)::INT)) AS t(i)),
+        g AS (SELECT d, is_batch, n, (i * 64 // n) AS f, val * val AS e
+              FROM s),
+        cells AS (SELECT d, is_batch, f, SUM(e) AS ef, COUNT(*) AS cf
+                  FROM g GROUP BY 1, 2, 3),
+        tot AS (SELECT d, is_batch, SUM(e) AS et, COUNT(*) AS ct
+                FROM g GROUP BY 1, 2),
+        bits AS (SELECT d, is_batch, f,
+                   CASE WHEN ef * ct > et * cf THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d, is_batch)),
+        bands AS (SELECT d, is_batch, f // 16 AS k,
+                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2, 3),
+        hash4 AS (SELECT d, is_batch,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT bb.d AS bid, cb.d AS cid
+                 FROM bands bb JOIN bands cb
+                   ON bb.k = cb.k AND bb.v = cb.v
+                  AND bb.is_batch = 1 AND cb.is_batch = 0),
+        dup AS (SELECT bid, MIN(cid) AS dup_of
+                FROM cand
+                JOIN hash4 hb ON hb.d = bid AND hb.is_batch = 1
+                JOIN hash4 hc ON hc.d = cid AND hc.is_batch = 0
+                WHERE bit_count(xor(hb.b0, hc.b0)) + bit_count(xor(hb.b1, hc.b1))
+                    + bit_count(xor(hb.b2, hc.b2)) + bit_count(xor(hb.b3, hc.b3)) <= 3
+                GROUP BY bid)
+        SELECT h.d AS media_id, dup.dup_of, dup.dup_of IS NULL AS kept
+        FROM hash4 h LEFT JOIN dup ON dup.bid = h.d
+        WHERE h.is_batch = 1
+        ORDER BY media_id"""
+
   val queries: Seq[Query] = Seq(
 
     // Metadata-only stats per kind — binary column pruned from the scan.
@@ -849,50 +899,7 @@ object Multimodal {
     // identically by both engines).
     Query(
       "q144_media_index_probe",
-      Some("""
-        WITH a AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 1),
-        allv AS (SELECT b AS src, b AS d, 0 AS sh, 0 AS is_batch FROM a
-                 UNION ALL
-                 SELECT b, b + 10000, 1, 1 FROM a WHERE b % 5 = 1
-                 UNION ALL
-                 SELECT b + 20000, b + 20000, 0, 1 FROM a WHERE b % 5 = 2),
-        s AS (SELECT d, is_batch, ((src % 400) + 100)::INT AS n, i,
-                ((i*37 + src*11) % 2001 - 1000) + sh AS val
-              FROM allv,
-                   unnest(range(0, ((src % 400) + 100)::INT)) AS t(i)),
-        g AS (SELECT d, is_batch, n, (i * 64 // n) AS f, val * val AS e
-              FROM s),
-        cells AS (SELECT d, is_batch, f, SUM(e) AS ef, COUNT(*) AS cf
-                  FROM g GROUP BY 1, 2, 3),
-        tot AS (SELECT d, is_batch, SUM(e) AS et, COUNT(*) AS ct
-                FROM g GROUP BY 1, 2),
-        bits AS (SELECT d, is_batch, f,
-                   CASE WHEN ef * ct > et * cf THEN 1 ELSE 0 END AS bit
-                 FROM cells JOIN tot USING (d, is_batch)),
-        bands AS (SELECT d, is_batch, f // 16 AS k,
-                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
-                  FROM bits GROUP BY 1, 2, 3),
-        hash4 AS (SELECT d, is_batch,
-                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
-                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
-                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
-                    MAX(CASE WHEN k = 3 THEN v END) AS b3
-                  FROM bands GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT bb.d AS bid, cb.d AS cid
-                 FROM bands bb JOIN bands cb
-                   ON bb.k = cb.k AND bb.v = cb.v
-                  AND bb.is_batch = 1 AND cb.is_batch = 0),
-        dup AS (SELECT bid, MIN(cid) AS dup_of
-                FROM cand
-                JOIN hash4 hb ON hb.d = bid AND hb.is_batch = 1
-                JOIN hash4 hc ON hc.d = cid AND hc.is_batch = 0
-                WHERE bit_count(xor(hb.b0, hc.b0)) + bit_count(xor(hb.b1, hc.b1))
-                    + bit_count(xor(hb.b2, hc.b2)) + bit_count(xor(hb.b3, hc.b3)) <= 3
-                GROUP BY bid)
-        SELECT h.d AS media_id, dup.dup_of, dup.dup_of IS NULL AS kept
-        FROM hash4 h LEFT JOIN dup ON dup.bid = h.d
-        WHERE h.is_batch = 1
-        ORDER BY media_id"""))((spark, dir) => {
+      Some(probeOracleSql))((spark, dir) => {
       val docs = Tables(spark, dir).documents
       val wav = udf((d: Long) => makeWav(d, audioN(d)))
       val originals = mediaTable(docs).filter(col("kind") === "audio")
@@ -918,56 +925,14 @@ object Multimodal {
     // buckets (PlanSpec-gated) — same oracle, bit-identical answer.
     Query(
       "q147_media_index_serve",
-      Some("""
-        WITH a AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 1),
-        allv AS (SELECT b AS src, b AS d, 0 AS sh, 0 AS is_batch FROM a
-                 UNION ALL
-                 SELECT b, b + 10000, 1, 1 FROM a WHERE b % 5 = 1
-                 UNION ALL
-                 SELECT b + 20000, b + 20000, 0, 1 FROM a WHERE b % 5 = 2),
-        s AS (SELECT d, is_batch, ((src % 400) + 100)::INT AS n, i,
-                ((i*37 + src*11) % 2001 - 1000) + sh AS val
-              FROM allv,
-                   unnest(range(0, ((src % 400) + 100)::INT)) AS t(i)),
-        g AS (SELECT d, is_batch, n, (i * 64 // n) AS f, val * val AS e
-              FROM s),
-        cells AS (SELECT d, is_batch, f, SUM(e) AS ef, COUNT(*) AS cf
-                  FROM g GROUP BY 1, 2, 3),
-        tot AS (SELECT d, is_batch, SUM(e) AS et, COUNT(*) AS ct
-                FROM g GROUP BY 1, 2),
-        bits AS (SELECT d, is_batch, f,
-                   CASE WHEN ef * ct > et * cf THEN 1 ELSE 0 END AS bit
-                 FROM cells JOIN tot USING (d, is_batch)),
-        bands AS (SELECT d, is_batch, f // 16 AS k,
-                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
-                  FROM bits GROUP BY 1, 2, 3),
-        hash4 AS (SELECT d, is_batch,
-                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
-                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
-                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
-                    MAX(CASE WHEN k = 3 THEN v END) AS b3
-                  FROM bands GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT bb.d AS bid, cb.d AS cid
-                 FROM bands bb JOIN bands cb
-                   ON bb.k = cb.k AND bb.v = cb.v
-                  AND bb.is_batch = 1 AND cb.is_batch = 0),
-        dup AS (SELECT bid, MIN(cid) AS dup_of
-                FROM cand
-                JOIN hash4 hb ON hb.d = bid AND hb.is_batch = 1
-                JOIN hash4 hc ON hc.d = cid AND hc.is_batch = 0
-                WHERE bit_count(xor(hb.b0, hc.b0)) + bit_count(xor(hb.b1, hc.b1))
-                    + bit_count(xor(hb.b2, hc.b2)) + bit_count(xor(hb.b3, hc.b3)) <= 3
-                GROUP BY bid)
-        SELECT h.d AS media_id, dup.dup_of, dup.dup_of IS NULL AS kept
-        FROM hash4 h LEFT JOIN dup ON dup.bid = h.d
-        WHERE h.is_batch = 1
-        ORDER BY media_id"""))((spark, dir) => {
+      Some(probeOracleSql))((spark, dir) => {
       val docs = Tables(spark, dir).documents
       val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      // no cache here: unlike q144, `originals` feeds ONLY the copy
+      // synthesis (the index side rebuilds inside mediaFpIndexFor)
       val originals = mediaTable(docs).filter(col("kind") === "audio")
         .select(col("media_id").cast("long"), col("kind"),
           wav(col("media_id")).as("payload"))
-        .cache()
       val copies = shiftedAudioCopies(spark,
         originals.filter(col("media_id") % 5 === 1), offset = 10000L,
         delta = 1)
@@ -1326,11 +1291,6 @@ object Multimodal {
     * Same per-JVM memoized temp-dir contract as the IVF index: rebuilds
     * within a JVM are memoized, concurrent JVMs never clobber each other.
     */
-  private lazy val fpIndexRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_fpidx_").toString
-  private val builtFpIndexes =
-    new scala.collection.concurrent.TrieMap[String, String]
-
   private def bandRows(hashes: DataFrame, idAs: String): DataFrame =
     hashes.select(col("media_id").as(idAs), col("b0"), col("b1"),
         col("b2"), col("b3"),
@@ -1344,38 +1304,37 @@ object Multimodal {
         (col("bd.k") * 64 + pmod(col("bd.v"), lit(64L))).cast("int").as("pk"))
 
   def mediaFpIndexFor(spark: SparkSession, sfDir: String): String =
-    synchronized {
-      builtFpIndexes.getOrElseUpdate(sfDir, {
-        val docs = Tables(spark, sfDir).documents
-        val wav = udf((d: Long) => makeWav(d, audioN(d)))
-        val originals = mediaTable(docs).filter(col("kind") === "audio")
-          .select(col("media_id").cast("long"), col("kind"),
-            wav(col("media_id")).as("payload"))
-        val bands = bandRows(
-          audioFingerprintHashes(spark, originals), "media_id")
-        val path = new java.io.File(fpIndexRoot, "idx_" +
-          java.security.MessageDigest.getInstance("MD5").digest(
-            sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
-        graft.PartitionedWrites.cluster(bands, "pk")
-          .write.mode("overwrite").partitionBy("pk").parquet(path)
-        path
-      })
+    graft.PartitionedWrites.memoizedIndex(s"fp#$sfDir") { path =>
+      val docs = Tables(spark, sfDir).documents
+      val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      val originals = mediaTable(docs).filter(col("kind") === "audio")
+        .select(col("media_id").cast("long"), col("kind"),
+          wav(col("media_id")).as("payload"))
+      val bands = bandRows(
+        audioFingerprintHashes(spark, originals), "media_id")
+      graft.PartitionedWrites.cluster(bands, "pk")
+        .write.mode("overwrite").partitionBy("pk").parquet(path)
     }
 
   /** Probe the PERSISTED index with a batch of fingerprints: identical
     * answer to [[fingerprintIndexProbe]] over the same corpus, but the
     * index scan is partition-pruned to the batch's band buckets.
     */
+  /** NOTE on caching: the serve path holds NO internal caches — a
+    * serving loop calling it per batch must not accumulate pinned frames
+    * (the leak class two review rounds removed elsewhere). The batch
+    * subtree evaluates at most three times (driver pk collect, candidate
+    * join, output ids); the batch is small BY CONTRACT, and a caller
+    * with an expensive batch lineage caches it upstream.
+    */
   def mediaIndexServe(spark: SparkSession, sfDir: String,
                       batchHashes: DataFrame, maxDist: Int): DataFrame = {
     require(maxDist <= 3, "4x16 banding is only pigeonhole-exact to dist 3")
     val idx = spark.read.parquet(mediaFpIndexFor(spark, sfDir))
-    val b = batchHashes.cache()
-    val bBands = bandRows(b, "bid")
+    val bBands = bandRows(batchHashes, "bid")
       .select(col("bid"), col("k"), col("v"), col("pk"),
         col("b0").as("a0"), col("b1").as("a1"), col("b2").as("a2"),
         col("b3").as("a3"))
-      .cache()
     // control-plane round-trip: ≤ 256 ints prune the partitioned scan
     val probedPks = bBands.select(col("pk")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
@@ -1383,11 +1342,17 @@ object Multimodal {
       bit_count(col("a1").bitwiseXOR(col("b1"))) +
       bit_count(col("a2").bitwiseXOR(col("b2"))) +
       bit_count(col("a3").bitwiseXOR(col("b3")))
+    // dedup (batch, corpus) pairs BEFORE the hamming verify — a near-dup
+    // pair agrees on up to 4 bands and would otherwise verify 4× (the
+    // in-memory probe's .distinct(), applied after the pruned join)
     val dup = idx.filter(col("pk").isin(probedPks: _*))
       .join(broadcast(bBands), Seq("k", "v"))
+      .select(col("bid"), col("media_id"), col("a0"), col("a1"), col("a2"),
+        col("a3"), col("b0"), col("b1"), col("b2"), col("b3"))
+      .distinct()
       .filter(dist.cast("long") <= maxDist)
       .groupBy(col("bid")).agg(min(col("media_id")).as("dup_of"))
-    b.select(col("media_id"))
+    batchHashes.select(col("media_id"))
       .join(broadcast(dup), col("media_id") === col("bid"), "left")
       .select(col("media_id"), col("dup_of"),
         col("dup_of").isNull.as("kept"))

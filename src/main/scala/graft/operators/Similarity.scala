@@ -248,17 +248,12 @@ object Similarity {
     * concurrency contract as the bucketed-join tables: concurrent JVMs
     * never clobber each other; rebuilds within a JVM are memoized).
     */
-  private lazy val indexRoot: String =
-    java.nio.file.Files.createTempDirectory("graft_ivf_").toString
-  private val builtIndexes = new scala.collection.concurrent.TrieMap[String, String]
-
   def ivfIndexFor(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                  nCells: Int = 16): String = synchronized {
+                  nCells: Int = 16): String =
     // Memo key covers EVERY input that shapes the index (corpus dir AND
-    // nCells), and the on-disk name is a full-width md5 of that key — two
-    // distinct keys can never share a dir (hashCode could collide).
-    val memoKey = s"$sfDir#$nCells"
-    builtIndexes.getOrElseUpdate(memoKey, {
+    // nCells); the shared memoizedIndex contract handles the temp root,
+    // the per-JVM memo, and collision-proof dir naming.
+    graft.PartitionedWrites.memoizedIndex(s"ivf#$sfDir#$nCells") { path => {
       import graft.functions.VectorFunctions._
       val corpus = Tables(spark, sfDir).embeddings
       // Seeds = first nCells vectors by id ORDER, not `vec_id < nCells` —
@@ -275,9 +270,6 @@ object Similarity {
           col("v").as("v"))).as("m"))
         .select(col("vec_id"), col("m.v").as("v"),
           (-col("m.ncid")).cast("int").as("cell"))
-      val path = new java.io.File(indexRoot, "idx_" +
-        java.security.MessageDigest.getInstance("MD5").digest(
-          memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
       // Cluster before the dynamic-partition write: nCells grows with the
       // corpus, so a raw partitionBy here opens tasks × nCells files — the
       // worst instance of the pattern PartitionedWrites exists to bound
@@ -285,9 +277,7 @@ object Similarity {
       // per-FILE within those cells).
       graft.PartitionedWrites.cluster(assigned, "cell")
         .write.mode("overwrite").partitionBy("cell").parquet(path)
-      path
-    })
-  }
+    }: Unit }
 
   def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, sfDir: String,
                     k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
