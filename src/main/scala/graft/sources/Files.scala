@@ -45,4 +45,28 @@ object Files {
 
   def writeJson(df: DataFrame, path: String): Unit =
     df.write.mode("overwrite").json(path)
+
+  /** Raw-file ingest (Spark's built-in `binaryFile` source): one row per
+    * file with (path, modificationTime, length, content) — the REAL entry
+    * point of a media pipeline, where payloads live as loose objects in a
+    * bucket before any table exists. `pathGlob` filters server-side
+    * (`pathGlobFilter`, e.g. `*.png`), so non-matching objects are never
+    * opened; the returned frame feeds the fingerprint/decode operators
+    * directly (content IS the payload column). At 100 TB the source
+    * parallelizes by file; pack tiny files upstream (the small-files tax
+    * is a storage-layout concern, not an engine one) and project
+    * metadata-only columns where possible — `content` prunes like any
+    * other column.
+    */
+  def readBinaryFiles(spark: SparkSession, path: String,
+                      pathGlob: String = "*"): DataFrame =
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", pathGlob).load(path)
+
+  /** Whole-line text read (`text` source): one row per line, the shape
+    * raw crawl dumps arrive in. Schema-free by nature (single `value`
+    * string column).
+    */
+  def readTextLines(spark: SparkSession, path: String): DataFrame =
+    spark.read.text(path)
 }

@@ -44,4 +44,43 @@ class FilesSpec extends SparkSpec {
       assert(salted(k)._1.compareTo(s) == 0 && salted(k)._2 == n, k)
     }
   }
+
+  test("binaryFile ingest: loose PNG files on disk flow into the fingerprint dedup") {
+    import org.apache.spark.sql.functions._
+    // Write loose media objects the way a bucket holds them (one file per
+    // image, plus a non-matching sidecar the glob must skip), read them
+    // back through the binaryFile source, and dedup — the files-on-disk
+    // entry of a media pipeline, end to end.
+    val dir = java.nio.file.Files.createTempDirectory("graft-binf").toString
+    for (d <- Seq(3L, 6L, 9L)) {
+      val png = graft.operators.Multimodal.makePng(d,
+        graft.operators.Multimodal.imgW(d), graft.operators.Multimodal.imgH(d))
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/img_$d.png"), png)
+      // byte-different re-encode of the same picture under another name
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(s"$dir/copy_${d + 100}.png"), png)
+    }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir/manifest.txt"), "not an image".getBytes)
+
+    val raw = Files.readBinaryFiles(spark, dir, pathGlob = "*.png")
+    assert(raw.count() == 6) // the .txt sidecar never loads
+    // media_id from the file name — the bucket-layout convention
+    val media = raw.select(
+      regexp_extract(col("path"), "_(\\d+)\\.png$", 1).cast("long").as("media_id"),
+      lit("image").as("kind"), col("content").as("payload"))
+    val pairs = graft.operators.Multimodal.imagePHashPairs(spark, media, maxDist = 3)
+      .collect().map(r => (r.getAs[Long]("media_a"), r.getAs[Long]("media_b"),
+        r.getAs[Long]("dist"))).toSet
+    assert(pairs == Set((3L, 103L, 0L), (6L, 106L, 0L), (9L, 109L, 0L)), pairs)
+  }
+
+  test("text-lines read: one row per line, raw crawl shape") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-txt").toString
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/a.txt"),
+      "line one\nline two\nline three".getBytes)
+    val got = Files.readTextLines(spark, dir).collect().map(_.getString(0)).toSet
+    assert(got == Set("line one", "line two", "line three"))
+  }
 }
