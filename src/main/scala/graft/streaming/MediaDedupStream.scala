@@ -91,6 +91,43 @@ object MediaDedupStream {
     finally spark.catalog.clearCache() // this trigger's caches, see scaladoc
   }
 
+  private val BinaryFileSchema: StructType = StructType(Seq(
+    StructField("path", org.apache.spark.sql.types.StringType),
+    StructField("modificationTime",
+      org.apache.spark.sql.types.TimestampType),
+    StructField("length", LongType),
+    StructField("content", org.apache.spark.sql.types.BinaryType)))
+
+  /** The WHOLE media-ingest pipeline as one always-on stream: watch a
+    * directory of loose audio objects (the bucket layout
+    * [[graft.sources.Files.readBinaryFiles]] reads in batch), fingerprint
+    * each arriving file, and maintain the dedup index — files land on
+    * disk, duplicates never enter the index. The media id comes from the
+    * file name (`..._<id>.wav`, the bucket convention); `pathGlobFilter`
+    * keeps sidecar objects out of the source itself. Checkpointed file
+    * offsets + the idempotent versioned commit give the same exactly-once
+    * contract as [[dedupStream]].
+    */
+  def ingestFiles(spark: SparkSession, watchDir: String, glob: String,
+                  indexDir: String, checkpointDir: String,
+                  maxDist: Int = 3): StreamingQuery = {
+    val raw = spark.readStream.format("binaryFile")
+      .schema(BinaryFileSchema)
+      .option("pathGlobFilter", glob)
+      .load(watchDir)
+    raw.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val media = batch.select(
+          regexp_extract(col("path"), "_(\\d+)\\.[a-z]+$", 1)
+            .cast("long").as("media_id"),
+          lit("audio").as("kind"), col("content").as("payload"))
+        applyBatch(spark, indexDir,
+          Multimodal.audioFingerprintHashes(spark, media), batchId, maxDist)
+      }
+      .start()
+  }
+
   /** Maintain the index continuously from a streaming fingerprint frame
     * with columns (media_id, b0..b3).
     */

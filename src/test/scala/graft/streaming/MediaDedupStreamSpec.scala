@@ -98,4 +98,32 @@ class MediaDedupStreamSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(streamed == reps1 ++ probe2, s"streamed=$streamed ref=${reps1 ++ probe2}")
   }
+
+  test("file-ingest stream: WAVs landing in a watched dir dedup into the index end to end") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ingest").toString
+    val watch = s"$root/incoming"; java.nio.file.Files.createDirectory(
+      java.nio.file.Paths.get(watch))
+    def drop(name: String, bytes: Array[Byte]): Unit =
+      java.nio.file.Files.write(java.nio.file.Paths.get(s"$watch/$name"), bytes)
+
+    // first wave: two distinct clips + a sidecar the glob must skip
+    drop("clip_1.wav", graft.operators.Multimodal.makeWav(1L, 200))
+    drop("clip_4.wav", graft.operators.Multimodal.makeWav(4L, 300))
+    drop("manifest.txt", "not audio".getBytes)
+
+    val q = MediaDedupStream.ingestFiles(spark, watch, glob = "*.wav",
+      indexDir = s"$root/index", checkpointDir = s"$root/ckpt")
+    q.processAllAvailable()
+
+    // second wave: a byte-identical RE-UPLOAD of clip 1 under a new id
+    // (must be rejected) and a genuinely new clip (must append)
+    drop("clip_101.wav", graft.operators.Multimodal.makeWav(1L, 200))
+    drop("clip_7.wav", graft.operators.Multimodal.makeWav(7L, 444))
+    q.processAllAvailable()
+    q.stop()
+
+    val idx = MediaDedupStream.readIndex(spark, s"$root/index")
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(idx == Set(1L, 4L, 7L), idx.toString)
+  }
 }
