@@ -142,6 +142,19 @@ object BenchScale {
           operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
             col("l_partkey"), minSupport = 2L), rounds = 4).count(); ()
       }) ++
+      // Personalized PageRank: the q85 shape plus a broadcast seed join
+      // and a checkpointed restart base — exponent must track q85's.
+      // Seeds = the replicated nation-0 customers (∝ scale).
+      row("q145_ppr")(bestOf2 {
+        SparkEntry.queries("q145_ppr")(spark, dir).count(); ()
+      }) ++
+      // HITS, 2 synchronized rounds over the directed purchase graph:
+      // per round two edge-vs-scores joins + two map-side-combined
+      // aggregates; edges ∝ scale on the key-disjoint replicas. Target
+      // exponent ≈ 1 like the other fixed-round graph rows.
+      row("q146_hits")(bestOf2 {
+        SparkEntry.queries("q146_hits")(spark, dir).count(); ()
+      }) ++
       // Monitoring-fleet anomaly scan: keys ∝ scale at constant per-key
       // series density ((event_type, user-bucket) with buckets ∝ scale —
       // GenScale shifts user ids, so users grow with the corpus). One
