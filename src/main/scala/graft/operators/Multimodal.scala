@@ -1194,6 +1194,55 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Corrupt-tolerant variant of [[audioFingerprintHashes]] for ingest
+    * paths that read UNTRUSTED bytes (a watched bucket directory):
+    * payloads the WAV decoder rejects — corrupt uploads, files listed
+    * mid-write — are SKIPPED instead of failing the batch. In a
+    * checkpointed stream a throwing payload would replay forever (a
+    * poison-file crash loop); skipping is the only always-on-safe
+    * contract. Producers should write-then-rename: a partially-written
+    * file skipped here is never re-listed by the file source.
+    */
+  def audioFingerprintHashesSafe(spark: SparkSession,
+                                 media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "audio")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        it.flatMap { m =>
+          try {
+            val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+              new java.io.ByteArrayInputStream(m.payload))
+            val samples = pcm16(ais.readAllBytes()); ais.close()
+            val n = samples.length
+            if (n == 0) None
+            else {
+              val eF = new Array[Long](64); val cF = new Array[Long](64)
+              var eTot = 0L
+              var i = 0
+              while (i < n) {
+                val v = samples(i)
+                val e = v.toLong * v
+                val f = (i.toLong * 64 / n).toInt
+                eF(f) += e; cF(f) += 1; eTot += e
+                i += 1
+              }
+              val bands = new Array[Long](4)
+              var f = 0
+              while (f < 64) {
+                if (prodCompare(eF(f), n, eTot, cF(f)) > 0)
+                  bands(f / 16) |= 1L << (f % 16)
+                f += 1
+              }
+              Some(PHashRow(m.media_id, bands(0), bands(1), bands(2),
+                bands(3)))
+            }
+          } catch { case _: Exception => None }
+        }
+      }.toDF()
+  }
+
   /** Fingerprint dedup with CLUSTER output — the scale-correct contract
     * when duplicate classes grow with the corpus. The three-point study
     * caught [[audioFingerprintPairs]] going super-linear at 30×

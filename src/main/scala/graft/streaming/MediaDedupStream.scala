@@ -86,17 +86,16 @@ object MediaDedupStream {
       val repHashes = hashes.join(reps, "media_id")
       val kept = Multimodal.fingerprintIndexProbe(index, repHashes, maxDist)
         .filter(col("kept")).select("media_id")
-      index.unionByName(repHashes.join(kept, "media_id"))
+      // id uniqueness is an index INVARIANT: a later batch re-using an
+      // already-accepted id with different content (a bucket overwrite,
+      // a producer bug) must not append a second row under that id —
+      // content-new but id-stale rows drop via the anti join
+      val accepted = repHashes.join(kept, "media_id")
+        .join(index.select(col("media_id")), Seq("media_id"), "left_anti")
+      index.unionByName(accepted)
     }: Unit
     finally spark.catalog.clearCache() // this trigger's caches, see scaladoc
   }
-
-  private val BinaryFileSchema: StructType = StructType(Seq(
-    StructField("path", org.apache.spark.sql.types.StringType),
-    StructField("modificationTime",
-      org.apache.spark.sql.types.TimestampType),
-    StructField("length", LongType),
-    StructField("content", org.apache.spark.sql.types.BinaryType)))
 
   /** The WHOLE media-ingest pipeline as one always-on stream: watch a
     * directory of loose audio objects (the bucket layout
@@ -107,23 +106,48 @@ object MediaDedupStream {
     * keeps sidecar objects out of the source itself. Checkpointed file
     * offsets + the idempotent versioned commit give the same exactly-once
     * contract as [[dedupStream]].
+    *
+    * Poison-file safety — an always-on stream must never crash-loop on a
+    * bad object (checkpoint replay would re-read it forever):
+    *  - names that don't carry a parseable `_<id>` are SKIPPED (the
+    *    extract yields null / an overflowing id casts to null);
+    *  - undecodable payloads (corrupt uploads, files listed mid-write)
+    *    are SKIPPED by the corrupt-tolerant hash path
+    *    ([[Multimodal.audioFingerprintHashesSafe]]); write-then-rename
+    *    producers never hit this;
+    *  - two files colliding on the same derived id in one batch keep ONE
+    *    deterministically (smallest fingerprint) — the id, not the path,
+    *    is the identity under the bucket convention, and a silent
+    *    duplicate-id index row would corrupt every downstream join.
     */
   def ingestFiles(spark: SparkSession, watchDir: String, glob: String,
                   indexDir: String, checkpointDir: String,
                   maxDist: Int = 3): StreamingQuery = {
+    // one source of truth for the fixed binaryFile schema: derive it from
+    // a batch-mode analysis of the same dir (no data is read)
+    val schema = spark.read.format("binaryFile").load(watchDir).schema
     val raw = spark.readStream.format("binaryFile")
-      .schema(BinaryFileSchema)
+      .schema(schema)
       .option("pathGlobFilter", glob)
       .load(watchDir)
     raw.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // try_cast: ANSI mode (Spark 4 default) makes a plain cast of a
+        // non-matching extract ("") THROW — the exact poison loop this
+        // path exists to prevent
         val media = batch.select(
-          regexp_extract(col("path"), "_(\\d+)\\.[a-z]+$", 1)
-            .cast("long").as("media_id"),
+          expr("try_cast(regexp_extract(path, '_(\\\\d+)\\\\.[a-z]+$', 1) AS LONG)")
+            .as("media_id"),
           lit("audio").as("kind"), col("content").as("payload"))
-        applyBatch(spark, indexDir,
-          Multimodal.audioFingerprintHashes(spark, media), batchId, maxDist)
+          .filter(col("media_id").isNotNull)
+        val hashes = Multimodal.audioFingerprintHashesSafe(spark, media)
+        val w = org.apache.spark.sql.expressions.Window
+          .partitionBy(col("media_id"))
+          .orderBy(col("b0"), col("b1"), col("b2"), col("b3"))
+        val uniq = hashes.withColumn("_rn", row_number().over(w))
+          .filter(col("_rn") === 1).drop("_rn")
+        applyBatch(spark, indexDir, uniq, batchId, maxDist)
       }
       .start()
   }

@@ -116,14 +116,21 @@ class MediaDedupStreamSpec extends SparkSpec {
     q.processAllAvailable()
 
     // second wave: a byte-identical RE-UPLOAD of clip 1 under a new id
-    // (must be rejected) and a genuinely new clip (must append)
+    // (must be rejected), a genuinely new clip (must append), and THREE
+    // poison objects an always-on stream must shrug off: a name with no
+    // parseable id, a corrupt payload under a valid name, and a stale-id
+    // overwrite (id 4 re-used with different content — the id-uniqueness
+    // invariant must hold, no second id-4 row)
     drop("clip_101.wav", graft.operators.Multimodal.makeWav(1L, 200))
     drop("clip_7.wav", graft.operators.Multimodal.makeWav(7L, 444))
+    drop("intro.wav", graft.operators.Multimodal.makeWav(9L, 120))
+    drop("clip_66.wav", "definitely not a wav".getBytes)
+    drop("remix_4.wav", graft.operators.Multimodal.makeWav(40L, 350))
     q.processAllAvailable()
     q.stop()
 
     val idx = MediaDedupStream.readIndex(spark, s"$root/index")
-      .select("media_id").collect().map(_.getLong(0)).toSet
-    assert(idx == Set(1L, 4L, 7L), idx.toString)
+      .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(idx == Seq(1L, 4L, 7L), idx.toString)
   }
 }
