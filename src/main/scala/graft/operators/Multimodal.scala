@@ -1194,6 +1194,31 @@ object Multimodal {
       }.toDF()
   }
 
+  /** Corrupt-tolerant image aHash for untrusted ingest bytes — the
+    * [[audioFingerprintHashesSafe]] twin: payloads ImageIO rejects are
+    * SKIPPED instead of failing the batch (the poison-file contract).
+    */
+  def imageHashesSafe(spark: SparkSession, media: DataFrame): DataFrame = {
+    import spark.implicits._
+    media.filter(col("kind") === "image")
+      .select(col("media_id").cast("long"), col("kind"), col("payload"))
+      .as[MediaRow]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { m =>
+          try {
+            val img = javax.imageio.ImageIO.read(
+              new java.io.ByteArrayInputStream(m.payload))
+            if (img == null) None
+            else {
+              val b = aHashBands(img)
+              Some(PHashRow(m.media_id, b(0), b(1), b(2), b(3)))
+            }
+          } catch { case _: Exception => None }
+        }
+      }.toDF()
+  }
+
   /** Corrupt-tolerant variant of [[audioFingerprintHashes]] for ingest
     * paths that read UNTRUSTED bytes (a watched bucket directory):
     * payloads the WAV decoder rejects — corrupt uploads, files listed

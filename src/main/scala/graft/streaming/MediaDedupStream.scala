@@ -98,7 +98,8 @@ object MediaDedupStream {
   }
 
   /** The WHOLE media-ingest pipeline as one always-on stream: watch a
-    * directory of loose audio objects (the bucket layout
+    * directory of loose media objects — audio (.wav) AND images (.png),
+    * routed by extension into their fingerprint paths (the bucket layout
     * [[graft.sources.Files.readBinaryFiles]] reads in batch), fingerprint
     * each arriving file, and maintain the dedup index — files land on
     * disk, duplicates never enter the index. The media id comes from the
@@ -135,19 +136,34 @@ object MediaDedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         // try_cast: ANSI mode (Spark 4 default) makes a plain cast of a
         // non-matching extract ("") THROW — the exact poison loop this
-        // path exists to prevent
+        // path exists to prevent. Modality routes by extension; anything
+        // else the glob admitted is skipped, not fatal.
         val media = batch.select(
           expr("try_cast(regexp_extract(path, '_(\\\\d+)\\\\.[a-z]+$', 1) AS LONG)")
             .as("media_id"),
-          lit("audio").as("kind"), col("content").as("payload"))
-          .filter(col("media_id").isNotNull)
-        val hashes = Multimodal.audioFingerprintHashesSafe(spark, media)
-        val w = org.apache.spark.sql.expressions.Window
-          .partitionBy(col("media_id"))
-          .orderBy(col("b0"), col("b1"), col("b2"), col("b3"))
-        val uniq = hashes.withColumn("_rn", row_number().over(w))
-          .filter(col("_rn") === 1).drop("_rn")
-        applyBatch(spark, indexDir, uniq, batchId, maxDist)
+          when(col("path").endsWith(".wav"), "audio")
+            .when(col("path").endsWith(".png"), "image")
+            .as("kind"),
+          col("content").as("payload"))
+          .filter(col("media_id").isNotNull && col("kind").isNotNull)
+        // ONE INDEX PER MODALITY: an audio and an image fingerprint
+        // landing within hamming 3 is numerology, not a duplicate —
+        // cross-kind rejections must be impossible. Two idempotent
+        // commits share the batchId: a crash between them replays the
+        // batch, the committed side no-ops, the other converges.
+        def uniq(h: DataFrame): DataFrame = {
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("media_id"))
+            .orderBy(col("b0"), col("b1"), col("b2"), col("b3"))
+          h.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).drop("_rn")
+        }
+        applyBatch(spark, s"$indexDir/audio",
+          uniq(Multimodal.audioFingerprintHashesSafe(spark, media)),
+          batchId, maxDist)
+        applyBatch(spark, s"$indexDir/image",
+          uniq(Multimodal.imageHashesSafe(spark, media)),
+          batchId, maxDist)
       }
       .start()
   }

@@ -106,12 +106,14 @@ class MediaDedupStreamSpec extends SparkSpec {
     def drop(name: String, bytes: Array[Byte]): Unit =
       java.nio.file.Files.write(java.nio.file.Paths.get(s"$watch/$name"), bytes)
 
-    // first wave: two distinct clips + a sidecar the glob must skip
+    // first wave: two distinct clips, an image, and a sidecar the glob
+    // must skip — modalities route to their OWN indexes
     drop("clip_1.wav", graft.operators.Multimodal.makeWav(1L, 200))
     drop("clip_4.wav", graft.operators.Multimodal.makeWav(4L, 300))
+    drop("pic_11.png", graft.operators.Multimodal.makePng(11L, 12, 10))
     drop("manifest.txt", "not audio".getBytes)
 
-    val q = MediaDedupStream.ingestFiles(spark, watch, glob = "*.wav",
+    val q = MediaDedupStream.ingestFiles(spark, watch, glob = "*.{wav,png}",
       indexDir = s"$root/index", checkpointDir = s"$root/ckpt")
     q.processAllAvailable()
 
@@ -126,11 +128,16 @@ class MediaDedupStreamSpec extends SparkSpec {
     drop("intro.wav", graft.operators.Multimodal.makeWav(9L, 120))
     drop("clip_66.wav", "definitely not a wav".getBytes)
     drop("remix_4.wav", graft.operators.Multimodal.makeWav(40L, 350))
+    // an image RE-UPLOAD under a new name must dedup in the image index
+    drop("pic_111.png", graft.operators.Multimodal.makePng(11L, 12, 10))
     q.processAllAvailable()
     q.stop()
 
-    val idx = MediaDedupStream.readIndex(spark, s"$root/index")
+    val audioIdx = MediaDedupStream.readIndex(spark, s"$root/index/audio")
       .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
-    assert(idx == Seq(1L, 4L, 7L), idx.toString)
+    assert(audioIdx == Seq(1L, 4L, 7L), audioIdx.toString)
+    val imageIdx = MediaDedupStream.readIndex(spark, s"$root/index/image")
+      .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
+    assert(imageIdx == Seq(11L), imageIdx.toString)
   }
 }
