@@ -1026,10 +1026,8 @@ object Multimodal {
         // executor-side, idempotent: in-memory streams, not temp files
         javax.imageio.ImageIO.setUseCache(false)
         it.map { m =>
-          val img = javax.imageio.ImageIO.read(
-            new java.io.ByteArrayInputStream(m.payload))
-          require(img != null, "undecodable image payload")
-          val bands = aHashBands(img)
+          val bands = tryAHash(m.payload)
+            .getOrElse(sys.error(s"undecodable image payload ${m.media_id}"))
           PHashRow(m.media_id, bands(0), bands(1), bands(2), bands(3))
         }
       }.toDF()
@@ -1194,6 +1192,19 @@ object Multimodal {
       }.toDF()
   }
 
+  /** THE image decode+aHash step, shared by the strict batch path
+    * ([[imagePHashPairs]], which refuses undecodable payloads) and the
+    * corrupt-tolerant ingest path ([[imageHashesSafe]]): one body, so
+    * the streaming index and the batch dedup can never silently disagree
+    * on fingerprints. None ⇔ the payload does not decode.
+    */
+  private def tryAHash(payload: Array[Byte]): Option[Array[Long]] =
+    try {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(payload))
+      if (img == null) None else Some(aHashBands(img))
+    } catch { case _: Exception => None }
+
   /** Corrupt-tolerant image aHash for untrusted ingest bytes — the
     * [[audioFingerprintHashesSafe]] twin: payloads ImageIO rejects are
     * SKIPPED instead of failing the batch (the poison-file contract).
@@ -1206,15 +1217,8 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.flatMap { m =>
-          try {
-            val img = javax.imageio.ImageIO.read(
-              new java.io.ByteArrayInputStream(m.payload))
-            if (img == null) None
-            else {
-              val b = aHashBands(img)
-              Some(PHashRow(m.media_id, b(0), b(1), b(2), b(3)))
-            }
-          } catch { case _: Exception => None }
+          tryAHash(m.payload).map(b =>
+            PHashRow(m.media_id, b(0), b(1), b(2), b(3)))
         }
       }.toDF()
   }

@@ -44,10 +44,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * docstring states the real cost rather than claiming ∝ batch.
   *
   * Caching: the maintainer assumes it OWNS its session's cache (the
-  * production norm for a dedicated always-on job) — each trigger's
-  * intermediate caches (its own and its operators') are dropped with
-  * `clearCache` after the commit, so a long-running stream cannot
-  * accumulate stale cached plans across thousands of micro-batches.
+  * production norm for a dedicated always-on job) — the STREAM DRIVERS
+  * ([[dedupStream]], [[ingestFiles]]) drop each trigger's intermediate
+  * caches (their own and their operators') with `clearCache` at the end
+  * of the trigger, AFTER every per-modality commit, so a long-running
+  * stream cannot accumulate stale cached plans across thousands of
+  * micro-batches. Direct [[applyBatch]] callers (tests, one-shot
+  * backfills) manage their own cache lifetime.
   */
 object MediaDedupStream {
 
@@ -76,7 +79,7 @@ object MediaDedupStream {
     // must not pay the isEmpty job below just to be skipped inside
     if (vv.committed.exists(_._1 >= batchId)) return
     if (batch.isEmpty) return // idle trigger: no commit
-    try vv.applyBatch(batchId) { cur =>
+    vv.applyBatch(batchId) { cur =>
       val index = cur.getOrElse(spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
       val hashes = batch.select(col("media_id"), col("b0"), col("b1"),
@@ -94,7 +97,6 @@ object MediaDedupStream {
         .join(index.select(col("media_id")), Seq("media_id"), "left_anti")
       index.unionByName(accepted)
     }: Unit
-    finally spark.catalog.clearCache() // this trigger's caches, see scaladoc
   }
 
   /** The WHOLE media-ingest pipeline as one always-on stream: watch a
@@ -113,13 +115,21 @@ object MediaDedupStream {
     *  - names that don't carry a parseable `_<id>` are SKIPPED (the
     *    extract yields null / an overflowing id casts to null);
     *  - undecodable payloads (corrupt uploads, files listed mid-write)
-    *    are SKIPPED by the corrupt-tolerant hash path
-    *    ([[Multimodal.audioFingerprintHashesSafe]]); write-then-rename
+    *    are SKIPPED by the corrupt-tolerant hash paths of BOTH
+    *    modalities ([[Multimodal.audioFingerprintHashesSafe]] for .wav,
+    *    [[Multimodal.imageHashesSafe]] for .png); write-then-rename
     *    producers never hit this;
     *  - two files colliding on the same derived id in one batch keep ONE
     *    deterministically (smallest fingerprint) — the id, not the path,
     *    is the identity under the bucket convention, and a silent
     *    duplicate-id index row would corrupt every downstream join.
+    *
+    * Index layout: one [[VersionedView]] per modality under
+    * `indexDir/audio` and `indexDir/image` (cross-kind hamming matches
+    * are numerology, so per-kind views make cross-kind rejection
+    * structurally impossible). This layout shipped WITH the multimodal
+    * routing; a single-view index from the brief wav-only form of this
+    * API needs a one-time move to `indexDir/audio`.
     */
   def ingestFiles(spark: SparkSession, watchDir: String, glob: String,
                   indexDir: String, checkpointDir: String,
@@ -146,6 +156,8 @@ object MediaDedupStream {
             .as("kind"),
           col("content").as("payload"))
           .filter(col("media_id").isNotNull && col("kind").isNotNull)
+          .cache() // ONE payload read per trigger; both modality
+                   // pipelines (and their isEmpty probes) reuse it
         // ONE INDEX PER MODALITY: an audio and an image fingerprint
         // landing within hamming 3 is numerology, not a duplicate —
         // cross-kind rejections must be impossible. Two idempotent
@@ -164,6 +176,7 @@ object MediaDedupStream {
         applyBatch(spark, s"$indexDir/image",
           uniq(Multimodal.imageHashesSafe(spark, media)),
           batchId, maxDist)
+        spark.catalog.clearCache() // this trigger's caches, see scaladoc
       }
       .start()
   }
@@ -178,6 +191,7 @@ object MediaDedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, indexDir, batch, batchId, maxDist)
+        spark.catalog.clearCache() // this trigger's caches, see scaladoc
       }
       .start()
   }
