@@ -944,6 +944,87 @@ object Multimodal {
           audioFingerprintHashes(spark, copies.unionByName(novel)),
           maxDist = 3)
         .orderBy(col("media_id"))
+    }),
+
+    // The IMAGE side of the ingest probe (q144's modality twin,
+    // completing the per-modality incremental matrix): a batch of
+    // brightness-shifted re-encodes (every 5th image) and genuinely new
+    // images probes the corpus image-fingerprint index. The oracle
+    // rebuilds both sides' aHashes from the closed-form pixel math.
+    Query(
+      "q148_image_index_probe",
+      Some("""
+        WITH a AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 0),
+        allv AS (SELECT b AS src, b AS d, 0 AS bright, 0 AS is_batch FROM a
+                 UNION ALL
+                 SELECT b, b + 10000, 1, 1 FROM a WHERE b % 5 = 1
+                 UNION ALL
+                 SELECT b + 20000, b + 20000, 0, 1 FROM a WHERE b % 5 = 2),
+        g AS (SELECT d, is_batch,
+                CASE WHEN bright = 0 THEN
+                  (x*31 + y*17 + src*7) % 256 + (x*13 + y*29 + src*3) % 256
+                    + (x*7 + y*11 + src) % 256
+                ELSE
+                  least((x*31 + y*17 + src*7) % 256 + 1, 255)
+                    + least((x*13 + y*29 + src*3) % 256 + 1, 255)
+                    + least((x*7 + y*11 + src) % 256 + 1, 255)
+                END AS gray,
+                (y * 8 // (src % 16 + 8)) * 8 + (x * 8 // (src % 24 + 8))
+                  AS idx
+              FROM allv,
+                   unnest(generate_series(0, src % 24 + 7)) AS t1(x),
+                   unnest(generate_series(0, src % 16 + 7)) AS t2(y)),
+        cells AS (SELECT d, is_batch, idx, SUM(gray) AS s_cell,
+                         COUNT(*) AS n_cell
+                  FROM g GROUP BY 1, 2, 3),
+        tot AS (SELECT d, is_batch, SUM(gray) AS s_tot, COUNT(*) AS n_tot
+                FROM g GROUP BY 1, 2),
+        bits AS (SELECT d, is_batch, idx,
+                   CASE WHEN s_cell * n_tot > s_tot * n_cell
+                        THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d, is_batch)),
+        bands AS (SELECT d, is_batch, idx // 16 AS k,
+                    CAST(SUM(bit * (1 << (idx % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2, 3),
+        hash4 AS (SELECT d, is_batch,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT bb.d AS bid, cb.d AS cid
+                 FROM bands bb JOIN bands cb
+                   ON bb.k = cb.k AND bb.v = cb.v
+                  AND bb.is_batch = 1 AND cb.is_batch = 0),
+        dup AS (SELECT bid, MIN(cid) AS dup_of
+                FROM cand
+                JOIN hash4 hb ON hb.d = bid AND hb.is_batch = 1
+                JOIN hash4 hc ON hc.d = cid AND hc.is_batch = 0
+                WHERE bit_count(xor(hb.b0, hc.b0)) + bit_count(xor(hb.b1, hc.b1))
+                    + bit_count(xor(hb.b2, hc.b2)) + bit_count(xor(hb.b3, hc.b3)) <= 3
+                GROUP BY bid)
+        SELECT h.d AS media_id, dup.dup_of, dup.dup_of IS NULL AS kept
+        FROM hash4 h LEFT JOIN dup ON dup.bid = h.d
+        WHERE h.is_batch = 1
+        ORDER BY media_id"""))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val originals = mediaTableWithImages(docs)
+        .filter(col("kind") === "image")
+        .select(col("media_id").cast("long"), col("kind"), col("payload"))
+        .cache() // feeds the index side AND the copy synthesis
+      val copies = brightenedCopies(spark,
+        originals.filter(col("media_id") % 5 === 1), offset = 10000L,
+        delta = 1)
+      val png = udf((d: Long) => makePng(d, imgW(d), imgH(d)))
+      val novel = docs.filter(col("doc_id") % 3 === 0 && col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 20000L).as("media_id"),
+          lit("image").as("kind"),
+          png(col("doc_id") + 20000L).as("payload"))
+      fingerprintIndexProbe(
+          imageHashes(spark, originals),
+          imageHashes(spark, copies.unionByName(novel)),
+          maxDist = 3)
+        .orderBy(col("media_id"))
     })
   )
 
@@ -1017,9 +1098,17 @@ object Multimodal {
     * allow. Pixel volume never shuffles anywhere.
     */
   def imagePHashPairs(spark: SparkSession, media: DataFrame,
-                      maxDist: Int): DataFrame = {
+                      maxDist: Int): DataFrame =
+    bandedHammingPairs(imageHashes(spark, media), maxDist)
+
+  /** Per-image aHash fingerprints as (media_id, b0..b3) — the strict
+    * front of the pair/probe outputs ([[audioFingerprintHashes]]' image
+    * twin); an undecodable payload is an ERROR here (trusted-table
+    * contract), [[imageHashesSafe]] is the ingest form.
+    */
+  def imageHashes(spark: SparkSession, media: DataFrame): DataFrame = {
     import spark.implicits._
-    val hashes = media.filter(col("kind") === "image")
+    media.filter(col("kind") === "image")
       .select(col("media_id").cast("long"), col("kind"), col("payload"))
       .as[MediaRow]
       .mapPartitions { it =>
@@ -1031,7 +1120,6 @@ object Multimodal {
           PHashRow(m.media_id, bands(0), bands(1), bands(2), bands(3))
         }
       }.toDF()
-    bandedHammingPairs(hashes, maxDist)
   }
 
   /** Sign of `a·b − c·d` for NON-NEGATIVE longs without overflow

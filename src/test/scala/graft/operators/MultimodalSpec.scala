@@ -323,6 +323,34 @@ class MultimodalSpec extends SparkSpec {
     assert(served == probed && served.nonEmpty)
   }
 
+  test("image index probe: copies resolve, novel images stay kept") {
+    val originals = imageRows
+    val copies = Multimodal.brightenedCopies(spark,
+      originals.orderBy("media_id").limit(10), offset = 50000L, delta = 1)
+    val png = udf((d: Long) => Multimodal.makePng(d,
+      Multimodal.imgW(d), Multimodal.imgH(d)))
+    import spark.implicits._
+    // ids chosen with min closed-form hamming > 3 against the FULL
+    // sf0.001 image corpus (ids ≡ mod 768 are EXACT duplicates of
+    // corpus images — 900/903 collide that way and must not be used as
+    // "novel")
+    val novel = Seq(901L, 902L, 905L, 907L, 908L, 910L).toDF("media_id")
+      .select(col("media_id"), lit("image").as("kind"),
+        png(col("media_id")).as("payload"))
+    val got = Multimodal.fingerprintIndexProbe(
+        Multimodal.imageHashes(spark, originals),
+        Multimodal.imageHashes(spark, copies.unionByName(novel)),
+        maxDist = 3)
+      .collect().map(r => r.getAs[Long]("media_id") ->
+        r.getAs[Boolean]("kept")).toMap
+    assert(got.size == 16)
+    // every brightened copy (ids >= 50000) resolves to a corpus dup
+    assert(got.filter(_._1 >= 50000L).values.forall(_ == false))
+    // every genuinely new image stays kept
+    assert(got.filter(kv => kv._1 >= 900L && kv._1 <= 910L)
+      .values.forall(_ == true), got.toString)
+  }
+
   test("imagePHashPairs is partitioning-independent") {
     val corpus = imageRows.orderBy("media_id").limit(30).unionByName(
       Multimodal.brightenedCopies(spark, imageRows.orderBy("media_id").limit(30),
