@@ -121,6 +121,17 @@ object BenchScale {
           "source", col("n_chars"), capN = 15 * scale, maxOov = 0.5,
           minDf = 5 * scale).count(); ()
       }) ++
+      // The FLAGSHIP composed ingest pipeline (q78): eval split → language
+      // + quality filters → exact dedup → LSH near-dup clusters →
+      // decontamination → per-source token budget, with the shingle-df cap
+      // scaled like the other dedup rows. The one job a production user
+      // runs nightly — its composed exponent is the 100 TB claim in one
+      // number; every stage is individually fitted, this row fits the
+      // composition (staged persists included).
+      row("q78_ingest_e2e")(bestOf2 {
+        operators.ScaleOps.ingestPipeline(t.documents, maxShingleDf = dfCap)
+          .count(); ()
+      }) ++
       // Degree-ordered triangle census over the co-purchase graph: the
       // replicas are key-disjoint, so the graph is `scale` disjoint
       // copies — edges ∝ scale at constant support distribution

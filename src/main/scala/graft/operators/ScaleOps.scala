@@ -173,13 +173,18 @@ object ScaleOps {
     //   1. language filter   (TextAnalysis.langId = 'en')          map-only
     //   2. quality filter    (TextAnalysis.qualityScore keep)      map-only
     //   3. exact dedup       (Dedup.exact, min doc survives)       1 shuffle
-    //   4. near-dup clusters (ngramJaccardPairs → components →
-    //                         drop non-representatives)            bucketed
+    //   4. near-dup clusters (minhashLshPairs → components →
+    //                         drop non-representatives)            banded LSH
     //   5. decontamination   (Pipeline.contamination vs the eval
     //                         split, containment ≥ 0.5)            broadcast
     //   6. token budget      (BPE-ish counts per source)           1 shuffle
-    // The oracle recomputes all six stages in one DuckDB CTE chain from the
-    // same fragments that oracle the individual operators.
+    // Stage 4 is the LSH SCALE PATH (q27's generator, fitted exp 0.70) —
+    // not the bounded-corpus exact shingle join, whose measured 10×→30×
+    // legs hit 2.1–2.3 (BENCH_sf3 q49/q56 `_exact`). The oracle recomputes
+    // all six stages in one DuckDB CTE chain from the same fragments that
+    // oracle the individual operators — the LSH stage interpolates
+    // [[Dedup.minhashLshPairCtes]], the exact machine-generated SQL q27
+    // verifies, so the LCG/banding constants have one source of truth.
     Query(
       "q78_ingest_pipeline",
       Some(s"""
@@ -193,19 +198,8 @@ object ScaleOps {
           WHERE d.doc_id % 11 <> 0),
         kept AS (SELECT min(doc_id) AS doc_id FROM eligible GROUP BY md5(text)),
         e2 AS (SELECT e.* FROM eligible e JOIN kept USING (doc_id)),
-        sh0 AS (SELECT doc_id AS doc,
-                  unnest(list_distinct(list_transform(
-                    ${sqlShingles(sqlTokens("text"), 3)}, s -> ${sqlH48("s")}))) AS sh
-                FROM e2),
-        ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20),
-        shf AS (SELECT doc, sh0.sh FROM sh0 JOIN ok USING (sh)),
-        sz AS (SELECT doc, COUNT(*) AS sz FROM shf GROUP BY doc),
-        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
-                  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc
-                  GROUP BY 1, 2),
-        prs AS (SELECT doc_a, doc_b FROM inter
-                JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
-                WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        ${Dedup.minhashLshPairCtes("e2", "text", "doc_id", n = 3,
+          threshold = 0.5, maxShingleDf = 20)},
         edges AS (SELECT doc_a AS src, doc_b AS dst FROM prs
                   UNION SELECT doc_b, doc_a FROM prs),
         reach AS (
@@ -239,8 +233,16 @@ object ScaleOps {
                CAST(SUM(len(regexp_extract_all(lower(text),
                  '[a-z]+|[0-9]+|[^a-z0-9\\s]'))) AS BIGINT) AS total_bpe,
                CAST(SUM(n_chars) AS BIGINT) AS total_chars
-        FROM fin GROUP BY source ORDER BY source"""))((spark, dir) => {
-      val docs = Tables(spark, dir).documents
+        FROM fin GROUP BY source ORDER BY source"""))((spark, dir) =>
+      ingestPipeline(Tables(spark, dir).documents)))
+
+  /** q78's body, reusable with scale-appropriate parameters: the oracle row
+    * runs the fixed oracle-exact df cap (20); the BenchScale study row runs
+    * [[Dedup.dfCapFor]] — the cap a corpus of that size would actually run,
+    * same convention as the q27/q49/q56 study rows.
+    */
+  def ingestPipeline(docs: org.apache.spark.sql.DataFrame,
+                     maxShingleDf: Int = 20): org.apache.spark.sql.DataFrame = {
       val isEval = col("doc_id") % 11 === 0
       val train = docs.filter(!isEval)
       // Stages 1+2 are per-row predicates — one fused codegen'd scan pass,
@@ -258,7 +260,12 @@ object ScaleOps {
       val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
       eligible.persist(lvl)
       val e2 = eligible.join(kept, Seq("doc_id"), "left_semi").persist(lvl)
-      val pairs = Dedup.ngramJaccardPairs(e2, "text", "doc_id", n = 3, threshold = 0.5)
+      // Stage 4: LSH candidates (the library's own designated scale path —
+      // cost is one signature pass + a band-key join, never quadratic),
+      // NOT ngramJaccardPairs, whose exact shingle-share join is
+      // bounded-corpus by contract (measured legs 2.1–2.3 at 30×).
+      val pairs = Dedup.minhashLshPairs(e2, "text", "doc_id", n = 3,
+        threshold = 0.5, maxShingleDf = maxShingleDf)
       val drop = Pipeline.connectedComponents(pairs)
         .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
       val e3 = e2.join(broadcast(drop), col("doc_id") === col("drop_doc"), "left_anti")
@@ -280,7 +287,7 @@ object ScaleOps {
           sum(regexp_count(lower(col("text")), lit(re)).cast("long")).as("total_bpe"),
           sum(col("n_chars")).as("total_chars"))
         .orderBy(col("source"))
-    }))
+  }
 
   val extraQueries: Seq[Query] = Seq(
 
