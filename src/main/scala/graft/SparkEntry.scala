@@ -15,6 +15,7 @@ object SparkEntry {
     graft.operators.Relational.queries ++
     graft.operators.RelationalExt.queries ++
     graft.operators.Dedup.queries ++
+    graft.operators.EmbeddingIndex.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Similarity.queries ++
     graft.operators.Multimodal.queries ++

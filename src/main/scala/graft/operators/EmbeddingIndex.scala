@@ -1,0 +1,200 @@
+package graft.operators
+
+import graft.{Query, Tables}
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Incremental EMBEDDING dedup against a maintained IVF cell index — the
+  * embedding member of the per-modality incremental matrix (text: q111
+  * Bloom / q123 LSH band probe; media: q144/q147/q148 fingerprint probes).
+  * A new vector batch is assigned to its `nProbe` nearest cells and
+  * compared ONLY against the corpus vectors stored in those cells — the
+  * SemDeDup recipe run incrementally, so a day's ingest never reassigns or
+  * re-pairs the corpus.
+  *
+  * Index artifacts (what a production pipeline PERSISTS, cf. the q91
+  * serving layout, reference `README.md:16`'s warehouse-object framing):
+  *  - the CENTROIDS (`(cid, cv)`, model-sized) — the frozen coarse
+  *    quantizer. Freezing is the standard IVF contract (FAISS/SPANN): cell
+  *    ids stay stable so stored assignments never invalidate; the
+  *    quantizer refreshes only on a full rebuild.
+  *  - the CELL TABLE (`(vec_id, cell, v)`) — appended per accepted batch;
+  *    on disk this is the q91 `partitionBy(cell)` layout, so probes prune
+  *    to probed cells.
+  *
+  * Steady-state cost per batch: O(batch · nCells) assignment (map-side,
+  * centroids broadcast) + a probe join that touches `nProbe / nCells` of
+  * the index (partition-pruned when persisted) + O(batch) appended rows.
+  * Nothing corpus-wide.
+  *
+  * Recall contract (measured, not hidden): a true near-dup in a cell the
+  * batch vector does NOT probe is missed — the classic IVF recall/cost
+  * knob (`nProbe`). At the default nProbe=2 over 16 first-seed cells the
+  * synthetic corpus' planted duplicate pairs all resolve (EmbeddingIndexSpec
+  * gates parity with the cell-free exact scan on the planted pairs);
+  * production tunes nProbe against measured recall exactly as q53 does for
+  * query ANN.
+  */
+object EmbeddingIndex {
+
+  /** First-`nCells` corpus vectors by id order — the deterministic seed
+    * quantizer every cell-bounded oracle replays (q51/q74/q91's rule).
+    * Production passes [[Similarity.kmeansCentroids]] output instead;
+    * the plan shape is identical.
+    */
+  def seedCentroids(corpus: DataFrame, vecCol: String, idCol: String,
+                    nCells: Int): DataFrame =
+    corpus.orderBy(col(idCol)).limit(nCells)
+      .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
+
+  /** Nearest-centroid assignment KEEPING the vector — the stored cell
+    * table. Same map-side-combinable `max(struct(cos, -cid, v))` argmax as
+    * [[Similarity.annIvf]] (corpus vectors never shuffle; ties to the
+    * smaller cid).
+    */
+  def assignCells(vectors: DataFrame, cent: DataFrame, vecCol: String,
+                  idCol: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    vectors.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(cent))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("cv")).as("cos"),
+        (-col("cid")).as("ncid"),
+        col("v").as("v"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+  }
+
+  /** Probe the stored cell index with a batch: each batch vector's
+    * `nProbe` nearest cells are looked up (broadcast probe list keyed on
+    * the cell id — with the q91 partitioned layout this prunes the index
+    * scan), candidates verify by exact cosine, and a batch vector
+    * near-duplicates (`cos >= threshold`) resolve to the SMALLEST matching
+    * corpus id. Returns one row per batch vector:
+    * `(vec_id, dup_of, is_new)` — the q111/q123 incremental contract.
+    */
+  def probeDedup(index: DataFrame, cent: DataFrame, batch: DataFrame,
+                 vecCol: String, idCol: String, nProbe: Int = 2,
+                 threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val probes = batch
+      .select(col(idCol).cast("long").as("bid"), col(vecCol).as("qv"))
+      .join(broadcast(cent))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bid"))
+          .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
+      .filter(col("rn") <= nProbe)
+      .select(col("bid"), col("qv"), col("cid").as("cell"))
+    val dup = index.join(broadcast(probes), "cell")
+      .filter(cosineFast(col("qv"), col("v")) >= threshold)
+      .groupBy(col("bid")).agg(min(col("vec_id")).as("dup_of"))
+    batch.select(col(idCol).cast("long").as("vec_id"))
+      .join(broadcast(dup), col("vec_id") === col("bid"), "left")
+      .select(col("vec_id"), col("dup_of"), col("dup_of").isNull.as("is_new"))
+  }
+
+  /** Build-then-probe in one call (oracle form: the index derives from
+    * `isBatch` so DuckDB can replay a full recompute — `seedCentroids` +
+    * [[assignCells]] are the build step a real pipeline runs once and
+    * [[graft.streaming.EmbeddingDedupStream]] maintains continuously).
+    */
+  def ivfIncrementalDedup(embs: DataFrame, vecCol: String, idCol: String,
+                          isBatch: Column, nCells: Int = 16, nProbe: Int = 2,
+                          threshold: Double = 0.4): DataFrame = {
+    val corpus = embs.filter(!isBatch)
+    val cent = seedCentroids(corpus, vecCol, idCol, nCells)
+    probeDedup(assignCells(corpus, cent, vecCol, idCol), cent,
+      embs.filter(isBatch), vecCol, idCol, nProbe, threshold)
+  }
+
+  /** Retract vectors from the cell index: remove their rows, quantizer
+    * FROZEN (see the object doc — cell ids must stay stable). The result
+    * is bit-identical to rebuilding the index from the remaining corpus
+    * under the same centroids, because a row's cell depends only on its
+    * own vector and the frozen quantizer — q151 proves it against a
+    * full-recompute oracle whose centroids come from the ORIGINAL corpus
+    * and whose cell table is rebuilt from the survivors.
+    */
+  def retract(index: DataFrame, dropIds: DataFrame): DataFrame =
+    index.join(broadcast(dropIds.select(col(dropIds.columns.head).cast("long")
+      .as("_drop_id"))), col("vec_id") === col("_drop_id"), "left_anti")
+
+  /** DuckDB twin of [[ivfIncrementalDedup]] — and, with `corpusPred`
+    * narrower than `centPred`, of the probe AFTER [[retract]]: centroids
+    * from the `centPred` rows (the frozen quantizer), cell table rebuilt
+    * from only the `corpusPred` survivors. Same seeding, argmax tie rule
+    * and min-id dup resolution as the engine.
+    */
+  def ivfIncrementalOracleSql(table: String, vecCol: String, idCol: String,
+                              batchPred: String, nCells: Int = 16,
+                              nProbe: Int = 2, threshold: Double = 0.4,
+                              corpusPred: Option[String] = None): String = {
+    val centPred = s"NOT ($batchPred)"
+    val cPred = corpusPred.getOrElse(centPred)
+    def rankCte(pred: String) =
+      s"""SELECT e.$idCol AS vid, c.cid, e.$vecCol AS v,
+            ROW_NUMBER() OVER (PARTITION BY e.$idCol
+              ORDER BY list_cosine_similarity(e.$vecCol::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                       c.cid) AS rn
+          FROM $table e CROSS JOIN cent c WHERE $pred"""
+    s"""WITH cent AS (SELECT $idCol AS cid, $vecCol AS cv FROM $table
+                      WHERE $centPred ORDER BY $idCol LIMIT $nCells),
+        ca AS (${rankCte(cPred)}),
+        cells AS (SELECT vid, cid AS cell, v FROM ca WHERE rn = 1),
+        qa AS (${rankCte(batchPred)}),
+        probes AS (SELECT vid AS qid, cid AS cell, v AS qv FROM qa
+                   WHERE rn <= $nProbe),
+        dup AS (SELECT qid, MIN(cells.vid) AS dup_of
+                FROM probes JOIN cells USING (cell)
+                WHERE list_cosine_similarity(qv::DOUBLE[], cells.v::DOUBLE[]) >= $threshold
+                GROUP BY qid)
+        SELECT b.$idCol AS vec_id, dup.dup_of, dup.dup_of IS NULL AS is_new
+        FROM (SELECT $idCol FROM $table WHERE $batchPred) b
+        LEFT JOIN dup ON dup.qid = b.$idCol
+        ORDER BY vec_id"""
+  }
+
+  val queries: Seq[Query] = Seq(
+
+    // Incremental embedding dedup via the IVF cell index: batch = every
+    // 10th vector (the q111/q123 split, so the three modalities'
+    // incremental rows are directly comparable), corpus = the rest. The
+    // oracle recomputes centroids, cell assignment, probe routing and the
+    // cosine verify from scratch — passing proves the index-probe path
+    // loses nothing vs a full recompute.
+    Query(
+      "q149_ivf_incremental",
+      Some(ivfIncrementalOracleSql("embeddings", "embedding", "vec_id",
+        batchPred = "vec_id % 10 = 0")))((spark, dir) => {
+      ivfIncrementalDedup(Tables(spark, dir).embeddings, "embedding",
+          "vec_id", isBatch = col("vec_id") % 10 === 0)
+        .orderBy(col("vec_id"))
+    }),
+
+    // Index retraction (deletion lifecycle): vectors leave the corpus
+    // (retention, takedown) WITHOUT a full index rebuild — their rows
+    // retract through the versioned commit and the next batch probes the
+    // shrunk index. Engine: build from corpus, retract every 7th corpus
+    // vector, probe. Oracle: centroids from the ORIGINAL corpus (frozen
+    // quantizer), cell table rebuilt from the survivors — proving
+    // retract ≡ full rebuild under the frozen quantizer, and that no
+    // retracted id can ever be returned as dup_of.
+    Query(
+      "q151_ivf_retract",
+      Some(ivfIncrementalOracleSql("embeddings", "embedding", "vec_id",
+        batchPred = "vec_id % 10 = 0",
+        corpusPred = Some("vec_id % 10 <> 0 AND vec_id % 7 <> 0"))))(
+      (spark, dir) => {
+        val embs = Tables(spark, dir).embeddings
+        val isBatch = col("vec_id") % 10 === 0
+        val corpus = embs.filter(!isBatch)
+        val cent = seedCentroids(corpus, "embedding", "vec_id", nCells = 16)
+        val index = assignCells(corpus, cent, "embedding", "vec_id")
+        val shrunk = retract(index,
+          corpus.filter(col("vec_id") % 7 === 0).select("vec_id"))
+        probeDedup(shrunk, cent, embs.filter(isBatch), "embedding", "vec_id")
+          .orderBy(col("vec_id"))
+      })
+  )
+}

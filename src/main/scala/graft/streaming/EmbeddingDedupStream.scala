@@ -1,0 +1,129 @@
+package graft.streaming
+
+import graft.operators.EmbeddingIndex
+import graft.util.VersionedView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField, StructType}
+
+/** Always-on EMBEDDING-ingest dedup: a stream of SIGNED vector rows
+  * (op ∈ I/D, vec_id, embedding) maintains the corpus IVF cell index
+  * through `foreachBatch` — the streaming form of
+  * [[EmbeddingIndex.probeDedup]] (q149), completing the per-modality
+  * maintainer set (text [[StatefulDedup]], media [[MediaDedupStream]],
+  * embeddings here) on the same [[VersionedView]] idempotent-commit core.
+  *
+  * Per micro-batch, in order:
+  *  1. retract: `D` rows remove their ids from the index
+  *     ([[EmbeddingIndex.retract]] — quantizer frozen, so removal ≡ full
+  *     rebuild of the survivors; q151's contract);
+  *  2. in-batch dedup: `I` vectors assign to cells and the one-shot min-id
+  *     dominance rule ([[graft.operators.Dedup.semanticDedup]]'s) drops
+  *     any vector with a smaller-id near-dup cell-mate arriving TOGETHER;
+  *  3. index probe: survivors probe the post-retract index
+  *     ([[EmbeddingIndex.probeDedup]]); matches reject — first arrival
+  *     wins across batches;
+  *  4. append: accepted vectors' (vec_id, cell, v) rows append, committed
+  *     as a new version.
+  *
+  * The CENTROIDS are a frozen parameter of the stream (built once from a
+  * bootstrap corpus via [[EmbeddingIndex.seedCentroids]] or
+  * [[graft.operators.Similarity.kmeansCentroids]]) — the standard IVF
+  * quantizer-freeze contract: cell ids stay stable across every version,
+  * which is exactly what makes retraction rebuild-equivalent and stored
+  * assignments immortal. `cent` must therefore be deterministic across
+  * triggers (a literal frame or a read of a frozen table).
+  *
+  * Exactly-once effect = checkpointed offsets × the idempotent versioned
+  * commit (replayed batchIds no-op — including replayed DELETES; crash
+  * windows recover by overwrite-replay), the contract shared by every
+  * maintainer on the core. Cost per trigger: batch-sized assignment +
+  * a probe against the probed cells + an O(index) snapshot rewrite (the
+  * VersionedView contract; the q91 partitioned layout with delta versions
+  * is the serving-scale upgrade, same tradeoff note as
+  * [[MediaDedupStream]]).
+  */
+object EmbeddingDedupStream {
+
+  val IndexSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", LongType),
+    StructField("v", ArrayType(DoubleType))))
+
+  def committed(spark: SparkSession, indexDir: String): Option[(Long, Long)] =
+    VersionedView(spark, indexDir).committed
+
+  /** The current accepted-vector cell index (empty before any commit). */
+  def readIndex(spark: SparkSession, indexDir: String): DataFrame =
+    VersionedView(spark, indexDir).read().getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+
+  /** Apply one micro-batch of signed rows (op, vec_id, embedding): skip if
+    * already committed (replay), else retract → in-batch dedup → probe →
+    * append. Public so tests drive replay/crash/delete cases directly.
+    */
+  def applyBatch(spark: SparkSession, indexDir: String, cent: DataFrame,
+                 batch: DataFrame, batchId: Long, nProbe: Int = 2,
+                 threshold: Double = 0.4): Unit = {
+    import graft.functions.VectorFunctions._
+    val vv = VersionedView(spark, indexDir)
+    // replay check FIRST (one pointer read), and cache the batch BEFORE
+    // the emptiness probe so the probe job and the commit work share one
+    // materialization instead of paying the source lineage twice
+    if (vv.committed.exists(_._1 >= batchId)) return
+    // batch-side frames (assignment + in-batch dominance) depend only on
+    // the batch and the frozen quantizer — build and cache them OUTSIDE
+    // the commit closure so the commit's parquet write reuses them and the
+    // finally below can release them (no trigger-to-trigger cache growth)
+    val assigned = EmbeddingIndex
+      .assignCells(batch.filter(col("op") === "I")
+        .select(col("vec_id"), col("embedding")), cent, "embedding", "vec_id")
+      .select(col("vec_id").cast("long"), col("cell").cast("long"),
+        col("v").cast("array<double>")).cache()
+    val dels = batch.filter(col("op") === "D").select("vec_id").cache()
+    try {
+      if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
+      // one-shot min-id dominance WITHIN the batch (two copies arriving
+      // together must not both enter): deterministic, replay-stable
+      val drop = assigned.as("a").join(assigned.as("b"),
+          col("a.cell") === col("b.cell") &&
+          col("a.vec_id") < col("b.vec_id"))
+        .filter(cosineFast(col("a.v"), col("b.v")) >= threshold)
+        .select(col("b.vec_id").as("drop_id")).distinct()
+      val reps = assigned.join(drop, col("vec_id") === col("drop_id"),
+        "left_anti")
+      vv.applyBatch(batchId) { cur =>
+        val index = cur.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val afterDel = EmbeddingIndex.retract(index, dels)
+        val kept = EmbeddingIndex.probeDedup(afterDel, cent,
+            reps.select(col("vec_id"), col("v")), "v", "vec_id",
+            nProbe, threshold)
+          .filter(col("is_new")).select("vec_id")
+        // id uniqueness is an index INVARIANT (same rule as the media
+        // maintainer): a content-new row under an already-present id drops
+        val accepted = reps.join(kept, "vec_id")
+          .join(afterDel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+        afterDel.unionByName(accepted)
+      }: Unit
+    } finally { assigned.unpersist(); dels.unpersist() }
+  }
+
+  /** Maintain the index continuously from a streaming signed frame with
+    * columns (op, vec_id, embedding).
+    */
+  def dedupStream(changes: DataFrame, cent: DataFrame, indexDir: String,
+                  checkpointDir: String, nProbe: Int = 2,
+                  threshold: Double = 0.4): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, indexDir, cent, batch, batchId, nProbe, threshold)
+        spark.catalog.clearCache() // trigger-owned caches, see MediaDedupStream
+      }
+      .start()
+  }
+}

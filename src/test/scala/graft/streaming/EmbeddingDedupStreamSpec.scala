@@ -1,0 +1,117 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.EmbeddingIndex
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class EmbeddingDedupStreamSpec extends SparkSpec {
+
+  // tiny deterministic 4-d vectors: unit axes and near-axes
+  private def v(x: Double, y: Double, z: Double, w: Double) = Seq(x, y, z, w)
+  private val e1 = v(1, 0, 0, 0)
+  private val e1close = v(0.99, 0.01, 0, 0)   // cos(e1, e1close) ≈ 1
+  private val e2 = v(0, 1, 0, 0)
+  private val e3 = v(0, 0, 1, 0)
+  private val e4 = v(0, 0, 0, 1)
+
+  private def centFrame = {
+    import spark.implicits._
+    Seq((0L, e1.map(_.toDouble)), (1L, e2), (2L, e3), (3L, e4))
+      .toDF("cid", "cv")
+  }
+
+  test("streamed ingest: in-batch near-dups collapse, cross-batch copies reject, deletes retract") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds").toString
+
+    val mem = MemoryStream[(String, Long, Seq[Double])]
+    val q = EmbeddingDedupStream.dedupStream(
+      mem.toDS().toDF("op", "vec_id", "embedding"), centFrame,
+      s"$dir/index", s"$dir/ckpt")
+
+    // batch 1: two near-identical vectors arrive TOGETHER (only id 2
+    // may enter) plus one distinct vector
+    mem.addData(("I", 5L, e1close), ("I", 2L, e1), ("I", 9L, e2))
+    q.processAllAvailable()
+    // batch 2: a copy of accepted id 2 arrives later — reject; a novel
+    // vector — accept; and id 9 is deleted
+    mem.addData(("I", 20L, e1close), ("I", 30L, e3), ("D", 9L, Seq.empty))
+    q.processAllAvailable()
+    q.stop()
+
+    val got = EmbeddingDedupStream.readIndex(spark, s"$dir/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 30L), got.toString)
+  }
+
+  test("replayed micro-batches no-op, including replayed deletes") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds2").toString
+    val idx = s"$dir/index"
+    def batch(rows: (String, Long, Seq[Double])*) =
+      rows.toDF("op", "vec_id", "embedding")
+
+    EmbeddingDedupStream.applyBatch(spark, idx, centFrame,
+      batch(("I", 1L, e1), ("I", 2L, e2)), 0L)
+    EmbeddingDedupStream.applyBatch(spark, idx, centFrame,
+      batch(("D", 1L, Seq.empty), ("I", 3L, e3)), 1L)
+    // replay of batch 1 with DIFFERENT (bogus) content must be a no-op
+    EmbeddingDedupStream.applyBatch(spark, idx, centFrame,
+      batch(("D", 2L, Seq.empty), ("I", 99L, e4)), 1L)
+
+    val got = EmbeddingDedupStream.readIndex(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 3L), got.toString)
+    assert(EmbeddingDedupStream.committed(spark, idx).map(_._1).contains(1L))
+
+    // a deleted id's CONTENT may re-enter later under a new id
+    EmbeddingDedupStream.applyBatch(spark, idx, centFrame,
+      batch(("I", 10L, e1)), 2L)
+    val after = EmbeddingDedupStream.readIndex(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(2L, 3L, 10L), after.toString)
+  }
+
+  test("streamed ingest equals the sequential batch reference on real embeddings") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds3").toString
+    val idx = s"$dir/index"
+    val embs = graft.Tables(spark, sf()).embeddings
+    val cent = EmbeddingIndex.seedCentroids(
+      embs.filter(col("vec_id") < 100), "embedding", "vec_id", 8)
+
+    // two arrival waves over the same corpus (near-dup structure is the
+    // synthetic corpus' planted one, straddling the wave boundary)
+    val w1 = embs.filter(col("vec_id") % 2 === 0)
+      .select(lit("I").as("op"), col("vec_id"), col("embedding"))
+    val w2 = embs.filter(col("vec_id") % 2 === 1)
+      .select(lit("I").as("op"), col("vec_id"), col("embedding"))
+    EmbeddingDedupStream.applyBatch(spark, idx, cent, w1, 0L)
+    EmbeddingDedupStream.applyBatch(spark, idx, cent, w2, 1L)
+    val streamed = EmbeddingDedupStream.readIndex(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+
+    // sequential reference from the BATCH primitives: wave-1 reps enter;
+    // wave-2 survivors of in-batch dominance probe the wave-1 index
+    import graft.functions.VectorFunctions._
+    def repsOf(wave: org.apache.spark.sql.DataFrame) = {
+      val a = EmbeddingIndex.assignCells(wave, cent, "embedding", "vec_id")
+      val drp = a.as("a").join(a.as("b"),
+          col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+        .filter(cosineFast(col("a.v"), col("b.v")) >= 0.4)
+        .select(col("b.vec_id").as("drop_id")).distinct()
+      a.join(drp, col("vec_id") === col("drop_id"), "left_anti")
+    }
+    val r1 = repsOf(w1).cache()
+    val r2 = repsOf(w2)
+    val kept2 = EmbeddingIndex.probeDedup(r1, cent,
+        r2.select(col("vec_id"), col("v")), "v", "vec_id")
+      .filter(col("is_new")).select("vec_id")
+    val want = (r1.select("vec_id").collect() ++ kept2.collect())
+      .map(_.getLong(0)).toSet
+    r1.unpersist()
+    assert(streamed == want, s"streamed=$streamed want=$want")
+  }
+}
