@@ -59,6 +59,18 @@ object MediaDedupStream {
     StructField("b0", LongType), StructField("b1", LongType),
     StructField("b2", LongType), StructField("b3", LongType)))
 
+  /** The `binaryFile` source's FIXED schema (Spark defines it statically —
+    * it never depends on the input), hardcoded so a stream can start on a
+    * watch directory that does not exist yet (a freshly provisioned ingest
+    * bucket): deriving it from a batch read of the dir would throw at
+    * stream start.
+    */
+  val BinaryFileSchema: StructType = StructType(Seq(
+    StructField("path", org.apache.spark.sql.types.StringType),
+    StructField("modificationTime", org.apache.spark.sql.types.TimestampType),
+    StructField("length", LongType),
+    StructField("content", org.apache.spark.sql.types.BinaryType)))
+
   def committed(spark: SparkSession, indexDir: String): Option[(Long, Long)] =
     VersionedView(spark, indexDir).committed
 
@@ -73,30 +85,56 @@ object MediaDedupStream {
     * tests drive replay/crash cases directly.
     */
   def applyBatch(spark: SparkSession, indexDir: String, batch: DataFrame,
-                 batchId: Long, maxDist: Int = 3): Unit = {
+                 batchId: Long, maxDist: Int = 3): Unit =
+    applySignedBatch(spark, indexDir,
+      batch.select(lit("I").as("op"), col("media_id"), col("b0"),
+        col("b1"), col("b2"), col("b3")),
+      batchId, maxDist)
+
+  /** Apply one SIGNED micro-batch (op ∈ I/D, media_id, b0..b3): `D` rows
+    * retract their ids from the index (retention, takedown — rebuild-
+    * equivalent by construction: fingerprint rows carry no derived
+    * statistics, so removal IS the rebuild), then `I` rows run the normal
+    * in-batch dedup → probe (against the post-delete index) → append.
+    * Replayed batchIds no-op — including replayed deletes.
+    */
+  def applySignedBatch(spark: SparkSession, indexDir: String,
+                       batch: DataFrame, batchId: Long,
+                       maxDist: Int = 3): Unit = {
     val vv = VersionedView(spark, indexDir)
     // replay check FIRST (one pointer read): a recovered/replayed batch
-    // must not pay the isEmpty job below just to be skipped inside
+    // must not pay the emptiness job below just to be skipped inside
     if (vv.committed.exists(_._1 >= batchId)) return
-    if (batch.isEmpty) return // idle trigger: no commit
-    vv.applyBatch(batchId) { cur =>
-      val index = cur.getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
-      val hashes = batch.select(col("media_id"), col("b0"), col("b1"),
-        col("b2"), col("b3")).cache()
+    // cache the batch sides BEFORE the emptiness probe, so the probe job
+    // and the commit's work share one materialization of the (decode-
+    // priced) fingerprint lineage instead of paying it per consumer
+    val hashes = batch.filter(col("op") === "I").select(col("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3")).cache()
+    val dels = batch.filter(col("op") === "D").select("media_id").cache()
+    try {
+      if (hashes.isEmpty && dels.isEmpty) return // idle trigger: no commit
+      // in-batch dedup depends only on the batch — build outside the
+      // commit closure so a replayed crash window reuses the cache
       val reps = Multimodal.fingerprintDedupClusters(hashes, maxDist)
         .filter(col("media_id") === col("cluster")).select("media_id")
       val repHashes = hashes.join(reps, "media_id")
-      val kept = Multimodal.fingerprintIndexProbe(index, repHashes, maxDist)
-        .filter(col("kept")).select("media_id")
-      // id uniqueness is an index INVARIANT: a later batch re-using an
-      // already-accepted id with different content (a bucket overwrite,
-      // a producer bug) must not append a second row under that id —
-      // content-new but id-stale rows drop via the anti join
-      val accepted = repHashes.join(kept, "media_id")
-        .join(index.select(col("media_id")), Seq("media_id"), "left_anti")
-      index.unionByName(accepted)
-    }: Unit
+      vv.applyBatch(batchId) { cur =>
+        val index = cur.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val afterDel = index.join(
+          broadcast(dels.withColumnRenamed("media_id", "_drop")),
+          col("media_id") === col("_drop"), "left_anti")
+        val kept = Multimodal.fingerprintIndexProbe(afterDel, repHashes, maxDist)
+          .filter(col("kept")).select("media_id")
+        // id uniqueness is an index INVARIANT: a later batch re-using an
+        // already-accepted id with different content (a bucket overwrite,
+        // a producer bug) must not append a second row under that id —
+        // content-new but id-stale rows drop via the anti join
+        val accepted = repHashes.join(kept, "media_id")
+          .join(afterDel.select(col("media_id")), Seq("media_id"), "left_anti")
+        afterDel.unionByName(accepted)
+      }: Unit
+    } finally { hashes.unpersist(); dels.unpersist() }
   }
 
   /** The WHOLE media-ingest pipeline as one always-on stream: watch a
@@ -134,11 +172,8 @@ object MediaDedupStream {
   def ingestFiles(spark: SparkSession, watchDir: String, glob: String,
                   indexDir: String, checkpointDir: String,
                   maxDist: Int = 3): StreamingQuery = {
-    // one source of truth for the fixed binaryFile schema: derive it from
-    // a batch-mode analysis of the same dir (no data is read)
-    val schema = spark.read.format("binaryFile").load(watchDir).schema
     val raw = spark.readStream.format("binaryFile")
-      .schema(schema)
+      .schema(BinaryFileSchema)
       .option("pathGlobFilter", glob)
       .load(watchDir)
     raw.writeStream
@@ -191,6 +226,22 @@ object MediaDedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, indexDir, batch, batchId, maxDist)
+        spark.catalog.clearCache() // this trigger's caches, see scaladoc
+      }
+      .start()
+  }
+
+  /** Maintain the index continuously from a SIGNED streaming frame with
+    * columns (op ∈ I/D, media_id, b0..b3) — inserts dedup-and-append,
+    * deletes retract (see [[applySignedBatch]]).
+    */
+  def signedStream(changes: DataFrame, indexDir: String,
+                   checkpointDir: String, maxDist: Int = 3): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySignedBatch(spark, indexDir, batch, batchId, maxDist)
         spark.catalog.clearCache() // this trigger's caches, see scaladoc
       }
       .start()

@@ -140,4 +140,37 @@ class MediaDedupStreamSpec extends SparkSpec {
       .select("media_id").collect().map(_.getLong(0)).toSeq.sorted
     assert(imageIdx == Seq(11L), imageIdx.toString)
   }
+
+  test("signed stream: deletes retract replay-safely, and a deleted clip's copy can re-enter") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mds4").toString
+    val idx = s"$dir/index"
+    def sb(rows: (String, Long, Long, Long, Long, Long)*) =
+      rows.toDF("op", "media_id", "b0", "b1", "b2", "b3")
+
+    val mem = MemoryStream[(String, Long, Long, Long, Long, Long)]
+    val q = MediaDedupStream.signedStream(
+      mem.toDS().toDF("op", "media_id", "b0", "b1", "b2", "b3"),
+      idx, s"$dir/ckpt")
+    // batch 1: two distinct clips enter
+    mem.addData(("I", 1L, 50L, 7L, 9L, 11L),
+      ("I", 2L, 1L << 10, 1L << 11, 1L << 12, 1L << 13))
+    q.processAllAvailable()
+    // batch 2: clip 1 is taken down; a near-copy of it (hamming 1) arrives
+    // in the SAME batch and — probing the post-delete index — is accepted
+    mem.addData(("D", 1L, 0L, 0L, 0L, 0L), ("I", 10L, 51L, 7L, 9L, 11L))
+    q.processAllAvailable()
+    q.stop()
+    val got = MediaDedupStream.readIndex(spark, idx)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 10L), got.toString)
+
+    // a replayed delete batch must no-op (direct driver, same batchId)
+    MediaDedupStream.applySignedBatch(spark, idx,
+      sb(("D", 2L, 0L, 0L, 0L, 0L)), 1L)
+    val after = MediaDedupStream.readIndex(spark, idx)
+      .select("media_id").collect().map(_.getLong(0)).toSet
+    assert(after == Set(2L, 10L), after.toString)
+  }
 }
