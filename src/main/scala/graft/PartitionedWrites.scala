@@ -35,19 +35,35 @@ private[graft] object PartitionedWrites {
   // (hashCode could collide).
   private lazy val indexRoot: String =
     java.nio.file.Files.createTempDirectory("graft_idx_").toString
-  private val builtIndexes =
-    new scala.collection.concurrent.TrieMap[String, String]
+  // per-KEY futures, not one global lock: duplicate builds of the same
+  // index still dedupe (both threads share one future), while first-time
+  // builds of UNRELATED indexes — IVF cells vs fingerprint bands, or two
+  // sfDirs — run concurrently instead of serializing behind each other's
+  // full Spark write jobs
+  private val builtIndexes = new scala.collection.concurrent.TrieMap[
+    String, java.util.concurrent.CompletableFuture[String]]
 
-  def memoizedIndex(memoKey: String)(build: String => Unit): String =
-    synchronized {
-      builtIndexes.getOrElseUpdate(memoKey, {
-        val path = new java.io.File(indexRoot, "idx_" +
-          java.security.MessageDigest.getInstance("MD5").digest(
-            memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
-        build(path)
-        path
-      })
+  def memoizedIndex(memoKey: String)(build: String => Unit): String = {
+    val fresh = new java.util.concurrent.CompletableFuture[String]
+    builtIndexes.putIfAbsent(memoKey, fresh) match {
+      case Some(existing) => existing.join() // someone else built/is building
+      case None =>
+        try {
+          val path = new java.io.File(indexRoot, "idx_" +
+            java.security.MessageDigest.getInstance("MD5").digest(
+              memoKey.getBytes("UTF-8")).map("%02x".format(_)).mkString).toString
+          build(path)
+          fresh.complete(path)
+          path
+        } catch { case t: Throwable =>
+          // a failed build must not poison the memo: unpark waiters with
+          // the failure and clear the slot so a later call can retry
+          fresh.completeExceptionally(t)
+          builtIndexes.remove(memoKey, fresh)
+          throw t
+        }
     }
+  }
 
   def cluster(df: DataFrame, partCol: String,
               fanout: Int = DefaultFanout): DataFrame =

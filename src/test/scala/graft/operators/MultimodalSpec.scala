@@ -20,7 +20,7 @@ class MultimodalSpec extends SparkSpec {
   test("PNG roundtrip: real ImageIO decode recovers the closed-form pixel stats") {
     // Encode with makePng, decode with the real codec, compare against the
     // pixel function computed directly — proves losslessness end to end.
-    val codec = new Multimodal.ImageCodec
+    val codec = new ImageCodec
     for (d <- Seq(0L, 3L, 42L, 999L)) {
       val (w, h) = (Multimodal.imgW(d), Multimodal.imgH(d))
       val (dw, dh, mr, mg, mb) = codec.decode(Multimodal.makePng(d, w, h))
@@ -37,7 +37,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("WAV roundtrip: real javax.sound decode recovers the closed-form sample stats") {
-    val codec = new Multimodal.AudioCodec
+    val codec = new AudioCodec
     for (d <- Seq(1L, 4L, 301L, 1000L)) {
       val n = Multimodal.audioN(d)
       val (rate, dn, rms) = codec.decode(Multimodal.makeWav(d, n))
@@ -52,7 +52,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("GRFV roundtrip: container demux + per-frame ImageIO decode recover the closed form") {
-    val codec = new Multimodal.VideoCodec
+    val codec = new VideoCodec
     for (d <- Seq(2L, 5L, 47L, 998L)) {
       val (nf, w, h) = (Multimodal.vidFrames(d), Multimodal.vidW(d), Multimodal.vidH(d))
       val frames = codec.decode(Multimodal.makeVideo(d))
