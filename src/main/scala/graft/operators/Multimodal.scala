@@ -82,6 +82,70 @@ object Multimodal extends MultimodalFixtures with MultimodalCodecs {
         WHERE h.is_batch = 1
         ORDER BY media_id"""
 
+
+  /** Shared DuckDB oracle for the VIDEO frame-index probe (q152) and its
+    * served form (q153) — the two queries are specified to return the
+    * same answer (the q144/q147 contract, video modality). Rebuilds both
+    * sides' per-frame hashes from the closed-form frame pixel math: the
+    * corpus originals, the trimmed re-uploads (surviving frame BYTES are
+    * verbatim, so their hashes are the source's at the original frame
+    * index), and the genuinely novel clips (fresh pixel math under the
+    * new id).
+    */
+  private val videoProbeOracleSql: String = """
+        WITH v0 AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 2),
+        allv AS (SELECT b AS src, b AS d, 0 AS cut, 0 AS is_batch FROM v0
+                 UNION ALL
+                 SELECT b, b + 10000, 1, 1 FROM v0 WHERE b % 5 = 1
+                 UNION ALL
+                 SELECT b + 20000, b + 20000, 0, 1 FROM v0 WHERE b % 5 = 2),
+        frames AS (SELECT src, d, is_batch, f,
+                          (src % 12 + 8)::INT AS w, (src % 10 + 8)::INT AS h
+                   FROM allv,
+                        unnest(generate_series(0, (src % 4 + 2)::INT - 1)) AS t(f)
+                   WHERE f >= cut),
+        g AS (SELECT d, is_batch, f,
+                (x*31 + y*17 + src*7 + f*23) % 256
+                  + (x*13 + y*29 + src*3 + f*19) % 256
+                  + (x*7 + y*11 + src + f*5) % 256 AS gray,
+                (y * 8 // h) * 8 + (x * 8 // w) AS idx
+              FROM frames,
+                   unnest(generate_series(0, w - 1)) AS t1(x),
+                   unnest(generate_series(0, h - 1)) AS t2(y)),
+        cells AS (SELECT d, is_batch, f, idx, SUM(gray) AS s_cell,
+                         COUNT(*) AS n_cell
+                  FROM g GROUP BY 1, 2, 3, 4),
+        tot AS (SELECT d, is_batch, f, SUM(gray) AS s_tot, COUNT(*) AS n_tot
+                FROM g GROUP BY 1, 2, 3),
+        bits AS (SELECT d, is_batch, f, idx,
+                   CASE WHEN s_cell::HUGEINT * n_tot > s_tot::HUGEINT * n_cell
+                        THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d, is_batch, f)),
+        fh AS (SELECT d, is_batch, f,
+                 CAST(SUM(CASE WHEN idx // 16 = 0
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b0,
+                 CAST(SUM(CASE WHEN idx // 16 = 1
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b1,
+                 CAST(SUM(CASE WHEN idx // 16 = 2
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b2,
+                 CAST(SUM(CASE WHEN idx // 16 = 3
+                               THEN bit * (1 << (idx % 16)) ELSE 0 END)
+                   AS BIGINT) AS b3
+               FROM bits GROUP BY 1, 2, 3),
+        dup AS (SELECT bb.d AS bid, MIN(cb.d) AS dup_of
+                FROM fh bb JOIN fh cb
+                  ON bb.b0 = cb.b0 AND bb.b1 = cb.b1
+                 AND bb.b2 = cb.b2 AND bb.b3 = cb.b3
+                 AND bb.is_batch = 1 AND cb.is_batch = 0
+                GROUP BY bid)
+        SELECT v.d AS media_id, dup.dup_of, dup.dup_of IS NULL AS kept
+        FROM (SELECT DISTINCT d FROM allv WHERE is_batch = 1) v
+        LEFT JOIN dup ON dup.bid = v.d
+        ORDER BY media_id"""
+
   val queries: Seq[Query] = Seq(
 
     // Metadata-only stats per kind — binary column pruned from the scan.
@@ -661,6 +725,60 @@ object Multimodal extends MultimodalFixtures with MultimodalCodecs {
           imageHashes(spark, originals),
           imageHashes(spark, copies.unionByName(novel)),
           maxDist = 3)
+        .orderBy(col("media_id"))
+    }),
+
+    // Video completes the probe matrix (audio q144/q147, image q148): a
+    // batch of TRIMMED re-uploads (first frame cut, every 5th clip, id +
+    // 10000) and genuinely novel clips (id + 20000) probes the corpus
+    // per-frame-hash index — re-uploads resolve to their source through
+    // the surviving frames, novels are kept (unless a corpus frame
+    // genuinely collides — decided identically by both engines).
+    Query(
+      "q152_video_index_probe",
+      Some(videoProbeOracleSql))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val vid = udf((d: Long) => makeVideo(d))
+      val originals = mediaTable(docs).filter(col("kind") === "video")
+        .select(col("media_id").cast("long"), col("kind"),
+          vid(col("media_id")).as("payload"))
+        .cache() // feeds the index side AND the copy synthesis
+      val copies = trimmedVideoCopies(spark,
+        originals.filter(col("media_id") % 5 === 1), offset = 10000L,
+        cut = 1)
+      val novel = docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 20000L).as("media_id"),
+          lit("video").as("kind"),
+          vid(col("doc_id") + 20000L).as("payload"))
+      videoFrameIndexProbe(
+          videoFrameHashes(spark, originals),
+          videoFrameHashes(spark, copies.unionByName(novel)))
+        .orderBy(col("media_id"))
+    }),
+
+    // The SERVED form of q152: the same probe answered from the PERSISTED
+    // frame-bucketed index with the scan partition-pruned to the batch
+    // frames' buckets (PlanSpec-gated) — same oracle, bit-identical
+    // answer.
+    Query(
+      "q153_video_index_serve",
+      Some(videoProbeOracleSql))((spark, dir) => {
+      val docs = Tables(spark, dir).documents
+      val vid = udf((d: Long) => makeVideo(d))
+      // no cache: `originals` feeds ONLY the copy synthesis (the index
+      // side rebuilds inside videoFpIndexFor)
+      val originals = mediaTable(docs).filter(col("kind") === "video")
+        .select(col("media_id").cast("long"), col("kind"),
+          vid(col("media_id")).as("payload"))
+      val copies = trimmedVideoCopies(spark,
+        originals.filter(col("media_id") % 5 === 1), offset = 10000L,
+        cut = 1)
+      val novel = docs.filter(col("doc_id") % 3 === 2 && col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 20000L).as("media_id"),
+          lit("video").as("kind"),
+          vid(col("doc_id") + 20000L).as("payload"))
+      videoIndexServe(spark, dir,
+          videoFrameHashes(spark, copies.unionByName(novel)))
         .orderBy(col("media_id"))
     })
   )

@@ -744,4 +744,82 @@ private[graft] trait MultimodalCodecs extends Serializable {
         }
       }.toDF()
   }
+
+  /** Video ingest probe: an arriving clip's PER-FRAME hashes probe the
+    * corpus FRAME index — the video member of the per-modality probe
+    * matrix (audio [[fingerprintIndexProbe]]/q144, image q148). A batch
+    * clip resolves to the SMALLEST corpus clip sharing at least one full
+    * 64-bit frame hash (the q142 rule): a trimmed or re-containered
+    * re-upload shares every surviving frame with its source, so one
+    * shared frame is the detection contract at ingest; `dup_of` null ⇒
+    * `kept`.
+    *
+    * Per-batch cost: O(batch frames) hashing upstream + an equi-join on
+    * the 64-bit frame hash (the index side prunes to matching hashes;
+    * persisted bucketed, [[videoIndexServe]] prunes the SCAN too) + a
+    * per-clip min aggregate. A corpus dominated by one static frame
+    * (black slates) concentrates a hash bucket — cap frame-hash buckets
+    * upstream, the df-cap analogue, as [[videoSharedFramePairs]] notes.
+    */
+  def videoFrameIndexProbe(index: DataFrame, batch: DataFrame): DataFrame = {
+    val fpCols = Seq("b0", "b1", "b2", "b3")
+    val dup = index.select(col("media_id").as("cid") +: fpCols.map(col): _*)
+      .join(broadcast(batch
+        .select(col("media_id").as("bid") +: fpCols.map(col): _*)
+        .distinct()), fpCols)
+      .groupBy(col("bid")).agg(min(col("cid")).as("dup_of"))
+    batch.select(col("media_id")).distinct()
+      .join(broadcast(dup), col("media_id") === col("bid"), "left")
+      .select(col("media_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
+
+  /** Deterministic frame-hash bucket for the persisted video index: a
+    * mix of the four 16-bit bands mod 256. Identical on index and probe
+    * sides BY CONSTRUCTION (computed from the hash columns), so full-hash
+    * equality implies bucket equality and pruning loses nothing. Products
+    * stay < 2^23 — no overflow.
+    */
+  private def framePk: org.apache.spark.sql.Column =
+    pmod(col("b0") * 31 + col("b1") * 37 + col("b2") * 41 + col("b3") * 43,
+      lit(256L)).cast("int")
+
+  /** Persisted video FRAME index (the q91/q147 serving layout applied to
+    * frame hashes): one row per corpus frame, partitioned by [[framePk]],
+    * built once per (JVM, corpus dir) through the shared memoized-index
+    * contract.
+    */
+  def videoFpIndexFor(spark: SparkSession, sfDir: String): String =
+    graft.PartitionedWrites.memoizedIndex(s"vfp#$sfDir") { path =>
+      val docs = Tables(spark, sfDir).documents
+      val vid = udf((d: Long) => makeVideo(d))
+      val originals = mediaTable(docs).filter(col("kind") === "video")
+        .select(col("media_id").cast("long"), col("kind"),
+          vid(col("media_id")).as("payload"))
+      val rows = videoFrameHashes(spark, originals).withColumn("pk", framePk)
+      graft.PartitionedWrites.cluster(rows, "pk")
+        .write.mode("overwrite").partitionBy("pk").parquet(path)
+    }
+
+  /** Probe the PERSISTED video frame index: identical answer to
+    * [[videoFrameIndexProbe]] over the same corpus, with the index scan
+    * partition-pruned to the batch frames' buckets (PlanSpec-gated) —
+    * serving cost is O(probed buckets), not O(index frames).
+    */
+  def videoIndexServe(spark: SparkSession, sfDir: String,
+                      batchFrameHashes: DataFrame): DataFrame = {
+    val fpCols = Seq("b0", "b1", "b2", "b3")
+    val idx = spark.read.parquet(videoFpIndexFor(spark, sfDir))
+    val bf = batchFrameHashes
+      .select(col("media_id").as("bid") +: fpCols.map(col): _*)
+      .distinct().withColumn("pk", framePk)
+    // control-plane round-trip: <= 256 ints prune the partitioned scan
+    val probedPks = bf.select(col("pk")).distinct()
+      .collect().map(_.getInt(0)).toIndexedSeq
+    val dup = idx.filter(col("pk").isin(probedPks: _*))
+      .join(broadcast(bf), fpCols)
+      .groupBy(col("bid")).agg(min(col("media_id")).as("dup_of"))
+    batchFrameHashes.select(col("media_id")).distinct()
+      .join(broadcast(dup), col("media_id") === col("bid"), "left")
+      .select(col("media_id"), col("dup_of"), col("dup_of").isNull.as("kept"))
+  }
 }

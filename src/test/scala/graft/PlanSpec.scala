@@ -440,17 +440,19 @@ class PlanSpec extends SparkSpec {
     }
   }
 
-  test("q147: the persisted fingerprint index scan is partition-pruned to the probed band buckets") {
+  test("q147/q153: the persisted fingerprint/frame index scans are partition-pruned to the probed buckets") {
     import org.apache.spark.sql.execution.FileSourceScanExec
-    val pruned = deepNodes(executed(q("q147_media_index_serve"))).collect {
-      case f: FileSourceScanExec if f.partitionFilters.nonEmpty =>
-        f.partitionFilters.mkString(",")
+    for (name <- Seq("q147_media_index_serve", "q153_video_index_serve")) {
+      val pruned = deepNodes(executed(q(name))).collect {
+        case f: FileSourceScanExec if f.partitionFilters.nonEmpty =>
+          f.partitionFilters.mkString(",")
+      }
+      // a small probe list renders as `pk IN (…)`, a larger one as
+      // `pk INSET …` — both are static partition pruning
+      assert(pruned.exists(s => s.contains("pk") &&
+          (s.contains(" IN (") || s.contains("INSET"))),
+        s"$name: no pk IN/INSET partition filter on the index scan: $pruned")
     }
-    // a small probe list renders as `pk IN (…)`, a larger one as
-    // `pk INSET …` — both are static partition pruning
-    assert(pruned.exists(s => s.contains("pk") &&
-        (s.contains(" IN (") || s.contains("INSET"))),
-      s"no pk IN/INSET partition filter on the index scan: $pruned")
   }
 
   test("no InMemory/Cartesian surprises across the whole corpus") {
