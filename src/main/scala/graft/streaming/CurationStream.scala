@@ -1,0 +1,183 @@
+package graft.streaming
+
+import graft.operators.{Dedup, TextAnalysis}
+import graft.operators.Dedup.LshIndex
+import graft.util.VersionedView
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.StreamingQuery
+import org.apache.spark.sql.types._
+
+/** Always-on CURATION: the composed nightly pipeline (q110/q78's gate
+  * stack) run incrementally over a stream of arriving documents
+  * (doc_id, text, source), maintaining the CURATED CORPUS and its dedup
+  * index as versioned views — each stage wired onto the library's
+  * incremental primitive instead of its corpus-rescanning batch form.
+  *
+  * Per micro-batch, in order:
+  *  1. per-row gates: language-id + quality score
+  *     ([[TextAnalysis.langGuessExpr]]/[[TextAnalysis.qualityKeepExpr]] —
+  *     map-only, truly stateless). The corpus-LM gate (q110's
+  *     `lmScore`) needs corpus-wide vocabulary statistics and stays a
+  *     nightly re-curation concern, exactly as its docstring says;
+  *  2. in-batch exact dedup (min doc_id per text hash);
+  *  3. exact gate vs the accepted corpus: anti-join on the stored text
+  *     hash — the q111 path (a production deployment puts the mergeable
+  *     Bloom sketch in FRONT of this join; the stored hash table IS the
+  *     verify side, and the sketch only prunes probes);
+  *  4. in-batch NEAR-dup dominance: the batch's LSH artifacts under the
+  *     FROZEN df-cap universe ([[Dedup.lshArtifacts]]) self-pair
+  *     ([[Dedup.lshPairsWithin]]) and larger ids drop (one-shot min-id
+  *     dominance, the [[EmbeddingDedupStream]] rule);
+  *  5. near-dup gate vs the corpus: [[Dedup.lshIndexProbe]] against the
+  *     MAINTAINED set/band views — the q123 index probe, never a corpus
+  *     rescan;
+  *  6. domain cap: FIRST-ARRIVAL per-source admission while the source's
+  *     accepted count stays ≤ capN (deterministic in-batch order by
+  *     doc_id). The nightly batch cap ranks by quality ([[
+  *     graft.operators.Curation.domainCap]]); an ingest cap necessarily
+  *     admits by arrival — both are documented contracts, and the
+  *     spec's batch reference replays arrival order;
+  *  7. commit: accepted docs append to the docs view; their set/band
+  *     rows append to the index views.
+  *
+  * The df-cap universe `ok` is a FROZEN parameter (built once from a
+  * bootstrap corpus — [[Dedup.lshIndexBuild]]`.ok`), the same
+  * quantizer-freeze contract as [[EmbeddingDedupStream]]'s centroids and
+  * [[Dedup.lshIndexRetract]]: stored signatures are only valid under
+  * their build-time universe, and corpus churn big enough to shift df
+  * statistics is a nightly full rebuild.
+  *
+  * THREE coupled views, ONE batchId — crash-window contract: the docs
+  * view commits FIRST; a crash between commits replays the batch, the
+  * committed docs view no-ops, and the set/band appenders re-derive the
+  * batch's accepted ids as `batch ∩ docs view` (deterministic), so every
+  * interleaving converges to the same three views. Probes during first
+  * processing read the set/band views at the PREVIOUS batch's state —
+  * consistent, because they only ever lag within the in-flight batch.
+  */
+object CurationStream {
+
+  val DocsSchema: StructType = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("source", StringType),
+    StructField("hash", StringType)))
+
+  private def bandField(r: Int) = StructField(s"s$r", LongType)
+  private val bandSlots = Dedup.MinHashK / Dedup.MinHashBands
+
+  val SetsSchema: StructType = StructType(Seq(
+    StructField("doc", LongType),
+    StructField("shs", ArrayType(LongType))))
+
+  val BandsSchema: StructType = StructType(
+    StructField("doc", LongType) +: StructField("band", IntegerType) +:
+      (0 until bandSlots).map(bandField))
+
+  def committed(spark: SparkSession, dir: String): Option[(Long, Long)] =
+    VersionedView(spark, s"$dir/docs").committed
+
+  private def readOr(spark: SparkSession, dir: String,
+                     schema: StructType): DataFrame =
+    VersionedView(spark, dir).read().getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+
+  /** The curated corpus (doc_id, source, hash); empty before any commit. */
+  def readDocs(spark: SparkSession, dir: String): DataFrame =
+    readOr(spark, s"$dir/docs", DocsSchema)
+
+  /** Apply one micro-batch of documents (doc_id, text, source): the full
+    * gate stack, then three idempotent commits. Public so tests drive
+    * replay/crash cases directly.
+    */
+  def applyBatch(spark: SparkSession, dir: String, ok: DataFrame,
+                 batch: DataFrame, batchId: Long, capN: Long,
+                 n: Int = 3, threshold: Double = 0.5): Unit = {
+    val vvDocs = VersionedView(spark, s"$dir/docs")
+    val vvSets = VersionedView(spark, s"$dir/sets")
+    val vvBands = VersionedView(spark, s"$dir/bands")
+    if (Seq(vvDocs, vvSets, vvBands)
+        .forall(_.committed.exists(_._1 >= batchId))) return
+
+    // stages 1+2+4's batch side: per-row gates fused into one scan pass,
+    // in-batch exact dedup, artifacts under the frozen universe — cached
+    // once per trigger, released in the finally
+    val eligible = batch.filter(
+      TextAnalysis.langGuessExpr(col("text")) === "en" &&
+      TextAnalysis.qualityKeepExpr(col("text")))
+    val exactKeep = Dedup.exact(eligible, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val e2 = eligible.join(exactKeep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("hash")).cache()
+    val art = Dedup.lshArtifacts(e2, "text", "doc_id", ok, n)
+    val sets = art.sets.cache()
+    try {
+      if (e2.isEmpty) return // idle trigger: no commits
+      val inDrop = Dedup.lshPairsWithin(LshIndex(ok, sets, art.bands), threshold)
+        .select(col("doc_b").as("drop_id")).distinct()
+      val reps = e2.join(inDrop, col("doc_id") === col("drop_id"), "left_anti")
+      // index state for the probe: the PREVIOUS batch's views (they only
+      // lag within the in-flight batch — see the object doc)
+      val index = LshIndex(ok,
+        readOr(spark, s"$dir/sets", SetsSchema),
+        readOr(spark, s"$dir/bands", BandsSchema))
+
+      vvDocs.applyBatch(batchId) { cur =>
+        val docsV = cur.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DocsSchema))
+        val exNew = reps
+          .join(docsV.select(col("hash")), Seq("hash"), "left_anti")
+          .join(docsV.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        val nearKept = Dedup.lshIndexProbe(index, exNew, "text", "doc_id",
+            n, threshold)
+          .filter(col("kept")).select("doc_id")
+        val survivors = exNew.join(nearKept, "doc_id")
+        // first-arrival domain cap: accepted-so-far counts broadcast,
+        // in-batch admission order = doc_id (deterministic)
+        val cnts = docsV.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+        val rn = row_number().over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("doc_id")))
+        val admitted = survivors.withColumn("rn", rn)
+          .join(broadcast(cnts), Seq("source"), "left")
+          .filter(coalesce(col("cnt"), lit(0L)) + col("rn") <= capN)
+        docsV.unionByName(admitted.select(col("doc_id"), col("source"),
+          col("hash")))
+      }
+
+      // accepted ids of THIS batch, re-derivable on any replay path:
+      // batch ∩ docs view (ids are unique corpus-wide by invariant)
+      val accepted = e2.select(col("doc_id").as("doc"))
+        .join(readDocs(spark, dir).select(col("doc_id").as("doc")), "doc")
+      vvSets.applyBatch(batchId) { cur =>
+        val v = cur.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SetsSchema))
+        v.unionByName(sets.join(accepted, "doc")
+          .join(v.select(col("doc")), Seq("doc"), "left_anti"))
+      }
+      vvBands.applyBatch(batchId) { cur =>
+        val v = cur.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandsSchema))
+        v.unionByName(art.bands.join(accepted, "doc")
+          .join(v.select(col("doc")), Seq("doc"), "left_anti"))
+      }: Unit
+    } finally { e2.unpersist(); sets.unpersist() }
+  }
+
+  /** Maintain the curated corpus continuously from a streaming document
+    * frame with columns (doc_id, text, source).
+    */
+  def curationStream(docs: DataFrame, ok: DataFrame, dir: String,
+                     checkpointDir: String, capN: Long,
+                     n: Int = 3, threshold: Double = 0.5): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatch(spark, dir, ok, batch, batchId, capN, n, threshold)
+        spark.catalog.clearCache() // trigger-owned caches, see MediaDedupStream
+      }
+      .start()
+  }
+}

@@ -1,0 +1,143 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.operators.{Dedup, TextAnalysis}
+import graft.util.VersionedView
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+class CurationStreamSpec extends SparkSpec {
+
+  private def docs = graft.Tables(spark, sf()).documents
+    .select(col("doc_id"), col("text"), col("source"))
+
+  // frozen df-cap universe from the bootstrap corpus (the quantizer)
+  private lazy val frozenOk =
+    Dedup.lshIndexBuild(docs, "text", "doc_id").ok.cache()
+
+  /** The sequential batch reference: the same gate stack driven wave by
+    * wave with the BATCH primitives and plain Scala state — no views, no
+    * stream machinery. What the stream must equal.
+    */
+  private def batchReference(waves: Seq[DataFrame], capN: Long): Set[Long] = {
+    import spark.implicits._
+    var acceptedDocs: DataFrame = null // (doc_id, source, text, hash)
+    for (wave <- waves) {
+      val eligible = wave.filter(
+        TextAnalysis.langGuessExpr(col("text")) === "en" &&
+        TextAnalysis.qualityKeepExpr(col("text")))
+      val keep = Dedup.exact(eligible, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      val e2 = eligible.join(keep, Seq("doc_id"), "left_semi")
+        .select(col("doc_id"), col("source"), col("text"),
+          md5(col("text")).as("hash"))
+      val art = Dedup.lshArtifacts(e2, "text", "doc_id", frozenOk)
+      val inDrop = Dedup.lshPairsWithin(art)
+        .select(col("doc_b").as("drop_id")).distinct()
+      val reps = e2.join(inDrop, col("doc_id") === col("drop_id"), "left_anti")
+      val (exNew, cnts) =
+        if (acceptedDocs == null)
+          (reps, Seq.empty[(String, Long)].toDF("source", "cnt"))
+        else (reps
+          .join(acceptedDocs.select(col("hash")), Seq("hash"), "left_anti")
+          .join(acceptedDocs.select(col("doc_id")), Seq("doc_id"), "left_anti"),
+          acceptedDocs.groupBy(col("source")).agg(count(lit(1)).as("cnt")))
+      val index =
+        if (acceptedDocs == null)
+          Dedup.lshArtifacts(docs.limit(0), "text", "doc_id", frozenOk)
+        else Dedup.lshArtifacts(acceptedDocs, "text", "doc_id", frozenOk)
+      val kept = Dedup.lshIndexProbe(index, exNew, "text", "doc_id")
+        .filter(col("kept")).select("doc_id")
+      val rn = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("source")).orderBy(col("doc_id")))
+      val admitted = exNew.join(kept, "doc_id").withColumn("rn", rn)
+        .join(broadcast(cnts), Seq("source"), "left")
+        .filter(coalesce(col("cnt"), lit(0L)) + col("rn") <= capN)
+        .select(col("doc_id"), col("source"), col("text"), col("hash"))
+      acceptedDocs =
+        (if (acceptedDocs == null) admitted
+         else acceptedDocs.unionByName(admitted)).localCheckpoint()
+    }
+    acceptedDocs.select("doc_id").collect().map(_.getLong(0)).toSet
+  }
+
+  test("streamed curation equals the sequential batch reference across three arrival waves") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur").toString
+    val waves = (0 until 3).map(k => docs.filter(col("doc_id") % 3 === k))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      CurationStream.applyBatch(spark, dir, frozenOk, w, i.toLong, capN = 60L)
+    }
+    val streamed = CurationStream.readDocs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = batchReference(waves, capN = 60L)
+    assert(streamed == want,
+      s"diff=${(streamed diff want) ++ (want diff streamed)}")
+    assert(streamed.nonEmpty)
+    // the maintained index views cover only accepted docs (a doc whose
+    // shingles are all df-capped has no set row — subset, not equality)
+    val setDocs = VersionedView(spark, s"$dir/sets").read().get
+      .select("doc").collect().map(_.getLong(0)).toSet
+    assert(setDocs.nonEmpty && setDocs.subsetOf(streamed), setDocs.size)
+  }
+
+  test("replayed batches no-op across all three views; the cap binds per source") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur2").toString
+    // synthetic English docs that pass the gates; their shingles are not
+    // in the bootstrap universe, so the LSH stage is pass-through here —
+    // this test exercises cap + replay mechanics
+    def doc(id: Long, seed: String) =
+      (id, s"the quick brown fox jumps over the lazy dog $seed and then " +
+        s"the story about $seed continues with many common words again.",
+        "web")
+    val w1 = Seq(doc(1, "alpha one"), doc(2, "beta two"), doc(3, "gamma three"))
+      .toDF("doc_id", "text", "source")
+    val w2 = Seq(doc(10, "delta four"), doc(11, "epsilon five"))
+      .toDF("doc_id", "text", "source")
+    CurationStream.applyBatch(spark, dir, frozenOk, w1, 0L, capN = 4L)
+    CurationStream.applyBatch(spark, dir, frozenOk, w2, 1L, capN = 4L)
+    val got = CurationStream.readDocs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(1L, 2L, 3L, 10L), got) // cap 4: doc 11 refused
+    // replay wave 2 with bogus content: every view no-ops
+    val bogus = Seq(doc(99, "bogus")).toDF("doc_id", "text", "source")
+    CurationStream.applyBatch(spark, dir, frozenOk, bogus, 1L, capN = 4L)
+    val after = CurationStream.readDocs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(after == got, s"after=$after got=$got")
+  }
+
+  test("end-to-end stream: exact and near dups straddling batches never enter the corpus") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur3").toString
+    val base = "the quick brown fox jumps over the lazy dog and then the " +
+      "story continues with many common words that score well on quality."
+    val other = "completely different subject matter entirely about many " +
+      "other things with fresh common words still passing the whole gate."
+    val all = Seq((1L, base, "web"), (2L, base + " tail change here.", "web"),
+      (20L, base, "web"), (21L, base + " tail change there.", "web"),
+      (22L, other, "web")).toDF("doc_id", "text", "source")
+    // bootstrap universe built over THIS stream's vocabulary (the frozen
+    // quantizer a deployment derives from its own bootstrap corpus)
+    val ok3 = Dedup.lshIndexBuild(all, "text", "doc_id", maxShingleDf = 100).ok
+
+    val mem = MemoryStream[(Long, String, String)]
+    val q = CurationStream.curationStream(
+      mem.toDS().toDF("doc_id", "text", "source"), ok3,
+      dir, s"$dir/ckpt", capN = 10L)
+    mem.addData((1L, base, "web"), (2L, base + " tail change here.", "web"))
+    q.processAllAvailable()
+    // an exact copy of doc 1 and a near-dup of the base arrive later
+    mem.addData((20L, base, "web"),
+      (21L, base + " tail change there.", "web"), (22L, other, "web"))
+    q.processAllAvailable()
+    q.stop()
+    val got = CurationStream.readDocs(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got(1L) && got(22L), got)
+    assert(!got(20L), s"exact dup straddling batches entered: $got")
+    assert(!got(21L), s"near-dup straddling batches entered: $got")
+  }
+}
