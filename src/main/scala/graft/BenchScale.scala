@@ -20,12 +20,20 @@ import org.apache.spark.sql.functions._
   * corpus; KNN cells ∝ n, constant expected cell size). The oracle-exact
   * fixed parameters are deliberately not scale-free (see BENCH_sf1.md).
   *
-  * Usage: BenchScale <dir1x> <dir10x> <dir30x> [out.json]
+  * Usage: BenchScale <dir1x> <dir10x> [<dir30x> [<dir100x>]] [out.json]
+  * — any 2..4 scale points; fits and per-leg exponents generalize (the
+  * fourth point exists because the 30× point caught bends the 10× point
+  * hid, and 100× is the cheapest insurance against the next one).
   */
 object BenchScale {
   def main(args: Array[String]): Unit = {
-    val dirs = args.take(3).toSeq
-    require(dirs.size == 3, "usage: BenchScale <dir1x> <dir10x> <dir30x> [out.json]")
+    // the last arg is the OUT FILE iff it is not an existing directory —
+    // scale dirs must exist to be read, so this never misclassifies a
+    // data dir (whatever its name) and never reads an out path as data
+    val out = args.lastOption.filter(a => !new java.io.File(a).isDirectory)
+    val dirs = (if (out.isDefined) args.dropRight(1) else args).toSeq
+    require(dirs.size >= 2 && dirs.size <= 4,
+      "usage: BenchScale <dir1x> <dir10x> [<dir30x> [<dir100x>]] [out.json]")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -514,21 +522,22 @@ object BenchScale {
     val names = times.head.keys.toSeq.sorted
     val perQ = names.map { n =>
       val ts = times.map(_(n))
+      val legs = (0 until ts.size - 1)
+        .map(i => f"${leg(ts, i, i + 1)}%.2f").mkString(",")
       f""""$n":{"secs":[${ts.map(t => f"$t%.2f").mkString(",")}],""" +
-      f""""exponent":${fit(ts)}%.2f,"leg_1_10":${leg(ts, 0, 1)}%.2f,""" +
-      f""""leg_10_30":${leg(ts, 1, 2)}%.2f}"""
+      f""""exponent":${fit(ts)}%.2f,"legs":[$legs]}"""
     }.mkString("{", ",", "}")
     val host = try {
       val load = scala.io.Source.fromFile("/proc/loadavg").mkString.split(" ")
       s""","host":{"loadavg_1m":${load(0)},"loadavg_5m":${load(1)}}"""
     } catch { case _: Throwable => "" }
     val line =
-      s"""{"metric":"scale3","dirs":${dirs.map(d => s""""$d"""").mkString("[", ",", "]")},""" +
+      s"""{"metric":"scale","dirs":${dirs.map(d => s""""$d"""").mkString("[", ",", "]")},""" +
       f""""docs":${nDocs.mkString("[", ",", "]")},""" +
       f""""scales":[${scales.map(s => f"$s%.1f").mkString(",")}],"queries":$perQ$host}"""
     println(line)
-    if (args.length > 3) {
-      val w = new java.io.PrintWriter(args(3)); try w.println(line) finally w.close()
+    out.foreach { o =>
+      val w = new java.io.PrintWriter(o); try w.println(line) finally w.close()
     }
     spark.stop()
   }

@@ -147,9 +147,15 @@ object CurationStream {
       }
 
       // accepted ids of THIS batch, re-derivable on any replay path:
-      // batch ∩ docs view (ids are unique corpus-wide by invariant)
-      val accepted = e2.select(col("doc_id").as("doc"))
-        .join(readDocs(spark, dir).select(col("doc_id").as("doc")), "doc")
+      // batch ∩ docs view on (doc_id, hash) — the hash term matters: a
+      // REUSED id with different content (producer bug) is rejected by the
+      // docs commit above, and matching on the id alone would classify it
+      // accepted here and append a rejected document's set/band rows
+      // whenever the original admission left no set rows
+      val accepted = e2.select(col("doc_id").as("doc"), col("hash"))
+        .join(readDocs(spark, dir)
+          .select(col("doc_id").as("doc"), col("hash")), Seq("doc", "hash"))
+        .select(col("doc"))
       vvSets.applyBatch(batchId) { cur =>
         val v = cur.getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SetsSchema))
@@ -175,8 +181,11 @@ object CurationStream {
     docs.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // no clearCache here: applyBatch releases its own caches in a
+        // finally and lshIndexProbe's batch sets self-release
+        // (localCheckpoint) — a session-wide clearCache would evict the
+        // CALLER-owned frozen `ok` universe every trigger
         applyBatch(spark, dir, ok, batch, batchId, capN, n, threshold)
-        spark.catalog.clearCache() // trigger-owned caches, see MediaDedupStream
       }
       .start()
   }

@@ -121,8 +121,10 @@ object EmbeddingDedupStream {
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // no clearCache here: applyBatch releases everything it caches in
+        // its own finally, and a session-wide clearCache would evict the
+        // CALLER-owned frozen `cent` quantizer every trigger
         applyBatch(spark, indexDir, cent, batch, batchId, nProbe, threshold)
-        spark.catalog.clearCache() // trigger-owned caches, see MediaDedupStream
       }
       .start()
   }

@@ -43,14 +43,13 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   * snapshot contract that every streamed view here shares, and the
   * docstring states the real cost rather than claiming ∝ batch.
   *
-  * Caching: the maintainer assumes it OWNS its session's cache (the
-  * production norm for a dedicated always-on job) — the STREAM DRIVERS
-  * ([[dedupStream]], [[ingestFiles]]) drop each trigger's intermediate
-  * caches (their own and their operators') with `clearCache` at the end
-  * of the trigger, AFTER every per-modality commit, so a long-running
-  * stream cannot accumulate stale cached plans across thousands of
-  * micro-batches. Direct [[applyBatch]] callers (tests, one-shot
-  * backfills) manage their own cache lifetime.
+  * Caching: every per-trigger frame is released by its owner — the batch
+  * sides cache under try/finally in [[applySignedBatch]]/[[ingestFiles]],
+  * and the fingerprint operators' internal barriers are eager
+  * localCheckpoints whose blocks self-release when unreachable — so a
+  * long-running stream accumulates nothing and NO session-wide
+  * `clearCache` runs (it would evict co-tenant caches, e.g. a serving
+  * loop's hot index, every trigger).
   */
 object MediaDedupStream {
 
@@ -205,13 +204,14 @@ object MediaDedupStream {
           h.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).drop("_rn")
         }
-        applyBatch(spark, s"$indexDir/audio",
-          uniq(Multimodal.audioFingerprintHashesSafe(spark, media)),
-          batchId, maxDist)
-        applyBatch(spark, s"$indexDir/image",
-          uniq(Multimodal.imageHashesSafe(spark, media)),
-          batchId, maxDist)
-        spark.catalog.clearCache() // this trigger's caches, see scaladoc
+        try {
+          applyBatch(spark, s"$indexDir/audio",
+            uniq(Multimodal.audioFingerprintHashesSafe(spark, media)),
+            batchId, maxDist)
+          applyBatch(spark, s"$indexDir/image",
+            uniq(Multimodal.imageHashesSafe(spark, media)),
+            batchId, maxDist)
+        } finally media.unpersist() // trigger-owned; nothing session-wide
       }
       .start()
   }
@@ -225,8 +225,9 @@ object MediaDedupStream {
     fingerprints.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // no clearCache: applySignedBatch releases its caches in a finally
+        // and the probe/cluster internals self-release (localCheckpoint)
         applyBatch(spark, indexDir, batch, batchId, maxDist)
-        spark.catalog.clearCache() // this trigger's caches, see scaladoc
       }
       .start()
   }
@@ -242,7 +243,6 @@ object MediaDedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applySignedBatch(spark, indexDir, batch, batchId, maxDist)
-        spark.catalog.clearCache() // this trigger's caches, see scaladoc
       }
       .start()
   }
