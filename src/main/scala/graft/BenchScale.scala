@@ -383,6 +383,99 @@ object BenchScale {
         }
         spark.catalog.clearCache()
         s
+      } ++
+      // Image-side index probe (q148's shape in the q144 convention):
+      // aHash index PREBUILT + cached outside the timer, FIXED batch of
+      // 1×-replica brightened copies. Steady-state per-batch image-ingest
+      // cost as the corpus index grows — target well below 1 (the
+      // residual is the in-memory band-join scan a persisted bucketed
+      // index prunes).
+      row("q148_image_probe") {
+        val imgs = operators.Multimodal.mediaTableWithImages(t.documents)
+          .filter(col("kind") === "image")
+          .select(col("media_id").cast("long"), col("kind"), col("payload"))
+        val isBatch = col("media_id") % 10 === 1 && col("media_id") < 5000
+        val idxHashes = operators.Multimodal
+          .imageHashes(spark, imgs.filter(!isBatch)).cache()
+        idxHashes.count()
+        val batch = operators.Multimodal.brightenedCopies(spark,
+          imgs.filter(isBatch), offset = 10000000L, delta = 1)
+        val s = time {
+          operators.Multimodal.fingerprintIndexProbe(idxHashes,
+            operators.Multimodal.imageHashes(spark, batch),
+            maxDist = 3).count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      } ++
+      // Video-side index probe (q152's shape, q144 convention): per-frame
+      // hash index PREBUILT + cached, FIXED batch of 1×-replica trimmed
+      // re-uploads probing by frame-hash equi-join.
+      row("q152_video_probe") {
+        val vid = udf((d: Long) => operators.Multimodal.makeVideo(d))
+        val vids = operators.Multimodal.mediaTable(t.documents)
+          .filter(col("kind") === "video")
+          .select(col("media_id").cast("long"), col("kind"),
+            vid(col("media_id")).as("payload"))
+        val isBatch = col("media_id") % 10 === 1 && col("media_id") < 5000
+        val idxHashes = operators.Multimodal
+          .videoFrameHashes(spark, vids.filter(!isBatch)).cache()
+        idxHashes.count()
+        val batch = operators.Multimodal.trimmedVideoCopies(spark,
+          vids.filter(isBatch), offset = 10000000L, cut = 1)
+        val s = time {
+          operators.Multimodal.videoFrameIndexProbe(idxHashes,
+            operators.Multimodal.videoFrameHashes(spark, batch))
+            .count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      } ++
+      // Served video probe from the PERSISTED frame-bucketed index (built
+      // + memoized outside the timer), scan partition-pruned to the batch
+      // frames' buckets — the q147 convention on the video modality.
+      // NOTE (as q147): the persisted index covers the FULL video corpus,
+      // so the trimmed copies mostly resolve to dup_of.
+      row("q153_video_serve") {
+        val vid = udf((d: Long) => operators.Multimodal.makeVideo(d))
+        val vids = operators.Multimodal.mediaTable(t.documents)
+          .filter(col("kind") === "video")
+          .select(col("media_id").cast("long"), col("kind"),
+            vid(col("media_id")).as("payload"))
+        val isBatch = col("media_id") % 10 === 1 && col("media_id") < 5000
+        operators.Multimodal.videoFpIndexFor(spark, dir) // build outside timer
+        val batch = operators.Multimodal.trimmedVideoCopies(spark,
+          vids.filter(isBatch), offset = 10000000L, cut = 1)
+        val bh = operators.Multimodal.videoFrameHashes(spark, batch)
+        val s = time {
+          operators.Multimodal.videoIndexServe(spark, dir, bh).count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      } ++
+      // Embedding-side incremental probe (q149's shape, q123 convention):
+      // frozen seed quantizer with cells ∝ n (constant expected cell
+      // size), cell table PREBUILT + cached, FIXED ~200-vector batch
+      // (1×-replica ids). The timed probe is nProbe-nearest-cell routing
+      // (broadcast centroids) + the candidate cosine verify; the residual
+      // growth term is the in-memory cell-table scan that the q91
+      // partitionBy(cell) layout prunes when persisted.
+      row("q149_ivf_probe") {
+        import graft.operators.EmbeddingIndex
+        val e = t.embeddings
+        val isBatch = col("vec_id") % 10 === 1 && col("vec_id") < 2000
+        val corpus = e.filter(!isBatch)
+        val cent = EmbeddingIndex.seedCentroids(corpus, "embedding",
+          "vec_id", nCells = 16 * scale).cache()
+        val idx = EmbeddingIndex.assignCells(corpus, cent, "embedding",
+          "vec_id").cache()
+        idx.count()
+        val s = time {
+          EmbeddingIndex.probeDedup(idx, cent, e.filter(isBatch),
+            "embedding", "vec_id").count(); ()
+        }
+        spark.catalog.clearCache()
+        s
       }
     }
 
