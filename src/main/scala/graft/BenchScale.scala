@@ -68,6 +68,81 @@ object BenchScale {
     def row(name: String)(body: => Double): Seq[(String, Double)] =
       if (onlySel(name)) Seq(name -> body) else Seq.empty
 
+    /** Per-trigger maintainer COMMIT cost with the corpus index as the
+      * pre-existing state (bootstrapped untimed) and one FIXED
+      * ~200-novel-vector batch (negated 1×-replica vectors under fresh
+      * ids — near-dups of nothing stored): `snapshot=true` pays the
+      * VersionedView full-index rewrite (linear BY CONSTRUCTION, the
+      * comparison row), `snapshot=false` the DeltaView changes-only
+      * commit whose residual is the fold scan inside the probe/accept
+      * derivation.
+      */
+    def idxCommitRow(dir: String, snapshot: Boolean): Double = {
+      import graft.operators.EmbeddingIndex
+      import graft.streaming.EmbeddingDedupStream
+      val root = java.nio.file.Files.createTempDirectory("graft-idxc").toString
+      val e = Tables(spark, dir).embeddings
+      val cent = EmbeddingIndex.seedCentroids(e, "embedding", "vec_id", 16)
+        .cache()
+      val assigned = EmbeddingIndex.assignCells(e, cent, "embedding", "vec_id")
+        .select(col("vec_id").cast("long"), col("cell").cast("long"),
+          col("v").cast("array<double>"))
+      if (snapshot)
+        graft.util.VersionedView(spark, root).applyBatch(0L)(_ => assigned)
+      else
+        graft.util.DeltaView(spark, root, Seq("vec_id"), compactEvery = 1000,
+            basePartitionCols = Seq("cell"))
+          .applyBatch(0L)(_ => (assigned, e.limit(0).select(col("vec_id"))))
+      val batch = e.filter(col("vec_id") % 10 === 1 && col("vec_id") < 2000)
+        .select(lit("I").as("op"), (col("vec_id") + 10000000L).as("vec_id"),
+          transform(col("embedding"), x => -x).as("embedding"))
+      val s = time {
+        if (snapshot)
+          EmbeddingDedupStream.applyBatch(spark, root, cent, batch, 1L)
+        else
+          EmbeddingDedupStream.applyBatchDelta(spark, root, cent, batch, 1L,
+            compactEvery = 1000)
+      }
+      cent.unpersist()
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      s
+    }
+
+    /** Per-trigger cost of the INCREMENTAL curation pipeline on the delta
+      * core, with the corpus bootstrapped as batch 0 (untimed — the
+      * nightly bootstrap) and one FIXED ~500-doc batch of re-identified
+      * 1×-replica documents with perturbed tails (a re-upload-heavy
+      * ingest: most reject at the LSH probe, which is the expensive
+      * honest case — the full gate stack runs for every row).
+      */
+    def curationBatchRow(dir: String): Double = {
+      import graft.operators.Dedup
+      import graft.streaming.CurationStream
+      val root = java.nio.file.Files.createTempDirectory("graft-curs").toString
+      val docs = Tables(spark, dir).documents
+      val ok = Dedup.lshIndexBuild(docs, "text", "doc_id",
+        maxShingleDf = Dedup.dfCapFor(docs.count())).ok.cache()
+      ok.count()
+      val cap = Long.MaxValue / 2
+      CurationStream.applyBatchDelta(spark, root, ok,
+        docs.select(col("doc_id"), col("text"), col("source")), 0L, cap,
+        compactEvery = 1000)
+      val batch = docs
+        .filter(col("doc_id") % 10 === 3 && col("doc_id") < 5000)
+        .select((col("doc_id") + 10000000L).as("doc_id"),
+          concat(col("text"), lit(" zq"), col("doc_id")).as("text"),
+          col("source"))
+      val s = time {
+        CurationStream.applyBatchDelta(spark, root, ok, batch, 1L, cap,
+          compactEvery = 1000)
+      }
+      ok.unpersist()
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      s
+    }
+
     /** One scale point's rows; `scale` drives the scaled parameters.
       * Two configurations where the first three-point run caught a bend
       * (see BENCH_sf3.md): the `_exact` / `_flat` rows keep the
@@ -476,7 +551,23 @@ object BenchScale {
         }
         spark.catalog.clearCache()
         s
-      }
+      } ++
+      // Streamed-maintainer COMMIT cost on the DeltaView core: the corpus
+      // index is the pre-existing state (bootstrapped untimed), one FIXED
+      // ~200-vector novel batch commits. The delta commit writes only the
+      // accepted rows + tombstones; the residual growth term is the fold
+      // SCAN inside the probe/accept derivation (no shuffle, no rewrite).
+      // Its pair row `idx_commit_snapshot` (comparison pass) rewrites the
+      // whole index per commit — linear BY CONSTRUCTION — which is
+      // exactly the difference the delta core exists to remove.
+      row("idx_commit_delta")(idxCommitRow(dir, snapshot = false)) ++
+      // Incremental-curation per-batch cost on the maintained LSH views
+      // (CurationStream: gates → exact anti-join → in-batch LSH dominance
+      // → index probe → first-arrival cap → three delta commits): corpus
+      // views bootstrapped untimed from the scaled corpus, one FIXED
+      // ~500-doc batch (1×-replica originals re-identified) applies. The
+      // streamed twin of the q110 nightly pipeline — target well below 1.
+      row("curation_stream_batch")(curationBatchRow(dir))
     }
 
     def comparisonAt(dir: String): Seq[(String, Double)] = {
@@ -493,7 +584,11 @@ object BenchScale {
       row("q49_clusters_exact")(bestOf2 {
         Pipeline.connectedComponents(exactPairs()).count(); ()
       }) ++
-      row("q56_corpus_dedup_exact")(bestOf2 { dedupVia(exactPairs()) })
+      row("q56_corpus_dedup_exact")(bestOf2 { dedupVia(exactPairs()) }) ++
+      // the snapshot-core maintainer commit: rewrites the full index per
+      // trigger — linear BY CONSTRUCTION, the comparison row for
+      // idx_commit_delta (see idxCommitRow)
+      row("idx_commit_snapshot")(idxCommitRow(dir, snapshot = true))
       // q121 (prefix-filtered exact Jaccard join) is deliberately NOT a
       // study row in ANY configuration: on the saturating-vocabulary
       // replicas its candidate volume is Σ (prefix-df)² ∝ n² (measured

@@ -2,7 +2,7 @@ package graft.streaming
 
 import graft.operators.{Dedup, TextAnalysis}
 import graft.operators.Dedup.LshIndex
-import graft.util.VersionedView
+import graft.util.{DeltaView, VersionedView}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -87,6 +87,70 @@ object CurationStream {
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     readOr(spark, s"$dir/docs", DocsSchema)
 
+  private def empty(spark: SparkSession, schema: StructType): DataFrame =
+    spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+
+  /** Stages 1+2+4's batch side, shared by both storage cores: per-row
+    * gates fused into one scan pass, in-batch exact dedup, LSH artifacts
+    * under the frozen universe, in-batch near-dup dominance. `e2` and
+    * `sets` come back CACHED — callers release them in a finally.
+    */
+  private def gateBatch(ok: DataFrame, batch: DataFrame, n: Int,
+                        threshold: Double)
+      : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    val eligible = batch.filter(
+      TextAnalysis.langGuessExpr(col("text")) === "en" &&
+      TextAnalysis.qualityKeepExpr(col("text")))
+    val exactKeep = Dedup.exact(eligible, col("text"), col("doc_id"))
+      .select(col("keep_id").as("doc_id"))
+    val e2 = eligible.join(exactKeep, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), col("source"), col("text"),
+        md5(col("text")).as("hash")).cache()
+    val art = Dedup.lshArtifacts(e2, "text", "doc_id", ok, n)
+    val sets = art.sets.cache()
+    val inDrop = Dedup.lshPairsWithin(LshIndex(ok, sets, art.bands), threshold)
+      .select(col("doc_b").as("drop_id")).distinct()
+    val reps = e2.join(inDrop, col("doc_id") === col("drop_id"), "left_anti")
+    (e2, sets, art.bands, reps)
+  }
+
+  /** Stages 3+5+6 given the CURRENT views: exact gate vs the corpus, the
+    * q123 index probe, and the first-arrival domain cap (accepted-so-far
+    * counts broadcast, in-batch admission order = doc_id, deterministic).
+    * Returns only the NEWLY admitted (doc_id, source, hash) rows.
+    */
+  private def admit(docsV: DataFrame, index: LshIndex, reps: DataFrame,
+                    capN: Long, n: Int, threshold: Double): DataFrame = {
+    val exNew = reps
+      .join(docsV.select(col("hash")), Seq("hash"), "left_anti")
+      .join(docsV.select(col("doc_id")), Seq("doc_id"), "left_anti")
+    val nearKept = Dedup.lshIndexProbe(index, exNew, "text", "doc_id",
+        n, threshold)
+      .filter(col("kept")).select("doc_id")
+    val survivors = exNew.join(nearKept, "doc_id")
+    val cnts = docsV.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
+    val rn = row_number().over(org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id")))
+    survivors.withColumn("rn", rn)
+      .join(broadcast(cnts), Seq("source"), "left")
+      .filter(coalesce(col("cnt"), lit(0L)) + col("rn") <= capN)
+      .select(col("doc_id"), col("source"), col("hash"))
+  }
+
+  /** Accepted ids of THIS batch, re-derivable on any replay path:
+    * batch ∩ docs view on (doc_id, hash) — the hash term matters: a
+    * REUSED id with different content (producer bug) is rejected by the
+    * docs commit, and matching on the id alone would classify it accepted
+    * here and append a rejected document's set/band rows whenever the
+    * original admission left no set rows.
+    */
+  private def acceptedOf(e2: DataFrame, docsNow: DataFrame): DataFrame =
+    e2.select(col("doc_id").as("doc"), col("hash"))
+      .join(docsNow.select(col("doc_id").as("doc"), col("hash")),
+        Seq("doc", "hash"))
+      .select(col("doc"))
+
   /** Apply one micro-batch of documents (doc_id, text, source): the full
     * gate stack, then three idempotent commits. Public so tests drive
     * replay/crash cases directly.
@@ -100,24 +164,9 @@ object CurationStream {
     if (Seq(vvDocs, vvSets, vvBands)
         .forall(_.committed.exists(_._1 >= batchId))) return
 
-    // stages 1+2+4's batch side: per-row gates fused into one scan pass,
-    // in-batch exact dedup, artifacts under the frozen universe — cached
-    // once per trigger, released in the finally
-    val eligible = batch.filter(
-      TextAnalysis.langGuessExpr(col("text")) === "en" &&
-      TextAnalysis.qualityKeepExpr(col("text")))
-    val exactKeep = Dedup.exact(eligible, col("text"), col("doc_id"))
-      .select(col("keep_id").as("doc_id"))
-    val e2 = eligible.join(exactKeep, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), col("source"), col("text"),
-        md5(col("text")).as("hash")).cache()
-    val art = Dedup.lshArtifacts(e2, "text", "doc_id", ok, n)
-    val sets = art.sets.cache()
+    val (e2, sets, bands, reps) = gateBatch(ok, batch, n, threshold)
     try {
       if (e2.isEmpty) return // idle trigger: no commits
-      val inDrop = Dedup.lshPairsWithin(LshIndex(ok, sets, art.bands), threshold)
-        .select(col("doc_b").as("drop_id")).distinct()
-      val reps = e2.join(inDrop, col("doc_id") === col("drop_id"), "left_anti")
       // index state for the probe: the PREVIOUS batch's views (they only
       // lag within the in-flight batch — see the object doc)
       val index = LshIndex(ok,
@@ -125,48 +174,80 @@ object CurationStream {
         readOr(spark, s"$dir/bands", BandsSchema))
 
       vvDocs.applyBatch(batchId) { cur =>
-        val docsV = cur.getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], DocsSchema))
-        val exNew = reps
-          .join(docsV.select(col("hash")), Seq("hash"), "left_anti")
-          .join(docsV.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        val nearKept = Dedup.lshIndexProbe(index, exNew, "text", "doc_id",
-            n, threshold)
-          .filter(col("kept")).select("doc_id")
-        val survivors = exNew.join(nearKept, "doc_id")
-        // first-arrival domain cap: accepted-so-far counts broadcast,
-        // in-batch admission order = doc_id (deterministic)
-        val cnts = docsV.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
-        val rn = row_number().over(org.apache.spark.sql.expressions.Window
-          .partitionBy(col("source")).orderBy(col("doc_id")))
-        val admitted = survivors.withColumn("rn", rn)
-          .join(broadcast(cnts), Seq("source"), "left")
-          .filter(coalesce(col("cnt"), lit(0L)) + col("rn") <= capN)
-        docsV.unionByName(admitted.select(col("doc_id"), col("source"),
-          col("hash")))
+        val docsV = cur.getOrElse(empty(spark, DocsSchema))
+        docsV.unionByName(admit(docsV, index, reps, capN, n, threshold))
       }
 
-      // accepted ids of THIS batch, re-derivable on any replay path:
-      // batch ∩ docs view on (doc_id, hash) — the hash term matters: a
-      // REUSED id with different content (producer bug) is rejected by the
-      // docs commit above, and matching on the id alone would classify it
-      // accepted here and append a rejected document's set/band rows
-      // whenever the original admission left no set rows
-      val accepted = e2.select(col("doc_id").as("doc"), col("hash"))
-        .join(readDocs(spark, dir)
-          .select(col("doc_id").as("doc"), col("hash")), Seq("doc", "hash"))
-        .select(col("doc"))
+      val accepted = acceptedOf(e2, readDocs(spark, dir))
       vvSets.applyBatch(batchId) { cur =>
-        val v = cur.getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], SetsSchema))
+        val v = cur.getOrElse(empty(spark, SetsSchema))
         v.unionByName(sets.join(accepted, "doc")
           .join(v.select(col("doc")), Seq("doc"), "left_anti"))
       }
       vvBands.applyBatch(batchId) { cur =>
-        val v = cur.getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], BandsSchema))
-        v.unionByName(art.bands.join(accepted, "doc")
+        val v = cur.getOrElse(empty(spark, BandsSchema))
+        v.unionByName(bands.join(accepted, "doc")
           .join(v.select(col("doc")), Seq("doc"), "left_anti"))
+      }: Unit
+    } finally { e2.unpersist(); sets.unpersist() }
+  }
+
+  private def dvDocs(spark: SparkSession, dir: String, k: Int) =
+    DeltaView(spark, s"$dir/docs", Seq("doc_id"), compactEvery = k)
+  private def dvSets(spark: SparkSession, dir: String, k: Int) =
+    DeltaView(spark, s"$dir/sets", Seq("doc"), compactEvery = k)
+  private def dvBands(spark: SparkSession, dir: String, k: Int) =
+    DeltaView(spark, s"$dir/bands", Seq("doc"), compactEvery = k)
+
+  /** The curated corpus under the DELTA core. */
+  def readDocsDelta(spark: SparkSession, dir: String): DataFrame =
+    dvDocs(spark, dir, 8).read().getOrElse(empty(spark, DocsSchema))
+
+  def committedDelta(spark: SparkSession,
+                     dir: String): Option[(Long, Long, Long)] =
+    dvDocs(spark, dir, 8).committed
+
+  /** [[applyBatch]] on the [[DeltaView]] core: identical gate stack and
+    * admission semantics, but each of the three commits ships only the
+    * batch's ACCEPTED rows — O(batch), not O(corpus) — with periodic
+    * compaction. The curation stream never retracts (documents leave via
+    * the nightly re-curation, reference `TODO.md`-style retention is the
+    * index-retract path q150/q151), so the deltas are pure appends and
+    * the tombstone anti-join in the fold is empty.
+    */
+  def applyBatchDelta(spark: SparkSession, dir: String, ok: DataFrame,
+                      batch: DataFrame, batchId: Long, capN: Long,
+                      n: Int = 3, threshold: Double = 0.5,
+                      compactEvery: Int = 8): Unit = {
+    val (vDocs, vSets, vBands) = (dvDocs(spark, dir, compactEvery),
+      dvSets(spark, dir, compactEvery), dvBands(spark, dir, compactEvery))
+    if (Seq(vDocs.committed, vSets.committed, vBands.committed)
+        .forall(_.exists(_._1 >= batchId))) return
+
+    val (e2, sets, bands, reps) = gateBatch(ok, batch, n, threshold)
+    val noDel = empty(spark, StructType(Seq(StructField("doc", LongType))))
+    try {
+      if (e2.isEmpty) return // idle trigger: no commits
+      val index = LshIndex(ok,
+        vSets.read().getOrElse(empty(spark, SetsSchema)),
+        vBands.read().getOrElse(empty(spark, BandsSchema)))
+
+      vDocs.applyBatch(batchId) { cur =>
+        val docsV = cur.getOrElse(empty(spark, DocsSchema))
+        (admit(docsV, index, reps, capN, n, threshold),
+         noDel.withColumnRenamed("doc", "doc_id"))
+      }
+
+      val accepted = acceptedOf(e2, readDocsDelta(spark, dir))
+      vSets.applyBatch(batchId) { cur =>
+        val v = cur.getOrElse(empty(spark, SetsSchema))
+        (sets.join(accepted, "doc")
+          .join(v.select(col("doc")), Seq("doc"), "left_anti"), noDel)
+      }
+      vBands.applyBatch(batchId) { cur =>
+        val v = cur.getOrElse(empty(spark, BandsSchema))
+        (bands.join(accepted, "doc")
+          .join(v.select(col("doc")), Seq("doc"), "left_anti"), noDel)
       }: Unit
     } finally { e2.unpersist(); sets.unpersist() }
   }
@@ -186,6 +267,24 @@ object CurationStream {
         // (localCheckpoint) — a session-wide clearCache would evict the
         // CALLER-owned frozen `ok` universe every trigger
         applyBatch(spark, dir, ok, batch, batchId, capN, n, threshold)
+      }
+      .start()
+  }
+
+  /** [[curationStream]] on the [[DeltaView]] core — O(batch) commits with
+    * periodic compaction; same admission semantics, same exactly-once
+    * effect.
+    */
+  def curationStreamDelta(docs: DataFrame, ok: DataFrame, dir: String,
+                          checkpointDir: String, capN: Long,
+                          n: Int = 3, threshold: Double = 0.5,
+                          compactEvery: Int = 8): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchDelta(spark, dir, ok, batch, batchId, capN, n, threshold,
+          compactEvery)
       }
       .start()
   }

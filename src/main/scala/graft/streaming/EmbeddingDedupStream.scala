@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.EmbeddingIndex
-import graft.util.VersionedView
+import graft.util.{DeltaView, VersionedView}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -38,11 +38,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   * Exactly-once effect = checkpointed offsets × the idempotent versioned
   * commit (replayed batchIds no-op — including replayed DELETES; crash
   * windows recover by overwrite-replay), the contract shared by every
-  * maintainer on the core. Cost per trigger: batch-sized assignment +
-  * a probe against the probed cells + an O(index) snapshot rewrite (the
-  * VersionedView contract; the q91 partitioned layout with delta versions
-  * is the serving-scale upgrade, same tradeoff note as
-  * [[MediaDedupStream]]).
+  * maintainer on the core. Cost per trigger: batch-sized assignment + a
+  * probe against the probed cells + the commit — an O(index) snapshot
+  * rewrite on the [[VersionedView]] core ([[applyBatch]]/[[dedupStream]]),
+  * or O(batch) on the [[DeltaView]] core ([[applyBatchDelta]]/
+  * [[dedupStreamDelta]]: changes-only commits, cell-partitioned compacted
+  * bases every K commits — the 100 TB configuration; the
+  * `idx_commit_delta` vs `idx_commit_snapshot` study rows measure the
+  * difference).
   */
 object EmbeddingDedupStream {
 
@@ -60,6 +63,49 @@ object EmbeddingDedupStream {
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
 
+  /** Batch-side frames (assignment + in-batch min-id dominance): they
+    * depend only on the batch and the frozen quantizer — built and cached
+    * OUTSIDE the commit closure so the commit's parquet write reuses them
+    * (callers release via the returned handles; no trigger-to-trigger
+    * cache growth).
+    */
+  private def prepBatch(cent: DataFrame, batch: DataFrame,
+                        threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+    import graft.functions.VectorFunctions._
+    val assigned = EmbeddingIndex
+      .assignCells(batch.filter(col("op") === "I")
+        .select(col("vec_id"), col("embedding")), cent, "embedding", "vec_id")
+      .select(col("vec_id").cast("long"), col("cell").cast("long"),
+        col("v").cast("array<double>")).cache()
+    val dels = batch.filter(col("op") === "D").select("vec_id").cache()
+    // one-shot min-id dominance WITHIN the batch (two copies arriving
+    // together must not both enter): deterministic, replay-stable
+    val drop = assigned.as("a").join(assigned.as("b"),
+        col("a.cell") === col("b.cell") &&
+        col("a.vec_id") < col("b.vec_id"))
+      .filter(cosineFast(col("a.v"), col("b.v")) >= threshold)
+      .select(col("b.vec_id").as("drop_id")).distinct()
+    val reps = assigned.join(drop, col("vec_id") === col("drop_id"),
+      "left_anti")
+    (assigned, dels, reps)
+  }
+
+  /** The batch rows that enter the index, given the post-retract state:
+    * in-batch survivors that probe clean AND whose id is not already
+    * present (id uniqueness is an index INVARIANT — same rule as the
+    * media maintainer: a content-new row under a present id drops).
+    */
+  private def acceptedAgainst(afterDel: DataFrame, cent: DataFrame,
+                              reps: DataFrame, nProbe: Int,
+                              threshold: Double): DataFrame = {
+    val kept = EmbeddingIndex.probeDedup(afterDel, cent,
+        reps.select(col("vec_id"), col("v")), "v", "vec_id",
+        nProbe, threshold)
+      .filter(col("is_new")).select("vec_id")
+    reps.join(kept, "vec_id")
+      .join(afterDel.select(col("vec_id")), Seq("vec_id"), "left_anti")
+  }
+
   /** Apply one micro-batch of signed rows (op, vec_id, embedding): skip if
     * already committed (replay), else retract → in-batch dedup → probe →
     * append. Public so tests drive replay/crash/delete cases directly.
@@ -67,49 +113,72 @@ object EmbeddingDedupStream {
   def applyBatch(spark: SparkSession, indexDir: String, cent: DataFrame,
                  batch: DataFrame, batchId: Long, nProbe: Int = 2,
                  threshold: Double = 0.4): Unit = {
-    import graft.functions.VectorFunctions._
     val vv = VersionedView(spark, indexDir)
     // replay check FIRST (one pointer read), and cache the batch BEFORE
     // the emptiness probe so the probe job and the commit work share one
     // materialization instead of paying the source lineage twice
     if (vv.committed.exists(_._1 >= batchId)) return
-    // batch-side frames (assignment + in-batch dominance) depend only on
-    // the batch and the frozen quantizer — build and cache them OUTSIDE
-    // the commit closure so the commit's parquet write reuses them and the
-    // finally below can release them (no trigger-to-trigger cache growth)
-    val assigned = EmbeddingIndex
-      .assignCells(batch.filter(col("op") === "I")
-        .select(col("vec_id"), col("embedding")), cent, "embedding", "vec_id")
-      .select(col("vec_id").cast("long"), col("cell").cast("long"),
-        col("v").cast("array<double>")).cache()
-    val dels = batch.filter(col("op") === "D").select("vec_id").cache()
+    val (assigned, dels, reps) = prepBatch(cent, batch, threshold)
     try {
       if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
-      // one-shot min-id dominance WITHIN the batch (two copies arriving
-      // together must not both enter): deterministic, replay-stable
-      val drop = assigned.as("a").join(assigned.as("b"),
-          col("a.cell") === col("b.cell") &&
-          col("a.vec_id") < col("b.vec_id"))
-        .filter(cosineFast(col("a.v"), col("b.v")) >= threshold)
-        .select(col("b.vec_id").as("drop_id")).distinct()
-      val reps = assigned.join(drop, col("vec_id") === col("drop_id"),
-        "left_anti")
       vv.applyBatch(batchId) { cur =>
         val index = cur.getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
         val afterDel = EmbeddingIndex.retract(index, dels)
-        val kept = EmbeddingIndex.probeDedup(afterDel, cent,
-            reps.select(col("vec_id"), col("v")), "v", "vec_id",
-            nProbe, threshold)
-          .filter(col("is_new")).select("vec_id")
-        // id uniqueness is an index INVARIANT (same rule as the media
-        // maintainer): a content-new row under an already-present id drops
-        val accepted = reps.join(kept, "vec_id")
-          .join(afterDel.select(col("vec_id")), Seq("vec_id"), "left_anti")
-        afterDel.unionByName(accepted)
+        afterDel.unionByName(
+          acceptedAgainst(afterDel, cent, reps, nProbe, threshold))
       }: Unit
     } finally { assigned.unpersist(); dels.unpersist() }
   }
+
+  /** [[applyBatch]] on the [[DeltaView]] core: identical dedup semantics,
+    * but the commit writes only the ACCEPTED rows plus the batch's delete
+    * tombstones — O(batch), not O(index) — and the log compacts into a
+    * cell-partitioned base (the q91 serving layout) every `compactEvery`
+    * commits. The 100 TB configuration of this maintainer: a day's ingest
+    * costs the day, and the index rewrite price is paid 1/K as often.
+    */
+  def applyBatchDelta(spark: SparkSession, indexDir: String, cent: DataFrame,
+                      batch: DataFrame, batchId: Long, nProbe: Int = 2,
+                      threshold: Double = 0.4, compactEvery: Int = 8): Unit = {
+    val dv = deltaView(spark, indexDir, compactEvery)
+    if (dv.committed.exists(_._1 >= batchId)) return
+    val (assigned, dels, reps) = prepBatch(cent, batch, threshold)
+    try {
+      if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
+      dv.applyBatch(batchId) { cur =>
+        // the probe's view of the index is (current − this batch's
+        // deletes) — the same post-retract state the snapshot core builds;
+        // here it is LAZY (never written), the commit ships only changes
+        val index = cur.map(normalize).getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val afterDel = EmbeddingIndex.retract(index, dels)
+        (acceptedAgainst(afterDel, cent, reps, nProbe, threshold), dels)
+      }: Unit
+    } finally { assigned.unpersist(); dels.unpersist() }
+  }
+
+  private def deltaView(spark: SparkSession, indexDir: String,
+                        compactEvery: Int): DeltaView =
+    DeltaView(spark, indexDir, keyCols = Seq("vec_id"),
+      compactEvery = compactEvery, basePartitionCols = Seq("cell"))
+
+  /** Partition-column type inference on compacted bases reads `cell` back
+    * as int — pin the published schema regardless of which file kind a
+    * row came from.
+    */
+  private def normalize(df: DataFrame): DataFrame =
+    df.select(col("vec_id").cast("long"), col("cell").cast("long"), col("v"))
+
+  /** The current accepted-vector index under the DELTA core. */
+  def readIndexDelta(spark: SparkSession, indexDir: String): DataFrame =
+    deltaView(spark, indexDir, compactEvery = 8).read().map(normalize)
+      .getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+
+  def committedDelta(spark: SparkSession,
+                     indexDir: String): Option[(Long, Long, Long)] =
+    deltaView(spark, indexDir, compactEvery = 8).committed
 
   /** Maintain the index continuously from a streaming signed frame with
     * columns (op, vec_id, embedding).
@@ -125,6 +194,23 @@ object EmbeddingDedupStream {
         // its own finally, and a session-wide clearCache would evict the
         // CALLER-owned frozen `cent` quantizer every trigger
         applyBatch(spark, indexDir, cent, batch, batchId, nProbe, threshold)
+      }
+      .start()
+  }
+
+  /** [[dedupStream]] on the [[DeltaView]] core — O(batch) commits with
+    * periodic compaction; same dedup semantics, same exactly-once effect.
+    */
+  def dedupStreamDelta(changes: DataFrame, cent: DataFrame, indexDir: String,
+                       checkpointDir: String, nProbe: Int = 2,
+                       threshold: Double = 0.4,
+                       compactEvery: Int = 8): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchDelta(spark, indexDir, cent, batch, batchId, nProbe,
+          threshold, compactEvery)
       }
       .start()
   }

@@ -140,4 +140,33 @@ class CurationStreamSpec extends SparkSpec {
     assert(!got(20L), s"exact dup straddling batches entered: $got")
     assert(!got(21L), s"near-dup straddling batches entered: $got")
   }
+
+  test("delta core: same curated corpus as the snapshot core, across a compaction") {
+    val dirS = java.nio.file.Files.createTempDirectory("graft-cur4s").toString
+    val dirD = java.nio.file.Files.createTempDirectory("graft-cur4d").toString
+    // four waves crossing a compactEvery=2 boundary on every view
+    val waves = (0 until 4).map(k => docs.filter(col("doc_id") % 4 === k))
+    waves.zipWithIndex.foreach { case (w, i) =>
+      CurationStream.applyBatch(spark, dirS, frozenOk, w, i.toLong, capN = 60L)
+      CurationStream.applyBatchDelta(spark, dirD, frozenOk, w, i.toLong,
+        capN = 60L, compactEvery = 2)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    val snap = ids(CurationStream.readDocs(spark, dirS))
+    val delta = ids(CurationStream.readDocsDelta(spark, dirD))
+    assert(snap == delta,
+      s"diff=${(snap diff delta) ++ (delta diff snap)}")
+    assert(snap.nonEmpty)
+    // a compaction actually happened on the docs view
+    assert(CurationStream.committedDelta(spark, dirD).exists(_._3 > 0))
+    // replay of the last wave with bogus content no-ops on the delta core
+    import spark.implicits._
+    val bogus = Seq((12345L, "the quick brown fox jumps over the lazy dog " +
+      "with many common words in a fine sentence again.", "web"))
+      .toDF("doc_id", "text", "source")
+    CurationStream.applyBatchDelta(spark, dirD, frozenOk, bogus, 3L,
+      capN = 60L, compactEvery = 2)
+    assert(ids(CurationStream.readDocsDelta(spark, dirD)) == delta)
+  }
 }

@@ -114,4 +114,57 @@ class EmbeddingDedupStreamSpec extends SparkSpec {
     r1.unpersist()
     assert(streamed == want, s"streamed=$streamed want=$want")
   }
+
+  test("delta core: same maintained index as the snapshot core, across a compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds4").toString
+    def batch(rows: (String, Long, Seq[Double])*) =
+      rows.toDF("op", "vec_id", "embedding")
+    // four batches crossing a compactEvery=2 boundary, with a delete and
+    // a post-delete re-id of the same content
+    val batches = Seq(
+      batch(("I", 5L, e1close), ("I", 2L, e1), ("I", 9L, e2)),
+      batch(("I", 20L, e1close), ("I", 30L, e3), ("D", 9L, Seq.empty)),
+      batch(("I", 40L, e2)), // content of deleted 9 re-enters under 40
+      batch(("D", 30L, Seq.empty), ("I", 50L, e4)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      EmbeddingDedupStream.applyBatch(spark, s"$dir/snap", centFrame, b, i)
+      EmbeddingDedupStream.applyBatchDelta(spark, s"$dir/delta", centFrame,
+        b, i, compactEvery = 2)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id").collect().map(_.getLong(0)).toSet
+    val snap = ids(EmbeddingDedupStream.readIndex(spark, s"$dir/snap"))
+    val delta = ids(EmbeddingDedupStream.readIndexDelta(spark, s"$dir/delta"))
+    assert(snap == delta, s"snap=$snap delta=$delta")
+    assert(snap == Set(2L, 40L, 50L), snap.toString)
+    // a compaction actually happened (base advanced past version 0)
+    assert(EmbeddingDedupStream.committedDelta(spark, s"$dir/delta")
+      .exists(_._3 > 0))
+    // replay with bogus content no-ops on the delta core too
+    EmbeddingDedupStream.applyBatchDelta(spark, s"$dir/delta", centFrame,
+      batch(("I", 99L, e4), ("D", 2L, Seq.empty)), 3L, compactEvery = 2)
+    assert(ids(EmbeddingDedupStream.readIndexDelta(spark, s"$dir/delta"))
+      == Set(2L, 40L, 50L))
+  }
+
+  test("delta-core stream driver maintains the index end-to-end") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds5").toString
+    val mem = MemoryStream[(String, Long, Seq[Double])]
+    val q = EmbeddingDedupStream.dedupStreamDelta(
+      mem.toDS().toDF("op", "vec_id", "embedding"), centFrame,
+      s"$dir/index", s"$dir/ckpt", compactEvery = 2)
+    mem.addData(("I", 5L, e1close), ("I", 2L, e1), ("I", 9L, e2))
+    q.processAllAvailable()
+    mem.addData(("I", 20L, e1close), ("I", 30L, e3), ("D", 9L, Seq.empty))
+    q.processAllAvailable()
+    mem.addData(("I", 40L, e2))
+    q.processAllAvailable()
+    q.stop()
+    val got = EmbeddingDedupStream.readIndexDelta(spark, s"$dir/index")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == Set(2L, 30L, 40L), got.toString)
+  }
 }
