@@ -102,6 +102,52 @@ object Pipeline {
     } finally spark.conf.set("spark.sql.shuffle.partitions", oldParts)
   }
 
+  /** Incremental connected-components MAINTENANCE: fold a batch of newly
+    * arriving near-dup pairs into an existing label map without
+    * recomputing the corpus — the cluster-map counterpart of the
+    * accept/reject index probes (q111/q123/q144/q149): a probe decides
+    * whether a doc enters, THIS keeps the "which cluster" answer current
+    * as links accumulate.
+    *
+    * Only the TOUCHED components recompute: the arriving edges' endpoints
+    * name the labels they touch; those components' members (plus the new
+    * endpoints) form a subgraph of member→label edges ∪ the new pairs,
+    * and [[connectedComponents]] runs on THAT — O(touched + batch), never
+    * O(corpus). Untouched label rows pass through untouched, so the
+    * result is row-identical to a full recompute over old ∪ new pairs
+    * (PipelineSpec proves equality; q154 proves it against the DuckDB
+    * closure) — including the case where one arriving chain MERGES two
+    * old components through a new node (both components relabel to the
+    * global min).
+    *
+    * Pair-universe contract (the q150 freeze convention): `labels` must
+    * come from a pair set computed under the SAME candidate universe as
+    * `newPairs` (e.g. the LSH index probe's links against the frozen df
+    * cap), so old ∪ new IS the full pair set. Broadcast hints assume the
+    * batch touches a batch-sized set of components; `labels` itself is
+    * never shuffled, only semi-joined and anti-joined against
+    * batch-derived key sets.
+    */
+  def incrementalComponents(labels: DataFrame, newPairs: DataFrame,
+                            maxIters: Int = 20): DataFrame = {
+    val ends = newPairs
+      .select(explode(array(col("doc_a"), col("doc_b"))).as("doc")).distinct()
+    val touched = labels.join(broadcast(ends), Seq("doc"), "left_semi")
+      .select(col("label")).distinct()
+    val affected = labels.join(broadcast(touched), Seq("label"), "left_semi")
+    // member→label edges reconnect each touched component; the label node
+    // is itself a member, so self rows add nothing
+    val subEdges = newPairs.select(col("doc_a"), col("doc_b"))
+      .unionByName(affected.filter(col("doc") =!= col("label"))
+        .select(col("doc").as("doc_a"), col("label").as("doc_b")))
+    val relabeled = connectedComponents(subEdges, maxIters)
+    // relabeled covers every affected member and every new endpoint —
+    // replace exactly those rows
+    labels.join(broadcast(relabeled.select(col("doc"))), Seq("doc"),
+        "left_anti")
+      .unionByName(relabeled)
+  }
+
   val queries: Seq[Query] = Seq(
 
     // Corpus-wide top 3-grams by document frequency.
@@ -199,6 +245,53 @@ object Pipeline {
       val t = Tables(spark, dir)
       val pairs = Dedup.ngramJaccardPairs(t.documents, "text", "doc_id", 3, 0.5)
       connectedComponents(pairs)
+        .select(col("doc"), col("label").as("cluster_id"))
+        .orderBy(col("doc"))
+    }),
+
+    // Incremental cluster maintenance: the q49 label map built WITHOUT the
+    // "new" docs (doc_id % 10 = 7), then the arriving docs' pairs fold in
+    // via incrementalComponents — only touched components recompute. The
+    // oracle is q49's full-recompute closure over ALL pairs: passing
+    // proves the incremental fold is row-identical to recomputing the
+    // corpus, including batch edges that MERGE old components.
+    Query(
+      "q154_incremental_clusters",
+      Some(s"""
+        WITH RECURSIVE sh0 AS (SELECT doc_id AS doc,
+               unnest(list_distinct(list_transform(
+                 ${sqlShingles(sqlTokens("text"), 3)}, s -> ${sqlH48("s")}))) AS sh
+             FROM documents),
+        ok AS (SELECT sh FROM sh0 GROUP BY sh HAVING COUNT(*) <= 20),
+        shf AS (SELECT doc, sh0.sh FROM sh0 JOIN ok USING (sh)),
+        sz AS (SELECT doc, COUNT(*) AS sz FROM shf GROUP BY doc),
+        inter AS (SELECT a.doc AS doc_a, b.doc AS doc_b, COUNT(*) AS i
+                  FROM shf a JOIN shf b ON a.sh = b.sh AND a.doc < b.doc
+                  GROUP BY 1, 2),
+        pairs AS (SELECT doc_a, doc_b FROM inter
+                  JOIN sz sa ON sa.doc = doc_a JOIN sz sb ON sb.doc = doc_b
+                  WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.5),
+        edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                  UNION SELECT doc_b, doc_a FROM pairs),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        )
+        SELECT doc, least(doc, min(dst)) AS cluster_id
+        FROM (SELECT src AS doc, dst FROM reach)
+        GROUP BY doc
+        ORDER BY doc"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      // ONE pair universe (the q150 freeze convention): the full-corpus
+      // pair set splits into "already known" (both endpoints old) and
+      // "arriving" (any endpoint new) — old ∪ new is the oracle's set
+      val full = Dedup.ngramJaccardPairs(t.documents, "text", "doc_id",
+        3, 0.5).cache()
+      def isNew(c: Column) = c % 10 === 7
+      val oldPairs = full.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+      val incPairs = full.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+      incrementalComponents(connectedComponents(oldPairs), incPairs)
         .select(col("doc"), col("label").as("cluster_id"))
         .orderBy(col("doc"))
     }),

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Multimodal
-import graft.util.VersionedView
+import graft.util.{DeltaView, VersionedView}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -33,15 +33,15 @@ import org.apache.spark.sql.types.{LongType, StructField, StructType}
   *
   * Cost model, honestly: per trigger the in-batch cluster stage is
   * batch-sized and the probe is batch-driven, but the probe SCANS the
-  * current index's band rows and the commit REWRITES the index as a full
-  * snapshot (the [[VersionedView]] contract) — both O(index), at 4 longs
+  * current index's band rows and — on the [[VersionedView]] core — the
+  * commit REWRITES the index as a full snapshot, both O(index) at 4 longs
   * per accepted clip, so the per-item constant is tiny but trigger time
-  * does grow with the accepted corpus. At serving scale the production
-  * layout is the q91/q144 one: persist the index BUCKETED BY BAND KEY so
-  * the probe prunes to the batch's buckets, and append delta versions
-  * instead of snapshot rewrites; this maintainer keeps the simple
-  * snapshot contract that every streamed view here shares, and the
-  * docstring states the real cost rather than claiming ∝ batch.
+  * does grow with the accepted corpus. The [[DeltaView]] twins
+  * ([[applySignedBatchDelta]]/[[signedStreamDelta]]) remove the rewrite:
+  * a commit ships only accepted rows + delete tombstones (O(batch)) and
+  * the log compacts every K commits — the 100 TB configuration. The
+  * probe-side scan prunes with the q91/q144 band-bucketed serving layout
+  * (q147), orthogonal to the commit core.
   *
   * Caching: every per-trigger frame is released by its owner — the batch
   * sides cache under try/finally in [[applySignedBatch]]/[[ingestFiles]],
@@ -104,37 +104,90 @@ object MediaDedupStream {
     // replay check FIRST (one pointer read): a recovered/replayed batch
     // must not pay the emptiness job below just to be skipped inside
     if (vv.committed.exists(_._1 >= batchId)) return
-    // cache the batch sides BEFORE the emptiness probe, so the probe job
-    // and the commit's work share one materialization of the (decode-
-    // priced) fingerprint lineage instead of paying it per consumer
-    val hashes = batch.filter(col("op") === "I").select(col("media_id"),
-      col("b0"), col("b1"), col("b2"), col("b3")).cache()
-    val dels = batch.filter(col("op") === "D").select("media_id").cache()
+    val (hashes, dels, repHashes) = prepSigned(batch, maxDist)
     try {
       if (hashes.isEmpty && dels.isEmpty) return // idle trigger: no commit
-      // in-batch dedup depends only on the batch — build outside the
-      // commit closure so a replayed crash window reuses the cache
-      val reps = Multimodal.fingerprintDedupClusters(hashes, maxDist)
-        .filter(col("media_id") === col("cluster")).select("media_id")
-      val repHashes = hashes.join(reps, "media_id")
       vv.applyBatch(batchId) { cur =>
         val index = cur.getOrElse(spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
-        val afterDel = index.join(
-          broadcast(dels.withColumnRenamed("media_id", "_drop")),
-          col("media_id") === col("_drop"), "left_anti")
-        val kept = Multimodal.fingerprintIndexProbe(afterDel, repHashes, maxDist)
-          .filter(col("kept")).select("media_id")
-        // id uniqueness is an index INVARIANT: a later batch re-using an
-        // already-accepted id with different content (a bucket overwrite,
-        // a producer bug) must not append a second row under that id —
-        // content-new but id-stale rows drop via the anti join
-        val accepted = repHashes.join(kept, "media_id")
-          .join(afterDel.select(col("media_id")), Seq("media_id"), "left_anti")
+        val (afterDel, accepted) =
+          acceptedAgainst(index, repHashes, dels, maxDist)
         afterDel.unionByName(accepted)
       }: Unit
     } finally { hashes.unpersist(); dels.unpersist() }
   }
+
+  /** [[applySignedBatch]] on the [[DeltaView]] core: identical dedup and
+    * retraction semantics, but the commit ships only the ACCEPTED rows
+    * plus the batch's delete tombstones — O(batch), not O(index) — with
+    * the log compacting every `compactEvery` commits.
+    */
+  def applySignedBatchDelta(spark: SparkSession, indexDir: String,
+                            batch: DataFrame, batchId: Long,
+                            maxDist: Int = 3, compactEvery: Int = 8): Unit = {
+    val dv = deltaView(spark, indexDir, compactEvery)
+    if (dv.committed.exists(_._1 >= batchId)) return
+    val (hashes, dels, repHashes) = prepSigned(batch, maxDist)
+    try {
+      if (hashes.isEmpty && dels.isEmpty) return // idle trigger: no commit
+      dv.applyBatch(batchId) { cur =>
+        val index = cur.getOrElse(spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val (_, accepted) = acceptedAgainst(index, repHashes, dels, maxDist)
+        (accepted, dels)
+      }: Unit
+    } finally { hashes.unpersist(); dels.unpersist() }
+  }
+
+  /** Batch-side frames, shared by both cores: I-row fingerprints and D-row
+    * ids CACHED before the emptiness probe (one materialization of the
+    * decode-priced lineage — callers release in a finally), plus the
+    * in-batch dedup representatives (depends only on the batch, so a
+    * replayed crash window reuses the cache).
+    */
+  private def prepSigned(batch: DataFrame,
+                         maxDist: Int): (DataFrame, DataFrame, DataFrame) = {
+    val hashes = batch.filter(col("op") === "I").select(col("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3")).cache()
+    val dels = batch.filter(col("op") === "D").select("media_id").cache()
+    val reps = Multimodal.fingerprintDedupClusters(hashes, maxDist)
+      .filter(col("media_id") === col("cluster")).select("media_id")
+    (hashes, dels, hashes.join(reps, "media_id"))
+  }
+
+  /** Post-retract index and the batch rows that enter it: representatives
+    * that probe clean against the post-delete index AND whose id is not
+    * already present — id uniqueness is an index INVARIANT: a later batch
+    * re-using an already-accepted id with different content (a bucket
+    * overwrite, a producer bug) must not append a second row under that
+    * id; content-new but id-stale rows drop via the anti join.
+    */
+  private def acceptedAgainst(index: DataFrame, repHashes: DataFrame,
+                              dels: DataFrame,
+                              maxDist: Int): (DataFrame, DataFrame) = {
+    val afterDel = index.join(
+      broadcast(dels.withColumnRenamed("media_id", "_drop")),
+      col("media_id") === col("_drop"), "left_anti")
+    val kept = Multimodal.fingerprintIndexProbe(afterDel, repHashes, maxDist)
+      .filter(col("kept")).select("media_id")
+    (afterDel, repHashes.join(kept, "media_id")
+      .join(afterDel.select(col("media_id")), Seq("media_id"), "left_anti"))
+  }
+
+  private def deltaView(spark: SparkSession, indexDir: String,
+                        compactEvery: Int): DeltaView =
+    DeltaView(spark, indexDir, keyCols = Seq("media_id"),
+      compactEvery = compactEvery)
+
+  /** The current accepted-fingerprint index under the DELTA core. */
+  def readIndexDelta(spark: SparkSession, indexDir: String): DataFrame =
+    deltaView(spark, indexDir, 8).read().getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+
+  def committedDelta(spark: SparkSession,
+                     indexDir: String): Option[(Long, Long, Long)] =
+    deltaView(spark, indexDir, 8).committed
 
   /** The WHOLE media-ingest pipeline as one always-on stream: watch a
     * directory of loose media objects — audio (.wav) AND images (.png),
@@ -243,6 +296,23 @@ object MediaDedupStream {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applySignedBatch(spark, indexDir, batch, batchId, maxDist)
+      }
+      .start()
+  }
+
+  /** [[signedStream]] on the [[DeltaView]] core — O(batch) commits with
+    * periodic compaction; same dedup/retraction semantics, same
+    * exactly-once effect.
+    */
+  def signedStreamDelta(changes: DataFrame, indexDir: String,
+                        checkpointDir: String, maxDist: Int = 3,
+                        compactEvery: Int = 8): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySignedBatchDelta(spark, indexDir, batch, batchId, maxDist,
+          compactEvery)
       }
       .start()
   }

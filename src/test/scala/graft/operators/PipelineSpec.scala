@@ -220,4 +220,54 @@ class PipelineSpec extends SparkSpec {
         r.getAs[Long]("n_members"), r.getAs[Long]("survivor"))).toSeq
     assert(got == Seq((3L, 3L, 3L)), got.mkString(","))
   }
+
+  private def labelMap(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+    df.collect().map(r => r.getAs[Long]("doc") -> r.getAs[Long]("label")).toMap
+
+  test("incremental components: an arriving chain merges two old components to the global min") {
+    import spark.implicits._
+    // old components {2,5} and {7,8}; new node 100 bridges them
+    val labels = Seq((2L, 2L), (5L, 2L), (7L, 7L), (8L, 7L), (30L, 30L))
+      .toDF("doc", "label")
+    val newPairs = Seq((5L, 100L), (100L, 8L)).toDF("doc_a", "doc_b")
+    val got = labelMap(Pipeline.incrementalComponents(labels, newPairs))
+    assert(got == Map(2L -> 2L, 5L -> 2L, 7L -> 2L, 8L -> 2L, 100L -> 2L,
+      30L -> 30L), got.toString)
+  }
+
+  test("incremental components: new-only pairs and untouched old labels coexist") {
+    import spark.implicits._
+    val labels = Seq((2L, 2L), (5L, 2L)).toDF("doc", "label")
+    val newPairs = Seq((200L, 201L)).toDF("doc_a", "doc_b")
+    val got = labelMap(Pipeline.incrementalComponents(labels, newPairs))
+    assert(got == Map(2L -> 2L, 5L -> 2L, 200L -> 200L, 201L -> 200L), got)
+    // an empty batch changes nothing
+    val none = Seq.empty[(Long, Long)].toDF("doc_a", "doc_b")
+    assert(labelMap(Pipeline.incrementalComponents(labels, none))
+      == Map(2L -> 2L, 5L -> 2L))
+  }
+
+  test("incremental components: a new node with a SMALLER id relabels the whole touched component") {
+    import spark.implicits._
+    val labels = Seq((10L, 10L), (12L, 10L), (14L, 10L)).toDF("doc", "label")
+    val newPairs = Seq((3L, 14L)).toDF("doc_a", "doc_b")
+    val got = labelMap(Pipeline.incrementalComponents(labels, newPairs))
+    assert(got == Map(3L -> 3L, 10L -> 3L, 12L -> 3L, 14L -> 3L), got)
+  }
+
+  test("incremental components equal the full recompute on the real corpus split") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables(spark, sf()).documents
+    val full = Dedup.ngramJaccardPairs(docs, "text", "doc_id", 3, 0.5).cache()
+    def isNew(c: org.apache.spark.sql.Column) = c % 10 === 7
+    val oldPairs = full.filter(!isNew(col("doc_a")) && !isNew(col("doc_b")))
+    val incPairs = full.filter(isNew(col("doc_a")) || isNew(col("doc_b")))
+    val inc = labelMap(Pipeline.incrementalComponents(
+      Pipeline.connectedComponents(oldPairs), incPairs))
+    val want = labelMap(Pipeline.connectedComponents(full))
+    full.unpersist()
+    assert(inc == want,
+      s"diff=${(inc.toSet diff want.toSet) ++ (want.toSet diff inc.toSet)}")
+    assert(inc.nonEmpty)
+  }
 }

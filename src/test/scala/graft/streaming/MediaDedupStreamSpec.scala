@@ -173,4 +173,37 @@ class MediaDedupStreamSpec extends SparkSpec {
       .select("media_id").collect().map(_.getLong(0)).toSet
     assert(after == Set(2L, 10L), after.toString)
   }
+
+  test("delta core: same signed-batch index as the snapshot core, across a compaction") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mds5").toString
+    def sb(rows: (String, Long, Long, Long, Long, Long)*) =
+      rows.toDF("op", "media_id", "b0", "b1", "b2", "b3")
+    // four signed batches crossing a compactEvery=2 boundary: insert,
+    // takedown + same-batch near-copy re-entry, novel insert, takedown
+    val batches = Seq(
+      sb(("I", 1L, 50L, 7L, 9L, 11L),
+         ("I", 2L, 1L << 10, 1L << 11, 1L << 12, 1L << 13)),
+      sb(("D", 1L, 0L, 0L, 0L, 0L), ("I", 10L, 51L, 7L, 9L, 11L)),
+      sb(("I", 30L, 1L << 20, 1L << 21, 1L << 22, 1L << 23)),
+      sb(("D", 30L, 0L, 0L, 0L, 0L)))
+    batches.zipWithIndex.foreach { case (b, i) =>
+      MediaDedupStream.applySignedBatch(spark, s"$dir/snap", b, i.toLong)
+      MediaDedupStream.applySignedBatchDelta(spark, s"$dir/delta", b,
+        i.toLong, compactEvery = 2)
+    }
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.select("media_id").collect().map(_.getLong(0)).toSet
+    val snap = ids(MediaDedupStream.readIndex(spark, s"$dir/snap"))
+    val delta = ids(MediaDedupStream.readIndexDelta(spark, s"$dir/delta"))
+    assert(snap == delta, s"snap=$snap delta=$delta")
+    assert(snap == Set(2L, 10L), snap.toString)
+    assert(MediaDedupStream.committedDelta(spark, s"$dir/delta")
+      .exists(_._3 > 0))
+    // replayed delete with bogus content no-ops on the delta core too
+    MediaDedupStream.applySignedBatchDelta(spark, s"$dir/delta",
+      sb(("D", 2L, 0L, 0L, 0L, 0L)), 3L, compactEvery = 2)
+    assert(ids(MediaDedupStream.readIndexDelta(spark, s"$dir/delta"))
+      == Set(2L, 10L))
+  }
 }
