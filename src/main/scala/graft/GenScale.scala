@@ -93,11 +93,36 @@ object GenScale {
       .map { case (l, rows) =>
         l -> rows.sortBy(r => (-r.getLong(2), r.getString(1))).map(_.getString(1))
       }
+    /** Per-(replica, band) FULL permutation of the band's slots — an
+      * LCG-seeded Fisher-Yates, NOT a rotation. A rotation has only `bs`
+      * distinct values, so replicas with equal `i mod 8` used to get
+      * IDENTICAL maps and therefore IDENTICAL texts: at 100 replicas every
+      * document had ~12 exact cross-replica copies (measured: max class 13,
+      * 239 k exact pairs at 100×), which made near-dup PAIR output grow
+      * quadratically in the replica count and bent the q27/q49/q56 study
+      * legs to ~3 at the 100× point — a generator artifact, not an
+      * operator property. Drawing from the full S_bs (8! = 40 320 per
+      * band) keeps maps pairwise distinct at any replica count, so
+      * cross-replica shingle similarity really does collapse to chance,
+      * as this generator's contract states. i = 0 stays the identity
+      * (replica 0 is the original corpus).
+      */
     def bandMap(v: Array[String], i: Int): Map[String, String] =
       v.indices.map { r =>
         val b0 = (r / 8) * 8
         val bs = math.min(8, v.length - b0)
-        v(r) -> v(b0 + ((r - b0 + i) % bs))
+        val perm = Array.tabulate(bs)(identity)
+        if (i != 0) {
+          var s = i.toLong * 2862933555777941757L + b0 * 3037000493L
+          var k = bs - 1
+          while (k > 0) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            val j = math.floorMod(s >>> 33, k + 1).toInt
+            val t = perm(k); perm(k) = perm(j); perm(j) = t
+            k -= 1
+          }
+        }
+        v(r) -> v(b0 + perm(r - b0))
       }.toMap
     val dBase = maxKey(docs, "doc_id")
     val docReps = (0 until reps).map { i =>
