@@ -43,6 +43,12 @@ object BenchScale {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // a multi-hour single-JVM study accumulates shuffle files until the
+      // ContextCleaner's periodic GC (default 30 min) releases them — at
+      // the 100× point that filled the disk mid-row (ENOSPC in a spill).
+      // Clean every 3 min; runs between rows, outside any timer that
+      // matters at these durations.
+      .config("spark.cleaner.periodicGC.interval", "3min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -65,8 +71,16 @@ object BenchScale {
       .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
       .map(s => (n: String) => s.contains(n))
       .getOrElse((_: String) => true)
+    // per-row progress to stderr AS results land — a crash (ENOSPC, OOM)
+    // hours into a multi-point run must not lose every finished number
+    var curDir = "(warmup)"
     def row(name: String)(body: => Double): Seq[(String, Double)] =
-      if (onlySel(name)) Seq(name -> body) else Seq.empty
+      if (!onlySel(name)) Seq.empty
+      else {
+        val v = body
+        System.err.println(f"[scale] $curDir $name $v%.2f s")
+        Seq(name -> v)
+      }
 
     /** Per-trigger maintainer COMMIT cost with the corpus index as the
       * pre-existing state (bootstrapped untimed) and one FIXED
@@ -116,7 +130,7 @@ object BenchScale {
       * ingest: most reject at the LSH probe, which is the expensive
       * honest case — the full gate stack runs for every row).
       */
-    def curationBatchRow(dir: String): Double = {
+    def curationBatchRow(dir: String, snapshot: Boolean = false): Double = {
       import graft.operators.Dedup
       import graft.streaming.CurationStream
       val root = java.nio.file.Files.createTempDirectory("graft-curs").toString
@@ -125,8 +139,9 @@ object BenchScale {
         maxShingleDf = Dedup.dfCapFor(docs.count())).ok.cache()
       ok.count()
       val cap = Long.MaxValue / 2
-      CurationStream.applyBatchDelta(spark, root, ok,
-        docs.select(col("doc_id"), col("text"), col("source")), 0L, cap,
+      val bootstrap = docs.select(col("doc_id"), col("text"), col("source"))
+      if (snapshot) CurationStream.applyBatch(spark, root, ok, bootstrap, 0L, cap)
+      else CurationStream.applyBatchDelta(spark, root, ok, bootstrap, 0L, cap,
         compactEvery = 1000)
       val batch = docs
         .filter(col("doc_id") % 10 === 3 && col("doc_id") < 5000)
@@ -134,7 +149,8 @@ object BenchScale {
           concat(col("text"), lit(" zq"), col("doc_id")).as("text"),
           col("source"))
       val s = time {
-        CurationStream.applyBatchDelta(spark, root, ok, batch, 1L, cap,
+        if (snapshot) CurationStream.applyBatch(spark, root, ok, batch, 1L, cap)
+        else CurationStream.applyBatchDelta(spark, root, ok, batch, 1L, cap,
           compactEvery = 1000)
       }
       ok.unpersist()
@@ -561,6 +577,35 @@ object BenchScale {
       // whole index per commit — linear BY CONSTRUCTION — which is
       // exactly the difference the delta core exists to remove.
       row("idx_commit_delta")(idxCommitRow(dir, snapshot = false)) ++
+      // Incremental cluster maintenance (q154) in its steady-state shape:
+      // the corpus label map prebuilt from the LSH pair graph (untimed, the
+      // nightly artifact), a FIXED batch of arriving docs' probe links
+      // folds in via incrementalComponents — only the touched components
+      // recompute, so the timed cost must track batch + touched, never the
+      // corpus recompute the q49 row pays at every point.
+      row("q154_inc_clusters") {
+        val docs = t.documents
+        val isBatch = col("doc_id") % 10 === 0 && col("doc_id") < 5000
+        val corpus = docs.filter(!isBatch)
+        // eager localCheckpoints: materialized once outside the timer,
+        // blocks self-release when unreachable
+        val labels = Pipeline.connectedComponents(Dedup.minhashLshPairs(
+            corpus, "text", "doc_id", 3, 0.5, maxShingleDf = dfCap))
+          .localCheckpoint()
+        val idx = Dedup.lshIndexBuild(corpus, "text", "doc_id",
+          maxShingleDf = dfCap)
+        idx.ok.cache().count()
+        val links = Dedup.lshIndexProbe(idx, docs.filter(isBatch), "text",
+            "doc_id")
+          .filter(col("dup_of").isNotNull)
+          .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+          .localCheckpoint()
+        val s = time {
+          operators.Pipeline.incrementalComponents(labels, links).count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      } ++
       // Incremental-curation per-batch cost on the maintained LSH views
       // (CurationStream: gates → exact anti-join → in-batch LSH dominance
       // → index probe → first-arrival cap → three delta commits): corpus
@@ -588,7 +633,14 @@ object BenchScale {
       // the snapshot-core maintainer commit: rewrites the full index per
       // trigger — linear BY CONSTRUCTION, the comparison row for
       // idx_commit_delta (see idxCommitRow)
-      row("idx_commit_snapshot")(idxCommitRow(dir, snapshot = true))
+      row("idx_commit_snapshot")(idxCommitRow(dir, snapshot = true)) ++
+      // the snapshot-core curation batch: the same gate stack, but all
+      // three views rewrite the whole corpus per trigger — the comparison
+      // row for curation_stream_batch, on views big enough (500 k docs ×
+      // set/band rows at 100×) to make the rewrite visible where the
+      // 4-long embedding index hides it under fixed costs
+      row("curation_stream_batch_snapshot")(curationBatchRow(dir,
+        snapshot = true))
       // q121 (prefix-filtered exact Jaccard join) is deliberately NOT a
       // study row in ANY configuration: on the saturating-vocabulary
       // replicas its candidate volume is Σ (prefix-df)² ∝ n² (measured
@@ -686,11 +738,15 @@ object BenchScale {
     // session warm-up against the smallest dir, untimed
     scalePathAt(dirs.head, 1)
     val dirScales = dirs.zip(scales.map(s => math.max(1, math.round(s).toInt)))
-    val pass1 = dirScales.map { case (d, s) => scalePathAt(d, s).toMap }
+    val pass1 = dirScales.map { case (d, s) =>
+      curDir = d; scalePathAt(d, s).toMap
+    }
     // Replication plane second (I/O-bound, not GC-heavy), the
     // quadratic-by-construction comparison rows last (see scalePathAt doc).
-    val passR = dirScales.map { case (d, s) => replAt(d, s).toMap }
-    val pass2 = dirs.map(d => comparisonAt(d).toMap)
+    val passR = dirScales.map { case (d, s) =>
+      curDir = d; replAt(d, s).toMap
+    }
+    val pass2 = dirs.map { d => curDir = d; comparisonAt(d).toMap }
     val times: Seq[Map[String, Double]] =
       pass1.lazyZip(passR).lazyZip(pass2).map { (a, r, b) => a ++ r ++ b }
 
