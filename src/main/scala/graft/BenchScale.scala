@@ -586,6 +586,7 @@ object BenchScale {
       row("q154_inc_clusters") {
         val docs = t.documents
         val isBatch = col("doc_id") % 10 === 0 && col("doc_id") < 5000
+        val batch = docs.filter(isBatch)
         val corpus = docs.filter(!isBatch)
         // eager localCheckpoints: materialized once outside the timer,
         // blocks self-release when unreachable
@@ -595,10 +596,13 @@ object BenchScale {
         val idx = Dedup.lshIndexBuild(corpus, "text", "doc_id",
           maxShingleDf = dfCap)
         idx.ok.cache().count()
-        val links = Dedup.lshIndexProbe(idx, docs.filter(isBatch), "text",
-            "doc_id")
-          .filter(col("dup_of").isNotNull)
-          .select(col("doc_id").as("doc_a"), col("dup_of").as("doc_b"))
+        // the FULL new-link set (the incrementalComponents contract):
+        // every batch↔corpus match + the batch's own pairs — the probe's
+        // min-only dup_of would lose merges through a batch doc
+        val bArt = Dedup.lshArtifacts(batch, "text", "doc_id", idx.ok)
+        val links = Dedup.lshIndexProbeLinks(idx, batch, "text", "doc_id")
+          .unionByName(Dedup.lshPairsWithin(bArt)
+            .select(col("doc_a"), col("doc_b")))
           .localCheckpoint()
         val s = time {
           operators.Pipeline.incrementalComponents(labels, links).count(); ()

@@ -144,17 +144,41 @@ object GenScale {
     }.reduce(_ unionByName _)
     write(docReps, "documents")
 
-    // embeddings: component rotation per replica
+    // embeddings: per-replica component rotation COMPOSED with a
+    // per-replica sign pattern. A rotation alone has only `dim` distinct
+    // values, so replicas with equal (7·i) mod dim carried byte-identical
+    // vectors — the same wrap-around artifact the document rotation had
+    // (at 100 replicas over dim=64, replicas 64..99 duplicated 0..35).
+    // Flipping a per-replica LCG-chosen sign on each component preserves
+    // norms and ALL within-replica pairwise dot products exactly
+    // ((a·s)ᵀ(b·s) = Σ aₖbₖsₖ² = aᵀb), while sign patterns are pairwise
+    // distinct at any replica count, so cross-replica similarity
+    // decorrelates as the contract states. i = 0 stays the identity.
     val embs = read("embeddings")
     val dim = embs.select(size(col("embedding"))).head().getInt(0)
+    val elemT = embs.schema("embedding").dataType
+      .asInstanceOf[org.apache.spark.sql.types.ArrayType].elementType
     val eBase = maxKey(embs, "vec_id")
     val embReps = (0 until reps).map { i =>
       val shifted = embs.withColumn("vec_id", col("vec_id") + lit(i * eBase))
-      val rot = (7 * i) % dim
-      if (rot == 0) shifted
-      else shifted.withColumn("embedding",
-        concat(slice(col("embedding"), rot + 1, dim - rot),
-               slice(col("embedding"), 1, rot)))
+      if (i == 0) shifted
+      else {
+        val rot = (7 * i) % dim
+        val signs = {
+          var s = i.toLong * 0x9E3779B97F4A7C15L
+          Array.fill(dim) {
+            s = s * 6364136223846793005L + 1442695040888963407L
+            if (((s >>> 40) & 1L) == 1L) -1.0 else 1.0
+          }
+        }
+        val signLit = array(signs.map(lit): _*)
+        val rotated =
+          if (rot == 0) col("embedding")
+          else concat(slice(col("embedding"), rot + 1, dim - rot),
+                      slice(col("embedding"), 1, rot))
+        shifted.withColumn("embedding",
+          zip_with(rotated, signLit, (x, s) => (x * s).cast(elemT)))
+      }
     }.reduce(_ unionByName _)
     write(embReps, "embeddings")
 

@@ -122,8 +122,13 @@ object Pipeline {
     *
     * Pair-universe contract (the q150 freeze convention): `labels` must
     * come from a pair set computed under the SAME candidate universe as
-    * `newPairs` (e.g. the LSH index probe's links against the frozen df
-    * cap), so old ∪ new IS the full pair set. Broadcast hints assume the
+    * `newPairs`, and `newPairs` must carry EVERY new link — for LSH
+    * ingest that is [[Dedup.lshIndexProbeLinks]] (ALL batch↔corpus
+    * matches) ∪ [[Dedup.lshPairsWithin]] (batch↔batch), NOT the probe's
+    * min-only `dup_of` (a batch doc near-dupping two old components
+    * carries one link there, and the second merge is silently lost).
+    * With that, old ∪ new IS the full pair set and the result is
+    * row-identical to the full recompute. Broadcast hints assume the
     * batch touches a batch-sized set of components; `labels` itself is
     * never shuffled, only semi-joined and anti-joined against
     * batch-derived key sets.

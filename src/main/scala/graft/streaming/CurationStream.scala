@@ -80,16 +80,14 @@ object CurationStream {
   private def readOr(spark: SparkSession, dir: String,
                      schema: StructType): DataFrame =
     VersionedView(spark, dir).read().getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema))
+      graft.util.Frames.empty(spark, schema))
 
   /** The curated corpus (doc_id, source, hash); empty before any commit. */
   def readDocs(spark: SparkSession, dir: String): DataFrame =
     readOr(spark, s"$dir/docs", DocsSchema)
 
   private def empty(spark: SparkSession, schema: StructType): DataFrame =
-    spark.createDataFrame(
-      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    graft.util.Frames.empty(spark, schema)
 
   /** Stages 1+2+4's batch side, shared by both storage cores: per-row
     * gates fused into one scan pass, in-batch exact dedup, LSH artifacts

@@ -60,8 +60,7 @@ object EmbeddingDedupStream {
   /** The current accepted-vector cell index (empty before any commit). */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     VersionedView(spark, indexDir).read().getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+      graft.util.Frames.empty(spark, IndexSchema))
 
   /** Batch-side frames (assignment + in-batch min-id dominance): they
     * depend only on the batch and the frozen quantizer — built and cached
@@ -122,8 +121,7 @@ object EmbeddingDedupStream {
     try {
       if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
       vv.applyBatch(batchId) { cur =>
-        val index = cur.getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val index = cur.getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val afterDel = EmbeddingIndex.retract(index, dels)
         afterDel.unionByName(
           acceptedAgainst(afterDel, cent, reps, nProbe, threshold))
@@ -150,8 +148,7 @@ object EmbeddingDedupStream {
         // the probe's view of the index is (current − this batch's
         // deletes) — the same post-retract state the snapshot core builds;
         // here it is LAZY (never written), the commit ships only changes
-        val index = cur.map(normalize).getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val index = cur.map(normalize).getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val afterDel = EmbeddingIndex.retract(index, dels)
         (acceptedAgainst(afterDel, cent, reps, nProbe, threshold), dels)
       }: Unit
@@ -173,8 +170,7 @@ object EmbeddingDedupStream {
   /** The current accepted-vector index under the DELTA core. */
   def readIndexDelta(spark: SparkSession, indexDir: String): DataFrame =
     deltaView(spark, indexDir, compactEvery = 8).read().map(normalize)
-      .getOrElse(spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+      .getOrElse(graft.util.Frames.empty(spark, IndexSchema))
 
   def committedDelta(spark: SparkSession,
                      indexDir: String): Option[(Long, Long, Long)] =

@@ -76,8 +76,7 @@ object MediaDedupStream {
   /** The current accepted-fingerprint index (empty before any commit). */
   def readIndex(spark: SparkSession, indexDir: String): DataFrame =
     VersionedView(spark, indexDir).read().getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+      graft.util.Frames.empty(spark, IndexSchema))
 
   /** Apply one micro-batch of fingerprints: skip if already committed
     * (replay), else in-batch dedup → probe → append accepted. Public so
@@ -104,12 +103,12 @@ object MediaDedupStream {
     // replay check FIRST (one pointer read): a recovered/replayed batch
     // must not pay the emptiness job below just to be skipped inside
     if (vv.committed.exists(_._1 >= batchId)) return
-    val (hashes, dels, repHashes) = prepSigned(batch, maxDist)
+    val (hashes, dels) = splitSigned(batch)
     try {
       if (hashes.isEmpty && dels.isEmpty) return // idle trigger: no commit
+      val repHashes = repsOf(hashes, maxDist)
       vv.applyBatch(batchId) { cur =>
-        val index = cur.getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val index = cur.getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val (afterDel, accepted) =
           acceptedAgainst(index, repHashes, dels, maxDist)
         afterDel.unionByName(accepted)
@@ -127,12 +126,12 @@ object MediaDedupStream {
                             maxDist: Int = 3, compactEvery: Int = 8): Unit = {
     val dv = deltaView(spark, indexDir, compactEvery)
     if (dv.committed.exists(_._1 >= batchId)) return
-    val (hashes, dels, repHashes) = prepSigned(batch, maxDist)
+    val (hashes, dels) = splitSigned(batch)
     try {
       if (hashes.isEmpty && dels.isEmpty) return // idle trigger: no commit
+      val repHashes = repsOf(hashes, maxDist)
       dv.applyBatch(batchId) { cur =>
-        val index = cur.getOrElse(spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+        val index = cur.getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val (_, accepted) = acceptedAgainst(index, repHashes, dels, maxDist)
         (accepted, dels)
       }: Unit
@@ -140,19 +139,25 @@ object MediaDedupStream {
   }
 
   /** Batch-side frames, shared by both cores: I-row fingerprints and D-row
-    * ids CACHED before the emptiness probe (one materialization of the
-    * decode-priced lineage — callers release in a finally), plus the
-    * in-batch dedup representatives (depends only on the batch, so a
-    * replayed crash window reuses the cache).
+    * ids, CACHED (lazily — no job runs here) before the caller's emptiness
+    * probe so the probe and the commit share one materialization of the
+    * decode-priced lineage; callers release both in a finally.
     */
-  private def prepSigned(batch: DataFrame,
-                         maxDist: Int): (DataFrame, DataFrame, DataFrame) = {
-    val hashes = batch.filter(col("op") === "I").select(col("media_id"),
-      col("b0"), col("b1"), col("b2"), col("b3")).cache()
-    val dels = batch.filter(col("op") === "D").select("media_id").cache()
+  private def splitSigned(batch: DataFrame): (DataFrame, DataFrame) = (
+    batch.filter(col("op") === "I").select(col("media_id"),
+      col("b0"), col("b1"), col("b2"), col("b3")).cache(),
+    batch.filter(col("op") === "D").select("media_id").cache())
+
+  /** In-batch dedup representatives' fingerprints. EAGER (the cluster
+    * stage materializes via localCheckpoint + runs CC jobs) — callers
+    * invoke it AFTER the idle-trigger guard and inside their try/finally,
+    * so an idle stream trigger pays nothing and a cluster-stage failure
+    * cannot leak the cached batch frames.
+    */
+  private def repsOf(hashes: DataFrame, maxDist: Int): DataFrame = {
     val reps = Multimodal.fingerprintDedupClusters(hashes, maxDist)
       .filter(col("media_id") === col("cluster")).select("media_id")
-    (hashes, dels, hashes.join(reps, "media_id"))
+    hashes.join(reps, "media_id")
   }
 
   /** Post-retract index and the batch rows that enter it: representatives
@@ -182,8 +187,7 @@ object MediaDedupStream {
   /** The current accepted-fingerprint index under the DELTA core. */
   def readIndexDelta(spark: SparkSession, indexDir: String): DataFrame =
     deltaView(spark, indexDir, 8).read().getOrElse(
-      spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], IndexSchema))
+      graft.util.Frames.empty(spark, IndexSchema))
 
   def committedDelta(spark: SparkSession,
                      indexDir: String): Option[(Long, Long, Long)] =

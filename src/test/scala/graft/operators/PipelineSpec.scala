@@ -255,6 +255,32 @@ class PipelineSpec extends SparkSpec {
     assert(got == Map(3L -> 3L, 10L -> 3L, 12L -> 3L, 14L -> 3L), got)
   }
 
+  test("probeLinks carry EVERY match: a batch doc bridging two components merges both") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // corpus docs A and B share too little to pair with each other; batch
+    // doc X overlaps BOTH above threshold. The min-only probe keeps one
+    // link and would leave A/B unmerged; probeLinks keeps both.
+    val toks = ('a' to 'z').map(_.toString) ++ (1 to 10).map(i => s"w$i")
+    def txt(from: Int, n: Int) = toks.slice(from, from + n).mkString(" ")
+    val corpus = Seq((2L, txt(0, 20)), (7L, txt(10, 20)))
+      .toDF("doc_id", "text")
+    val batch = Seq((100L, txt(5, 20))).toDF("doc_id", "text")
+    val idx = Dedup.lshIndexBuild(corpus, "text", "doc_id")
+    val links = Dedup.lshIndexProbeLinks(idx, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(links == Set((100L, 2L), (100L, 7L)), links.toString)
+    // the probe's accept/reject view of the same batch keeps only min-id
+    val probe = Dedup.lshIndexProbe(idx, batch, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.get(1))).toSet
+    assert(probe == Set((100L, 2L)), probe.toString)
+    // maintenance on the FULL link set merges the two old components
+    val labels = Seq((2L, 2L), (7L, 7L)).toDF("doc", "label")
+    val got = labelMap(Pipeline.incrementalComponents(labels,
+      Seq((100L, 2L), (100L, 7L)).toDF("doc_a", "doc_b")))
+    assert(got == Map(2L -> 2L, 7L -> 2L, 100L -> 2L), got.toString)
+  }
+
   test("incremental components equal the full recompute on the real corpus split") {
     import org.apache.spark.sql.functions._
     val docs = graft.Tables(spark, sf()).documents
