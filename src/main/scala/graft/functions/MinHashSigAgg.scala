@@ -8,6 +8,45 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 
+/** Exact `(a·h + b) mod p` for the MinHash family, p = 2⁶¹−1 (Mersenne).
+  *
+  * The multiplier `a` is FULL-RANGE in [1, p−1] — this is what makes each
+  * slot an (approximately) independent random permutation of the shingle
+  * hashes. Round 9 and earlier used `a ∈ [1, 4095]`, under which
+  * `a·h + b` (h being 48-bit) wraps mod p AT MOST ONCE, so the map is
+  * mostly order-preserving: every no-wrap slot selects the argmin of the
+  * SAME raw shingle hash, slots agree or disagree together, and realized
+  * pair recall collapses far below the per-slot-J independence the S-curve
+  * assumes (a planted J = 0.9 pair was observed with ZERO of 64 slots
+  * agreeing through its extra-element side — a 4e-8 event under the
+  * independence model). The oracle replayed the same weak family, so the
+  * correctness gate never saw it; only recall vs ground truth does
+  * (DedupSpec "LSH candidate recall tracks the banding S-curve").
+  *
+  * Full-range `a` needs the 128-bit product: `Math.multiplyHigh` (both
+  * operands nonnegative < 2⁶³, so the signed high word IS the unsigned
+  * one), then a Mersenne fold — 2⁶⁴ ≡ 8 and 2⁶¹ ≡ 1 (mod p). DuckDB
+  * oracles compute the identical value as
+  * `((sh::HUGEINT * a + b) % p)::BIGINT` (exact int128 arithmetic).
+  */
+object MinHashMod {
+  val P: Long = (1L << 61) - 1
+
+  @inline def mulAddModP(h: Long, a: Long, b: Long): Long = {
+    val hi = Math.multiplyHigh(a, h) // product = hi·2⁶⁴ + lo (lo unsigned)
+    val lo = a * h
+    // product mod p: hi·2⁶⁴ ≡ hi·8; lo = loTop·2⁶¹ + lo61 ≡ loTop + lo61.
+    // h < 2⁶¹ and a < 2⁶¹ ⇒ product < 2¹²² ⇒ hi < 2⁵⁸ ⇒ (hi<<3) < 2⁶¹,
+    // so the sum below is < 3·2⁶¹ and one fold + one subtract suffice.
+    val sum = (hi << 3) + (lo >>> 61) + (lo & P)
+    var r = (sum & P) + (sum >>> 61)
+    if (r >= P) r -= P
+    r += b // b < p ⇒ r < 2p < 2⁶³
+    if (r >= P) r -= P
+    r
+  }
+}
+
 /** MinHash signature as ONE imperative aggregate (`TypedImperativeAggregate`
   * with a primitive `Array[Long]` buffer) — the sketch-aggregation shape the
   * Catalyst aggregate framework is built for.
@@ -31,6 +70,7 @@ case class MinHashSigAgg(
     inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[Long]] {
 
+  require(p == MinHashMod.P, s"MinHash modulus must be 2^61-1, got $p")
   private val k = coeffs.length
   @transient private lazy val as: Array[Long] = coeffs.map(_._1).toArray
   @transient private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
@@ -53,7 +93,7 @@ case class MinHashSigAgg(
       val h = v.asInstanceOf[Long]
       var j = 0
       while (j < k) {
-        val m = (h * as(j) + bs(j)) % p
+        val m = MinHashMod.mulAddModP(h, as(j), bs(j))
         if (m < buf(j)) buf(j) = m
         j += 1
       }
@@ -111,6 +151,7 @@ case class MinHashSigArr(child: Expression, coeffs: Seq[(Long, Long)], p: Long)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
     with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
 
+  require(p == MinHashMod.P, s"MinHash modulus must be 2^61-1, got $p")
   private val k = coeffs.length
   @transient private lazy val as: Array[Long] = coeffs.map(_._1).toArray
   @transient private lazy val bs: Array[Long] = coeffs.map(_._2).toArray
@@ -131,7 +172,7 @@ case class MinHashSigArr(child: Expression, coeffs: Seq[(Long, Long)], p: Long)
       val h = arr.getLong(i)
       var j = 0
       while (j < k) {
-        val m = (h * as(j) + bs(j)) % p
+        val m = MinHashMod.mulAddModP(h, as(j), bs(j))
         if (m < sig(j)) sig(j) = m
         j += 1
       }

@@ -66,18 +66,27 @@ class PropertiesSpec extends AnyFunSuite {
     }
   }
 
-  test("minhash coefficients: overflow-free domain and full determinism") {
+  test("minhash coefficients: full-range domain and full determinism") {
+    val p = graft.functions.MinHashMod.P
     val cs = graft.operators.Dedup.minhashCoeffs
     assert(cs.size == graft.operators.Dedup.MinHashK)
     assert(cs == graft.operators.Dedup.minhashCoeffs) // stable across calls
     cs.foreach { case (a, b) =>
-      assert(a >= 1 && a <= 4095)
-      assert(b >= 0 && b < (1L << 61) - 1)
-      // a * h48max + b stays within Long
-      val worst = java.math.BigInteger.valueOf(a)
-        .multiply(java.math.BigInteger.valueOf((1L << 48) - 1))
-        .add(java.math.BigInteger.valueOf(b))
-      assert(worst.bitLength() <= 62, s"a=$a b=$b overflows")
+      // FULL-RANGE multipliers are the recall contract: a ∈ [1, 2¹²]
+      // (round ≤ 9) made every slot mostly order-preserving, so slots
+      // agreed/disagreed together and realized LSH recall collapsed (see
+      // Dedup.minhashCoeffs). The product is exact mod p via
+      // MinHashMod.mulAddModP, so no Long-overflow bound applies.
+      assert(a >= 1 && a < p)
+      assert(b >= 0 && b < p)
+    }
+    // multipliers actually EXERCISE the full range (not clustered small —
+    // the weak-family failure mode): at least half exceed 2³².
+    assert(cs.count(_._1 > (1L << 32)) >= cs.size / 2)
+    // slot values stay in [0, p)
+    cs.take(8).foreach { case (a, b) =>
+      val v = graft.functions.MinHashMod.mulAddModP((1L << 48) - 1, a, b)
+      assert(v >= 0 && v < p)
     }
   }
 

@@ -309,4 +309,117 @@ class DedupSpec extends SparkSpec {
       e >= 0.0 && e <= 1.0 && (e * 16) == math.rint(e * 16)
     })
   }
+
+  test("grouped LSH pairs equal the per-doc form (planted duplicate classes)") {
+    import spark.implicits._
+    // real corpus + planted exact-dup classes of sizes 2 and 15 (below the
+    // df cap: shingles survive, J=1 pairs must appear) — copies reuse two
+    // corpus texts so cross-class near-dup fan-out is exercised too
+    val base = docs.select(col("doc_id"), col("text"))
+    val two = base.orderBy("doc_id").limit(2).collect()
+    val copies = (1 to 15).map(i => (100000L + i, two(0).getString(1))) ++
+      (1 to 2).map(i => (200000L + i, two(1).getString(1)))
+    val corpus = base.unionByName(copies.toDF("doc_id", "text"))
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2))).toSet
+    val grouped = pairs(Dedup.minhashLshPairs(corpus, "text", "doc_id"))
+    val perDoc = pairs(Dedup.minhashLshPairsUngrouped(corpus, "text", "doc_id"))
+    assert(grouped == perDoc,
+      s"extra=${grouped diff perDoc} missing=${perDoc diff grouped}")
+    // the 16-member class (15 copies + original) contributes C(16,2) J=1
+    // intra pairs
+    val cls1 = Set(two(0).getLong(0)) ++ (1 to 15).map(100000L + _)
+    assert(grouped.count { case (a, b, j) =>
+      cls1(a) && cls1(b) && j == 1.0 } == 16 * 15 / 2)
+  }
+
+  test("a df-capped boilerplate class costs no pair work and emits no pairs") {
+    import spark.implicits._
+    // 1000 identical copies: every shingle of the class has document
+    // frequency 1000 > maxShingleDf, so the class's filtered set is empty
+    // and BOTH forms emit nothing for it — but the grouped form pays ONE
+    // doc's worth of hashing for the class instead of 1000 (and never
+    // enumerates the ~500k intra pairs as candidates). Pairs among the
+    // other docs are unaffected.
+    val boiler = (1 to 1000) // private vocab: no df interference with docs
+      .map(i => (500000L + i, (1 to 20).map(k => s"zqfooter$k").mkString(" ")))
+    val corpus = docs.select(col("doc_id"), col("text"))
+      .unionByName(boiler.toDF("doc_id", "text"))
+    val got = Dedup.minhashLshPairs(corpus, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got.forall { case (a, b) => a < 500000L && b < 500000L },
+      "the df-capped class must contribute no pairs")
+    val without = Dedup.minhashLshPairs(docs, "text", "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == without, "other docs' pairs are unaffected")
+  }
+
+  test("mulAddModP equals exact BigInt (a*h+b) mod p") {
+    val p = BigInt(graft.functions.MinHashMod.P)
+    val rnd = new scala.util.Random(7)
+    def r61() = rnd.nextLong().abs % graft.functions.MinHashMod.P
+    for (_ <- 1 to 20000) {
+      val h = rnd.nextLong().abs % (1L << 48) // shingle hashes are 48-bit
+      val a = r61() + 1
+      val b = r61()
+      val want = ((BigInt(a) * h + b) mod p).toLong
+      val got = graft.functions.MinHashMod.mulAddModP(h, a, b)
+      assert(got == want, s"h=$h a=$a b=$b")
+    }
+    // full-range h too (the fold is valid for any h < p)
+    for (_ <- 1 to 20000) {
+      val (h, a, b) = (r61(), r61() + 1, r61())
+      assert(graft.functions.MinHashMod.mulAddModP(h, a, b) ==
+        ((BigInt(a) * h + b) mod p).toLong)
+    }
+  }
+
+  /** The recall contract of the banding constants — referenced from the
+    * [[Dedup.MinHashBands]] docstring. Any future (k, bands) retune must
+    * show its recall price here in red/green: the fixed literal floors
+    * encode the DOCUMENTED contract (t* = 0.50), and the ±tolerance band
+    * around the analytic S-curve catches a hash family whose realized slot
+    * agreement is not per-slot-J independent (the round-9 a ∈ [1, 2¹²]
+    * family failed exactly this way: planted J = 0.9 pairs produced zero
+    * band collisions because all no-wrap slots picked the same argmin).
+    */
+  test("LSH candidate recall tracks the banding S-curve") {
+    import spark.implicits._
+    // Planted pairs at controlled exact Jaccard, disjoint per-pair vocab:
+    // A = tokens [0, S+2), B = tokens [g, g+S+2) of the pair's private
+    // stream => |A∩B| = S-g shingles, J = (S-g)/(S+g) exactly.
+    val levels = Seq( // (J, S, g, literal recall floor)
+      (0.50, 30, 10, 0.55),
+      (0.60, 32, 8, 0.85),
+      (0.75, 28, 4, 0.99),
+      (0.90, 38, 2, 0.995))
+    val nPairs = 200
+    val rows = for {
+      ((_, s, g, _), li) <- levels.zipWithIndex
+      i <- 0 until nPairs
+      side <- 0 to 1
+    } yield {
+      val from = if (side == 0) 0 else g
+      val text = (from until from + s + 2).map(k => s"L${li}p${i}t$k").mkString(" ")
+      ((li.toLong * nPairs + i) * 2 + side, text)
+    }
+    val docs = rows.toDF("doc_id", "text")
+    val found = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, threshold = 0.4)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val b = Dedup.MinHashBands
+    val r = Dedup.MinHashK / b
+    for (((j, _, _, floor), li) <- levels.zipWithIndex) {
+      val planted = (0 until nPairs)
+        .map(i => ((li.toLong * nPairs + i) * 2, (li.toLong * nPairs + i) * 2 + 1))
+      val recall = planted.count(found.contains).toDouble / nPairs
+      val predicted = 1.0 - math.pow(1.0 - math.pow(j, r), b)
+      assert(recall >= floor, f"J=$j: recall $recall%.3f below floor $floor")
+      assert(math.abs(recall - predicted) <= 0.07,
+        f"J=$j: recall $recall%.3f vs S-curve $predicted%.3f")
+    }
+    // disjoint vocab across pairs => nothing but planted pairs can match
+    assert(found.forall { case (a2, b2) => b2 == a2 + 1 && a2 % 2 == 0 })
+  }
 }

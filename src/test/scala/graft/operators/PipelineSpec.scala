@@ -258,14 +258,19 @@ class PipelineSpec extends SparkSpec {
   test("probeLinks carry EVERY match: a batch doc bridging two components merges both") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
-    // corpus docs A and B share too little to pair with each other; batch
-    // doc X overlaps BOTH above threshold. The min-only probe keeps one
-    // link and would leave A/B unmerged; probeLinks keeps both.
+    // corpus docs A and B sit in two separate components (labels planted
+    // below); batch doc X near-dups BOTH at J = 18/20 = 0.9, where the
+    // 16x4 banding's per-pair candidate miss probability is
+    // (1 - 0.9^4)^16 ~ 4e-8 (the fixture must sit far above t* = 0.50 —
+    // at J ~ 0.56 the S-curve misses ~18% of pairs and this deterministic
+    // fixture landed in the miss zone; see the MinHashBands docstring).
+    // The min-only probe keeps one link and would leave A/B unmerged;
+    // probeLinks keeps both.
     val toks = ('a' to 'z').map(_.toString) ++ (1 to 10).map(i => s"w$i")
     def txt(from: Int, n: Int) = toks.slice(from, from + n).mkString(" ")
-    val corpus = Seq((2L, txt(0, 20)), (7L, txt(10, 20)))
+    val corpus = Seq((2L, txt(0, 20)), (7L, txt(2, 20)))
       .toDF("doc_id", "text")
-    val batch = Seq((100L, txt(5, 20))).toDF("doc_id", "text")
+    val batch = Seq((100L, txt(0, 22))).toDF("doc_id", "text")
     val idx = Dedup.lshIndexBuild(corpus, "text", "doc_id")
     val links = Dedup.lshIndexProbeLinks(idx, batch, "text", "doc_id")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
