@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.TimeSeries
-import graft.util.VersionedView
+import graft.util.{DeltaView, VersionedView}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -54,17 +54,55 @@ object AnomalyMonitor {
   def applyBatch(spark: SparkSession, viewDir: String, batch: DataFrame,
                  batchId: Long): Unit = {
     if (batch.isEmpty) return // idle trigger: no view rewrite, no commit
-    val delta = batch
-      // integral floor division (q127's construction): double `/` would
-      // truncate toward zero on pre-epoch hours
-      .select(col("key"), expr("us DIV 3600000000").as("hr"))
-      .groupBy(col("key"), col("hr")).agg(count(lit(1)).as("cnt"))
+    val delta = hourlyDelta(batch)
     VersionedView(spark, viewDir).applyBatch(batchId) { cur =>
       cur.getOrElse(emptyView(spark))
         .unionByName(delta)
         .groupBy(col("key"), col("hr")).agg(sum(col("cnt")).as("cnt"))
     }: Unit
   }
+
+  /** Micro-batch (key, us) events at the hourly grain. Integral floor
+    * division (q127's construction): double `/` would truncate toward
+    * zero on pre-epoch hours.
+    */
+  private def hourlyDelta(batch: DataFrame): DataFrame = batch
+    .select(col("key"), expr("us DIV 3600000000").as("hr"))
+    .groupBy(col("key"), col("hr")).agg(count(lit(1)).as("cnt"))
+
+  private def deltaView(spark: SparkSession, viewDir: String,
+                        compactEvery: Int): DeltaView =
+    DeltaView(spark, viewDir, keyCols = Seq("key", "hr"),
+      compactEvery = compactEvery)
+
+  /** [[applyBatch]] on the [[DeltaView]] core: the commit ships only the
+    * TOUCHED (key, hour) cells' re-summed rows plus their tombstones —
+    * O(batch grain), not O(view), per trigger. The view is keys × active
+    * hours (already far smaller than event volume); the delta core
+    * additionally stops rewriting COLD hours every trigger, which is what
+    * lets retention-scale views commit at the batch's grain.
+    */
+  def applyBatchDelta(spark: SparkSession, viewDir: String, batch: DataFrame,
+                      batchId: Long, compactEvery: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    val delta = hourlyDelta(batch)
+    deltaView(spark, viewDir, compactEvery).applyBatch(batchId) { cur =>
+      val base = cur.getOrElse(emptyView(spark))
+      val touched = delta.select(col("key"), col("hr")).distinct()
+      val curTouched = base.join(touched.select(col("key").as("_tk"),
+          col("hr").as("_th")),
+        base("key") <=> col("_tk") && base("hr") <=> col("_th"), "left_semi")
+      val merged = curTouched.unionByName(delta)
+        .groupBy(col("key"), col("hr")).agg(sum(col("cnt")).as("cnt"))
+      (merged, touched)
+    }: Unit
+  }
+
+  /** The current hourly-count view from the [[DeltaView]] core. */
+  def readCountsDelta(spark: SparkSession, viewDir: String,
+                      compactEvery: Int = 8): DataFrame =
+    deltaView(spark, viewDir, compactEvery).read()
+      .getOrElse(emptyView(spark))
 
   /** Maintain the hourly-count view continuously from a streaming frame
     * with columns (key, us).
@@ -87,5 +125,25 @@ object AnomalyMonitor {
   def anomalies(spark: SparkSession, viewDir: String,
                 minPrev: Int = 12, threshold: Double = 2.0): DataFrame =
     TimeSeries.rollingZScore(readCounts(spark, viewDir),
+      lookbackHours = 24, minPrev = minPrev, threshold = threshold)
+
+  /** [[monitorStream]] on the [[DeltaView]] core — O(batch) commits. */
+  def monitorStreamDelta(events: DataFrame, viewDir: String,
+                         checkpointDir: String,
+                         compactEvery: Int = 8): StreamingQuery = {
+    val spark = events.sparkSession
+    events.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchDelta(spark, viewDir, batch, batchId, compactEvery)
+      }
+      .start()
+  }
+
+  /** [[anomalies]] over the [[DeltaView]]-maintained counts. */
+  def anomaliesDelta(spark: SparkSession, viewDir: String,
+                     minPrev: Int = 12, threshold: Double = 2.0,
+                     compactEvery: Int = 8): DataFrame =
+    TimeSeries.rollingZScore(readCountsDelta(spark, viewDir, compactEvery),
       lookbackHours = 24, minPrev = minPrev, threshold = threshold)
 }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Warehouse
-import graft.util.VersionedView
+import graft.util.{DeltaView, VersionedView}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -78,6 +78,56 @@ object Scd2Maintenance {
   def readDim(spark: SparkSession, dimDir: String): Option[DataFrame] =
     VersionedView(spark, dimDir).read()
 
+  private def deltaView(spark: SparkSession, dimDir: String,
+                        compactEvery: Int): DeltaView =
+    // (k, valid_from, tb) is unique per dimension row — valid_from alone
+    // is not (two changes at one timestamp make a zero-width version), but
+    // each retained version keeps its OPENING observation's tie-break.
+    // An affected key retires ALL its current rows and re-inserts its
+    // recomputed history in one commit. Key equality in the fold is
+    // null-safe, so the null dimension key routes through the affected
+    // path here exactly as in the snapshot core.
+    DeltaView(spark, dimDir, keyCols = Seq("k", "valid_from", "tb"),
+      compactEvery = compactEvery)
+
+  /** [[applyBatch]] on the [[DeltaView]] core: identical dimension
+    * semantics (affected keys replay their retained versions ∪ the new
+    * observations through the batch `scd2`), but the commit ships only
+    * the AFFECTED keys' recomputed rows plus tombstones for their retired
+    * rows — O(batch + affected history), not O(dimension), per trigger.
+    */
+  def applyBatchDelta(spark: SparkSession, dimDir: String, batch: DataFrame,
+                      batchId: Long, compactEvery: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    deltaView(spark, dimDir, compactEvery).applyBatch(batchId) { cur =>
+      val obs = batch.select(col("key").as("k"), col("ts"), col("tb"),
+        col("attr").as("segment"))
+      cur match {
+        case None =>
+          val dim = Warehouse.scd2(obs, col("k"), col("ts"), col("tb"),
+            col("segment"))
+          (dim, dim.limit(0).select("k", "valid_from", "tb"))
+        case Some(dim) =>
+          val affectedKeys = obs.select(col("k").as("_ak")).distinct()
+          val affected = dim.join(affectedKeys,
+            dim("k") <=> affectedKeys("_ak"), "left_semi")
+            // both the replay input and the tombstone set read `affected`;
+            // localCheckpoint runs the fold once and self-releases
+            .localCheckpoint()
+          val replay = affected.select(col("k"), col("valid_from").as("ts"),
+              col("tb"), col("segment"))
+            .unionByName(obs)
+          (Warehouse.scd2(replay, col("k"), col("ts"), col("tb"),
+            col("segment")), affected.select("k", "valid_from", "tb"))
+      }
+    }: Unit
+  }
+
+  /** The current dimension from the [[DeltaView]] core. */
+  def readDimDelta(spark: SparkSession, dimDir: String,
+                   compactEvery: Int = 8): Option[DataFrame] =
+    deltaView(spark, dimDir, compactEvery).read()
+
   /** Maintain the dimension continuously from a streaming change frame with
     * columns (key, ts, tb, attr).
     */
@@ -88,6 +138,19 @@ object Scd2Maintenance {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, dimDir, batch, batchId)
+      }
+      .start()
+  }
+
+  /** [[maintainStream]] on the [[DeltaView]] core — O(batch) commits. */
+  def maintainStreamDelta(changes: DataFrame, dimDir: String,
+                          checkpointDir: String,
+                          compactEvery: Int = 8): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchDelta(spark, dimDir, batch, batchId, compactEvery)
       }
       .start()
   }

@@ -1,7 +1,7 @@
 package graft.streaming
 
 import graft.operators.Warehouse
-import graft.util.VersionedView
+import graft.util.{DeltaView, VersionedView}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.StreamingQuery
@@ -57,6 +57,44 @@ object ViewMaintenance {
     }: Unit
   }
 
+  private def deltaView(spark: SparkSession, viewDir: String,
+                        compactEvery: Int): DeltaView =
+    DeltaView(spark, viewDir, keyCols = Seq("key"),
+      compactEvery = compactEvery)
+
+  /** [[applyBatch]] on the [[DeltaView]] core: identical merge semantics
+    * (`maintainAgg` full-outer + cnt>0 drop), but the commit ships only
+    * the TOUCHED keys' recomputed rows plus their tombstones — O(batch),
+    * not O(view), per trigger. A touched key whose count drops to zero is
+    * tombstoned without a re-insert (maintainAgg's cnt>0 filter), and a
+    * delete tombstone for a not-yet-live key is a no-op by the
+    * [[DeltaView]] fold contract, so the blanket per-touched-key
+    * tombstone is safe.
+    */
+  def applyBatchDelta(spark: SparkSession, viewDir: String, batch: DataFrame,
+                      batchId: Long, compactEvery: Int = 8): Unit = {
+    if (batch.isEmpty) return
+    deltaView(spark, viewDir, compactEvery).applyBatch(batchId) { cur =>
+      val base = cur.getOrElse(spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ViewSchema))
+      val touched = batch.select(col("key")).distinct()
+      // restrict the merge to the touched keys: view rows of untouched
+      // keys stay in place (that is the whole point of the delta core)
+      val curTouched = base.join(touched.select(col("key").as("_tk")),
+        base("key") <=> col("_tk"), "left_semi")
+      val merged = Warehouse.maintainAgg(curTouched, batch)
+        .select(col("key"), col("cnt"), col("sum_m").cast(DecimalType(38, 2)))
+      (merged, touched)
+    }: Unit
+  }
+
+  /** The current view from the [[DeltaView]] core. */
+  def readViewDelta(spark: SparkSession, viewDir: String,
+                    compactEvery: Int = 8): DataFrame =
+    deltaView(spark, viewDir, compactEvery).read().getOrElse(
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], ViewSchema))
+
   /** Maintain the view continuously from a streaming CDC frame with columns
     * (op, key, measure).
     */
@@ -67,6 +105,19 @@ object ViewMaintenance {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatch(spark, viewDir, batch, batchId)
+      }
+      .start()
+  }
+
+  /** [[maintainStream]] on the [[DeltaView]] core — O(batch) commits. */
+  def maintainStreamDelta(changes: DataFrame, viewDir: String,
+                          checkpointDir: String,
+                          compactEvery: Int = 8): StreamingQuery = {
+    val spark = changes.sparkSession
+    changes.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applyBatchDelta(spark, viewDir, batch, batchId, compactEvery)
       }
       .start()
   }

@@ -68,10 +68,21 @@ final case class DeltaView(spark: SparkSession, dir: String,
   private def conf = spark.sparkContext.hadoopConfiguration
   private def pointer = new Path(dir, "CURRENT")
 
-  /** (committedBatchId, version, baseVersion), None before any commit. */
+  /** (committedBatchId, version, baseVersion), None before any commit.
+    * Fails with a diagnosable error on a foreign pointer format — opening
+    * a directory previously maintained by [[VersionedView]] (2-field
+    * pointer) must say so, not throw a MatchError.
+    */
   def committed: Option[(Long, Long, Long)] =
     AtomicPointer.read(conf, pointer).map { s =>
-      val Array(b, v, base) = s.split(","); (b.toLong, v.toLong, base.toLong)
+      s.split(",") match {
+        case Array(b, v, base) if Seq(b, v, base).forall(
+            f => f.nonEmpty && f.forall(_.isDigit)) =>
+          (b.toLong, v.toLong, base.toLong)
+        case _ => throw new IllegalStateException(
+          s"$pointer is not a DeltaView pointer (got '$s'; a 2-field " +
+          "pointer is a VersionedView directory — rebuild or migrate)")
+      }
     }
 
   /** The view at a known commit state (None = not yet materialized). */
@@ -89,12 +100,24 @@ final case class DeltaView(spark: SparkSession, dir: String,
   /** The current view, or None before the first commit. */
   def read(): Option[DataFrame] = readAt(committed)
 
-  /** Live rows of a (base ∪ deltas) frame carrying `_v`/`_op`. */
+  /** Live rows of a (base ∪ deltas) frame carrying `_v`/`_op`. Key
+    * equality is null-safe (`<=>`): a maintainer whose key can be null
+    * (SCD2 dimensions route null keys through the affected path) must be
+    * able to tombstone it.
+    *
+    * Tombstone-volume bound: the broadcast side is the RETAINED tombstone
+    * set — at most the deletes of the last `compactEvery` uncompacted
+    * commits (compaction folds them away). Callers size `compactEvery`
+    * so (delete rate × compactEvery) stays broadcast-sized (≲ 10⁷ keys);
+    * a delete-heavy stream with a large compactEvery (BenchScale passes
+    * 1000 for WRITE-cost isolation on insert-only batches) should compact
+    * more often rather than push the fold to a shuffle anti-join.
+    */
   private def fold(all: DataFrame): DataFrame = {
     val tomb = all.filter(col("_op") === "D")
       .select(keyCols.map(k => col(k).as(s"_dk_$k")) :+ col("_v").as("_dv"): _*)
     val ins = all.filter(col("_op") === "I")
-    val cond: Column = keyCols.map(k => ins(k) === tomb(s"_dk_$k"))
+    val cond: Column = keyCols.map(k => ins(k) <=> tomb(s"_dk_$k"))
       .reduce(_ && _) && tomb("_dv") > ins("_v")
     ins.join(broadcast(tomb), cond, "left_anti").drop("_v", "_op")
   }
@@ -127,7 +150,7 @@ final case class DeltaView(spark: SparkSession, dir: String,
           val keyed = dels.columns.foldLeft(dels)((d, c) =>
             d.withColumnRenamed(c, s"_dk_$c"))
           v.join(broadcast(keyed),
-              keyCols.map(k => v(k) === keyed(s"_dk_$k")).reduce(_ && _),
+              keyCols.map(k => v(k) <=> keyed(s"_dk_$k")).reduce(_ && _),
               "left_anti")
             .unionByName(inserts)
       }

@@ -59,4 +59,37 @@ class AnomalyMonitorSpec extends SparkSpec {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(got == Seq(("m", 0L, 2L), ("m", 1L, 1L)))
   }
+
+  test("delta core equals the snapshot core (merged hours, compaction, replay)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-amd").toString
+    def batch(rows: (String, Long)*) = rows.toDF("key", "us")
+    // hour 1 of key m is split across batches (the merge path); key n is
+    // touched once and must be carried untouched by later delta commits
+    val batches = Seq(
+      batch(("m", 0L), ("m", H + 1), ("n", 0L)),
+      batch(("m", H + 2), ("m", H + 3)),
+      batch(("m", 2 * H), ("m", 2 * H + 1)))
+    for ((b, i) <- batches.zipWithIndex) {
+      AnomalyMonitor.applyBatch(spark, s"$dir/snap", b, i.toLong)
+      AnomalyMonitor.applyBatchDelta(spark, s"$dir/delta", b, i.toLong,
+        compactEvery = 2)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val snap = rows(AnomalyMonitor.readCounts(spark, s"$dir/snap"))
+    val delta = rows(AnomalyMonitor.readCountsDelta(spark, s"$dir/delta"))
+    assert(snap == delta, s"snap=$snap delta=$delta")
+    assert(delta == Set(("m", 0L, 1L), ("m", 1L, 3L), ("m", 2L, 2L),
+      ("n", 0L, 1L)))
+    assert(graft.util.DeltaView(spark, s"$dir/delta", Seq("key", "hr"), 2)
+      .committed.exists(_._3 > 0))
+    // scoring the delta-maintained view goes through the same operator
+    assert(AnomalyMonitor.anomaliesDelta(spark, s"$dir/delta").count() ==
+      AnomalyMonitor.anomalies(spark, s"$dir/snap").count())
+    // replayed batch id with bogus content no-ops
+    AnomalyMonitor.applyBatchDelta(spark, s"$dir/delta",
+      batch(("x", 9 * H)), 2L, compactEvery = 2)
+    assert(rows(AnomalyMonitor.readCountsDelta(spark, s"$dir/delta")) == delta)
+  }
 }

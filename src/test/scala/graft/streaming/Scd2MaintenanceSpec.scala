@@ -100,4 +100,46 @@ class Scd2MaintenanceSpec extends SparkSpec {
     Scd2Maintenance.applyBatch(spark, s"$dir/dim", b((1L, 99L, 9L, "X")), 1L)
     assert(dimTuples(Scd2Maintenance.readDim(spark, s"$dir/dim").get) == got)
   }
+
+  test("delta core equals the snapshot core (affected rewrite, zero-width versions, nulls, compaction, replay)") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-scd2d").toString
+    def b(rows: (Option[Long], Long, Long, String)*) =
+      rows.toDF("key", "ts", "tb", "attr")
+    // key 1 changes across batches (affected-key rewrite), incl. a
+    // zero-width version (two changes at ts=20); key 2 is touched once and
+    // must survive later delta commits untouched; the NULL key exercises
+    // the null-safe tombstone join of the delta fold
+    val batches = Seq(
+      b((Some(1L), 10L, 1L, "A"), (Some(2L), 15L, 2L, "Z"),
+        (None, 10L, 8L, "N1")),
+      b((Some(1L), 20L, 5L, "B"), (Some(1L), 20L, 3L, "C")),
+      b((Some(1L), 40L, 6L, "A"), (None, 30L, 9L, "N2")))
+    for ((batch, i) <- batches.zipWithIndex) {
+      Scd2Maintenance.applyBatch(spark, s"$dir/snap", batch, i.toLong)
+      Scd2Maintenance.applyBatchDelta(spark, s"$dir/delta", batch, i.toLong,
+        compactEvery = 2)
+    }
+    def tuples(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("k"), col("segment"), col("valid_from"), col("valid_to"),
+        col("version").cast("long"), col("is_current"))
+      .collect()
+      .map(r => (Option(r.get(0)).map(_.toString), r.getString(1),
+        r.getLong(2), Option(r.get(3)).map(_.toString), r.getLong(4),
+        r.getBoolean(5)))
+      .toSet
+    val snap = tuples(Scd2Maintenance.readDim(spark, s"$dir/snap").get)
+    val delta = tuples(Scd2Maintenance.readDimDelta(spark, s"$dir/delta").get)
+    assert(snap == delta, s"snap=$snap delta=$delta")
+    // zero-width version retained, exactly one current row per live key
+    assert(delta.count { case (k, _, _, _, _, _) => k.contains("1") } == 4)
+    assert(delta.count { case (k, _, _, _, _, cur) => k.isEmpty && cur } == 1)
+    assert(graft.util.DeltaView(spark, s"$dir/delta",
+      Seq("k", "valid_from", "tb"), 2).committed.exists(_._3 > 0))
+    // replayed batch id with bogus content no-ops on the delta core
+    Scd2Maintenance.applyBatchDelta(spark, s"$dir/delta",
+      b((Some(9L), 99L, 99L, "X")), 2L, compactEvery = 2)
+    assert(tuples(Scd2Maintenance.readDimDelta(spark, s"$dir/delta").get)
+      == delta)
+  }
 }

@@ -58,6 +58,38 @@ class ViewMaintenanceSpec extends SparkSpec {
     assert(fsys.exists(new org.apache.hadoop.fs.Path(vd, "view_v2")))
   }
 
+  test("delta core equals the snapshot core across updates, deletes, compaction and replay") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-vmd").toString
+    def batch(rows: (String, String, Double)*) =
+      rows.toDF("op", "key", "measure")
+    val batches = Seq(
+      batch(("I", "A", 10.0), ("I", "A", 20.0), ("I", "B", 5.0)),
+      batch(("D", "A", 20.0), ("I", "A", 21.0), ("D", "B", 5.0)),
+      batch(("I", "C", 7.0)),
+      batch(("I", "B", 4.0), ("D", "C", 7.0)))
+    for ((b, i) <- batches.zipWithIndex) {
+      ViewMaintenance.applyBatch(spark, s"$dir/snap", b, i.toLong)
+      ViewMaintenance.applyBatchDelta(spark, s"$dir/delta", b, i.toLong,
+        compactEvery = 2)
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("key"), col("cnt"), col("sum_m").cast("double"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+    val snap = rows(ViewMaintenance.readView(spark, s"$dir/snap"))
+    val delta = rows(ViewMaintenance.readViewDelta(spark, s"$dir/delta"))
+    assert(snap == delta, s"snap=$snap delta=$delta")
+    assert(delta == Set(("A", 2L, 31.0), ("B", 1L, 4.0)))
+    // a compaction actually happened (base advanced past version 0)
+    assert(graft.util.DeltaView(spark, s"$dir/delta", Seq("key"), 2)
+      .committed.exists(_._3 > 0))
+    // a replayed batch id with bogus content no-ops on the delta core
+    ViewMaintenance.applyBatchDelta(spark, s"$dir/delta",
+      batch(("I", "X", 99.0)), 1L, compactEvery = 2)
+    assert(rows(ViewMaintenance.readViewDelta(spark, s"$dir/delta")) == delta)
+  }
+
   test("a crash between data write and pointer swap recovers by replay") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-vm3").toString
