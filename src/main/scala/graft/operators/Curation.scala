@@ -598,6 +598,65 @@ object Curation {
       domainCap(raw, "source", col("w_micro"), "doc_id", n = 3)
         .select(col("source"), col("rank"), col("doc_id"), col("w_micro"))
         .orderBy(col("source"), col("rank"))
+    }),
+
+    // Streamed-curation RETRACTION (q150's lesson applied to the streamed
+    // text corpus): bootstrap the three DeltaView-backed curation views
+    // from one signed I batch, then a signed D batch takes down every
+    // doc_id ≡ 3 (mod 10) — set/band rows tombstoned in the same commit,
+    // df-cap universe frozen. The oracle rebuilds the bootstrap admission
+    // from first principles (lang/quality gates, exact dedup, the SAME
+    // machine-generated LSH pair CTEs q27 verifies for the in-batch
+    // dominance, first-arrival cap) and filters the survivors — streamed
+    // retract ≡ rebuild-minus-deleted, the q150 equivalence for the
+    // STREAMED views. Delete-then-reinsert and replayed-delete semantics
+    // are spec-gated (CurationStreamSpec), not oracled: they need batch
+    // SEQUENCING the one-shot SQL replay cannot express.
+    Query(
+      "q155_curation_stream_retract",
+      Some(s"""
+        WITH elig AS (SELECT doc_id, text, source FROM documents
+                      WHERE ${TextAnalysis.langGuessSqlExpr("text")} = 'en'
+                        AND ${TextAnalysis.qualityKeepSqlExpr("text")}),
+        keep AS (SELECT MIN(doc_id) AS doc_id FROM elig GROUP BY md5(text)),
+        e2 AS (SELECT e.doc_id, e.text, e.source
+               FROM elig e JOIN keep USING (doc_id)),
+        ${Dedup.minhashLshPairCtes("e2", "text", "doc_id")},
+        drop1 AS (SELECT DISTINCT doc_b AS doc_id FROM prs),
+        reps AS (SELECT * FROM e2
+                 WHERE doc_id NOT IN (SELECT doc_id FROM drop1)),
+        cap AS (SELECT doc_id, source, text,
+                  row_number() OVER (PARTITION BY source
+                                     ORDER BY doc_id) AS rn
+                FROM reps),
+        adm AS (SELECT doc_id, source, text FROM cap WHERE rn <= 15)
+        SELECT doc_id, source, md5(text) AS hash
+        FROM adm WHERE doc_id % 10 <> 3 ORDER BY doc_id"""))((spark, dir) => {
+      import graft.streaming.CurationStream
+      val d = Tables(spark, dir).documents
+        .select(col("doc_id"), col("text"), col("source"))
+      // the frozen df-cap universe: built over the bootstrap batch's
+      // post-gate survivors, so the oracle's pair CTEs (which derive df
+      // stats from e2) replay the identical universe
+      val eligible = d.filter(
+        TextAnalysis.langGuessExpr(col("text")) === "en" &&
+        TextAnalysis.qualityKeepExpr(col("text")))
+      val keep = Dedup.exact(eligible, col("text"), col("doc_id"))
+        .select(col("keep_id").as("doc_id"))
+      val ok = Dedup.lshIndexBuild(
+        eligible.join(keep, Seq("doc_id"), "left_semi"),
+        "text", "doc_id").ok.cache()
+      val tmp = java.nio.file.Files
+        .createTempDirectory("graft-q155").toString
+      CurationStream.applySignedBatchDelta(spark, tmp, ok,
+        d.select(lit("I").as("op"), col("doc_id"), col("text"),
+          col("source")), batchId = 0L, capN = 15)
+      CurationStream.applySignedBatchDelta(spark, tmp, ok,
+        d.filter(col("doc_id") % 10 === 3)
+          .select(lit("D").as("op"), col("doc_id"), col("text"),
+            col("source")), batchId = 1L, capN = 15)
+      ok.unpersist()
+      CurationStream.readDocsDelta(spark, tmp).orderBy(col("doc_id"))
     })
   )
 }

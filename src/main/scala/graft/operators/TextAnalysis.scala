@@ -89,7 +89,11 @@ object TextAnalysis {
       qualityScoreExpr(col(textCol)).as("quality"),
       qualityKeepExpr(col(textCol)).as("keep"))
 
-  def qualityOracleSql(table: String, textCol: String, idCol: String): String = {
+  /** The quality score as ONE SQL scalar expression (un-rounded) — the
+    * DuckDB twin of [[qualityScoreExpr]], shared by [[qualityOracleSql]]
+    * and composed-pipeline oracles (q155's streamed-curation gate).
+    */
+  def qualityScoreSqlExpr(textCol: String): String = {
     val t = sqlTokens(textCol)
     val en = inList(langProfiles.toMap.apply("en"))
     val nTok = s"len($t)"
@@ -97,7 +101,29 @@ object TextAnalysis {
     val stop = s"(len(list_filter($t, x -> x IN $en)) * 1.0 / $nTok)"
     val lenScore = s"(CASE WHEN $nTok BETWEEN 30 AND 500 THEN 1.0 " +
       s"WHEN $nTok BETWEEN 10 AND 1000 THEN 0.5 ELSE 0.0 END)"
-    val score = s"($lenScore * 0.4 + least($ttr * 2.0, 1.0) * 0.3 + least($stop * 10.0, 1.0) * 0.3)"
+    s"($lenScore * 0.4 + least($ttr * 2.0, 1.0) * 0.3 + least($stop * 10.0, 1.0) * 0.3)"
+  }
+
+  /** The quality-keep gate as ONE SQL predicate ([[qualityKeepExpr]]). */
+  def qualityKeepSqlExpr(textCol: String): String =
+    s"(round(${qualityScoreSqlExpr(textCol)}, 6) >= 0.5)"
+
+  /** The language guess as ONE SQL scalar expression ([[langGuessExpr]]):
+    * same profiles, same first-profile-wins tie-break.
+    */
+  def langGuessSqlExpr(textCol: String): String = {
+    val dt = s"list_distinct(${sqlTokens(textCol)})"
+    val scoreExprs = langProfiles.map { case (lang, words) =>
+      lang -> s"len(list_intersect($dt, ${words.map("'" + _ + "'").mkString("[", ", ", "]")}))"
+    }
+    val best = scoreExprs.map(_._2).mkString("greatest(", ", ", ")")
+    val whens = scoreExprs.map { case (l, e) =>
+      s"WHEN $e = $best AND $best > 0 THEN '$l'" }.mkString(" ")
+    s"(CASE $whens ELSE 'und' END)"
+  }
+
+  def qualityOracleSql(table: String, textCol: String, idCol: String): String = {
+    val score = qualityScoreSqlExpr(textCol)
     s"""SELECT $idCol AS doc, round($score, 6) AS quality,
           (round($score, 6) >= 0.5) AS keep
         FROM $table"""

@@ -159,6 +159,9 @@ object CurationStream {
     val vvDocs = VersionedView(spark, s"$dir/docs")
     val vvSets = VersionedView(spark, s"$dir/sets")
     val vvBands = VersionedView(spark, s"$dir/bands")
+    // fail loudly if the persisted views were built under a different LSH
+    // configuration (band retune / hash-family change) — see bandingStamp
+    Dedup.ensureBandingStamp(spark, dir, vvDocs.committed.isDefined)
     if (Seq(vvDocs, vvSets, vvBands)
         .forall(_.committed.exists(_._1 >= batchId))) return
 
@@ -219,6 +222,7 @@ object CurationStream {
                       compactEvery: Int = 8): Unit = {
     val (vDocs, vSets, vBands) = (dvDocs(spark, dir, compactEvery),
       dvSets(spark, dir, compactEvery), dvBands(spark, dir, compactEvery))
+    Dedup.ensureBandingStamp(spark, dir, vDocs.committed.isDefined)
     if (Seq(vDocs.committed, vSets.committed, vBands.committed)
         .forall(_.exists(_._1 >= batchId))) return
 
@@ -248,6 +252,93 @@ object CurationStream {
           .join(v.select(col("doc")), Seq("doc"), "left_anti"), noDel)
       }: Unit
     } finally { e2.unpersist(); sets.unpersist() }
+  }
+
+  /** SIGNED ingest on the [[DeltaView]] core: rows carry `op` ∈ I/D —
+    * I rows (doc_id, text, source) run the full gate stack, D rows
+    * (doc_id; text/source ignored) RETRACT documents from all three views
+    * (takedown/retention — the [[MediaDedupStream.applySignedBatchDelta]]
+    * pattern brought to the curation corpus, completing q150/q151's
+    * retraction lifecycle for the STREAMED text index).
+    *
+    * Deletes apply FIRST: this batch's inserts gate against the
+    * post-delete state (exact/near probes and the domain cap all read
+    * `current view − batch deletes`), so a near-copy of a document
+    * deleted in the SAME batch re-enters — and a REPLAYED delete is a
+    * no-op tombstone. The df-cap universe `ok` stays FROZEN across
+    * retractions ([[Dedup.lshIndexRetract]]'s contract): surviving
+    * signatures remain valid, and a retracted doc provably never again
+    * matches a probe (its set/band rows are tombstoned in the same
+    * commit).
+    *
+    * Crash-window convergence is [[applyBatchDelta]]'s unchanged: docs
+    * commits first; replays re-derive accepted ids as `batch ∩ docs
+    * view` and re-ship the same delete keys, so every interleaving
+    * converges to the same three views.
+    */
+  def applySignedBatchDelta(spark: SparkSession, dir: String, ok: DataFrame,
+                            batch: DataFrame, batchId: Long, capN: Long,
+                            n: Int = 3, threshold: Double = 0.5,
+                            compactEvery: Int = 8): Unit = {
+    val (vDocs, vSets, vBands) = (dvDocs(spark, dir, compactEvery),
+      dvSets(spark, dir, compactEvery), dvBands(spark, dir, compactEvery))
+    Dedup.ensureBandingStamp(spark, dir, vDocs.committed.isDefined)
+    if (Seq(vDocs.committed, vSets.committed, vBands.committed)
+        .forall(_.exists(_._1 >= batchId))) return
+
+    val dels = batch.filter(col("op") === "D")
+      .select(col("doc_id")).distinct().cache()
+    val (e2, sets, bands, reps) = gateBatch(ok,
+      batch.filter(col("op") === "I").select("doc_id", "text", "source"),
+      n, threshold)
+    try {
+      if (e2.isEmpty && dels.isEmpty) return // idle trigger: no commits
+      def minus(df: DataFrame, key: String) =
+        df.join(broadcast(dels.select(col("doc_id").as("_del"))),
+          col(key) === col("_del"), "left_anti")
+      // probes and the cap read the POST-DELETE state
+      val index = LshIndex(ok,
+        minus(vSets.read().getOrElse(empty(spark, SetsSchema)), "doc"),
+        minus(vBands.read().getOrElse(empty(spark, BandsSchema)), "doc"))
+
+      vDocs.applyBatch(batchId) { cur =>
+        val docsV = minus(cur.getOrElse(empty(spark, DocsSchema)), "doc_id")
+        (admit(docsV, index, reps, capN, n, threshold), dels)
+      }
+
+      val accepted = acceptedOf(e2, readDocsDelta(spark, dir))
+      val delDocs = dels.withColumnRenamed("doc_id", "doc")
+      // the re-insert guard reads the POST-DELETE view: a doc id deleted
+      // and re-admitted in THIS batch must get fresh set/band rows (the
+      // pre-delete view still holds its dying rows and would veto them)
+      vSets.applyBatch(batchId) { cur =>
+        val v = minus(cur.getOrElse(empty(spark, SetsSchema)), "doc")
+        (sets.join(accepted, "doc")
+          .join(v.select(col("doc")), Seq("doc"), "left_anti"), delDocs)
+      }
+      vBands.applyBatch(batchId) { cur =>
+        val v = minus(cur.getOrElse(empty(spark, BandsSchema)), "doc")
+        (bands.join(accepted, "doc")
+          .join(v.select(col("doc")), Seq("doc"), "left_anti"), delDocs)
+      }: Unit
+    } finally { e2.unpersist(); sets.unpersist(); dels.unpersist() }
+  }
+
+  /** [[curationStreamDelta]] for a SIGNED document stream
+    * (op, doc_id, text, source) — admission plus takedown.
+    */
+  def signedCurationStreamDelta(docs: DataFrame, ok: DataFrame, dir: String,
+                                checkpointDir: String, capN: Long,
+                                n: Int = 3, threshold: Double = 0.5,
+                                compactEvery: Int = 8): StreamingQuery = {
+    val spark = docs.sparkSession
+    docs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        applySignedBatchDelta(spark, dir, ok, batch, batchId, capN, n,
+          threshold, compactEvery)
+      }
+      .start()
   }
 
   /** Maintain the curated corpus continuously from a streaming document

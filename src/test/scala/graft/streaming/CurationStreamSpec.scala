@@ -169,4 +169,76 @@ class CurationStreamSpec extends SparkSpec {
       capN = 60L, compactEvery = 2)
     assert(ids(CurationStream.readDocsDelta(spark, dirD)) == delta)
   }
+
+  test("signed stream: takedown retracts all three views, same-batch re-entry works, replayed deletes no-op") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur5").toString
+    // six gate-passing docs sharing a 25-word English prefix (pairwise
+    // shingle Jaccard ~0.39 < 0.5 — no near-dup pairs) + unique tails
+    val prefix = ("the quick brown fox jumps over a lazy dog and runs with " +
+      "great speed to an old mill where it finds many tasty treats")
+    def text(i: Int) = prefix + " " + (0 until 15).map(k => s"d${i}u$k").mkString(" ")
+    def iRows(ids: (Long, Int)*) =
+      ids.map { case (id, t) => ("I", id, text(t), "web") }
+        .toDF("op", "doc_id", "text", "source")
+    def dRows(ids: Long*) =
+      ids.map(id => ("D", id, null: String, null: String))
+        .toDF("op", "doc_id", "text", "source")
+    val corpus = iRows((1 to 6).map(i => (i.toLong, i)): _*)
+    val ok = Dedup.lshIndexBuild(corpus, "text", "doc_id").ok.cache()
+    def docIds = CurationStream.readDocsDelta(spark, dir)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    def setDocs = graft.util.DeltaView(spark, s"$dir/sets", Seq("doc"))
+      .read().map(_.select("doc").collect().map(_.getLong(0)).toSet)
+      .getOrElse(Set.empty[Long])
+
+    CurationStream.applySignedBatchDelta(spark, dir, ok, corpus, 0L, capN = 100)
+    assert(docIds == Set(1L, 2L, 3L, 4L, 5L, 6L))
+    // takedown of doc 3 + SAME-BATCH re-entry of its exact content under a
+    // new id: deletes apply first, so the copy probes clean and re-enters
+    CurationStream.applySignedBatchDelta(spark, dir, ok,
+      dRows(3L).unionByName(iRows((103L, 3))), 1L, capN = 100)
+    assert(docIds == Set(1L, 2L, 4L, 5L, 6L, 103L))
+    assert(setDocs == Set(1L, 2L, 4L, 5L, 6L, 103L),
+      "set rows must retract/append in the same commit")
+    // a REPLAYED batch id with bogus content no-ops on all views
+    CurationStream.applySignedBatchDelta(spark, dir, ok, dRows(1L), 1L,
+      capN = 100)
+    assert(docIds == Set(1L, 2L, 4L, 5L, 6L, 103L))
+    // re-delete of 103 + delete of a never-admitted id (harmless tombstone)
+    CurationStream.applySignedBatchDelta(spark, dir, ok, dRows(103L, 42L),
+      2L, capN = 100)
+    assert(docIds == Set(1L, 2L, 4L, 5L, 6L))
+    assert(setDocs == Set(1L, 2L, 4L, 5L, 6L))
+    // while the ORIGINAL lives, its exact copy stays blocked
+    CurationStream.applySignedBatchDelta(spark, dir, ok, iRows((200L, 1)),
+      3L, capN = 100)
+    assert(!docIds.contains(200L) && docIds.contains(1L))
+    ok.unpersist()
+  }
+
+  test("banding stamp: a persisted index under a different LSH config fails loudly") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-cur6").toString
+    CurationStream.applyBatchDelta(spark, dir, frozenOk,
+      docs.limit(20), 0L, capN = 60L)
+    // the stamp was recorded on first commit
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "BANDING")
+    assert(graft.util.AtomicPointer.read(conf, p).contains(Dedup.bandingStamp))
+    // simulate an engine whose banding/family changed: stamp mismatch
+    graft.util.AtomicPointer.commit(conf, p, "k=64,bands=32,family=deadbeef")
+    val e = intercept[IllegalStateException] {
+      CurationStream.applyBatchDelta(spark, dir, frozenOk,
+        docs.limit(20), 1L, capN = 60L)
+    }
+    assert(e.getMessage.contains("banding mismatch"))
+    // an unstamped directory WITH committed state also fails (pre-stamp
+    // or foreign writer)
+    p.getFileSystem(conf).delete(p, false)
+    val e2 = intercept[IllegalStateException] {
+      CurationStream.applyBatchDelta(spark, dir, frozenOk,
+        docs.limit(20), 1L, capN = 60L)
+    }
+    assert(e2.getMessage.contains("no BANDING stamp"))
+  }
 }
