@@ -159,6 +159,39 @@ object BenchScale {
       s
     }
 
+    /** Per-trigger SCD2 maintainer commit cost: dimension bootstrapped
+      * untimed from the full scaled orders change stream (key = custkey,
+      * ts = orderdate, tb = orderkey, attr = priority — the q114
+      * derivation), then one FIXED ~2k-observation batch of later-ts
+      * priority changes for low-key customers (keys that exist at every
+      * scale point) commits. `snapshot=true` rewrites the whole dimension
+      * (VersionedView), `snapshot=false` ships only the affected keys'
+      * recomputed rows + tombstones (DeltaView).
+      */
+    def scd2CommitRow(dir: String, snapshot: Boolean): Double = {
+      import graft.streaming.Scd2Maintenance
+      val root = java.nio.file.Files.createTempDirectory("graft-scd2c").toString
+      val o = Tables(spark, dir).orders
+      val obs = o.select(col("o_custkey").as("key"),
+        col("o_orderdate").cast("timestamp").cast("long").as("ts"),
+        col("o_orderkey").as("tb"), col("o_orderpriority").as("attr"))
+      if (snapshot) Scd2Maintenance.applyBatch(spark, root, obs, 0L)
+      else Scd2Maintenance.applyBatchDelta(spark, root, obs, 0L,
+        compactEvery = 1000)
+      val batch = obs.filter(col("key") % 10 === 1 && col("key") < 20000)
+        .groupBy("key").agg(max(col("ts")).as("mts"), max(col("tb")).as("mtb"))
+        .select(col("key"), (col("mts") + 86400L).as("ts"),
+          (col("mtb") + 1000000000L).as("tb"), lit("9-CHANGED").as("attr"))
+      val s = time {
+        if (snapshot) Scd2Maintenance.applyBatch(spark, root, batch, 1L)
+        else Scd2Maintenance.applyBatchDelta(spark, root, batch, 1L,
+          compactEvery = 1000)
+      }
+      spark.catalog.clearCache()
+      org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      s
+    }
+
     /** One scale point's rows; `scale` drives the scaled parameters.
       * Two configurations where the first three-point run caught a bend
       * (see BENCH_sf3.md): the `_exact` / `_flat` rows keep the
@@ -616,7 +649,14 @@ object BenchScale {
       // views bootstrapped untimed from the scaled corpus, one FIXED
       // ~500-doc batch (1×-replica originals re-identified) applies. The
       // streamed twin of the q110 nightly pipeline — target well below 1.
-      row("curation_stream_batch")(curationBatchRow(dir))
+      row("curation_stream_batch")(curationBatchRow(dir)) ++
+      // SCD2 dimension maintainer on the DeltaView core: dimension
+      // bootstrapped untimed from the scaled orders change stream, one
+      // FIXED ~2k-observation batch commits only the affected keys'
+      // recomputed histories + tombstones — the cost must track batch +
+      // affected history, never the dimension (its snapshot pair row
+      // rewrites the whole dimension per trigger).
+      row("scd2_commit_delta")(scd2CommitRow(dir, snapshot = false))
     }
 
     def comparisonAt(dir: String): Seq[(String, Double)] = {
@@ -644,7 +684,11 @@ object BenchScale {
       // set/band rows at 100×) to make the rewrite visible where the
       // 4-long embedding index hides it under fixed costs
       row("curation_stream_batch_snapshot")(curationBatchRow(dir,
-        snapshot = true))
+        snapshot = true)) ++
+      // the snapshot-core SCD2 maintainer: full-dimension rewrite per
+      // trigger — linear BY CONSTRUCTION, the comparison row for
+      // scd2_commit_delta
+      row("scd2_commit_snapshot")(scd2CommitRow(dir, snapshot = true))
       // q121 (prefix-filtered exact Jaccard join) is deliberately NOT a
       // study row in ANY configuration: on the saturating-vocabulary
       // replicas its candidate volume is Σ (prefix-df)² ∝ n² (measured
