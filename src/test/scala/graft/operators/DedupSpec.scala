@@ -375,6 +375,30 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  // Planted pairs at controlled exact Jaccard, disjoint per-pair vocab:
+  // A = tokens [0, S+2), B = tokens [g, g+S+2) of the pair's private
+  // stream => |A∩B| = S-g shingles, pair J = (S-g)/(S+g) exactly.
+  private val recallLevels = Seq( // (J, S, g, literal pair-recall floor)
+    (0.50, 30, 10, 0.55),
+    (0.60, 32, 8, 0.85),
+    (0.75, 28, 4, 0.99),
+    (0.90, 38, 2, 0.995))
+  private val recallPairs = 200
+
+  private def plantedRecallDocs = {
+    import spark.implicits._
+    val rows = for {
+      ((_, s, g, _), li) <- recallLevels.zipWithIndex
+      i <- 0 until recallPairs
+      side <- 0 to 1
+    } yield {
+      val from = if (side == 0) 0 else g
+      val text = (from until from + s + 2).map(k => s"L${li}p${i}t$k").mkString(" ")
+      ((li.toLong * recallPairs + i) * 2 + side, text)
+    }
+    rows.toDF("doc_id", "text")
+  }
+
   /** The recall contract of the banding constants — referenced from the
     * [[Dedup.MinHashBands]] docstring. Any future (k, bands) retune must
     * show its recall price here in red/green: the fixed literal floors
@@ -385,26 +409,8 @@ class DedupSpec extends SparkSpec {
     * band collisions because all no-wrap slots picked the same argmin).
     */
   test("LSH candidate recall tracks the banding S-curve") {
-    import spark.implicits._
-    // Planted pairs at controlled exact Jaccard, disjoint per-pair vocab:
-    // A = tokens [0, S+2), B = tokens [g, g+S+2) of the pair's private
-    // stream => |A∩B| = S-g shingles, J = (S-g)/(S+g) exactly.
-    val levels = Seq( // (J, S, g, literal recall floor)
-      (0.50, 30, 10, 0.55),
-      (0.60, 32, 8, 0.85),
-      (0.75, 28, 4, 0.99),
-      (0.90, 38, 2, 0.995))
-    val nPairs = 200
-    val rows = for {
-      ((_, s, g, _), li) <- levels.zipWithIndex
-      i <- 0 until nPairs
-      side <- 0 to 1
-    } yield {
-      val from = if (side == 0) 0 else g
-      val text = (from until from + s + 2).map(k => s"L${li}p${i}t$k").mkString(" ")
-      ((li.toLong * nPairs + i) * 2 + side, text)
-    }
-    val docs = rows.toDF("doc_id", "text")
+    val (levels, nPairs) = (recallLevels, recallPairs)
+    val docs = plantedRecallDocs
     val found = Dedup.minhashLshPairs(docs, "text", "doc_id", 3, threshold = 0.4)
       .select("doc_a", "doc_b").collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -421,5 +427,40 @@ class DedupSpec extends SparkSpec {
     }
     // disjoint vocab across pairs => nothing but planted pairs can match
     assert(found.forall { case (a2, b2) => b2 == a2 + 1 && a2 % 2 == 0 })
+  }
+
+  /** The probe-side recall contract (same planted corpus): corpus = the
+    * even-id docs, batch = their odd-id partners probing the built index.
+    * The batch doc's shingles OUTSIDE the corpus df universe drop (the
+    * frozen-universe contract), so the effective probe Jaccard is
+    * J' = (S−g)/S — HIGHER than the pair J — and recall must track the
+    * S-curve at J'.
+    */
+  test("LSH index-probe recall tracks the banding S-curve") {
+    import org.apache.spark.sql.functions._
+    val docs = plantedRecallDocs
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val batch = docs.filter(col("doc_id") % 2 === 1)
+    val idx = Dedup.lshIndexBuild(corpus, "text", "doc_id")
+    val dupOf = Dedup.lshIndexProbe(idx, batch, "text", "doc_id",
+        threshold = 0.5)
+      .filter(col("dup_of").isNotNull)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Dedup.MinHashBands
+    val r = Dedup.MinHashK / b
+    for (((j, s, g, _), li) <- recallLevels.zipWithIndex) {
+      val hits = (0 until recallPairs).count { i =>
+        val base = (li.toLong * recallPairs + i) * 2
+        dupOf.get(base + 1).contains(base)
+      }
+      val recall = hits.toDouble / recallPairs
+      val jProbe = (s - g).toDouble / s
+      val predicted = 1.0 - math.pow(1.0 - math.pow(jProbe, r), b)
+      assert(math.abs(recall - predicted) <= 0.07,
+        f"pairJ=$j (probe J'=$jProbe%.3f): recall $recall%.3f vs S-curve $predicted%.3f")
+      assert(recall >= 0.9, f"pairJ=$j: probe recall $recall%.3f")
+    }
+    // disjoint vocab: any resolved dup_of must be the planted partner
+    assert(dupOf.forall { case (bd, cd) => cd == bd - 1 })
   }
 }
