@@ -28,6 +28,32 @@ object Scratch {
             n = 3, threshold = 0.5, maxDf = Some(cap)).count(); ()
         }
       }
+      else if (q == "grouped_pairs_probe") {
+        // grouped vs per-doc minhashLshPairs on a DUPLICATE-HEAVY corpus:
+        // every doc replicated into an 8-copy class (the shape the old
+        // scale generator planted by accident and boilerplate-heavy web
+        // corpora have for real). df cap scaled so class shingles survive.
+        import org.apache.spark.sql.functions._
+        val docs = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+        val base = docs.agg(max(col("doc_id"))).head().getLong(0) + 1
+        for (c <- Seq(8, 30, 100)) {
+          val dup = (0 until c).map(i =>
+            docs.select((col("doc_id") + lit(i.toLong * base)).as("doc_id"),
+              col("text")))
+            .reduce(_ unionByName _).localCheckpoint()
+          val cap = operators.Dedup.dfCapFor(dup.count())
+          t(s"grouped ($c-copy classes)") {
+            operators.Dedup.minhashLshPairs(dup, "text", "doc_id",
+              maxShingleDf = cap).count(); ()
+          }
+          spark.catalog.clearCache()
+          t(s"per-doc ($c-copy classes)") {
+            operators.Dedup.minhashLshPairsUngrouped(dup, "text", "doc_id",
+              maxShingleDf = cap).count(); ()
+          }
+          spark.catalog.clearCache()
+        }
+      }
       else {
         t(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
         t(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())
