@@ -54,6 +54,45 @@ object Scratch {
           spark.catalog.clearCache()
         }
       }
+      else if (q == "q78_stage_probe") {
+        // piecewise q78: which stage moved (r10 bench 7.3 s vs r9 4.1 s)
+        import org.apache.spark.sql.functions._
+        import operators.{Dedup, Pipeline, TextAnalysis}
+        val docs = Tables(spark, dir).documents
+        val isEval = col("doc_id") % 11 === 0
+        val train = docs.filter(!isEval)
+        val eligible = train.filter(
+          TextAnalysis.langGuessExpr(col("text")) === "en" &&
+          TextAnalysis.qualityKeepExpr(col("text")))
+        val kept = Dedup.exact(eligible, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        val e2 = eligible.join(kept, Seq("doc_id"), "left_semi")
+          .localCheckpoint()
+        t("stages 0-3 (to e2)")(e2.count())
+        for (_ <- 1 to 2) {
+          t("stage4 pairs grouped")(
+            Dedup.minhashLshPairs(e2, "text", "doc_id").count())
+          spark.catalog.clearCache()
+          t("stage4 pairs per-doc")(
+            Dedup.minhashLshPairsUngrouped(e2, "text", "doc_id").count())
+          spark.catalog.clearCache()
+        }
+        t("stage4 cc grouped") {
+          Pipeline.connectedComponents(
+            Dedup.minhashLshPairs(e2, "text", "doc_id")).count(); ()
+        }
+        spark.catalog.clearCache()
+        t("stage4 cc per-doc") {
+          Pipeline.connectedComponents(
+            Dedup.minhashLshPairsUngrouped(e2, "text", "doc_id")).count(); ()
+        }
+        spark.catalog.clearCache()
+        t("stage5 contamination") {
+          Pipeline.contamination(
+            docs.filter(isEval).unionByName(e2), "text", "doc_id",
+            isEval = col("doc_id") % 11 === 0, n = 5, threshold = 0.5).count(); ()
+        }
+      }
       else {
         t(s"$q run1")(SparkEntry.queries(q)(spark, dir).count())
         t(s"$q run2")(SparkEntry.queries(q)(spark, dir).count())

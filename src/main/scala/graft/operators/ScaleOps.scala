@@ -263,8 +263,11 @@ object ScaleOps {
       // Stage 4: LSH candidates (the library's own designated scale path —
       // cost is one signature pass + a band-key join, never quadratic),
       // NOT ngramJaccardPairs, whose exact shingle-share join is
-      // bounded-corpus by contract (measured legs 2.1–2.3 at 30×).
-      val pairs = Dedup.minhashLshPairs(e2, "text", "doc_id", n = 3,
+      // bounded-corpus by contract (measured legs 2.1–2.3 at 30×). The
+      // PER-DOC form: stage 3 already exact-deduped on md5(text), so the
+      // grouped form's class collapse is provably redundant here (every
+      // class is a singleton; bit-identical by the DedupSpec equality).
+      val pairs = Dedup.minhashLshPairsUngrouped(e2, "text", "doc_id", n = 3,
         threshold = 0.5, maxShingleDf = maxShingleDf)
       val drop = Pipeline.connectedComponents(pairs)
         .filter(col("doc") =!= col("label")).select(col("doc").as("drop_doc"))
