@@ -333,10 +333,31 @@ class PlanSpec extends SparkSpec {
     val plan = executed(q("q123_lsh_incremental"))
     import org.apache.spark.sql.execution.joins.BroadcastHashJoinExec
     val bhj = deepNodes(plan).collect { case j: BroadcastHashJoinExec => j }
-    // candidate lookup = hash join on (band, s0, s1) — the index is probed
-    // by key, the corpus band table is never shuffled for the batch
+    // candidate lookup = hash join on the FULL band key (band, s0..s3) —
+    // the index is probed by key, never shuffled for the batch
     assert(bhj.exists(j => j.leftKeys.size >= 3 || j.rightKeys.size >= 3),
       s"no band-key broadcast hash join: ${plan.toString.take(1200)}")
+  }
+
+  test("q27: grouped pairs — full-band-key candidate join, no cartesian anywhere") {
+    val plan = executed(q("q27_dedup_minhash_lsh"))
+    val p = plan.toString
+    // the class collapse + member fan-out must never degrade to a
+    // nested-loop/cartesian, and the candidate self-join must key on the
+    // COMPLETE band key (band + MinHashK/MinHashBands slots = 5 columns) —
+    // a refactor that drops slots from the key silently floods the verify
+    import org.apache.spark.sql.execution.joins.{BroadcastHashJoinExec,
+      ShuffledHashJoinExec, SortMergeJoinExec}
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"), p.take(1500))
+    val keyCounts = deepNodes(plan).collect {
+      case j: SortMergeJoinExec => j.leftKeys.size
+      case j: BroadcastHashJoinExec => j.leftKeys.size
+      case j: ShuffledHashJoinExec => j.leftKeys.size
+    }
+    val full = 1 + graft.operators.Dedup.MinHashK / graft.operators.Dedup.MinHashBands
+    assert(keyCounts.exists(_ >= full),
+      s"no full-band-key ($full-column) join: ${p.take(1200)}")
   }
 
   test("q124: the λ-table joins broadcast; no feature-keyed corpus shuffle") {
