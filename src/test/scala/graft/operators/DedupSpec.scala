@@ -355,6 +355,49 @@ class DedupSpec extends SparkSpec {
     assert(got == without, "other docs' pairs are unaffected")
   }
 
+  /** Ground-truth gate for the q129 overlap-seed family (the in-repo form
+    * of the round-10 audit in the [[Dedup.overlapSeeds]] docstring): on
+    * planted source pairs at EXACT shingle-set Jaccard 1/3, the k=16
+    * estimator must be unbiased and Binomial-dispersed — an
+    * argmin-correlated family (the round-10 MinHash bug) clusters
+    * estimates at 0/1 instead and fails the dispersion band.
+    */
+  test("sourceOverlapMinhash estimator is unbiased and binomial-dispersed at planted J") {
+    import spark.implicits._
+    val nPairs = 60
+    // per-pair private vocab: sources s<i>a / s<i>b share 300 of their
+    // 600 distinct-shingle universes => set Jaccard exactly 1/3. One doc
+    // per source; tokens chosen so 3-gram shingles are vocab-disjoint
+    // across groups (each doc = one token stream).
+    def stream(tag: String, i: Int, n: Int) =
+      (0 until n).map(k => s"v$i${tag}t$k")
+    val rows = (0 until nPairs).flatMap { i =>
+      val shared = stream("s", i, 302) // 302 tokens -> 300 shingles
+      val ua = stream("a", i, 302)
+      val ub = stream("b", i, 302)
+      // concatenating streams adds 2 bridge shingles per junction —
+      // negligible (2/902) and identical on both sides of the pair
+      Seq((s"s${i}a", (shared ++ ua).mkString(" ")),
+          (s"s${i}b", (shared ++ ub).mkString(" ")))
+    }
+    val docs = rows.toDF("source", "text")
+    val est = Dedup.sourceOverlapMinhash(docs, "text", "source", n = 3, k = 16)
+      .collect()
+      .filter(r => r.getString(0).dropRight(1) == r.getString(1).dropRight(1))
+      .map(_.getAs[Double]("est_jaccard"))
+    assert(est.length == nPairs)
+    val mean = est.sum / est.length
+    // set J is ~0.334 (300+2 bridge shingles of 902); binomial sd of the
+    // MEAN over 60 pairs is ~0.015 — ±0.05 is a 3σ+ band
+    assert(math.abs(mean - 1.0 / 3) <= 0.05, f"mean $mean%.4f")
+    // dispersion: per-pair sd must look Binomial(16, J)/16 (~0.118), not
+    // the 0/1 bimodal an argmin-correlated family produces (~0.47)
+    val sd = math.sqrt(est.map(e => (e - mean) * (e - mean)).sum / est.length)
+    assert(sd <= 0.25, f"sd $sd%.4f — estimator looks argmin-correlated")
+    assert(est.count(e => e == 0.0 || e == 1.0) <= nPairs / 10,
+      "estimates cluster at 0/1 — argmin correlation")
+  }
+
   test("mulAddModP equals exact BigInt (a*h+b) mod p") {
     val p = BigInt(graft.functions.MinHashMod.P)
     val rnd = new scala.util.Random(7)
