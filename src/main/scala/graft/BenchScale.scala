@@ -601,6 +601,42 @@ object BenchScale {
         spark.catalog.clearCache()
         s
       } ++
+      // The SAME probe against the PERSISTED q91 partitionBy(cell) layout:
+      // the in-memory row above scans the whole cached cell table per
+      // probe (its documented linear residual — measured crossing the
+      // fixed floor at the 100× point once the regenerated corpus made
+      // replica embeddings distinct); here the broadcast cell-id join
+      // prunes the parquet scan to the probed cells, whose TOTAL size is
+      // bounded by batch × nProbe × cellSize — constant under scaled
+      // cells. This pair of rows is the measured form of the probeDedup
+      // docstring's "partition-pruned when persisted".
+      row("q149_ivf_probe_pruned") {
+        import graft.operators.EmbeddingIndex
+        val e = t.embeddings
+        val isBatch = col("vec_id") % 10 === 1 && col("vec_id") < 2000
+        val corpus = e.filter(!isBatch)
+        val cent = EmbeddingIndex.seedCentroids(corpus, "embedding",
+          "vec_id", nCells = 16 * scale).cache()
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivfp").toString
+        // repartition ON the partition column first: without it every
+        // write task touches every cell directory (32 tasks × 1600 cells
+        // ≈ 51k small files at 100× — measured pathological); with it the
+        // layout is ~one file per cell, which is also the realistic
+        // serving shape
+        EmbeddingIndex.assignCells(corpus, cent, "embedding", "vec_id")
+          .repartition(col("cell"))
+          .write.mode("overwrite").partitionBy("cell").parquet(root)
+        val idx = spark.read.parquet(root)
+        val s = time {
+          EmbeddingIndex.probeDedup(idx, cent, e.filter(isBatch),
+            "embedding", "vec_id").count(); ()
+        }
+        cent.unpersist()
+        spark.catalog.clearCache()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        s
+      } ++
       // Streamed-maintainer COMMIT cost on the DeltaView core: the corpus
       // index is the pre-existing state (bootstrapped untimed), one FIXED
       // ~200-vector novel batch commits. The delta commit writes only the
