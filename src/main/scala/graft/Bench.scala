@@ -236,7 +236,8 @@ object Bench {
     // never depends on the driver's tail buffer. Opt-out/override via
     // SPARK_GRAFT_BENCH_OUT ("" disables; the scale/growth benches write
     // their own artifacts).
-    sys.env.get("SPARK_GRAFT_BENCH_OUT").orElse(Some("/root/repo/BENCH_full_latest.json"))
+    sys.env.get("SPARK_GRAFT_BENCH_OUT")
+      .orElse(Some(new java.io.File("BENCH_full_latest.json").getAbsolutePath))
       .filter(_.nonEmpty).foreach { p =>
         try java.nio.file.Files.write(java.nio.file.Paths.get(p),
           (detailLine + "\n" + totalLine + "\n").getBytes("UTF-8"))

@@ -35,7 +35,11 @@ import org.apache.spark.sql.functions._
   * Caching contract: multiply-consumed BOUNDED intermediates (shingle-set
   * frames consumed by both the band join and the verify join) are either
   * `cache()`d lazily — the cache lives until the session clears it
-  * (Verify/Bench `clearCache` between queries) — or eagerly
+  * (Verify/Bench `clearCache` between queries; [[minhashLshPairs]] pins
+  * THREE such frames per call — `classes`, `docSets` and the class-member
+  * map `mem` — so a long-lived session calling it repeatedly must
+  * `spark.catalog.clearCache()` between calls, exactly as the harness
+  * mains do) — or eagerly
   * `localCheckpoint()`ed on per-trigger paths ([[lshIndexProbe]] /
   * CurationStream), whose blocks self-release via ContextCleaner so a
   * long-running stream pins nothing.

@@ -36,6 +36,12 @@ import org.apache.spark.sql.functions._
   * BROADCAST anti-join — no shuffle, no window; column pruning and filter
   * pushdown reach the parquet scans exactly as on a plain table.
   *
+  * Single-writer is ENFORCED, not implied: every commit holds the dir's
+  * advisory [[WriterLock]] (atomic-create marker + stale-steal), so a
+  * second maintainer misconfigured onto the same dir fails fast with
+  * "another maintainer owns this view" instead of silently racing the
+  * pointer (spec: DeltaViewSpec "writer lock").
+  *
   * Caller contract (what the streamed maintainers already enforce): the
   * live view's keys are UNIQUE — a batch only inserts keys that are not
   * currently live and only deletes keys that are (a delete of a dead key
@@ -56,17 +62,23 @@ import org.apache.spark.sql.functions._
   * @param basePartitionCols optional `partitionBy` for compacted bases, so
   *                          a serving layout (e.g. band buckets) keeps
   *                          partition pruning on the base scan
+  * @param writerLockStaleMs a writer-lock marker older than this is judged
+  *                          a crashed maintainer and stolen (see
+  *                          [[graft.repl.Locks]]) — size it above the
+  *                          longest single commit
   */
 final case class DeltaView(spark: SparkSession, dir: String,
                            keyCols: Seq[String], compactEvery: Int = 8,
                            keepVersions: Int = 2,
-                           basePartitionCols: Seq[String] = Nil) {
+                           basePartitionCols: Seq[String] = Nil,
+                           writerLockStaleMs: Long = 15 * 60 * 1000L) {
   require(keyCols.nonEmpty, "keyCols must be non-empty")
   require(compactEvery >= 1, "compactEvery must be >= 1")
   require(keepVersions >= 1, "keepVersions must be >= 1")
 
   private def conf = spark.sparkContext.hadoopConfiguration
   private def pointer = new Path(dir, "CURRENT")
+  private val ownerId = java.util.UUID.randomUUID.toString
 
   /** (committedBatchId, version, baseVersion), None before any commit.
     * Fails with a diagnosable error on a foreign pointer format — opening
@@ -77,7 +89,11 @@ final case class DeltaView(spark: SparkSession, dir: String,
     AtomicPointer.read(conf, pointer).map { s =>
       s.split(",") match {
         case Array(b, v, base) if Seq(b, v, base).forall(
-            f => f.nonEmpty && f.forall(_.isDigit)) =>
+            // ASCII digits only, length-bounded: Character.isDigit accepts
+            // non-ASCII Unicode digits and an unbounded run overflows
+            // toLong — both must land in the diagnostic below, not a
+            // NumberFormatException
+            _.matches("\\d{1,18}")) =>
           (b.toLong, v.toLong, base.toLong)
         case _ => throw new IllegalStateException(
           s"$pointer is not a DeltaView pointer (got '$s'; a 2-field " +
@@ -131,6 +147,12 @@ final case class DeltaView(spark: SparkSession, dir: String,
     */
   def applyBatch(batchId: Long)
                 (fn: Option[DataFrame] => (DataFrame, DataFrame)): Boolean = {
+    val lock = WriterLock.acquire(spark, dir, ownerId, writerLockStaleMs)
+    try applyLocked(batchId)(fn) finally lock.release()
+  }
+
+  private def applyLocked(batchId: Long)
+                         (fn: Option[DataFrame] => (DataFrame, DataFrame)): Boolean = {
     val cur = committed // read ONCE per batch (guards pointer + view read)
     if (cur.exists(_._1 >= batchId)) return false
     val view = readAt(cur)

@@ -17,6 +17,11 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * (listing makes the cleanup self-healing if a past prune was
   * crash-skipped).
   *
+  * Single-writer is ENFORCED: every commit holds the dir's advisory
+  * [[WriterLock]]; a second maintainer on the same dir fails fast with a
+  * [[graft.repl.LockBusyException]] instead of silently racing the
+  * pointer swap.
+  *
   * Reader contract: a DataFrame from `read()` stays valid for
   * `keepVersions - 1` further commits before its files can be pruned — an
   * external server holding views across triggers should raise
@@ -25,11 +30,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * read-merge-commit cycle plus one commit of external grace.
   */
 final case class VersionedView(spark: SparkSession, dir: String,
-                               keepVersions: Int = 2) {
+                               keepVersions: Int = 2,
+                               writerLockStaleMs: Long = 15 * 60 * 1000L) {
   require(keepVersions >= 1, "keepVersions must be >= 1")
 
   private def conf = spark.sparkContext.hadoopConfiguration
   private def pointer = new Path(dir, "CURRENT")
+  private val ownerId = java.util.UUID.randomUUID.toString
 
   /** (committedBatchId, version), or None before the first commit. */
   def committed: Option[(Long, Long)] =
@@ -48,6 +55,11 @@ final case class VersionedView(spark: SparkSession, dir: String,
     * prunes old versions. Returns true iff the batch was applied.
     */
   def applyBatch(batchId: Long)(fn: Option[DataFrame] => DataFrame): Boolean = {
+    val lock = WriterLock.acquire(spark, dir, ownerId, writerLockStaleMs)
+    try applyLocked(batchId)(fn) finally lock.release()
+  }
+
+  private def applyLocked(batchId: Long)(fn: Option[DataFrame] => DataFrame): Boolean = {
     val cur = committed // read ONCE per batch (guards pointer + view read)
     if (cur.exists(_._1 >= batchId)) return false
     val next = fn(readAt(cur))

@@ -120,6 +120,48 @@ class DeltaViewSpec extends SparkSpec {
     assert(rows(dv.read()) == Set(2L -> "b", 3L -> "c", 4L -> "d", 5L -> "e"))
   }
 
+  test("writer lock: a live second maintainer fails fast; a crashed one is stolen") {
+    val d = tmp("lock")
+    val dv = DeltaView(spark, d, Seq("k"), compactEvery = 100)
+    dv.applyBatch(0)(_ => (ins(1L -> "a"), del()))
+    val p = new org.apache.hadoop.fs.Path(d, WriterLock.MarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // simulate a LIVE concurrent maintainer: fresh marker held by another id
+    val other = graft.repl.Locks.acquire(fs, p, "other-maintainer", staleMs = 600000)
+    val e = intercept[graft.repl.LockBusyException] {
+      dv.applyBatch(1)(_ => (ins(2L -> "b"), del()))
+    }
+    assert(e.getMessage.contains("another maintainer owns this view"))
+    assert(rows(dv.read()) == Set(1L -> "a"), "contended commit must not land")
+    other.release()
+    // crashed maintainer: a marker past staleMs is stolen, the commit runs,
+    // and the lock is released afterwards
+    val out = fs.create(p, false)
+    try out.write("dead-maintainer".getBytes) finally out.close()
+    fs.setTimes(p, System.currentTimeMillis() - 120000, -1)
+    val dvSteal = DeltaView(spark, d, Seq("k"), compactEvery = 100,
+      writerLockStaleMs = 60000)
+    assert(dvSteal.applyBatch(1)(_ => (ins(2L -> "b"), del())))
+    assert(rows(dvSteal.read()) == Set(1L -> "a", 2L -> "b"))
+    assert(!fs.exists(p), "lock must release after the commit")
+  }
+
+  test("writer lock guards the VersionedView core too") {
+    val d = tmp("vvlock")
+    val vv = VersionedView(spark, d)
+    vv.applyBatch(0)(_ => ins(1L -> "a"))
+    val p = new org.apache.hadoop.fs.Path(d, WriterLock.MarkerName)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val other = graft.repl.Locks.acquire(fs, p, "other-maintainer", staleMs = 600000)
+    val e = intercept[graft.repl.LockBusyException] {
+      vv.applyBatch(1)(_ => ins(2L -> "b"))
+    }
+    assert(e.getMessage.contains("another maintainer owns this view"))
+    other.release()
+    assert(vv.applyBatch(1)(_ => ins(2L -> "b")))
+    assert(rows(vv.read()) == Set(2L -> "b"))
+  }
+
   test("random op sequence matches the in-memory reference model") {
     val dv = DeltaView(spark, tmp("fuzz"), Seq("k"), compactEvery = 4)
     val model = scala.collection.mutable.Map[Long, String]()
