@@ -30,7 +30,37 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
+    val planFps = scala.collection.mutable.LinkedHashMap[String, String]()
     val errors = scala.collection.mutable.ListBuffer[String]()
+
+    // Canonical fingerprint of the POST-EXECUTION physical plan (AQE
+    // finalized): the operator-tree shape — node names plus join types —
+    // with exprIds/paths/sizes excluded by construction. A round-over-round
+    // hash change means the plan structurally changed (a lost broadcast, a
+    // new exchange, a join strategy flip); tools/plan_diff.py flags rows
+    // whose plan changed without a bench win. PlanSpec gates the ~40 named
+    // plans; this tripwire covers the whole corpus.
+    def planShape(p: org.apache.spark.sql.execution.SparkPlan): String = {
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val extra = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => Seq.empty
+      }
+      val label = p match {
+        case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
+          s"${p.nodeName}[${j.joinType}]"
+        case _ => p.nodeName
+      }
+      label + "(" + (p.children ++ extra).map(planShape).mkString(",") + ")"
+    }
+    def fingerprint(df: org.apache.spark.sql.DataFrame): String = {
+      val md = java.security.MessageDigest.getInstance("SHA-1")
+      md.digest(planShape(df.queryExecution.executedPlan).getBytes("UTF-8"))
+        .take(6).map("%02x".format(_)).mkString
+    }
 
     // Warm up codegen/JIT/file-index paths so the first timed query does
     // not absorb one-time session costs.
@@ -56,12 +86,22 @@ object Bench {
       case None => SparkEntry.queries
     }
     corpus.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      def once: Option[Double] =
-        try Some(time { fn(spark, sfDir).count(); () })
+      // the timed body is count() spelled as groupBy().count().collect()
+      // (identical work), so the executed DataFrame survives for the
+      // fingerprint — taken from the SECOND run's finalized adaptive plan
+      def once: Option[(Double, org.apache.spark.sql.DataFrame)] =
+        try {
+          val cdf = fn(spark, sfDir).groupBy().count()
+          Some((time { cdf.collect(); () }, cdf))
+        }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); None }
       (once, once) match {
-        case (Some(a), Some(b)) => firstRun(name) = a; results(name) = math.min(a, b)
+        case (Some((a, _)), Some((b, cdf))) =>
+          firstRun(name) = a; results(name) = math.min(a, b)
+          try planFps(name) = fingerprint(cdf)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name fingerprint failed: $e") }
         case _ => errors += name
       }
       spark.catalog.clearCache()
@@ -228,6 +268,12 @@ object Bench {
       f"""{"metric":"detail","unit":"sec","queries_first":${jmap(firstRun, "%.3f")},"errors":$errs}"""
     val totalLine =
       f"""{"metric":"total","value":$total%.2f,"unit":"sec",$host"queries":${jmap(results, "%.2f")},"errors":$errs,"sf":"$sfDir"}"""
+    // plan-fingerprint line: artifact-file ONLY (the stdout tail the
+    // driver archives truncates >2 KB lines; the hashes are for
+    // tools/plan_diff.py, which reads the artifact)
+    val planLine = planFps
+      .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
+      .mkString("""{"metric":"plans","fingerprints":{""", ",", "}}")
     println(detailLine)
     println(totalLine)
     // The driver archives only a ~2000-char TAIL of stdout, which truncates
@@ -240,7 +286,7 @@ object Bench {
       .orElse(Some(new java.io.File("BENCH_full_latest.json").getAbsolutePath))
       .filter(_.nonEmpty).foreach { p =>
         try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (detailLine + "\n" + totalLine + "\n").getBytes("UTF-8"))
+          (detailLine + "\n" + totalLine + "\n" + planLine + "\n").getBytes("UTF-8"))
         catch { case e: Throwable =>
           System.err.println(s"[bench] artifact write failed: $e") }
       }

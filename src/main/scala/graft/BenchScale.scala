@@ -285,6 +285,17 @@ object BenchScale {
           operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
             col("l_partkey"), minSupport = 2L), rounds = 4).count(); ()
       }) ++
+      // k-core peeling, 6 synchronized rounds over the co-purchase graph:
+      // per round one degree aggregate + one semi-join edge filter; edges
+      // ∝ scale on the key-disjoint replicas, rounds FIXED — target
+      // exponent ≈ 1 like the other fixed-round graph rows (the cascade
+      // depth doesn't grow with scale: replicas are disjoint copies).
+      row("q126_kcore")(bestOf2 {
+        operators.Graph.kCore(
+          operators.Graph.coOccurrenceEdges(t.lineitem, col("l_orderkey"),
+            col("l_partkey"), minSupport = 2L), k = 3, rounds = 6)
+          .count(); ()
+      }) ++
       // Personalized PageRank: the q85 shape plus a broadcast seed join
       // and a checkpointed restart base — exponent must track q85's.
       // Seeds = the replicated nation-0 customers (∝ scale).
@@ -631,6 +642,41 @@ object BenchScale {
         val s = time {
           EmbeddingIndex.probeDedup(idx, cent, e.filter(isBatch),
             "embedding", "vec_id").count(); ()
+        }
+        cent.unpersist()
+        spark.catalog.clearCache()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        s
+      } ++
+      // The STREAM-TIER serving path (EmbeddingDedupStream.probeDelta):
+      // the maintained DeltaView index bootstrapped untimed into a
+      // compacted partitionBy(cell) base (compactEvery=1), then the FIXED
+      // ~200-vector batch probes through the default serving API — the
+      // probed cells collect (control-plane) and the base scan
+      // partition-prunes to them (plan-gated in EmbeddingDedupStreamSpec).
+      // This row exists because r10 measured the IN-MEMORY fold probe
+      // going linear at 100× (leg 1.47) while the pruned persisted layout
+      // recovered it — the serving path now IS the pruned layout; target
+      // top leg < 1.
+      row("q149_ivf_probe_stream") {
+        import graft.operators.EmbeddingIndex
+        import graft.streaming.EmbeddingDedupStream
+        val e = t.embeddings
+        val isBatch = col("vec_id") % 10 === 1 && col("vec_id") < 2000
+        val corpus = e.filter(!isBatch)
+        val cent = EmbeddingIndex.seedCentroids(corpus, "embedding",
+          "vec_id", nCells = 16 * scale).cache()
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-ivfs").toString
+        // bootstrap commit — compactEvery=1 folds it straight into the
+        // cell-partitioned base (the steady-state serving layout)
+        EmbeddingDedupStream.applyBatchDelta(spark, root, cent,
+          corpus.select(lit("I").as("op"), col("vec_id"), col("embedding")),
+          0L, compactEvery = 1)
+        val batch = e.filter(isBatch).select("vec_id", "embedding")
+        val s = time {
+          EmbeddingDedupStream.probeDelta(spark, root, cent, batch)
+            .count(); ()
         }
         cent.unpersist()
         spark.catalog.clearCache()

@@ -30,11 +30,20 @@ import org.apache.spark.sql.functions._
   *
   * Recall contract (measured, not hidden): a true near-dup in a cell the
   * batch vector does NOT probe is missed — the classic IVF recall/cost
-  * knob (`nProbe`). At the default nProbe=2 over 16 first-seed cells the
-  * synthetic corpus' planted duplicate pairs all resolve (EmbeddingIndexSpec
-  * gates parity with the cell-free exact scan on the planted pairs);
-  * production tunes nProbe against measured recall exactly as q53 does for
-  * query ANN.
+  * knob (`nProbe`). Two ground-truth measurements pin it
+  * (EmbeddingIndexSpec, brute-force truth, NOT the oracle — the oracle
+  * replays this routing and is blind to recall):
+  *  - the synthetic corpus' planted duplicate pairs all resolve at the
+  *    default nProbe=2 over 16 first-seed cells (parity with the
+  *    cell-free exact scan);
+  *  - on a boundary-ADVERSARIAL construction (strong intra-cell noise, a
+  *    seeded — not k-means — quantizer, ~44 % of copies landing in a
+  *    different top-1 cell than their original) measured recall is
+  *    0.60 / 0.80 / 0.96 / 0.99 at nProbe = 1 / 2 / 4 / 8, floor-pinned
+  *    in the spec. The default nProbe=2 is a THROUGHPUT point, not a
+  *    recall guarantee: boundary-heavy corpora under a weak quantizer
+  *    should raise nProbe (or feed k-means centroids), exactly as q53
+  *    tunes query ANN against measured recall.
   */
 object EmbeddingIndex {
 
@@ -74,11 +83,20 @@ object EmbeddingIndex {
     * corpus id. Returns one row per batch vector:
     * `(vec_id, dup_of, is_new)` — the q111/q123 incremental contract.
     */
-  def probeDedup(index: DataFrame, cent: DataFrame, batch: DataFrame,
-                 vecCol: String, idCol: String, nProbe: Int = 2,
-                 threshold: Double = 0.4): DataFrame = {
+  /** nProbe-nearest-cell routing for a query batch — one row per
+    * (query, probed cell), the shared head of [[probeDedup]]. Exposed so
+    * serving layers can COLLECT the distinct probed cell ids (a
+    * control-plane round-trip, ≤ nCells ints — the q91 `annIvfIndexed`
+    * pattern) and statically partition-prune a persisted
+    * `partitionBy(cell)` index scan to exactly the cells the probe join
+    * will touch. Pruning is lossless BY CONSTRUCTION: [[probeDedup]]'s
+    * candidate join is an inner equi-join on `cell` against this routing,
+    * so index rows outside the probed cells never participate.
+    */
+  def probeRouting(cent: DataFrame, batch: DataFrame, vecCol: String,
+                   idCol: String, nProbe: Int = 2): DataFrame = {
     import graft.functions.VectorFunctions._
-    val probes = batch
+    batch
       .select(col(idCol).cast("long").as("bid"), col(vecCol).as("qv"))
       .join(broadcast(cent))
       .withColumn("rn", row_number().over(
@@ -86,6 +104,13 @@ object EmbeddingIndex {
           .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
       .filter(col("rn") <= nProbe)
       .select(col("bid"), col("qv"), col("cid").as("cell"))
+  }
+
+  def probeDedup(index: DataFrame, cent: DataFrame, batch: DataFrame,
+                 vecCol: String, idCol: String, nProbe: Int = 2,
+                 threshold: Double = 0.4): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val probes = probeRouting(cent, batch, vecCol, idCol, nProbe)
     val dup = index.join(broadcast(probes), "cell")
       .filter(cosineFast(col("qv"), col("v")) >= threshold)
       .groupBy(col("bid")).agg(min(col("vec_id")).as("dup_of"))

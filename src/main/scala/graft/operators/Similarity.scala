@@ -313,7 +313,9 @@ object Similarity {
     * bounded to its Voronoi cell (deterministic centroids, q74's cells) —
     * the all-corpus companion of the query-set ANN ops: pairwise work drops
     * from n² to Σ|cell|², and each cell's join is an equi-join on the cell
-    * id that AQE can skew-split. Deterministic winner: highest cosine,
+    * id that AQE can skew-split — MEASURED, not asserted: SimilaritySpec
+    * plants a hot cell and gates that the post-execution adaptive plan
+    * actually split it (skew=true). Deterministic winner: highest cosine,
     * smallest neighbor id on ties, picked by a map-side-combinable
     * max(struct) — no per-key window sort. Singleton cells emit nothing
     * (no neighbor exists in-cell).

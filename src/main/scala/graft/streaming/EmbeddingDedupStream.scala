@@ -129,12 +129,32 @@ object EmbeddingDedupStream {
     } finally { assigned.unpersist(); dels.unpersist() }
   }
 
+  /** The batch's probed cell ids — ≤ min(|batch|·nProbe, nCells) distinct
+    * longs, a control-plane round-trip (the q91 `annIvfIndexed` pattern).
+    * Collecting them lets the index read carry a LITERAL `cell IN (…)`
+    * filter, which reaches the compacted base's `partitionBy(cell)` scan
+    * as STATIC partition pruning (gated in EmbeddingDedupStreamSpec) — the
+    * folded view is never scanned whole on the probe path.
+    */
+  private def probedCellIds(cent: DataFrame, queries: DataFrame,
+                            nProbe: Int): Seq[Long] =
+    EmbeddingIndex.probeRouting(cent, queries, "v", "vec_id", nProbe)
+      .select(col("cell").cast("long")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+
   /** [[applyBatch]] on the [[DeltaView]] core: identical dedup semantics,
     * but the commit writes only the ACCEPTED rows plus the batch's delete
     * tombstones — O(batch), not O(index) — and the log compacts into a
     * cell-partitioned base (the q91 serving layout) every `compactEvery`
     * commits. The 100 TB configuration of this maintainer: a day's ingest
     * costs the day, and the index rewrite price is paid 1/K as often.
+    *
+    * The probe inside the commit reads the index PRUNED to the batch's
+    * probed cells (lossless — [[EmbeddingIndex.probeRouting]]), so the
+    * vector payloads scanned per trigger are bounded by
+    * |probed cells| × cell size, not the corpus; only the id-uniqueness
+    * invariant reads the full view, COLUMN-pruned to `vec_id` (8 bytes a
+    * row — the vectors never load for it).
     */
   def applyBatchDelta(spark: SparkSession, indexDir: String, cent: DataFrame,
                       batch: DataFrame, batchId: Long, nProbe: Int = 2,
@@ -144,15 +164,49 @@ object EmbeddingDedupStream {
     val (assigned, dels, reps) = prepBatch(cent, batch, threshold)
     try {
       if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
+      val cells = probedCellIds(cent, reps, nProbe)
       dv.applyBatch(batchId) { cur =>
         // the probe's view of the index is (current − this batch's
-        // deletes) — the same post-retract state the snapshot core builds;
-        // here it is LAZY (never written), the commit ships only changes
+        // deletes) pruned to the probed cells — the same post-retract
+        // state the snapshot core builds, LAZY (never written); the
+        // commit ships only changes
         val index = cur.map(normalize).getOrElse(graft.util.Frames.empty(spark, IndexSchema))
-        val afterDel = EmbeddingIndex.retract(index, dels)
-        (acceptedAgainst(afterDel, cent, reps, nProbe, threshold), dels)
+        val afterDel = EmbeddingIndex.retract(
+          index.filter(col("cell").isin(cells: _*)), dels)
+        val kept = EmbeddingIndex.probeDedup(afterDel, cent,
+            reps.select(col("vec_id"), col("v")), "v", "vec_id",
+            nProbe, threshold)
+          .filter(col("is_new")).select("vec_id")
+        // id-uniqueness invariant over the FULL view, vec_id column only
+        val liveIds = EmbeddingIndex.retract(index.select("vec_id"), dels)
+        (reps.join(kept, "vec_id").join(liveIds, Seq("vec_id"), "left_anti"),
+          dels)
       }: Unit
     } finally { assigned.unpersist(); dels.unpersist() }
+  }
+
+  /** Serve a dedup probe from the CURRENT committed delta-core index —
+    * the external-serving twin of the probe inside [[applyBatchDelta]],
+    * and the default stream-tier read path: the query batch's probed
+    * cells are collected (control-plane) and the read carries a literal
+    * `cell IN (…)` filter that statically partition-prunes the compacted
+    * `partitionBy(cell)` base scan (plan-gated in
+    * EmbeddingDedupStreamSpec; the `q149_ivf_probe_stream` study row
+    * measures it at 1×–100×). Returns [[EmbeddingIndex.probeDedup]]'s
+    * `(vec_id, dup_of, is_new)` contract. `queries` carries
+    * `(vec_id, embedding)`.
+    */
+  def probeDelta(spark: SparkSession, indexDir: String, cent: DataFrame,
+                 queries: DataFrame, nProbe: Int = 2,
+                 threshold: Double = 0.4): DataFrame = {
+    val q = queries.select(col("vec_id").cast("long").as("vec_id"),
+      col("embedding").cast("array<double>").as("v"))
+    val idx = deltaView(spark, indexDir, compactEvery = 8).read()
+      .map(normalize)
+      .getOrElse(graft.util.Frames.empty(spark, IndexSchema))
+    val cells = probedCellIds(cent, q, nProbe)
+    EmbeddingIndex.probeDedup(idx.filter(col("cell").isin(cells: _*)),
+      cent, q, "v", "vec_id", nProbe, threshold)
   }
 
   private def deltaView(spark: SparkSession, indexDir: String,

@@ -176,7 +176,17 @@ final case class DeltaView(spark: SparkSession, dir: String,
               "left_anti")
             .unionByName(inserts)
       }
-      val w = next.write.mode("overwrite")
+      // cluster on the partition columns BEFORE a partitioned write:
+      // without it every write task touches every partition directory
+      // (measured pathological on the IVF layout — 32 tasks × 1600 cells
+      // ≈ 51 k small files at the 100× point); with it the base lands as
+      // ~one file per partition value, which is also the serving shape
+      // partition pruning wants to list
+      val clustered =
+        if (basePartitionCols.nonEmpty)
+          next.repartition(basePartitionCols.map(col): _*)
+        else next
+      val w = clustered.write.mode("overwrite")
       (if (basePartitionCols.nonEmpty) w.partitionBy(basePartitionCols: _*)
        else w).parquet(s"$dir/base_v$newV")
     } else {

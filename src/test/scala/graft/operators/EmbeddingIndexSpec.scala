@@ -61,4 +61,86 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(got.join(dropIds.withColumnRenamed("vec_id", "dup_of"), "dup_of")
       .count() == 0)
   }
+
+  /** GROUND-TRUTH recall of the nProbe cell routing — not an oracle
+    * replay. The oracle gate (q149/q151) recomputes the SAME routing, so
+    * a quantizer or nProbe retune that silently drops recall would still
+    * hash-match (the round-10 MinHash blind spot, on the embedding
+    * modality). This spec plants near-dup pairs at known cosine in a
+    * corpus noisy enough that copies genuinely straddle cell boundaries,
+    * computes the truth by BRUTE FORCE over the full corpus, and pins the
+    * probe's recall floor. A retune that lands planted copies outside
+    * their originals' probed cells fails red here.
+    */
+  test("probeDedup nProbe routing: ground-truth recall floor vs brute force across cell boundaries") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val d = 16; val nCells = 16; val nCorpus = 2000
+    val threshold = 0.8
+    def gauss() = Array.fill(d)(rnd.nextGaussian())
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def mix(a: Array[Double], b: Array[Double], s: Double) =
+      unit(a.zip(b).map { case (x, y) => x + s * y })
+    val centers = Array.fill(nCells)(unit(gauss()))
+    // corpus: cluster direction + STRONG noise — vectors sit near cell
+    // boundaries, so a copy's nearest centroid is frequently not its
+    // original's (that crossing is what the spec exercises)
+    val corpus = (0 until nCorpus).map { i =>
+      (100L + i, mix(centers(i % nCells), gauss(), 0.6))
+    }
+    // batch: a mild perturbation of every 5th corpus vector (cos ≈ 0.97
+    // with its original — a true near-dup at any sane threshold)
+    val batch = corpus.grouped(5).map(_.head).zipWithIndex.map {
+      case ((_, v), j) => (100000L + j, mix(v, gauss(), 0.15))
+    }.toSeq
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    // ground truth: brute force over the FULL corpus (no cells anywhere)
+    val hasMatch = batch.map { case (bid, v) =>
+      bid -> corpus.exists { case (_, w) => cos(v, w) >= threshold }
+    }.toMap
+    assert(hasMatch.values.count(identity) >= 350,
+      "construction broke: planted copies are not true near-dups")
+
+    val corpusDf = corpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val batchDf = batch.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cent = EmbeddingIndex.seedCentroids(corpusDf, "embedding", "vec_id",
+      nCells)
+    val index = EmbeddingIndex.assignCells(corpusDf, cent, "embedding",
+      "vec_id").cache()
+    def recallAt(nProbe: Int): Double = {
+      val found = EmbeddingIndex.probeDedup(index, cent, batchDf,
+          "embedding", "vec_id", nProbe, threshold)
+        .filter(!col("is_new")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val withTruth = hasMatch.filter(_._2).keys.toSeq
+      withTruth.count(found) / withTruth.size.toDouble
+    }
+    // the spec must actually exercise boundary crossing: some batch
+    // copies' rank-1 cell differs from their original's stored cell
+    val batchTop1 = EmbeddingIndex.assignCells(batchDf, cent, "embedding",
+        "vec_id").select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val corpusCell = index.select("vec_id", "cell")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val crossed = batch.zipWithIndex.count { case ((bid, _), j) =>
+      batchTop1(bid) != corpusCell(corpus(j * 5)._1)
+    }
+    assert(crossed > 0, "no copy crossed a cell boundary — spec is inert")
+
+    val rs = Seq(1, 2, 4, 8).map(p => p -> recallAt(p)).toMap
+    index.unpersist()
+    info("boundary crossings=" + crossed + ", recall by nProbe: " +
+      rs.toSeq.sortBy(_._1).map { case (p, r) => f"$p->$r%.3f" }.mkString(" "))
+    assert(rs(1) >= 0.5 && rs(2) >= 0.7 && rs(4) >= 0.85 && rs(8) >= 0.95,
+      s"recall curve dropped below its pinned floors: $rs")
+    // routing sensitivity: each doubling of nProbe must do real work on
+    // this construction — a broken router flattens the curve
+    assert(rs(2) > rs(1) && rs(4) > rs(2) && rs(8) > rs(4),
+      s"recall not monotone in nProbe: $rs")
+  }
 }

@@ -232,4 +232,71 @@ class SimilaritySpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(rows.toSet != unfiltered)
   }
+
+  /** The cell-join docstrings claim the Σ|cell|² pair join is
+    * "AQE-skew-splittable" — this gates it instead of asserting it. One
+    * planted hot cell (a dense cluster), thresholds scaled to spec data
+    * volume, and the POST-EXECUTION adaptive plan must show the skewed
+    * partition actually split (skew=true on the join /
+    * AQEShuffleRead skewed) — the runtime fix a production hot Voronoi
+    * cell relies on.
+    */
+  test("cell pair join: a planted hot cell triggers AQE skew-join splitting") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val rnd = new scala.util.Random(7L)
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n).toSeq
+    }
+    // 3000 vectors piled on one direction (ids AFTER the seeds so the
+    // first-16 seeding can't split the pile), 60 spread elsewhere
+    val seeds = (0L until 16L).map { i =>
+      (i, unit(Array.tabulate(8)(j => if (j == (i % 8).toInt) 1.0 else 0.02 * rnd.nextGaussian())))
+    }
+    val hot = (100L until 3100L).map { i =>
+      (i, unit(Array.tabulate(8)(j =>
+        (if (j == 0) 1.0 else 0.0) + 0.01 * rnd.nextGaussian())))
+    }
+    val cold = (5000L until 5060L).map { i =>
+      (i, unit(Array.fill(8)(rnd.nextGaussian())))
+    }
+    val embs = (seeds ++ hot ++ cold).toDF("vec_id", "embedding")
+    val conf = spark.conf
+    val saved = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.adaptive.coalescePartitions.enabled")
+      .map(k => k -> (try Option(conf.get(k)) catch { case _: Throwable => None }))
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      // the spec corpus is broadcast-sized; production cell tables are
+      // not — force the shuffled join the claim is about
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      // production defaults (256 MB / 5×) scaled to spec volume: the hot
+      // cell's partition is ~100 KB here
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2.0")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "20000")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "10000")
+      conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+      val df = Similarity.knnJoinInCell(embs, "embedding", "vec_id", nCells = 16)
+      df.collect()
+      val plan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val s = plan.toString
+      assert(s.contains("skew=true") || s.contains("AQEShuffleRead skewed"),
+        "hot cell did not trigger AQE skew splitting:\n" + s.take(3000))
+    } finally saved.foreach {
+      case (k, Some(v)) => conf.set(k, v)
+      case (k, None) => conf.unset(k)
+    }
+  }
 }

@@ -148,6 +148,78 @@ class EmbeddingDedupStreamSpec extends SparkSpec {
       == Set(2L, 40L, 50L))
   }
 
+  test("probeDelta serves the same verdicts as a probe of the full folded index") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds6").toString
+    val idx = s"$dir/index"
+    val embs = graft.Tables(spark, sf()).embeddings
+    val cent = EmbeddingIndex.seedCentroids(
+      embs.filter(col("vec_id") < 100), "embedding", "vec_id", 8).cache()
+    // bootstrap + an incremental wave + a delete wave, across a compaction
+    EmbeddingDedupStream.applyBatchDelta(spark, idx, cent,
+      embs.filter(col("vec_id") % 3 === 0)
+        .select(lit("I").as("op"), col("vec_id"), col("embedding")),
+      0L, compactEvery = 2)
+    EmbeddingDedupStream.applyBatchDelta(spark, idx, cent,
+      embs.filter(col("vec_id") % 3 === 1)
+        .select(lit("I").as("op"), col("vec_id"), col("embedding")),
+      1L, compactEvery = 2)
+    EmbeddingDedupStream.applyBatchDelta(spark, idx, cent,
+      embs.filter(col("vec_id") % 21 === 0).select(lit("D").as("op"),
+        col("vec_id"), array().cast("array<double>").as("embedding")),
+      2L, compactEvery = 2)
+    val queries = embs.filter(col("vec_id") % 3 === 2)
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2))).toSet
+    val served = rows(EmbeddingDedupStream.probeDelta(spark, idx, cent, queries))
+    val full = rows(EmbeddingIndex.probeDedup(
+      EmbeddingDedupStream.readIndexDelta(spark, idx), cent,
+      queries.select(col("vec_id"), col("embedding").as("v")), "v", "vec_id"))
+    cent.unpersist()
+    assert(served.nonEmpty && served.exists(!_._3), "no dup verdicts at all")
+    assert(served == full, s"served diverged: ${(served diff full).take(5)}")
+  }
+
+  test("probeDelta statically partition-prunes the compacted base scan to the probed cells") {
+    import spark.implicits._
+    import org.apache.spark.sql.execution.{FileSourceScanExec, SparkPlan}
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds7").toString
+    val idx = s"$dir/index"
+    val embs = graft.Tables(spark, sf()).embeddings
+    val cent = EmbeddingIndex.seedCentroids(embs, "embedding", "vec_id", 8)
+    // compactEvery=1 → the committed state is a pure partitionBy(cell) base
+    EmbeddingDedupStream.applyBatchDelta(spark, idx, cent,
+      embs.select(lit("I").as("op"), col("vec_id"), col("embedding")),
+      0L, compactEvery = 1)
+    val probe = EmbeddingDedupStream.probeDelta(spark, idx, cent,
+      embs.filter(col("vec_id") % 50 === 7).select("vec_id", "embedding"))
+    probe.collect()
+    def deep(p: SparkPlan): Seq[SparkPlan] = {
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+      val extra = p match {
+        case qs: QueryStageExec => Seq(qs.plan)
+        case r: ReusedExchangeExec => Seq(r.child)
+        case _ => Seq.empty
+      }
+      p +: (p.children ++ extra).flatMap(deep)
+    }
+    val plan = probe.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val pruned = deep(plan).collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty =>
+        f.partitionFilters.mkString(",")
+    }
+    assert(pruned.exists(s => s.contains("cell") &&
+        (s.contains(" IN (") || s.contains("INSET"))),
+      s"no cell IN/INSET partition filter on the base scan: $pruned\n" +
+        plan.toString.take(2000))
+  }
+
   test("delta-core stream driver maintains the index end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
