@@ -347,6 +347,28 @@ object BenchScale {
       row("q130_tfidf_keywords")(bestOf2 {
         TextAnalysis.tfIdfKeywords(t.documents, "text", "doc_id").count(); ()
       }) ++
+      // BM25 nightly-scoring form: one corpus scan with the queries fused
+      // into it — exponent ≈ 1 BY CONSTRUCTION (every doc tokenizes); the
+      // comparison row for the served form below.
+      row("q80_bm25_scan")(bestOf2 {
+        TextAnalysis.bm25TopK(t.documents, "text", "doc_id",
+          TextAnalysis.Bm25Queries).count(); ()
+      }) ++
+      // BM25 SERVED from the persisted postings index (built + memoized
+      // outside the timer; one cold run, the q147 convention): the scan
+      // partition-prunes to the query terms' buckets, so growth tracks
+      // the query terms' posting lists — the dense-term lists grow ∝
+      // corpus but are a constant fraction of it, so the win over the
+      // scan row is the measured point of the persisted index.
+      row("q80_bm25_served") {
+        TextAnalysis.bm25IndexFor(spark, dir) // build untimed (memoized)
+        val s = time {
+          TextAnalysis.bm25TopKServed(spark, dir, TextAnalysis.Bm25Queries)
+            .count(); ()
+        }
+        spark.catalog.clearCache()
+        s
+      } ++
       // Quality-aware survivor selection in the 100 TB configuration
       // (LSH candidate pairs → components → broadcast membership into one
       // corpus scan + per-cluster argmax). Rides the q56 family's shape;
@@ -668,13 +690,25 @@ object BenchScale {
           "vec_id", nCells = 16 * scale).cache()
         val root = java.nio.file.Files
           .createTempDirectory("graft-ivfs").toString
-        // bootstrap commit — compactEvery=1 folds it straight into the
-        // cell-partitioned base (the steady-state serving layout)
-        EmbeddingDedupStream.applyBatchDelta(spark, root, cent,
-          corpus.select(lit("I").as("op"), col("vec_id"), col("embedding")),
-          0L, compactEvery = 1)
+        // bootstrap the index DIRECTLY (assignCells → one commit, which
+        // compacts into the cell-partitioned base — the idx_commit
+        // convention): routing the whole corpus through applyBatchDelta
+        // would pay the in-batch dominance self-join (~4 min at 100×)
+        // whose GC debris then contaminates the timed probe (measured:
+        // 10.9 s in-row vs 1.9 s clean-JVM at 100× before this change)
+        graft.util.DeltaView(spark, root, Seq("vec_id"), compactEvery = 1,
+            basePartitionCols = Seq("cell"))
+          .applyBatch(0L) { _ =>
+            (EmbeddingIndex.assignCells(corpus, cent, "embedding", "vec_id")
+              .select(col("vec_id").cast("long"), col("cell").cast("long"),
+                col("v").cast("array<double>")),
+             e.limit(0).select(col("vec_id")))
+          }
         val batch = e.filter(isBatch).select("vec_id", "embedding")
-        val s = time {
+        // best-of-2: the serving tier is warm by definition, and
+        // probeDelta caches nothing between calls (the second run re-lists
+        // the index and re-routes — it reuses only page cache and JIT)
+        val s = bestOf2 {
           EmbeddingDedupStream.probeDelta(spark, root, cent, batch)
             .count(); ()
         }

@@ -54,6 +54,98 @@ object Scratch {
           spark.catalog.clearCache()
         }
       }
+      else if (q == "ivf_stream_probe") {
+        import org.apache.spark.sql.functions._
+        import graft.operators.EmbeddingIndex
+        import graft.streaming.EmbeddingDedupStream
+        val scale = math.max(1, (Tables(spark, dir).embeddings.count() / 6000).toInt)
+        val e = Tables(spark, dir).embeddings
+        val isBatch = col("vec_id") % 10 === 1 && col("vec_id") < 2000
+        val corpus = e.filter(!isBatch)
+        val cent = EmbeddingIndex.seedCentroids(corpus, "embedding",
+          "vec_id", nCells = 16 * scale).cache()
+        val root = java.nio.file.Files.createTempDirectory("graft-ivfsx").toString
+        t("bootstrap commit") {
+          EmbeddingDedupStream.applyBatchDelta(spark, root, cent,
+            corpus.select(lit("I").as("op"), col("vec_id"), col("embedding")),
+            0L, compactEvery = 1)
+        }
+        val batch = e.filter(isBatch).select("vec_id", "embedding")
+        t("probeDelta cold") {
+          EmbeddingDedupStream.probeDelta(spark, root, cent, batch).count(); ()
+        }
+        t("probeDelta warm") {
+          EmbeddingDedupStream.probeDelta(spark, root, cent, batch).count(); ()
+        }
+        // stage split
+        val q2 = batch.select(col("vec_id").cast("long").as("vec_id"),
+          col("embedding").cast("array<double>").as("v"))
+        t("routing collect") {
+          EmbeddingIndex.probeRouting(cent, q2, "v", "vec_id", 2)
+            .select(col("cell").cast("long")).distinct().collect(); ()
+        }
+        var idx: org.apache.spark.sql.DataFrame = null
+        t("dv.read() build") {
+          idx = graft.util.DeltaView(spark, root, Seq("vec_id"),
+            compactEvery = 8, basePartitionCols = Seq("cell")).read().get
+        }
+        val cells = EmbeddingIndex.probeRouting(cent, q2, "v", "vec_id", 2)
+          .select(col("cell").cast("long")).distinct()
+          .collect().map(_.getLong(0)).toIndexedSeq
+        t("pruned count") {
+          idx.filter(col("cell").isin(cells: _*)).count(); ()
+        }
+        t("probeDedup on pruned") {
+          EmbeddingIndex.probeDedup(
+            idx.filter(col("cell").isin(cells: _*))
+              .select(col("vec_id").cast("long"), col("cell").cast("long"), col("v")),
+            cent, q2, "v", "vec_id").count(); ()
+        }
+        // exact inline reproduction of probeDelta, then variants
+        t("inline probeDelta") {
+          val idxN = graft.util.DeltaView(spark, root, Seq("vec_id"),
+            compactEvery = 8, basePartitionCols = Seq("cell")).read().get
+            .select(col("vec_id").cast("long"), col("cell").cast("long"), col("v"))
+          val cs = EmbeddingIndex.probeRouting(cent, q2, "v", "vec_id", 2)
+            .select(col("cell").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toIndexedSeq
+          EmbeddingIndex.probeDedup(idxN.filter(col("cell").isin(cs: _*)),
+            cent, q2, "v", "vec_id").count(); ()
+        }
+        t("inline, filter before cast") {
+          val idxN = graft.util.DeltaView(spark, root, Seq("vec_id"),
+            compactEvery = 8, basePartitionCols = Seq("cell")).read().get
+          val cs = EmbeddingIndex.probeRouting(cent, q2, "v", "vec_id", 2)
+            .select(col("cell").cast("long")).distinct()
+            .collect().map(_.getLong(0)).toIndexedSeq
+          EmbeddingIndex.probeDedup(
+            idxN.filter(col("cell").isin(cs: _*))
+              .select(col("vec_id").cast("long"), col("cell").cast("long"), col("v")),
+            cent, q2, "v", "vec_id").count(); ()
+        }
+        val df = EmbeddingDedupStream.probeDelta(spark, root, cent, batch)
+        df.count()
+        val plan = df.queryExecution.executedPlan match {
+          case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec => a.executedPlan
+          case p => p
+        }
+        def deep(p: org.apache.spark.sql.execution.SparkPlan): Seq[org.apache.spark.sql.execution.SparkPlan] = {
+          import org.apache.spark.sql.execution.adaptive.QueryStageExec
+          import org.apache.spark.sql.execution.exchange.ReusedExchangeExec
+          val extra = p match {
+            case qs: QueryStageExec => Seq(qs.plan)
+            case r: ReusedExchangeExec => Seq(r.child)
+            case _ => Seq.empty
+          }
+          p +: (p.children ++ extra).flatMap(deep)
+        }
+        deep(plan).collect {
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            println(s"[scratch] scan partFilters=${f.partitionFilters.size} " +
+              f.partitionFilters.mkString(",").take(120))
+        }
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+      }
       else if (q == "q78_stage_probe") {
         // piecewise q78: which stage moved (r10 bench 7.3 s vs r9 4.1 s)
         import org.apache.spark.sql.functions._

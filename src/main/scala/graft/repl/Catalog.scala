@@ -21,9 +21,74 @@ import org.apache.spark.sql.types._
   * driver. The event log is itself a parquet table, so "events since
   * watermark" is a pushed-down filter scan, not a log replay on the driver.
   */
-final case class DbCatalog(spark: SparkSession, root: String)
+final case class DbCatalog(spark: SparkSession, root: String,
+                           epochMode: Boolean = false)
     extends ReplSource with ReplTarget {
   import DbCatalog._
+
+  // ------------------------- db-epoch pre-image stashes (see [[DbEpochs]])
+  // With `epochMode` on and an epoch committed, every destructive table op
+  // MOVES the data it would have deleted into the current epoch's stash
+  // (rename, no copy), so pinned readers keep a consistent pre-load view.
+
+  private def epochStash(db: String, kind: String, table: String): Option[Path] =
+    if (!epochMode) None
+    else {
+      val e = DbEpochs(spark, this, db)
+      e.current.map { case (n, _) => e.stashPath(n, kind, table) }
+    }
+
+  /** Stash `src` (a pre-image the non-epoch path would DELETE) under the
+    * current epoch, or delete it when epochs are off, no epoch is
+    * committed yet, or the stash already holds this table's pre-image (a
+    * RETRY's backup holds post-merge data once the stash exists).
+    */
+  private def stashOrDelete(db: String, table: String, src: Path): Unit =
+    epochStash(db, "full", table) match {
+      case Some(dst) if fs.exists(src) && !fs.exists(dst) =>
+        fs.mkdirs(dst.getParent)
+        if (!fs.rename(src, dst))
+          throw new IllegalStateException(s"epoch stash rename failed: $src -> $dst")
+      case _ => fs.delete(src, true)
+    }
+
+  /** Partition-dir variant: move each `col=value` dir of `bakPath` into
+    * the epoch's partial stash (first pre-image per partition wins) and
+    * record `_absent_` markers for partitions the merge CREATED; then
+    * drop the remainder. Crash-retry caveat: a cycle that crashes inside
+    * the swap loop and retries can stash a created partition's merged
+    * data as its pre-image — pre-images are exact for crash-free cycles
+    * (the spec'd contract), best-effort across a crashed retry.
+    */
+  private def stashPartsOrDelete(db: String, table: String, bakPath: Path,
+                                 absentDirNames: Seq[String]): Unit =
+    epochStash(db, "parts", table) match {
+      case Some(dst) =>
+        fs.mkdirs(dst)
+        if (fs.exists(bakPath))
+          fs.listStatus(bakPath).filter(_.isDirectory).foreach { st =>
+            val d = new Path(dst, st.getPath.getName)
+            val marker = new Path(dst, "_absent_" + st.getPath.getName)
+            if (!fs.exists(d) && !fs.exists(marker)) {
+              if (!fs.rename(st.getPath, d))
+                throw new IllegalStateException(
+                  s"epoch stash rename failed: ${st.getPath} -> $d")
+            }
+          }
+        // absent markers live in a SIBLING stash ("absent/<table>/<dir>"),
+        // never inside the parquet tree (root-level non-parquet files trip
+        // the reader even with a `_` prefix)
+        epochStash(db, "absent", table).foreach { ab =>
+          fs.mkdirs(ab)
+          absentDirNames.foreach { n =>
+            val marker = new Path(ab, n)
+            if (!fs.exists(new Path(dst, n)) && !fs.exists(marker))
+              fs.create(marker, true).close()
+          }
+        }
+        fs.delete(bakPath, true)
+      case None => fs.delete(bakPath, true)
+    }
 
   def dbPath(db: String): Path = new Path(root, db)
   private def tablePath(db: String, table: String) = new Path(dbPath(db), table)
@@ -104,14 +169,14 @@ final case class DbCatalog(spark: SparkSession, root: String)
     val tmp = new Path(dbPath(db), s"_tmp_$table")
     val bak = new Path(dbPath(db), s"_bak_$table")
     df.write.mode("overwrite").parquet(tmp.toString)
-    fs.delete(bak, true)
+    stashOrDelete(db, table, bak) // stale bak = a crashed cycle's pre-image
     if (!fs.rename(live, bak))
       throw new IllegalStateException(s"backup rename failed for $db.$table")
     if (!fs.rename(tmp, live)) {
       fs.rename(bak, live)
       throw new IllegalStateException(s"rewrite swap failed for $db.$table")
     }
-    fs.delete(bak, true)
+    stashOrDelete(db, table, bak)
   }
 
   /** Widen `df` to `newSchema`: missing columns appear as typed nulls,
@@ -159,6 +224,16 @@ final case class DbCatalog(spark: SparkSession, root: String)
     require(!fs.exists(dst), s"rename target exists: $db.$to")
     if (!fs.rename(src, dst))
       throw new IllegalStateException(s"rename failed: $db.$from -> $to")
+    // epoch mode: a marker redirects pinned reads of the OLD name to the
+    // new name's resolution chain (data travels with the rename)
+    epochStash(db, "renamed", from).foreach { marker =>
+      if (!fs.exists(marker)) {
+        fs.mkdirs(marker.getParent)
+        val out = fs.create(marker, false)
+        try out.write(to.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        finally out.close()
+      }
+    }
   }
 
   /** Source-side RENAME TABLE: apply locally and log the event so replicas
@@ -208,7 +283,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
   }
 
   def dropTable(db: String, table: String): Unit =
-    fs.delete(tablePath(db, table), true)
+    stashOrDelete(db, table, tablePath(db, table))
 
   // ------------------------------------------------- replication target plane
   // ([[ReplTarget]] — the file-native loader: staged rename swaps for
@@ -308,7 +383,9 @@ final case class DbCatalog(spark: SparkSession, root: String)
     // Bytes from the staged dir's metadata (a namenode summary, not a data
     // read) BEFORE the swap renames it live.
     val bytes = fs.getContentSummary(tmpPath).getLength
-    fs.delete(bakPath, true) // stale leftover from an earlier completed swap
+    // stale leftover from an earlier completed swap — in epoch mode a
+    // crashed cycle's bak is that cycle's PRE-IMAGE: stash it, don't drop
+    stashOrDelete(db, table, bakPath)
     if (!fs.rename(livePath, bakPath))
       throw new IllegalStateException(s"backup rename failed for $db.$table")
     CrashHooks.betweenSwapRenames() // fault injection: the swap's worst window
@@ -316,7 +393,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
       fs.rename(bakPath, livePath) // restore before failing
       throw new IllegalStateException(s"merge swap failed for $db.$table")
     }
-    fs.delete(bakPath, true)
+    stashOrDelete(db, table, bakPath)
     TableMergeStats(table, rowsMerged = obs.get("rows").asInstanceOf[Long],
       bytesRewritten = bytes, partitionsTouched = 1)
   }
@@ -428,7 +505,9 @@ final case class DbCatalog(spark: SparkSession, root: String)
     graft.PartitionedWrites.cluster(merged, partCol)
       .write.mode("overwrite").partitionBy(partCol).parquet(tmpPath.toString)
     val bytes = fs.getContentSummary(tmpPath).getLength
-    fs.delete(bakPath, true)
+    // stale bak from a crashed cycle = that cycle's per-partition
+    // pre-images: stash before clearing (no-op outside epoch mode)
+    stashPartsOrDelete(db, table, bakPath, Nil)
     fs.mkdirs(bakPath)
     // Swap each affected partition dir: live aside to bak (if present), then
     // staged in (if present — a fully-deleted partition has no staged dir
@@ -447,6 +526,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
         .toMap
     val tmpDirs = dirsByValue(tmpPath)
     val liveDirs = dirsByValue(livePath)
+    val createdDirs = scala.collection.mutable.Buffer[String]()
     affected.foreach { vStr =>
       val tmpDir = tmpDirs.get(vStr)
       val liveDir = liveDirs.get(vStr)
@@ -455,6 +535,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
           s"partition $partCol=$vStr of $db.$table resolves to no staged or " +
           "live dir — refusing silent skip (dir-name/value mismatch)")
       val dirName = tmpDir.orElse(liveDir).get.getName
+      if (liveDir.isEmpty) createdDirs += dirName // absent pre-merge
       liveDir.foreach { ld =>
         if (!fs.rename(ld, new Path(bakPath, dirName)))
           throw new IllegalStateException(
@@ -466,7 +547,7 @@ final case class DbCatalog(spark: SparkSession, root: String)
             s"partition swap failed for $db.$table/$dirName")
       }
     }
-    fs.delete(bakPath, true)
+    stashPartsOrDelete(db, table, bakPath, createdDirs.toSeq)
     fs.delete(tmpPath, true)
     TableMergeStats(table, rowsMerged = obs.get("rows").asInstanceOf[Long],
       bytesRewritten = bytes, partitionsTouched = affected.length.toLong)

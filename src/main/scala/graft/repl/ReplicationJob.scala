@@ -63,6 +63,7 @@ final case class ReplicationJob(
       target.logRun(report)
       uploadRunLog(report)
       maintain(db, verify, postId)
+      publishEpoch(db, verify, postId)
       report
     } finally lock.release()
   }
@@ -87,6 +88,23 @@ final case class ReplicationJob(
     } catch { case e: Exception =>
       System.err.println(s"[repl] run-log upload to ${cfg.runLogDir.get} failed: $e")
     }
+  }
+
+  /** Db-level read consistency ([[DbEpochs]]): an epoch-mode file target
+    * publishes each VERIFIED cycle as one db epoch — the pointer swap is
+    * the single instant readers observe, so a pinned reader never sees the
+    * load's per-table merge sequence mid-flight. A NOOP cycle commits only
+    * the FIRST epoch (so a freshly bootstrapped db becomes pinnable);
+    * thereafter no-op cycles leave the pointer alone.
+    */
+  private def publishEpoch(db: String, verify: VerifyResult,
+                           postId: Option[Long]): Unit = target match {
+    case dc: DbCatalog if dc.epochMode =>
+      val epochs = DbEpochs(spark, dc, db)
+      if (verify == VerifyResult.Success ||
+          (verify == VerifyResult.NoOp && epochs.current.isEmpty))
+        epochs.commit(postId.getOrElse(0L)): Unit
+    case _ => ()
   }
 
   /** Post-success source-log maintenance ([[Maintenance]]): runs only for a

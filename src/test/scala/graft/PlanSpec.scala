@@ -230,6 +230,22 @@ class PlanSpec extends SparkSpec {
       s"no cell IN (...) partition filter on the index scan: $pruned")
   }
 
+  test("q156: the BM25 postings scan is partition-pruned to the query terms' buckets") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = deepNodes(executed(q("q156_bm25_served"))).collect {
+      case f: FileSourceScanExec => f
+    }
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+      .map(_.partitionFilters.mkString(","))
+    assert(pruned.exists(s => s.contains("tb") &&
+        (s.contains(" IN (") || s.contains("INSET"))),
+      s"no tb IN/INSET partition filter on the postings scan: $pruned")
+    // the term predicate must also reach the scan (row-group pruning
+    // inside a bucket — postings are term-sorted within files)
+    assert(scans.exists(_.dataFilters.mkString(",").contains("term")),
+      "term filter did not reach the postings scan")
+  }
+
   test("q93: the hint yields a ShuffledHashJoin, not a sort-merge join") {
     val p = planString("q93_shuffle_hash_join")
     assert(p.contains("ShuffledHashJoin"), p.take(1500))
