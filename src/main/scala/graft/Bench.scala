@@ -88,11 +88,16 @@ object Bench {
     corpus.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       // the timed body is count() spelled as groupBy().count().collect()
       // (identical work), so the executed DataFrame survives for the
-      // fingerprint — taken from the SECOND run's finalized adaptive plan
+      // fingerprint — taken from the SECOND run's finalized adaptive plan.
+      // The CONSTRUCTION call stays INSIDE the timer: iterative/maintainer
+      // queries do eager work while building (localCheckpoint cadences,
+      // k-means driver loops) — a first draft that hoisted fn() out of
+      // time{} read q155 at 0.17 s vs its honest 8.8 s
       def once: Option[(Double, org.apache.spark.sql.DataFrame)] =
         try {
-          val cdf = fn(spark, sfDir).groupBy().count()
-          Some((time { cdf.collect(); () }, cdf))
+          var cdf: org.apache.spark.sql.DataFrame = null
+          val t = time { cdf = fn(spark, sfDir).groupBy().count(); cdf.collect(); () }
+          Some((t, cdf))
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); None }

@@ -843,7 +843,8 @@ object BenchScale {
       // includes none of them skips the whole (bootstrap-priced) setup
       val replNames = Seq("repl_bootstrap_fact", "repl_noop_cycle",
         "repl_incremental_fact_1000txn",
-        "repl_incremental_fact_partitioned_1000txn")
+        "repl_incremental_fact_partitioned_1000txn",
+        "repl_incremental_fact_partitioned_epoch")
       if (!replNames.exists(onlySel)) return Seq.empty
       val root = java.nio.file.Files.createTempDirectory("graft-scale-repl").toString
       val li = Tables(spark, dir).lineitem
@@ -886,11 +887,34 @@ object BenchScale {
         })
         time { assert(jobP.run("pdb").verify == "SUCCESS") }
       }
+      // The SAME partitioned incremental with db EPOCHS on (DbEpochs):
+      // pre-image stash renames + one pointer/manifest commit per verified
+      // cycle. The row exists to PROVE the consistency feature is
+      // rename-priced — it must track the non-epoch row above at every
+      // scale, or the feature costs what it claims not to.
+      val srcE = DbCatalog(spark, s"$root/srce")
+      val tgtE = DbCatalog(spark, s"$root/tgte", epochMode = true)
+      srcE.createDb("edb")
+      srcE.writeTablePartitioned("edb", "lineitem",
+        li.withColumn("l_pbucket", pmod(col("l_orderkey"), lit(nPart))),
+        "l_pbucket")
+      val jobE = ReplicationJob(spark, srcE, tgtE, s"$root/dumpse",
+        ReplConfig(dumpRoot = s"$root/dumpse", rerunSleepMs = 100))
+      assert(jobE.run("edb").verify == "SUCCESS") // bootstrap + epoch 0, untimed
+      val incE = bestOf2Inc { round =>
+        srcE.appendEvents("edb", (1 to 1000).map { i =>
+          val k = (round * 1000000 + i) * nPart
+          DbCatalog.Event("lineitem", DbCatalog.OpUpsert, k.toString,
+            s"""{"l_orderkey":$k,"l_linenumber":1,"l_quantity":$i,"l_pbucket":0}""")
+        })
+        time { assert(jobE.run("edb").verify == "SUCCESS") }
+      }
       org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       Seq("repl_bootstrap_fact" -> boot,
           "repl_noop_cycle" -> noop,
           "repl_incremental_fact_1000txn" -> inc,
-          "repl_incremental_fact_partitioned_1000txn" -> incP)
+          "repl_incremental_fact_partitioned_1000txn" -> incP,
+          "repl_incremental_fact_partitioned_epoch" -> incE)
         .filter(r => onlySel(r._1))
     }
 

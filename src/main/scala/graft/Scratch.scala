@@ -146,6 +146,45 @@ object Scratch {
         }
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }
+      else if (q == "epoch_cost_probe") {
+        // interleaved A/B: per-cycle cost of a partitioned incremental
+        // with db epochs OFF vs ON, alternating so JVM/debris ordering
+        // can't masquerade as feature cost
+        import org.apache.spark.sql.functions.{col, lit, pmod}
+        import graft.repl._
+        val li = Tables(spark, dir).lineitem
+        val nPart = 16 * math.max(1, (li.count() / 600000L).toInt)
+        def mk(tag: String, epochs: Boolean) = {
+          val root = java.nio.file.Files.createTempDirectory(s"graft-ec$tag").toString
+          val src = DbCatalog(spark, s"$root/src")
+          val tgt = DbCatalog(spark, s"$root/tgt", epochMode = epochs)
+          src.createDb("db")
+          src.writeTablePartitioned("db", "lineitem",
+            li.withColumn("l_pbucket", pmod(col("l_orderkey"), lit(nPart))), "l_pbucket")
+          val job = ReplicationJob(spark, src, tgt, s"$root/dumps",
+            ReplConfig(dumpRoot = s"$root/dumps", rerunSleepMs = 100))
+          assert(job.run("db").verify == "SUCCESS")
+          (root, src, job)
+        }
+        val (rootA, srcA, jobA) = mk("off", epochs = false)
+        val (rootB, srcB, jobB) = mk("on", epochs = true)
+        for (round <- 1 to 4) {
+          def cycle(src: DbCatalog, job: ReplicationJob): Double = {
+            src.appendEvents("db", (1 to 1000).map { i =>
+              val k = (round * 1000000 + i) * nPart
+              DbCatalog.Event("lineitem", DbCatalog.OpUpsert, k.toString,
+                s"""{"l_orderkey":$k,"l_linenumber":1,"l_quantity":$i,"l_pbucket":0}""")
+            })
+            val t0 = System.nanoTime()
+            assert(job.run("db").verify == "SUCCESS")
+            (System.nanoTime() - t0) / 1e9
+          }
+          val a = cycle(srcA, jobA); val b = cycle(srcB, jobB)
+          println(f"[scratch] round $round epochs-off $a%.2f s  epochs-on $b%.2f s")
+        }
+        Seq(rootA, rootB).foreach(r =>
+          org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(r)))
+      }
       else if (q == "q78_stage_probe") {
         // piecewise q78: which stage moved (r10 bench 7.3 s vs r9 4.1 s)
         import org.apache.spark.sql.functions._

@@ -252,7 +252,6 @@ object TextAnalysis {
   def bm25TopK(docs: DataFrame, textCol: String, idCol: String,
                queries: Seq[(Long, String)], k: Int = 10,
                k1: Double = 1.2, b: Double = 0.75, nSalts: Int = 16): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val allTerms = queries.flatMap(_._2.toLowerCase.trim.split(" +")).distinct
     val d = docs.select(col(idCol).as("doc"), tokens(col(textCol)).as("tk"))

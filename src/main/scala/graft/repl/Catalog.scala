@@ -334,14 +334,17 @@ final case class DbCatalog(spark: SparkSession, root: String,
             if (!fs.rename(st.getPath, lp))
               throw new IllegalStateException(
                 s"partition backup restore failed for $db.$table/${st.getPath.getName}")
-          } else fs.delete(st.getPath, true)
+          } // else: completed swap — leave for the stash sweep below
         }
-        fs.delete(bak, true)
+        // remaining bak dirs are a COMPLETED swap's pre-images (crash hit
+        // between the swap loop and the stash/cleanup) — epoch mode must
+        // stash them, not drop them
+        stashPartsOrDelete(db, table, bak, Nil)
       case None =>
         if (!fs.exists(live)) {
           if (!fs.rename(bak, live))
             throw new IllegalStateException(s"backup restore failed for $db.$table")
-        } else fs.delete(bak, true)
+        } else stashOrDelete(db, table, bak) // completed swap's pre-image
     }
   }
 

@@ -129,6 +129,47 @@ class DbEpochSpec extends SparkSpec {
     assert(rows(epochs.pin().readTable("t")) == Set(1L -> "v2"))
   }
 
+  test("crash after a completed swap: repairTable stashes the backup, not drops it") {
+    val cat = DbCatalog(spark, tmp("repair"), epochMode = true)
+    cat.createDb("db")
+    cat.writeTable("db", "t", kv(1L -> "old"))
+    val epochs = DbEpochs(spark, cat, "db")
+    epochs.commit(1L)
+    val pinned = epochs.pin()
+    // manufacture the window: swap COMPLETED (live = merged), bak = the
+    // pre-image, crash hit before the stash/cleanup step
+    val dbp = cat.dbPath("db")
+    val fs = dbp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dbp, "t"),
+      new org.apache.hadoop.fs.Path(dbp, "_bak_t")))
+    kv(1L -> "new").write.parquet(new org.apache.hadoop.fs.Path(dbp, "t").toString)
+    cat.repairTable("db", "t") // next load's crash recovery
+    assert(rows(cat.readTable("db", "t")) == Set(1L -> "new"))
+    assert(rows(pinned.readTable("t")) == Set(1L -> "old"),
+      "the completed swap's backup must reach the epoch stash")
+  }
+
+  test("crash between swap renames: repair restores live, the retried merge stashes the pre-image") {
+    val cat = DbCatalog(spark, tmp("midswap"), epochMode = true)
+    cat.createDb("db")
+    cat.writeTable("db", "t", kv(1L -> "old"))
+    val epochs = DbEpochs(spark, cat, "db")
+    epochs.commit(1L)
+    val pinned = epochs.pin()
+    var fired = false
+    CrashHooks.betweenSwapRenames =
+      () => if (!fired) { fired = true; throw new RuntimeException("injected crash") }
+    try intercept[RuntimeException] {
+      cat.mergeDml("db", "t", kv(1L -> "new"), Seq("1").toDF("key"))
+    } finally CrashHooks.betweenSwapRenames = () => ()
+    cat.repairTable("db", "t") // live was mid-swap-missing; restore
+    assert(rows(cat.readTable("db", "t")) == Set(1L -> "old"))
+    cat.mergeDml("db", "t", kv(1L -> "new"), Seq("1").toDF("key")) // retry
+    assert(rows(cat.readTable("db", "t")) == Set(1L -> "new"))
+    assert(rows(pinned.readTable("t")) == Set(1L -> "old"),
+      "the retried merge must stash the restored pre-image")
+  }
+
   test("end-to-end: a verified replication cycle publishes one epoch") {
     val root = tmp("e2e")
     val source = DbCatalog(spark, s"$root/src")
