@@ -717,6 +717,18 @@ object BenchScale {
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
         s
       } ++
+      // Index BUILD cost under cells ∝ n, TWO-LEVEL routing
+      // (EmbeddingIndex.assignCellsHier, n·2√k): the scale path for the
+      // stored cell table — its flat comparison row (n·k → ~n² at scaled
+      // cells) runs in the comparison pass. The q86 coarse-quantizer fix
+      // applied to the BUILD; recall price pinned in EmbeddingIndexSpec.
+      row("idx_build_hier")(bestOf2 {
+        import graft.operators.EmbeddingIndex
+        val cent = EmbeddingIndex.seedCentroids(t.embeddings, "embedding",
+          "vec_id", nCells = 16 * scale)
+        EmbeddingIndex.assignCellsHier(t.embeddings, cent, "embedding",
+          "vec_id").count(); ()
+      }) ++
       // Streamed-maintainer COMMIT cost on the DeltaView core: the corpus
       // index is the pre-existing state (bootstrapped untimed), one FIXED
       // ~200-vector novel batch commits. The delta commit writes only the
@@ -775,7 +787,7 @@ object BenchScale {
       row("scd2_commit_delta")(scd2CommitRow(dir, snapshot = false))
     }
 
-    def comparisonAt(dir: String): Seq[(String, Double)] = {
+    def comparisonAt(dir: String, scale: Int): Seq[(String, Double)] = {
       val t = Tables(spark, dir)
       val dfCap = Dedup.dfCapFor(t.documents.count())
       def exactPairs() = Dedup.ngramJaccardPairs(
@@ -790,6 +802,15 @@ object BenchScale {
         Pipeline.connectedComponents(exactPairs()).count(); ()
       }) ++
       row("q56_corpus_dedup_exact")(bestOf2 { dedupVia(exactPairs()) }) ++
+      // FLAT index build at cells ∝ n: n·k cosines with k ∝ n — ~n² BY
+      // CONSTRUCTION, the comparison row for idx_build_hier.
+      row("idx_build_flat")(bestOf2 {
+        import graft.operators.EmbeddingIndex
+        val cent = EmbeddingIndex.seedCentroids(t.embeddings, "embedding",
+          "vec_id", nCells = 16 * scale)
+        EmbeddingIndex.assignCells(t.embeddings, cent, "embedding",
+          "vec_id").count(); ()
+      }) ++
       // the snapshot-core maintainer commit: rewrites the full index per
       // trigger — linear BY CONSTRUCTION, the comparison row for
       // idx_commit_delta (see idxCommitRow)
@@ -934,7 +955,9 @@ object BenchScale {
     val passR = dirScales.map { case (d, s) =>
       curDir = d; replAt(d, s).toMap
     }
-    val pass2 = dirs.map { d => curDir = d; comparisonAt(d).toMap }
+    val pass2 = dirScales.map { case (d, s) =>
+      curDir = d; comparisonAt(d, s).toMap
+    }
     val times: Seq[Map[String, Double]] =
       pass1.lazyZip(passR).lazyZip(pass2).map { (a, r, b) => a ++ r ++ b }
 

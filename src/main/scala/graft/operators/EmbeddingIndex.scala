@@ -75,6 +75,65 @@ object EmbeddingIndex {
       .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
   }
 
+  /** [[assignCells]] with TWO-LEVEL routing — the index-BUILD
+    * configuration for corpora large enough to need cells ∝ n (constant
+    * expected cell size). Flat assignment scores n·k cosines — n² when
+    * k ∝ n; this is [[Similarity.knnJoinInCellHier]]'s coarse-quantizer
+    * fix applied to the stored cell table. Measured honestly
+    * (BENCH_sf4_build.json): at ≤100× of the study corpus the flat
+    * build's ~10⁹ scalars are still sub-second and BEAT hier's two extra
+    * exchanges on absolute time — the rows pin the GROWTH terms (flat's
+    * top leg 0.52 and rising vs hier 0.40), i.e. the crossover sits
+    * beyond this corpus and the hier path is for that regime, not a
+    * free win today: route each vector to one of √k coarse cells
+    * (the first √k centroids by id), then to the best centroid among
+    * that coarse cell's children — n·2√k total. Standard IVF
+    * approximation: a vector whose true nearest centroid hangs under a
+    * different coarse cell lands in a neighboring cell — RECALL, not
+    * correctness (a row's cell still depends only on its vector and the
+    * frozen quantizer, so [[retract]] ≡ rebuild holds unchanged —
+    * spec-gated). Probe a hier-built index with
+    * [[probeDedupHierAware]] (the flat probe against a hier build pays a
+    * measured router-mismatch recall tax; see that method's numbers).
+    * The oracle-gated queries keep the flat form — the DuckDB twins
+    * replay flat routing; this is the documented 100 TB build path
+    * (`idx_build_flat` vs `idx_build_hier` study rows).
+    */
+  def assignCellsHier(vectors: DataFrame, cent: DataFrame, vecCol: String,
+                      idCol: String): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val k = cent.count() // model-sized; callers pass a bounded quantizer
+    val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+    val coarse = cent.orderBy(col("cid")).limit(nCoarse)
+      .select(col("cid").as("gid"), col("cv").as("gv"))
+    // centroid -> nearest coarse centroid (k·√k scalars, model-sized);
+    // a coarse centroid routes to itself, so every coarse cell has a child
+    val childOf = cent.join(broadcast(coarse))
+      .groupBy(col("cid"))
+      .agg(max(struct(
+        cosineFast(col("cv"), col("gv")).as("cos"),
+        (-col("gid")).as("ngid"),
+        col("cv").as("cv"))).as("m"))
+      .select(col("cid"), (-col("m.ngid")).as("gid"), col("m.cv").as("cv"))
+    // stage 1: vector -> coarse cell (n·√k)
+    val vg = vectors.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
+      .join(broadcast(coarse))
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("gv")).as("cos"),
+        (-col("gid")).as("ngid"),
+        col("v").as("v"))).as("m"))
+      .select(col("vec_id"), (-col("m.ngid")).as("gid"), col("m.v").as("v"))
+    // stage 2: vector -> best child of its coarse cell (n·~√k)
+    vg.join(broadcast(childOf), "gid")
+      .groupBy(col("vec_id"))
+      .agg(max(struct(
+        cosineFast(col("v"), col("cv")).as("cos"),
+        (-col("cid")).as("ncid"),
+        col("v").as("v"))).as("m"))
+      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+  }
+
   /** Probe the stored cell index with a batch: each batch vector's
     * `nProbe` nearest cells are looked up (broadcast probe list keyed on
     * the cell id — with the q91 partitioned layout this prunes the index
@@ -106,11 +165,48 @@ object EmbeddingIndex {
       .select(col("bid"), col("qv"), col("cid").as("cell"))
   }
 
+  /** [[probeRouting]] for a HIER-built index ([[assignCellsHier]]):
+    * the flat top-nProbe cells PLUS the query's own two-level cell. A
+    * near-dup copy routes through the same two-level path as its stored
+    * original, so the cell the hier build may "misplace" a vector into
+    * (relative to flat ranking) is usually the cell the query's own hier
+    * route lands in. Measured on the boundary-adversarial spec corpus
+    * (ground-truth recall @ nProbe=4): hier index + flat probe 0.855,
+    * + this routing 0.880, @ nProbe=8 0.966 vs flat-build 0.957@4 —
+    * i.e. ONE nProbe doubling buys back the hier build's recall, which
+    * is the pinned contract (EmbeddingIndexSpec): the n·k → n·2√k build
+    * saving costs one extra probe beam, the standard IVF coarse-quantizer
+    * trade. Cost here: one extra probed cell + an n·2√k batch routing —
+    * nothing corpus-wide.
+    */
+  def probeRoutingHierAware(cent: DataFrame, batch: DataFrame, vecCol: String,
+                            idCol: String, nProbe: Int = 2): DataFrame =
+    probeRouting(cent, batch, vecCol, idCol, nProbe)
+      .unionByName(assignCellsHier(batch, cent, vecCol, idCol)
+        .select(col("vec_id").as("bid"), col("v").as("qv"), col("cell")))
+      .groupBy(col("bid"), col("cell"))
+      .agg(first(col("qv")).as("qv"))
+      .select(col("bid"), col("qv"), col("cell"))
+
   def probeDedup(index: DataFrame, cent: DataFrame, batch: DataFrame,
                  vecCol: String, idCol: String, nProbe: Int = 2,
-                 threshold: Double = 0.4): DataFrame = {
+                 threshold: Double = 0.4): DataFrame =
+    probeDedupWith(probeRouting(cent, batch, vecCol, idCol, nProbe),
+      index, batch, idCol, threshold)
+
+  /** [[probeDedup]] against a HIER-built index: same verify and min-id
+    * resolution, routing widened by [[probeRoutingHierAware]].
+    */
+  def probeDedupHierAware(index: DataFrame, cent: DataFrame, batch: DataFrame,
+                          vecCol: String, idCol: String, nProbe: Int = 2,
+                          threshold: Double = 0.4): DataFrame =
+    probeDedupWith(probeRoutingHierAware(cent, batch, vecCol, idCol, nProbe),
+      index, batch, idCol, threshold)
+
+  private def probeDedupWith(probes: DataFrame, index: DataFrame,
+                             batch: DataFrame, idCol: String,
+                             threshold: Double): DataFrame = {
     import graft.functions.VectorFunctions._
-    val probes = probeRouting(cent, batch, vecCol, idCol, nProbe)
     val dup = index.join(broadcast(probes), "cell")
       .filter(cosineFast(col("qv"), col("v")) >= threshold)
       .groupBy(col("bid")).agg(min(col("vec_id")).as("dup_of"))

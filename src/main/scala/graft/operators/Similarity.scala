@@ -358,40 +358,13 @@ object Similarity {
     */
   def knnJoinInCellHier(embs: DataFrame, vecCol: String, idCol: String,
                         nCells: Int = 16): DataFrame = {
-    import graft.functions.VectorFunctions._
+    // same seeding as the flat path; the two-level routing itself is the
+    // shared index-build primitive ([[EmbeddingIndex.assignCellsHier]] —
+    // extracted so the stored cell table and this pair join route
+    // through literally one implementation)
     val cent = embs.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val nCoarse = math.max(1, math.ceil(math.sqrt(nCells.toDouble)).toInt)
-    val coarse = cent.orderBy(col("cid")).limit(nCoarse)
-      .select(col("cid").as("gid"), col("cv").as("gv"))
-    // Route each centroid under its nearest coarse centroid (k·√k scalars,
-    // model-sized). A coarse centroid routes to itself (cos=1, smaller-id
-    // tie), so every coarse cell has at least one child.
-    val childOf = cent.join(broadcast(coarse))
-      .groupBy(col("cid"))
-      .agg(max(struct(
-        cosineFast(col("cv"), col("gv")).as("cos"),
-        (-col("gid")).as("ngid"),
-        col("cv").as("cv"))).as("m"))
-      .select(col("cid"), (-col("m.ngid")).as("gid"), col("m.cv").as("cv"))
-    // Stage 1: vector -> coarse cell (n·√k).
-    val vg = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(coarse))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("gv")).as("cos"),
-        (-col("gid")).as("ngid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ngid")).as("gid"), col("m.v").as("v"))
-    // Stage 2: vector -> best child centroid of its coarse cell (n·~√k).
-    val assigned = vg.join(broadcast(childOf), "gid")
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
-    cellPairJoin(assigned)
+    cellPairJoin(EmbeddingIndex.assignCellsHier(embs, cent, vecCol, idCol))
   }
 
   /** Shared Σ|cell|² nearest-neighbor pair join over an assigned

@@ -33,7 +33,15 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   * quantizer-freeze contract: cell ids stay stable across every version,
   * which is exactly what makes retraction rebuild-equivalent and stored
   * assignments immortal. `cent` must therefore be deterministic across
-  * triggers (a literal frame or a read of a frozen table).
+  * triggers (a literal frame or a read of a frozen table). ROUTER
+  * consistency is part of the same freeze: this maintainer assigns and
+  * probes with the FLAT router ([[EmbeddingIndex.assignCells]]/
+  * [[EmbeddingIndex.probeDedup]]) — an index bootstrapped with the
+  * two-level build ([[EmbeddingIndex.assignCellsHier]], the beyond-100×
+  * regime) must be probed hier-aware
+  * ([[EmbeddingIndex.probeDedupHierAware]]) or it pays the measured
+  * store/probe router-mismatch recall tax (0.855 vs 0.957 @ nProbe=4,
+  * EmbeddingIndexSpec).
   *
   * Exactly-once effect = checkpointed offsets × the idempotent versioned
   * commit (replayed batchIds no-op — including replayed DELETES; crash

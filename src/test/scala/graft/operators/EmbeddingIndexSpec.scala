@@ -62,6 +62,101 @@ class EmbeddingIndexSpec extends SparkSpec {
       .count() == 0)
   }
 
+  /** The two-level index BUILD ([[EmbeddingIndex.assignCellsHier]]):
+    * the contract is OUTCOME-level — ground-truth probe recall on a
+    * hier-built index must hold flat-grade — not assignment identity
+    * (on near-uniform vectors the coarse route legitimately picks a
+    * different argmax; measured ~50 % raw agreement on the synthetic
+    * embeddings, which is why agreement is reported, not pinned).
+    */
+  test("assignCellsHier: deterministic, flat-grade ground-truth recall, frozen-quantizer retract") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260815L)
+    val d = 16; val nCells = 16; val nCorpus = 2000
+    val threshold = 0.8
+    def gauss() = Array.fill(d)(rnd.nextGaussian())
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def mix(a: Array[Double], b: Array[Double], s: Double) =
+      unit(a.zip(b).map { case (x, y) => x + s * y })
+    val centers = Array.fill(nCells)(unit(gauss()))
+    val corpus = (0 until nCorpus).map { i =>
+      (100L + i, mix(centers(i % nCells), gauss(), 0.6))
+    }
+    val batch = corpus.grouped(5).map(_.head).zipWithIndex.map {
+      case ((_, v), j) => (100000L + j, mix(v, gauss(), 0.15))
+    }.toSeq
+    def cos(a: Array[Double], b: Array[Double]) =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val hasMatch = batch.map { case (bid, v) =>
+      bid -> corpus.exists { case (_, w) => cos(v, w) >= threshold }
+    }.toMap
+    val corpusDf = corpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val batchDf = batch.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cent = EmbeddingIndex.seedCentroids(corpusDf, "embedding", "vec_id",
+      nCells)
+    def cellsOf(df: org.apache.spark.sql.DataFrame) =
+      df.select("vec_id", "cell").collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val hier1 = cellsOf(EmbeddingIndex.assignCellsHier(corpusDf, cent,
+      "embedding", "vec_id"))
+    val hier2 = cellsOf(EmbeddingIndex.assignCellsHier(corpusDf, cent,
+      "embedding", "vec_id"))
+    assert(hier1 == hier2, "two-level routing must be bit-deterministic")
+    assert(hier1.size == nCorpus, "every vector must land in a cell")
+
+    def recallWith(probe: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame,
+                           org.apache.spark.sql.DataFrame, String, String, Int,
+                           Double) => org.apache.spark.sql.DataFrame)
+                  (index: org.apache.spark.sql.DataFrame, nProbe: Int): Double = {
+      val found = probe(index, cent, batchDf, "embedding", "vec_id", nProbe,
+          threshold)
+        .filter(!col("is_new")).select("vec_id")
+        .collect().map(_.getLong(0)).toSet
+      val withTruth = hasMatch.filter(_._2).keys.toSeq
+      withTruth.count(found) / withTruth.size.toDouble
+    }
+    val flatIdx = EmbeddingIndex.assignCells(corpusDf, cent, "embedding",
+      "vec_id").cache()
+    val hierIdx = EmbeddingIndex.assignCellsHier(corpusDf, cent, "embedding",
+      "vec_id").cache()
+    val agree = cellsOf(flatIdx).count { case (id, c) => hier1(id) == c }
+    val rf = recallWith(EmbeddingIndex.probeDedup)(flatIdx, 4)
+    // router MISMATCH measured: hier-stored + flat-probed loses recall
+    // (0.855 vs 0.957 on this construction); the hier-aware probe adds
+    // the query's own two-level cell, and nProbe widening buys the rest
+    val rhFlatProbe = recallWith(EmbeddingIndex.probeDedup)(hierIdx, 4)
+    val rh4 = recallWith(EmbeddingIndex.probeDedupHierAware)(hierIdx, 4)
+    val rh8 = recallWith(EmbeddingIndex.probeDedupHierAware)(hierIdx, 8)
+    val rf8 = recallWith(EmbeddingIndex.probeDedup)(flatIdx, 8)
+    flatIdx.unpersist(); hierIdx.unpersist()
+    info(f"agreement $agree/$nCorpus = ${agree.toDouble / nCorpus}%.3f; " +
+      f"ground-truth recall: flat@4 $rf%.3f, hier+flat-probe@4 " +
+      f"$rhFlatProbe%.3f, hier-aware@4 $rh4%.3f, hier-aware@8 $rh8%.3f, " +
+      f"flat@8 $rf8%.3f")
+    assert(rh4 > rhFlatProbe,
+      "the hier-aware probe must beat the mismatched flat probe")
+    assert(rh4 >= 0.85, f"hier-aware@4 recall floor broken: $rh4%.3f")
+    assert(rh8 >= rf - 0.03,
+      f"one nProbe doubling must buy back the hier build's recall: " +
+      f"hier-aware@8 $rh8%.3f vs flat@4 $rf%.3f")
+
+    // frozen-quantizer invariance: retract ≡ rebuild on the hier table
+    val dropIds = corpusDf.filter(col("vec_id") % 7 === 0).select("vec_id")
+    val shrunk = EmbeddingIndex.retract(
+      EmbeddingIndex.assignCellsHier(corpusDf, cent, "embedding", "vec_id"),
+      dropIds)
+    val rebuilt = EmbeddingIndex.assignCellsHier(
+      corpusDf.filter(col("vec_id") % 7 =!= 0), cent, "embedding", "vec_id")
+    assert(shrunk.select("vec_id", "cell").except(
+      rebuilt.select("vec_id", "cell")).count() == 0)
+    assert(rebuilt.select("vec_id", "cell").except(
+      shrunk.select("vec_id", "cell")).count() == 0)
+  }
+
   /** GROUND-TRUTH recall of the nProbe cell routing — not an oracle
     * replay. The oracle gate (q149/q151) recomputes the SAME routing, so
     * a quantizer or nProbe retune that silently drops recall would still
