@@ -98,6 +98,22 @@ object ReplMain {
     (uf.map { kv => val Array(k, v) = kv.split("=", 2); k -> v }.toMap, rest)
   }
 
+  /** Split `targetEpochs=` out of the key=value args — it configures
+    * TARGET construction (DbCatalog epoch mode, db-level read consistency
+    * via [[repl.DbEpochs]]), not [[repl.ReplConfig]].
+    */
+  private[graft] def splitTargetEpochs(kvs: Seq[String]): (Boolean, Seq[String]) = {
+    val (ep, rest) = kvs.partition(_.startsWith("targetEpochs="))
+    val on = ep.lastOption.exists { kv =>
+      val v = kv.split("=", 2)(1).trim
+      try v.toBoolean catch {
+        case _: IllegalArgumentException =>
+          throw new IllegalArgumentException(s"bad value for targetEpochs: '$v'")
+      }
+    }
+    (on, rest)
+  }
+
   def main(args: Array[String]): Unit = {
     if (args.length < 4) {
       System.err.println(
@@ -126,7 +142,12 @@ object ReplMain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val (urlFiles, cfgArgs) = splitUrlFiles(kvArgs)
+    val (urlFiles, cfgArgs0) = splitUrlFiles(kvArgs)
+    val (targetEpochs, cfgArgs) = try splitTargetEpochs(cfgArgs0) catch {
+      case e: IllegalArgumentException =>
+        System.err.println(e.getMessage)
+        spark.stop(); sys.exit(2); throw e // unreachable
+    }
     val (cfg0, props) = try
       parseConfig(ReplConfig(dumpRoot = dumpRoot, dbAllowlist = allow), cfgArgs)
     catch {
@@ -136,7 +157,7 @@ object ReplMain {
           "config keys: includeExternalTables incrRerun rerunSleepMs lockStaleMs " +
           "extCopyParallelism extVerify sourcePathPrefix sweepMaxConcurrent " +
           "autoCompactFactor autoPurge runLogDir user password " +
-          "sourceUrlFile targetUrlFile")
+          "sourceUrlFile targetUrlFile targetEpochs")
         spark.stop(); sys.exit(2); throw e // unreachable
     }
     val cfg = cfg0
@@ -147,6 +168,14 @@ object ReplMain {
         System.err.println(s"$k requires a jdbc: endpoint on that side")
         spark.stop(); sys.exit(2)
       }
+    // epoch mode is the FILE target's consistency mechanism; a JDBC target
+    // already applies each delta as one endpoint transaction (db-level
+    // atomicity from the endpoint) — attaching the knob there would
+    // silently do nothing (validation stance)
+    if (targetEpochs && targetRoot.startsWith("jdbc:")) {
+      System.err.println("targetEpochs requires a directory (file-catalog) target")
+      spark.stop(); sys.exit(2)
+    }
     val source: ReplSource =
       if (src.startsWith("jdbc:")) JdbcSource(spark, src, connProps = props,
         urlProvider = urlFiles.get("sourceUrlFile").map(fileUrlProvider))
@@ -154,7 +183,7 @@ object ReplMain {
     val target: ReplTarget =
       if (targetRoot.startsWith("jdbc:")) JdbcTarget(spark, targetRoot, connProps = props,
         urlProvider = urlFiles.get("targetUrlFile").map(fileUrlProvider))
-      else DbCatalog(spark, targetRoot)
+      else DbCatalog(spark, targetRoot, epochMode = targetEpochs)
     val sweep = Sweep(spark, source, target, dumpRoot, cfg)
     val outcomes = sweep.run(dbArg.split(",").map(_.trim).filter(_.nonEmpty).toSeq)
     // JSON string escaping ([[repl.Json]]): exception messages carry

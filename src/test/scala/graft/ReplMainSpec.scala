@@ -64,4 +64,20 @@ class ReplMainSpec extends AnyFunSuite {
     java.nio.file.Files.writeString(f, "")
     intercept[IllegalArgumentException](provider())
   }
+
+  test("targetEpochs splits out of the config args and validates its value") {
+    assert(ReplMain.splitTargetEpochs(Seq("targetEpochs=true", "incrRerun=3"))
+      == ((true, Seq("incrRerun=3"))))
+    assert(ReplMain.splitTargetEpochs(Seq("incrRerun=3"))
+      == ((false, Seq("incrRerun=3"))))
+    assert(ReplMain.splitTargetEpochs(Seq("targetEpochs=false"))._1 == false)
+    intercept[IllegalArgumentException] {
+      ReplMain.splitTargetEpochs(Seq("targetEpochs=yes"))
+    }
+    // parseConfig never sees (and would refuse) the key
+    intercept[IllegalArgumentException] {
+      ReplMain.parseConfig(repl.ReplConfig(dumpRoot = "/tmp/d"),
+        Seq("targetEpochs=true"))
+    }
+  }
 }
