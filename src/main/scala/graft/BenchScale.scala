@@ -101,6 +101,10 @@ object BenchScale {
       val assigned = EmbeddingIndex.assignCells(e, cent, "embedding", "vec_id")
         .select(col("vec_id").cast("long"), col("cell").cast("long"),
           col("v").cast("array<double>"))
+      // direct bootstrap bypasses the maintainer, so stamp the dir the
+      // way the maintainer's first commit would (flat router + quantizer)
+      EmbeddingIndex.ensureIndexStamp(spark, root, cent,
+        EmbeddingIndex.FlatRouter, stateExists = false)
       if (snapshot)
         graft.util.VersionedView(spark, root).applyBatch(0L)(_ => assigned)
       else
@@ -696,6 +700,8 @@ object BenchScale {
         // would pay the in-batch dominance self-join (~4 min at 100×)
         // whose GC debris then contaminates the timed probe (measured:
         // 10.9 s in-row vs 1.9 s clean-JVM at 100× before this change)
+        EmbeddingIndex.ensureIndexStamp(spark, root, cent,
+          EmbeddingIndex.FlatRouter, stateExists = false)
         graft.util.DeltaView(spark, root, Seq("vec_id"), compactEvery = 1,
             basePartitionCols = Seq("cell"))
           .applyBatch(0L) { _ =>

@@ -47,6 +47,152 @@ import org.apache.spark.sql.functions._
   */
 object EmbeddingIndex {
 
+  /** The routing family a persisted index is BUILT under — and therefore
+    * must be PROBED under. Flat scores n·k cosines per assignment (the
+    * oracle-replayable default); Hier routes two-level at n·2√k (the
+    * cells-∝-n build regime). Store and probe must agree: a hier-built
+    * index probed flat pays the measured router-mismatch recall tax
+    * (0.855 vs 0.957 @ nProbe=4, EmbeddingIndexSpec). Maintainers stamp
+    * the router (with the quantizer digest) into the index directory via
+    * [[ensureIndexStamp]] and the serving probe dispatches FROM the stamp
+    * ([[graft.streaming.EmbeddingDedupStream.probeDelta]]), so the
+    * consistency contract is enforced, not documented.
+    */
+  sealed abstract class Router(val name: String) {
+    def assign(vectors: DataFrame, cent: DataFrame, vecCol: String,
+               idCol: String): DataFrame
+    def routing(cent: DataFrame, batch: DataFrame, vecCol: String,
+                idCol: String, nProbe: Int): DataFrame
+    def probe(index: DataFrame, cent: DataFrame, batch: DataFrame,
+              vecCol: String, idCol: String, nProbe: Int,
+              threshold: Double): DataFrame
+  }
+  case object FlatRouter extends Router("flat") {
+    def assign(vectors: DataFrame, cent: DataFrame, vecCol: String,
+               idCol: String): DataFrame =
+      assignCells(vectors, cent, vecCol, idCol)
+    def routing(cent: DataFrame, batch: DataFrame, vecCol: String,
+                idCol: String, nProbe: Int): DataFrame =
+      probeRouting(cent, batch, vecCol, idCol, nProbe)
+    def probe(index: DataFrame, cent: DataFrame, batch: DataFrame,
+              vecCol: String, idCol: String, nProbe: Int,
+              threshold: Double): DataFrame =
+      probeDedup(index, cent, batch, vecCol, idCol, nProbe, threshold)
+  }
+  case object HierRouter extends Router("hier") {
+    def assign(vectors: DataFrame, cent: DataFrame, vecCol: String,
+               idCol: String): DataFrame =
+      assignCellsHier(vectors, cent, vecCol, idCol)
+    def routing(cent: DataFrame, batch: DataFrame, vecCol: String,
+                idCol: String, nProbe: Int): DataFrame =
+      probeRoutingHierAware(cent, batch, vecCol, idCol, nProbe)
+    def probe(index: DataFrame, cent: DataFrame, batch: DataFrame,
+              vecCol: String, idCol: String, nProbe: Int,
+              threshold: Double): DataFrame =
+      probeDedupHierAware(index, cent, batch, vecCol, idCol, nProbe, threshold)
+  }
+  def routerByName(name: String): Router = name match {
+    case FlatRouter.name => FlatRouter
+    case HierRouter.name => HierRouter
+    case other => throw new IllegalStateException(
+      s"unknown embedding-index router '$other' — stamped by a newer or " +
+      "foreign engine; rebuild required")
+  }
+
+  /** Canonical fingerprint of a frozen quantizer: md5 over (cid, raw IEEE
+    * bits of each component) in cid order — bit-exact, format-independent.
+    * Model-sized collect (the same frame every assignment broadcasts).
+    */
+  def quantizerDigest(cent: DataFrame): String = {
+    val rows = cent.select(col("cid").cast("long"),
+        col("cv").cast("array<double>"))
+      .collect().sortBy(_.getLong(0))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val buf = java.nio.ByteBuffer.allocate(8)
+    def putLong(l: Long): Unit = {
+      buf.clear(); buf.putLong(l); md.update(buf.array())
+    }
+    rows.foreach { r =>
+      putLong(r.getLong(0))
+      r.getSeq[Double](1).foreach(d =>
+        putLong(java.lang.Double.doubleToLongBits(d)))
+    }
+    md.digest().take(8).map("%02x".format(_)).mkString
+  }
+
+  /** What a persisted index directory is stamped with: the router family
+    * AND the frozen quantizer's digest. Either changing invalidates every
+    * stored cell assignment — probes against a re-seeded or re-routed
+    * quantizer return wrong emptiness, not an error, which is exactly the
+    * failure mode [[graft.operators.Dedup.bandingStamp]] closed for LSH
+    * state. Same recipe, embedding modality.
+    */
+  def indexStamp(cent: DataFrame, router: Router): String =
+    s"router=${router.name},quantizer=${quantizerDigest(cent)}"
+
+  /** Validate (or, on a fresh directory, record) the ROUTER stamp of a
+    * persisted cell-index directory. `stateExists` = the caller has
+    * already committed index state there: an EXISTING but unstamped
+    * directory predates the stamp (or was written by a foreign writer)
+    * and fails — its assignments cannot be trusted against the current
+    * quantizer/router. Returns the effective router.
+    */
+  def ensureIndexStamp(spark: org.apache.spark.sql.SparkSession, dir: String,
+                       cent: DataFrame, router: Router,
+                       stateExists: Boolean): Router = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
+    val want = indexStamp(cent, router)
+    graft.util.AtomicPointer.read(conf, p) match {
+      case Some(s) if s == want => router
+      case Some(s) => throw new IllegalStateException(
+        s"embedding-index stamp mismatch, rebuild required: $dir was " +
+        s"built under '$s' but this maintainer is '$want' — a different " +
+        "quantizer or router makes stored cell assignments incomparable " +
+        "(a mismatched probe silently loses recall: 0.855 vs 0.957 " +
+        "@ nProbe=4 measured in EmbeddingIndexSpec)")
+      case None if stateExists => throw new IllegalStateException(
+        s"$dir has committed index state but no ROUTER stamp — built by " +
+        s"a pre-stamp engine or a foreign writer; rebuild required " +
+        s"(engine is '$want')")
+      case None =>
+        graft.util.AtomicPointer.commit(conf, p, want); router
+    }
+  }
+
+  /** The router a persisted index directory was built under, verifying the
+    * caller's quantizer against the stamped digest — the SERVING-side
+    * entry: readers obey the stamp instead of guessing. None = no stamp
+    * (legal only on a never-committed directory; callers pass
+    * `stateExists` to make the distinction loud).
+    */
+  def stampedRouter(spark: org.apache.spark.sql.SparkSession, dir: String,
+                    cent: DataFrame, stateExists: Boolean): Option[Router] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
+    graft.util.AtomicPointer.read(conf, p) match {
+      case Some(s) =>
+        val m = s.split(",", 2) match {
+          case Array(r, q) if r.startsWith("router=") &&
+              q.startsWith("quantizer=") =>
+            (r.stripPrefix("router="), q.stripPrefix("quantizer="))
+          case _ => throw new IllegalStateException(
+            s"$dir/ROUTER is not an embedding-index stamp (got '$s')")
+        }
+        val got = quantizerDigest(cent)
+        if (m._2 != got) throw new IllegalStateException(
+          s"quantizer mismatch on $dir: index built under digest " +
+          s"'${m._2}' but the probe's quantizer is '$got' — probing " +
+          "under a different quantizer returns wrong emptiness; pass the " +
+          "frozen centroids the index was built with, or rebuild")
+        Some(routerByName(m._1))
+      case None if stateExists => throw new IllegalStateException(
+        s"$dir has committed index state but no ROUTER stamp — built by " +
+        "a pre-stamp engine or a foreign writer; rebuild required")
+      case None => None
+    }
+  }
+
   /** First-`nCells` corpus vectors by id order — the deterministic seed
     * quantizer every cell-bounded oracle replays (q51/q74/q91's rule).
     * Production passes [[Similarity.kmeansCentroids]] output instead;
@@ -229,6 +375,105 @@ object EmbeddingIndex {
       embs.filter(isBatch), vecCol, idCol, nProbe, threshold)
   }
 
+  /** Sample-based GROUND-TRUTH estimate of the flat probe's recall at each
+    * candidate `nProbe` — the measurement behind [[tuneNProbe]]. For a
+    * query with at least one true near-dup in the index (exact cosine ≥
+    * `threshold`, brute force — no cells anywhere on the truth side), the
+    * probe finds one iff SOME matching vector's stored cell ranks ≤ nProbe
+    * in the query's centroid ordering; so recall@p = P(min matching-cell
+    * rank ≤ p) over the evaluable queries. This is the standard IVF
+    * nprobe-sweep procedure, run INSIDE the engine on a bounded query
+    * sample, so the recall/cost knob can be chosen against evidence
+    * instead of the default (the operator contract says nProbe=2 is a
+    * THROUGHPUT point — this is the tool that turns that warning into a
+    * number for the caller's own corpus).
+    *
+    * Scale shape: the sampled queries broadcast against the index — the
+    * truth scan is O(|sample| · n) map-side cosines with NO index shuffle
+    * (the index never moves; at 1000 executors it's embarrassingly
+    * parallel and cheaper than one serving batch), the rank window runs on
+    * |sample| · k rows, and every aggregate is map-side combinable.
+    * Sampling is deterministic: the `maxQueries` smallest ids by
+    * `xxhash64(id)` order (id-skew-independent, replayable);
+    * `Int.MaxValue` means "use every query" (the oracle form q157 does,
+    * over a mod-sampled batch, so DuckDB replays the whole computation).
+    *
+    * Returns exact integers `(n_probe, n_hit, n_eval)` — recall is
+    * `n_hit / n_eval` — so the result is bit-comparable at any partition
+    * count (no float aggregation anywhere).
+    *
+    * `excludeSelf` drops index rows whose `vec_id` equals the query's id
+    * (tuning ON corpus members would otherwise score every query's rank-1
+    * cell a hit through its own stored copy).
+    */
+  def estimateProbeRecall(index: DataFrame, cent: DataFrame,
+                          queries: DataFrame, vecCol: String, idCol: String,
+                          nProbes: Seq[Int] = Seq(1, 2, 4, 8),
+                          threshold: Double = 0.4,
+                          maxQueries: Int = 256,
+                          excludeSelf: Boolean = true): DataFrame = {
+    import graft.functions.VectorFunctions._
+    require(nProbes.nonEmpty, "nProbes must be non-empty")
+    val spark = index.sparkSession
+    val base = queries.select(col(idCol).cast("long").as("bid"),
+      col(vecCol).as("qv"))
+    val q = if (maxQueries == Int.MaxValue) base
+            else base.orderBy(xxhash64(col("bid")), col("bid"))
+              .limit(maxQueries)
+    // truth: brute force over the FULL index (queries broadcast, index
+    // never shuffles) — each evaluable query's matching STORED cells
+    val m0 = index.join(broadcast(q),
+      cosineFast(col("qv"), col("v")) >= threshold)
+    val matches = (if (excludeSelf) m0.filter(col("vec_id") =!= col("bid"))
+                   else m0).select(col("bid"), col("cell"))
+    // the query's centroid ranking (|sample| · k rows, model-sized side)
+    val ranks = q.join(broadcast(cent))
+      .select(col("bid"), col("cid"),
+        row_number().over(Window.partitionBy(col("bid"))
+          .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid")))
+          .as("rn"))
+    val mr = matches.join(ranks,
+        matches("bid") === ranks("bid") && col("cell") === col("cid"))
+      .groupBy(matches("bid")).agg(min(col("rn")).as("mr"))
+    import spark.implicits._
+    nProbes.toDF("n_probe").crossJoin(broadcast(mr))
+      .groupBy(col("n_probe"))
+      .agg(sum(when(col("mr") <= col("n_probe"), 1L).otherwise(0L))
+             .cast("long").as("n_hit"),
+           count(lit(1)).as("n_eval"))
+  }
+
+  /** Choose the smallest candidate `nProbe` whose estimated ground-truth
+    * recall ([[estimateProbeRecall]]) meets `targetRecall` — the
+    * recall-TARGETED serving configuration. Falls back to the largest
+    * candidate when none meets the target (the curve is returned so the
+    * caller can see the achieved ceiling and decide: more candidates, a
+    * better quantizer, or accept). Throws when no sampled query has a true
+    * match (nothing to evaluate — raise `maxQueries` or lower
+    * `threshold`). The returned curve is the evidence to record next to
+    * the frozen quantizer; EmbeddingIndexSpec pins this tuner against the
+    * boundary-adversarial corpus' measured curve.
+    */
+  def tuneNProbe(index: DataFrame, cent: DataFrame, queries: DataFrame,
+                 vecCol: String, idCol: String, targetRecall: Double,
+                 candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
+                 threshold: Double = 0.4, maxQueries: Int = 256,
+                 excludeSelf: Boolean = true): (Int, Seq[(Int, Double)]) = {
+    require(candidates.nonEmpty, "candidates must be non-empty")
+    val rows = estimateProbeRecall(index, cent, queries, vecCol, idCol,
+        candidates.distinct.sorted, threshold, maxQueries, excludeSelf)
+      .collect()
+    if (rows.isEmpty) throw new IllegalArgumentException(
+      "tuneNProbe: no sampled query has a true near-dup at threshold " +
+      s"$threshold — raise maxQueries or lower the threshold")
+    val curve = rows.map(r => (r.getInt(0),
+        r.getLong(1).toDouble / r.getLong(2))).toSeq.sortBy(_._1)
+    val chosen = curve.collectFirst {
+      case (p, r) if r >= targetRecall => p
+    }.getOrElse(curve.last._1)
+    (chosen, curve)
+  }
+
   /** Retract vectors from the cell index: remove their rows, quantizer
     * FROZEN (see the object doc — cell ids must stay stable). The result
     * is bit-identical to rebuilding the index from the remaining corpus
@@ -316,6 +561,56 @@ object EmbeddingIndex {
           corpus.filter(col("vec_id") % 7 === 0).select("vec_id"))
         probeDedup(shrunk, cent, embs.filter(isBatch), "embedding", "vec_id")
           .orderBy(col("vec_id"))
-      })
+      }),
+
+    // Recall-targeted serving configuration: the nProbe sweep that
+    // [[tuneNProbe]] runs — brute-force truth over the stored index for a
+    // mod-sampled query set, min matching-cell rank per query, exact
+    // integer (n_hit, n_eval) per candidate nProbe. The oracle recomputes
+    // the whole sweep (assignment, ranks, truth scan) from scratch in
+    // DuckDB — passing proves the engine's estimator measures exactly the
+    // recall its own probe would achieve. The GROUND-TRUTH contract (the
+    // part an oracle replay can't see: that the curve is honest against a
+    // boundary-adversarial corpus and the tuner picks from it correctly)
+    // is pinned in EmbeddingIndexSpec.
+    Query(
+      "q157_nprobe_recall",
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE NOT (vec_id % 10 = 0)
+                ORDER BY vec_id LIMIT 16),
+          ca AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS v,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM embeddings e CROSS JOIN cent c
+                 WHERE NOT (e.vec_id % 10 = 0)),
+          cells AS (SELECT vid, cid AS cell, v FROM ca WHERE rn = 1),
+          q AS (SELECT vec_id AS bid, embedding AS qv FROM embeddings
+                WHERE vec_id % 50 = 0),
+          ranks AS (SELECT q.bid, c.cid,
+                      ROW_NUMBER() OVER (PARTITION BY q.bid
+                        ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                                 c.cid) AS rn
+                    FROM q CROSS JOIN cent c),
+          matches AS (SELECT q.bid, cells.cell FROM q JOIN cells
+                      ON list_cosine_similarity(q.qv::DOUBLE[], cells.v::DOUBLE[]) >= 0.4
+                     AND cells.vid <> q.bid),
+          mr AS (SELECT m.bid, MIN(r.rn) AS mr FROM matches m
+                 JOIN ranks r ON r.bid = m.bid AND r.cid = m.cell
+                 GROUP BY m.bid),
+          p AS (SELECT * FROM (VALUES (1),(2),(4),(8)) AS t(n_probe))
+          SELECT p.n_probe,
+                 CAST(SUM(CASE WHEN mr.mr <= p.n_probe THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+                 CAST(COUNT(*) AS BIGINT) AS n_eval
+          FROM p CROSS JOIN mr GROUP BY 1 ORDER BY 1"""))((spark, dir) => {
+      val e = Tables(spark, dir).embeddings
+      val corpus = e.filter(col("vec_id") % 10 =!= 0)
+      val cent = seedCentroids(corpus, "embedding", "vec_id", nCells = 16)
+      val index = assignCells(corpus, cent, "embedding", "vec_id")
+      estimateProbeRecall(index, cent, e.filter(col("vec_id") % 50 === 0),
+          "embedding", "vec_id", nProbes = Seq(1, 2, 4, 8), threshold = 0.4,
+          maxQueries = Int.MaxValue)
+        .orderBy(col("n_probe"))
+    })
   )
 }

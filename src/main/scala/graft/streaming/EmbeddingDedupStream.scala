@@ -34,14 +34,18 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   * which is exactly what makes retraction rebuild-equivalent and stored
   * assignments immortal. `cent` must therefore be deterministic across
   * triggers (a literal frame or a read of a frozen table). ROUTER
-  * consistency is part of the same freeze: this maintainer assigns and
-  * probes with the FLAT router ([[EmbeddingIndex.assignCells]]/
-  * [[EmbeddingIndex.probeDedup]]) — an index bootstrapped with the
-  * two-level build ([[EmbeddingIndex.assignCellsHier]], the beyond-100×
-  * regime) must be probed hier-aware
-  * ([[EmbeddingIndex.probeDedupHierAware]]) or it pays the measured
-  * store/probe router-mismatch recall tax (0.855 vs 0.957 @ nProbe=4,
-  * EmbeddingIndexSpec).
+  * consistency is part of the same freeze — and both halves are
+  * ENFORCED, not documented: the first commit stamps the index dir with
+  * `router=<flat|hier>,quantizer=<digest>`
+  * ([[EmbeddingIndex.ensureIndexStamp]], the
+  * [[graft.operators.Dedup.bandingStamp]] recipe on the embedding
+  * modality), every later trigger re-validates it (a re-seeded quantizer
+  * or a router flip fails loudly with "rebuild required" instead of
+  * silently losing recall), and [[probeDelta]] DISPATCHES from the stamp
+  * — a hier-built index ([[EmbeddingIndex.assignCellsHier]], the
+  * beyond-100× build regime, `router = HierRouter` here) is probed
+  * hier-aware automatically, never paying the measured store/probe
+  * router-mismatch tax (0.855 vs 0.957 @ nProbe=4, EmbeddingIndexSpec).
   *
   * Exactly-once effect = checkpointed offsets × the idempotent versioned
   * commit (replayed batchIds no-op — including replayed DELETES; crash
@@ -76,11 +80,12 @@ object EmbeddingDedupStream {
     * (callers release via the returned handles; no trigger-to-trigger
     * cache growth).
     */
-  private def prepBatch(cent: DataFrame, batch: DataFrame,
-                        threshold: Double): (DataFrame, DataFrame, DataFrame) = {
+  private def prepBatch(cent: DataFrame, batch: DataFrame, threshold: Double,
+                        router: EmbeddingIndex.Router)
+      : (DataFrame, DataFrame, DataFrame) = {
     import graft.functions.VectorFunctions._
-    val assigned = EmbeddingIndex
-      .assignCells(batch.filter(col("op") === "I")
+    val assigned = router
+      .assign(batch.filter(col("op") === "I")
         .select(col("vec_id"), col("embedding")), cent, "embedding", "vec_id")
       .select(col("vec_id").cast("long"), col("cell").cast("long"),
         col("v").cast("array<double>")).cache()
@@ -104,8 +109,9 @@ object EmbeddingDedupStream {
     */
   private def acceptedAgainst(afterDel: DataFrame, cent: DataFrame,
                               reps: DataFrame, nProbe: Int,
-                              threshold: Double): DataFrame = {
-    val kept = EmbeddingIndex.probeDedup(afterDel, cent,
+                              threshold: Double,
+                              router: EmbeddingIndex.Router): DataFrame = {
+    val kept = router.probe(afterDel, cent,
         reps.select(col("vec_id"), col("v")), "v", "vec_id",
         nProbe, threshold)
       .filter(col("is_new")).select("vec_id")
@@ -119,20 +125,27 @@ object EmbeddingDedupStream {
     */
   def applyBatch(spark: SparkSession, indexDir: String, cent: DataFrame,
                  batch: DataFrame, batchId: Long, nProbe: Int = 2,
-                 threshold: Double = 0.4): Unit = {
+                 threshold: Double = 0.4,
+                 router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter): Unit = {
     val vv = VersionedView(spark, indexDir)
     // replay check FIRST (one pointer read), and cache the batch BEFORE
     // the emptiness probe so the probe job and the commit work share one
     // materialization instead of paying the source lineage twice
-    if (vv.committed.exists(_._1 >= batchId)) return
-    val (assigned, dels, reps) = prepBatch(cent, batch, threshold)
+    val cur = vv.committed
+    if (cur.exists(_._1 >= batchId)) return
+    // quantizer-freeze + router-consistency contract, enforced per trigger
+    // (one model-sized collect): a re-seeded quantizer or a mismatched
+    // router fails loudly here instead of silently losing recall
+    EmbeddingIndex.ensureIndexStamp(spark, indexDir, cent, router,
+      stateExists = cur.nonEmpty)
+    val (assigned, dels, reps) = prepBatch(cent, batch, threshold, router)
     try {
       if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
-      vv.applyBatch(batchId) { cur =>
-        val index = cur.getOrElse(graft.util.Frames.empty(spark, IndexSchema))
+      vv.applyBatch(batchId) { cur2 =>
+        val index = cur2.getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val afterDel = EmbeddingIndex.retract(index, dels)
         afterDel.unionByName(
-          acceptedAgainst(afterDel, cent, reps, nProbe, threshold))
+          acceptedAgainst(afterDel, cent, reps, nProbe, threshold, router))
       }: Unit
     } finally { assigned.unpersist(); dels.unpersist() }
   }
@@ -144,9 +157,9 @@ object EmbeddingDedupStream {
     * as STATIC partition pruning (gated in EmbeddingDedupStreamSpec) — the
     * folded view is never scanned whole on the probe path.
     */
-  private def probedCellIds(cent: DataFrame, queries: DataFrame,
-                            nProbe: Int): Seq[Long] =
-    EmbeddingIndex.probeRouting(cent, queries, "v", "vec_id", nProbe)
+  private def probedCellIds(cent: DataFrame, queries: DataFrame, nProbe: Int,
+                            router: EmbeddingIndex.Router): Seq[Long] =
+    router.routing(cent, queries, "v", "vec_id", nProbe)
       .select(col("cell").cast("long")).distinct()
       .collect().map(_.getLong(0)).toIndexedSeq
 
@@ -166,13 +179,17 @@ object EmbeddingDedupStream {
     */
   def applyBatchDelta(spark: SparkSession, indexDir: String, cent: DataFrame,
                       batch: DataFrame, batchId: Long, nProbe: Int = 2,
-                      threshold: Double = 0.4, compactEvery: Int = 8): Unit = {
+                      threshold: Double = 0.4, compactEvery: Int = 8,
+                      router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter): Unit = {
     val dv = deltaView(spark, indexDir, compactEvery)
-    if (dv.committed.exists(_._1 >= batchId)) return
-    val (assigned, dels, reps) = prepBatch(cent, batch, threshold)
+    val cur0 = dv.committed
+    if (cur0.exists(_._1 >= batchId)) return
+    EmbeddingIndex.ensureIndexStamp(spark, indexDir, cent, router,
+      stateExists = cur0.nonEmpty)
+    val (assigned, dels, reps) = prepBatch(cent, batch, threshold, router)
     try {
       if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
-      val cells = probedCellIds(cent, reps, nProbe)
+      val cells = probedCellIds(cent, reps, nProbe, router)
       dv.applyBatch(batchId) { cur =>
         // the probe's view of the index is (current − this batch's
         // deletes) pruned to the probed cells — the same post-retract
@@ -181,7 +198,7 @@ object EmbeddingDedupStream {
         val index = cur.map(normalize).getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val afterDel = EmbeddingIndex.retract(
           index.filter(col("cell").isin(cells: _*)), dels)
-        val kept = EmbeddingIndex.probeDedup(afterDel, cent,
+        val kept = router.probe(afterDel, cent,
             reps.select(col("vec_id"), col("v")), "v", "vec_id",
             nProbe, threshold)
           .filter(col("is_new")).select("vec_id")
@@ -209,11 +226,18 @@ object EmbeddingDedupStream {
                  threshold: Double = 0.4): DataFrame = {
     val q = queries.select(col("vec_id").cast("long").as("vec_id"),
       col("embedding").cast("array<double>").as("v"))
-    val idx = deltaView(spark, indexDir, compactEvery = 8).read()
-      .map(normalize)
+    val view = deltaView(spark, indexDir, compactEvery = 8).read()
+    // readers OBEY the stamp: the router the index was built under is the
+    // router that probes it (a flat probe of a hier build pays the
+    // measured recall tax), and the quantizer digest must match the
+    // passed centroids — both enforced, not documented
+    val router = EmbeddingIndex
+      .stampedRouter(spark, indexDir, cent, stateExists = view.nonEmpty)
+      .getOrElse(EmbeddingIndex.FlatRouter)
+    val idx = view.map(normalize)
       .getOrElse(graft.util.Frames.empty(spark, IndexSchema))
-    val cells = probedCellIds(cent, q, nProbe)
-    EmbeddingIndex.probeDedup(idx.filter(col("cell").isin(cells: _*)),
+    val cells = probedCellIds(cent, q, nProbe, router)
+    router.probe(idx.filter(col("cell").isin(cells: _*)),
       cent, q, "v", "vec_id", nProbe, threshold)
   }
 
@@ -243,7 +267,9 @@ object EmbeddingDedupStream {
     */
   def dedupStream(changes: DataFrame, cent: DataFrame, indexDir: String,
                   checkpointDir: String, nProbe: Int = 2,
-                  threshold: Double = 0.4): StreamingQuery = {
+                  threshold: Double = 0.4,
+                  router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter)
+      : StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -251,7 +277,8 @@ object EmbeddingDedupStream {
         // no clearCache here: applyBatch releases everything it caches in
         // its own finally, and a session-wide clearCache would evict the
         // CALLER-owned frozen `cent` quantizer every trigger
-        applyBatch(spark, indexDir, cent, batch, batchId, nProbe, threshold)
+        applyBatch(spark, indexDir, cent, batch, batchId, nProbe, threshold,
+          router)
       }
       .start()
   }
@@ -261,14 +288,15 @@ object EmbeddingDedupStream {
     */
   def dedupStreamDelta(changes: DataFrame, cent: DataFrame, indexDir: String,
                        checkpointDir: String, nProbe: Int = 2,
-                       threshold: Double = 0.4,
-                       compactEvery: Int = 8): StreamingQuery = {
+                       threshold: Double = 0.4, compactEvery: Int = 8,
+                       router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter)
+      : StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchDelta(spark, indexDir, cent, batch, batchId, nProbe,
-          threshold, compactEvery)
+          threshold, compactEvery, router)
       }
       .start()
   }

@@ -228,14 +228,129 @@ class EmbeddingIndexSpec extends SparkSpec {
     assert(crossed > 0, "no copy crossed a cell boundary — spec is inert")
 
     val rs = Seq(1, 2, 4, 8).map(p => p -> recallAt(p)).toMap
+
+    // --- the recall ESTIMATOR must measure exactly what the probe
+    // achieves: with the full query sample (disjoint ids, brute force over
+    // the same index) estimateProbeRecall's n_hit/n_eval at each nProbe
+    // equals the ground-truth recall computed above, bit-for-bit on the
+    // integers (hit ⟺ some matching vector's stored cell ranks ≤ p — the
+    // same event probeDedup's candidate join tests)
+    val est = EmbeddingIndex.estimateProbeRecall(index, cent, batchDf,
+        "embedding", "vec_id", nProbes = Seq(1, 2, 4, 8),
+        threshold = threshold, maxQueries = Int.MaxValue)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val nTruth = hasMatch.values.count(identity)
+    Seq(1, 2, 4, 8).foreach { p =>
+      val (hit, eval) = est(p)
+      assert(eval == nTruth.toLong,
+        s"estimator denominator $eval != brute-force truth count $nTruth")
+      assert(hit == math.round(rs(p) * nTruth),
+        s"estimator@$p hit=$hit but the probe actually resolved " +
+        s"${math.round(rs(p) * nTruth)} of $nTruth")
+    }
+
+    // --- the tuner picks FROM that curve: smallest candidate meeting the
+    // target, the largest when the target is unreachable — and its
+    // returned curve is the estimator's
+    val (p95, curve) = EmbeddingIndex.tuneNProbe(index, cent, batchDf,
+      "embedding", "vec_id", targetRecall = 0.95,
+      candidates = Seq(1, 2, 4, 8), threshold = threshold,
+      maxQueries = Int.MaxValue)
+    val wantP95 = Seq(1, 2, 4, 8).find(rs(_) >= 0.95).get
+    assert(p95 == wantP95, s"tuner chose $p95, curve says $wantP95: $curve")
+    assert(curve.map(_._1) == Seq(1, 2, 4, 8))
+    curve.foreach { case (p, r) =>
+      assert(math.abs(r - rs(p)) < 1e-12, s"tuner curve@$p=$r vs probe ${rs(p)}")
+    }
+    val (pMax, _) = EmbeddingIndex.tuneNProbe(index, cent, batchDf,
+      "embedding", "vec_id", targetRecall = 1.01,
+      candidates = Seq(1, 2, 4, 8), threshold = threshold,
+      maxQueries = Int.MaxValue)
+    assert(pMax == 8, "unreachable target must fall back to the largest candidate")
+    val (pLow, _) = EmbeddingIndex.tuneNProbe(index, cent, batchDf,
+      "embedding", "vec_id", targetRecall = 0.5,
+      candidates = Seq(1, 2, 4, 8), threshold = threshold,
+      maxQueries = Int.MaxValue)
+    assert(pLow == 1, "a target under the nProbe=1 floor must choose 1")
+
+    // --- bounded sampling is deterministic and lands near the full curve
+    val s1 = EmbeddingIndex.estimateProbeRecall(index, cent, batchDf,
+        "embedding", "vec_id", nProbes = Seq(4), threshold = threshold,
+        maxQueries = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    val s2 = EmbeddingIndex.estimateProbeRecall(index, cent, batchDf,
+        "embedding", "vec_id", nProbes = Seq(4), threshold = threshold,
+        maxQueries = 64)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).head
+    assert(s1 == s2, "xxhash64 sampling must be deterministic")
+    assert(s1._2 <= 64L && s1._2 > 0L)
+    assert(math.abs(s1._1.toDouble / s1._2 - rs(4)) <= 0.15,
+      s"64-query sample estimate ${s1._1.toDouble / s1._2} far from full ${rs(4)}")
+
+    // --- tuning ON corpus members: a query's own stored copy must not
+    // count as a hit (excludeSelf), or recall@1 degenerates to 1.0
+    val selfIncl = EmbeddingIndex.estimateProbeRecall(index, cent, corpusDf,
+        "embedding", "vec_id", nProbes = Seq(1), threshold = threshold,
+        maxQueries = 128, excludeSelf = false)
+      .collect().head
+    assert(selfIncl.getLong(1) == selfIncl.getLong(2),
+      "with excludeSelf=false every corpus query must hit itself at nProbe=1")
+    val selfExcl = EmbeddingIndex.estimateProbeRecall(index, cent, corpusDf,
+        "embedding", "vec_id", nProbes = Seq(1), threshold = threshold,
+        maxQueries = 128)
+      .collect().head
+    assert(selfExcl.getLong(1) < selfExcl.getLong(2),
+      "excludeSelf must remove the degenerate self-hit")
+
     index.unpersist()
     info("boundary crossings=" + crossed + ", recall by nProbe: " +
-      rs.toSeq.sortBy(_._1).map { case (p, r) => f"$p->$r%.3f" }.mkString(" "))
+      rs.toSeq.sortBy(_._1).map { case (p, r) => f"$p->$r%.3f" }.mkString(" ") +
+      f"; tuner(0.95)=$p95, 64-sample@4=${s1._1.toDouble / s1._2}%.3f")
     assert(rs(1) >= 0.5 && rs(2) >= 0.7 && rs(4) >= 0.85 && rs(8) >= 0.95,
       s"recall curve dropped below its pinned floors: $rs")
     // routing sensitivity: each doubling of nProbe must do real work on
     // this construction — a broken router flattens the curve
     assert(rs(2) > rs(1) && rs(4) > rs(2) && rs(8) > rs(4),
       s"recall not monotone in nProbe: $rs")
+  }
+
+  /** On an EASY corpus (well-separated clusters, mild noise) the tuner
+    * must not over-probe: nProbe=1 already meets a 0.9 target, and paying
+    * more beams there is pure cost — the other half of the
+    * recall-targeted contract (the adversarial corpus above pins the
+    * under-probe half).
+    */
+  test("tuneNProbe does not over-probe an easy corpus") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(20260816L)
+    val d = 16; val nCells = 16
+    def gauss() = Array.fill(d)(rnd.nextGaussian())
+    def unit(v: Array[Double]) = {
+      val n = math.sqrt(v.map(x => x * x).sum); v.map(_ / n)
+    }
+    def mix(a: Array[Double], b: Array[Double], s: Double) =
+      unit(a.zip(b).map { case (x, y) => x + s * y })
+    val centers = Array.fill(nCells)(unit(gauss()))
+    val corpus = (0 until 1200).map { i =>
+      (100L + i, mix(centers(i % nCells), gauss(), 0.05))
+    }
+    val batch = corpus.grouped(5).map(_.head).zipWithIndex.map {
+      case ((_, v), j) => (100000L + j, mix(v, gauss(), 0.05))
+    }.toSeq
+    val corpusDf = corpus.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val batchDf = batch.map { case (id, v) => (id, v.toSeq) }
+      .toDF("vec_id", "embedding")
+    val cent = EmbeddingIndex.seedCentroids(corpusDf, "embedding", "vec_id",
+      nCells)
+    val index = EmbeddingIndex.assignCells(corpusDf, cent, "embedding",
+      "vec_id")
+    val (p, curve) = EmbeddingIndex.tuneNProbe(index, cent, batchDf,
+      "embedding", "vec_id", targetRecall = 0.9,
+      candidates = Seq(1, 2, 4, 8), threshold = 0.8,
+      maxQueries = Int.MaxValue)
+    info("easy-corpus curve: " +
+      curve.map { case (q, r) => f"$q->$r%.3f" }.mkString(" "))
+    assert(p == 1, s"easy corpus should tune to nProbe=1, got $p ($curve)")
   }
 }

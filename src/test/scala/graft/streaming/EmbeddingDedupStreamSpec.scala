@@ -220,6 +220,94 @@ class EmbeddingDedupStreamSpec extends SparkSpec {
         plan.toString.take(2000))
   }
 
+  test("index stamp: quantizer re-seed and router flip fail loudly; pre-stamp state is refused") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds8").toString
+    val idx = s"$dir/index"
+    def batch(rows: (String, Long, Seq[Double])*) =
+      rows.toDF("op", "vec_id", "embedding")
+    EmbeddingDedupStream.applyBatchDelta(spark, idx, centFrame,
+      batch(("I", 2L, e1), ("I", 9L, e2)), 0L)
+    // the first commit stamped the dir with router + quantizer digest
+    val stamp = graft.util.AtomicPointer.read(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(idx, "ROUTER"))
+    assert(stamp.exists(_.startsWith("router=flat,quantizer=")), stamp.toString)
+
+    // a RE-SEEDED quantizer (different centroid vectors) must be refused —
+    // both on the write path and on the serving probe
+    val centB = Seq((0L, e2), (1L, e1), (2L, e4), (3L, e3)).toDF("cid", "cv")
+    val eW = intercept[IllegalStateException] {
+      EmbeddingDedupStream.applyBatchDelta(spark, idx, centB,
+        batch(("I", 30L, e3)), 1L)
+    }
+    assert(eW.getMessage.contains("stamp mismatch"), eW.getMessage)
+    val eP = intercept[IllegalStateException] {
+      EmbeddingDedupStream.probeDelta(spark, idx, centB,
+        Seq((100L, e1close)).toDF("vec_id", "embedding")).collect()
+    }
+    assert(eP.getMessage.contains("quantizer mismatch"), eP.getMessage)
+    // a ROUTER flip under the same quantizer is refused too
+    val eR = intercept[IllegalStateException] {
+      EmbeddingDedupStream.applyBatchDelta(spark, idx, centFrame,
+        batch(("I", 30L, e3)), 1L, router = EmbeddingIndex.HierRouter)
+    }
+    assert(eR.getMessage.contains("stamp mismatch"), eR.getMessage)
+    // the matching quantizer + router still works
+    EmbeddingDedupStream.applyBatchDelta(spark, idx, centFrame,
+      batch(("I", 30L, e3)), 1L)
+    assert(EmbeddingDedupStream.readIndexDelta(spark, idx)
+      .select("vec_id").collect().map(_.getLong(0)).toSet == Set(2L, 9L, 30L))
+
+    // committed state WITHOUT a stamp (a pre-stamp engine or a foreign
+    // writer) is refused rather than trusted
+    val bare = s"$dir/bare"
+    graft.util.DeltaView(spark, bare, Seq("vec_id"),
+        basePartitionCols = Seq("cell"))
+      .applyBatch(0L) { _ =>
+        (Seq((2L, 0L, e1)).toDF("vec_id", "cell", "v"),
+         Seq.empty[Long].toDF("vec_id"))
+      }
+    val eB = intercept[IllegalStateException] {
+      EmbeddingDedupStream.probeDelta(spark, bare, centFrame,
+        Seq((100L, e1close)).toDF("vec_id", "embedding")).collect()
+    }
+    assert(eB.getMessage.contains("no ROUTER stamp"), eB.getMessage)
+  }
+
+  test("a hier-built index is stamped hier and probeDelta dispatches hier-aware from the stamp") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-eds9").toString
+    val idx = s"$dir/index"
+    val embs = graft.Tables(spark, sf()).embeddings
+    val cent = EmbeddingIndex.seedCentroids(embs, "embedding", "vec_id", 16)
+      .cache()
+    EmbeddingDedupStream.applyBatchDelta(spark, idx, cent,
+      embs.filter(col("vec_id") % 3 =!= 2)
+        .select(lit("I").as("op"), col("vec_id"), col("embedding")),
+      0L, router = EmbeddingIndex.HierRouter)
+    val stamp = graft.util.AtomicPointer.read(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(idx, "ROUTER"))
+    assert(stamp.exists(_.startsWith("router=hier,")), stamp.toString)
+    // the maintained assignments ARE the hier build's (not flat's)
+    val got = EmbeddingDedupStream.readIndexDelta(spark, idx)
+    val queries = embs.filter(col("vec_id") % 3 === 2)
+      .select(col("vec_id"), col("embedding"))
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), Option(r.get(1)), r.getBoolean(2)))
+        .toSet
+    // serving dispatches from the stamp: verdicts equal an explicit
+    // hier-aware probe of the same index, NOT the flat probe
+    val served = rows(EmbeddingDedupStream.probeDelta(spark, idx, cent, queries))
+    val wantHier = rows(EmbeddingIndex.probeDedupHierAware(got, cent,
+      queries.select(col("vec_id"), col("embedding").as("v")), "v", "vec_id"))
+    cent.unpersist()
+    assert(served == wantHier,
+      s"served diverged from hier-aware: ${(served diff wantHier).take(5)}")
+    assert(served.exists(!_._3), "no dup verdicts at all — fixture inert")
+  }
+
   test("delta-core stream driver maintains the index end-to-end") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
