@@ -62,6 +62,46 @@ object Bench {
         .take(6).map("%02x".format(_)).mkString
     }
 
+    // DATA-VOLUME companion to the plan fingerprint: per query, the bytes
+    // the final plan's execution shuffled (sum of shuffleBytesWritten over
+    // distinct exchanges), the post-pruning bytes its file scans were fed
+    // (filesSize — what partition pruning + pushdown left to read), and
+    // the exchange count. The fingerprint catches SHAPE changes; this
+    // catches the same-shape regressions — a filter that stopped pruning,
+    // a pre-aggregation that stopped combining — as a round-over-round
+    // byte diff. Scope is the final executed plan (eager internal jobs
+    // like localCheckpoint cadences are timed but not metered here).
+    case class Volume(shuffleMb: Double, scanMb: Double, exchanges: Int)
+    val volumes = scala.collection.mutable.LinkedHashMap[String, Volume]()
+    def volumeOf(df: org.apache.spark.sql.DataFrame): Volume = {
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+      import org.apache.spark.sql.execution.exchange.{ReusedExchangeExec, ShuffleExchangeLike}
+      val seen = java.util.Collections.newSetFromMap(
+        new java.util.IdentityHashMap[SparkPlan, java.lang.Boolean]())
+      var sh = 0L; var scan = 0L; var ex = 0
+      def walk(p: SparkPlan): Unit = {
+        if (!seen.add(p)) return // reused exchanges count once
+        p match {
+          case s: ShuffleExchangeLike =>
+            ex += 1
+            sh += s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
+          case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+            scan += f.metrics.get("filesSize").map(_.value).getOrElse(0L)
+          case _ => ()
+        }
+        val extra = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case r: ReusedExchangeExec => Seq(r.child)
+          case _ => Seq.empty
+        }
+        (p.children ++ extra).foreach(walk)
+      }
+      walk(df.queryExecution.executedPlan)
+      Volume(sh / 1048576.0, scan / 1048576.0, ex)
+    }
+
     // Warm up codegen/JIT/file-index paths so the first timed query does
     // not absorb one-time session costs.
     try { SparkEntry.entry(spark).count() } catch { case _: Throwable => () }
@@ -107,6 +147,9 @@ object Bench {
           try planFps(name) = fingerprint(cdf)
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name fingerprint failed: $e") }
+          try volumes(name) = volumeOf(cdf)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name volume failed: $e") }
         case _ => errors += name
       }
       spark.catalog.clearCache()
@@ -279,6 +322,11 @@ object Bench {
     val planLine = planFps
       .map { case (k, v) => "\"" + k + "\":\"" + v + "\"" }
       .mkString("""{"metric":"plans","fingerprints":{""", ",", "}}")
+    // volume line: artifact-file only, like the plans line
+    val volumeLine = volumes
+      .map { case (k, v) =>
+        f""""$k":{"shuffle_mb":${v.shuffleMb}%.2f,"scan_mb":${v.scanMb}%.2f,"exchanges":${v.exchanges}}""" }
+      .mkString("""{"metric":"volume","queries":{""", ",", "}}")
     println(detailLine)
     println(totalLine)
     // The driver archives only a ~2000-char TAIL of stdout, which truncates
@@ -291,7 +339,8 @@ object Bench {
       .orElse(Some(new java.io.File("BENCH_full_latest.json").getAbsolutePath))
       .filter(_.nonEmpty).foreach { p =>
         try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (detailLine + "\n" + totalLine + "\n" + planLine + "\n").getBytes("UTF-8"))
+          (detailLine + "\n" + totalLine + "\n" + planLine + "\n" +
+           volumeLine + "\n").getBytes("UTF-8"))
         catch { case e: Throwable =>
           System.err.println(s"[bench] artifact write failed: $e") }
       }

@@ -146,6 +146,37 @@ object Scratch {
         }
         org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
       }
+      else if (q == "idx_build_k_probe") {
+        // flat (n·k) vs hier (n·2√k) index-BUILD cost at FIXED n, growing
+        // k — the axis the cells-∝-n layout ties to corpus size (k =
+        // n / cellSize), so the k-crossover measured here maps directly to
+        // the corpus size n* = cellSize · k* where the hier build starts
+        // winning. The BENCH_sf4_build rows pinned the growth terms (flat
+        // leg rising, hier flat) but their corpus tops out before the
+        // crossover; this probe grows k past it at constant n.
+        import org.apache.spark.sql.functions._
+        import graft.operators.EmbeddingIndex
+        val e0 = Tables(spark, dir).embeddings
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "4").toInt
+        val base = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val e = (0 until reps).map(i =>
+            e0.select((col("vec_id") + lit(i.toLong * base)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val n = e.count()
+        for (k <- Seq(64, 256, 1024, 4096); run <- Seq("a", "b")) {
+          val cent = EmbeddingIndex.seedCentroids(e, "embedding", "vec_id", k)
+            .localCheckpoint()
+          t(s"flat n=$n k=$k ($run)") {
+            EmbeddingIndex.assignCells(e, cent, "embedding", "vec_id")
+              .count(); ()
+          }
+          t(s"hier n=$n k=$k ($run)") {
+            EmbeddingIndex.assignCellsHier(e, cent, "embedding", "vec_id")
+              .count(); ()
+          }
+        }
+      }
       else if (q == "epoch_cost_probe") {
         // interleaved A/B: per-cycle cost of a partitioned incremental
         // with db epochs OFF vs ON, alternating so JVM/debris ordering
