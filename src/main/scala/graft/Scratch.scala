@@ -164,7 +164,9 @@ object Scratch {
               col("embedding")))
           .reduce(_ unionByName _).localCheckpoint()
         val n = e.count()
-        for (k <- Seq(64, 256, 1024, 4096); run <- Seq("a", "b")) {
+        val ks = sys.env.getOrElse("SPARK_GRAFT_BUILD_KS", "64,256,1024,4096")
+          .split(",").map(_.trim.toInt).toSeq
+        for (k <- ks; run <- Seq("a", "b")) {
           val cent = EmbeddingIndex.seedCentroids(e, "embedding", "vec_id", k)
             .localCheckpoint()
           t(s"flat n=$n k=$k ($run)") {

@@ -225,13 +225,17 @@ object EmbeddingIndex {
     * configuration for corpora large enough to need cells ∝ n (constant
     * expected cell size). Flat assignment scores n·k cosines — n² when
     * k ∝ n; this is [[Similarity.knnJoinInCellHier]]'s coarse-quantizer
-    * fix applied to the stored cell table. Measured honestly
-    * (BENCH_sf4_build.json): at ≤100× of the study corpus the flat
-    * build's ~10⁹ scalars are still sub-second and BEAT hier's two extra
-    * exchanges on absolute time — the rows pin the GROWTH terms (flat's
-    * top leg 0.52 and rising vs hier 0.40), i.e. the crossover sits
-    * beyond this corpus and the hier path is for that regime, not a
-    * free win today: route each vector to one of √k coarse cells
+    * fix applied to the stored cell table. The crossover is MEASURED,
+    * not asserted (BENCH_k_build.md, fixed n = 512 k vectors, k swept to
+    * 65 536): the flat build's whole-stage-codegen'd argmax scores a
+    * cosine in ~0.6 ns while hier's two stages materialize their n·√k
+    * fan-out rows (≈300× the per-row constant), so flat stays AHEAD
+    * until k* ≈ 1.1×10⁵ cells — n* ≈ 4×10⁷ vectors at dim 64 under the
+    * cells-∝-n layout (dim scales flat's side: at dim 768, n* ≈ 4×10⁶).
+    * Flat is therefore the correct default at every scale this engine's
+    * studies reach; hier is the ≥10⁸-vector configuration (at 10⁹
+    * vectors flat extrapolates to days of core-time vs hier's hours):
+    * route each vector to one of √k coarse cells
     * (the first √k centroids by id), then to the best centroid among
     * that coarse cell's children — n·2√k total. Standard IVF
     * approximation: a vector whose true nearest centroid hangs under a
@@ -411,7 +415,8 @@ object EmbeddingIndex {
                           nProbes: Seq[Int] = Seq(1, 2, 4, 8),
                           threshold: Double = 0.4,
                           maxQueries: Int = 256,
-                          excludeSelf: Boolean = true): DataFrame = {
+                          excludeSelf: Boolean = true,
+                          router: Router = FlatRouter): DataFrame = {
     import graft.functions.VectorFunctions._
     require(nProbes.nonEmpty, "nProbes must be non-empty")
     val spark = index.sparkSession
@@ -421,26 +426,48 @@ object EmbeddingIndex {
             else base.orderBy(xxhash64(col("bid")), col("bid"))
               .limit(maxQueries)
     // truth: brute force over the FULL index (queries broadcast, index
-    // never shuffles) — each evaluable query's matching STORED cells
+    // never shuffles) — each evaluable query's matching STORED cells.
+    // Router-independent: the truth side never routes.
     val m0 = index.join(broadcast(q),
       cosineFast(col("qv"), col("v")) >= threshold)
     val matches = (if (excludeSelf) m0.filter(col("vec_id") =!= col("bid"))
                    else m0).select(col("bid"), col("cell"))
-    // the query's centroid ranking (|sample| · k rows, model-sized side)
-    val ranks = q.join(broadcast(cent))
-      .select(col("bid"), col("cid"),
-        row_number().over(Window.partitionBy(col("bid"))
-          .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid")))
-          .as("rn"))
-    val mr = matches.join(ranks,
-        matches("bid") === ranks("bid") && col("cell") === col("cid"))
-      .groupBy(matches("bid")).agg(min(col("rn")).as("mr"))
-    import spark.implicits._
-    nProbes.toDF("n_probe").crossJoin(broadcast(mr))
-      .groupBy(col("n_probe"))
-      .agg(sum(when(col("mr") <= col("n_probe"), 1L).otherwise(0L))
-             .cast("long").as("n_hit"),
-           count(lit(1)).as("n_eval"))
+    router match {
+      case FlatRouter =>
+        // flat routing is a RANKING, so one window pass scores every
+        // candidate nProbe at once: hit@p ⟺ min matching-cell rank ≤ p
+        val ranks = q.join(broadcast(cent))
+          .select(col("bid"), col("cid"),
+            row_number().over(Window.partitionBy(col("bid"))
+              .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid")))
+              .as("rn"))
+        val mr = matches.join(ranks,
+            matches("bid") === ranks("bid") && col("cell") === col("cid"))
+          .groupBy(matches("bid")).agg(min(col("rn")).as("mr"))
+        import spark.implicits._
+        nProbes.toDF("n_probe").crossJoin(broadcast(mr))
+          .groupBy(col("n_probe"))
+          .agg(sum(when(col("mr") <= col("n_probe"), 1L).otherwise(0L))
+                 .cast("long").as("n_hit"),
+               count(lit(1)).as("n_eval"))
+      case r =>
+        // a general router's probe set is not a prefix of one ranking
+        // (hier-aware adds the query's own two-level cell at every p), so
+        // score each candidate against ITS routing — the exact candidate
+        // join [[probeDedup]]'s family runs, reproduced per p on the
+        // bounded sample
+        val nEval = matches.select(col("bid")).distinct()
+          .agg(count(lit(1)).as("n_eval"))
+        val perP = nProbes.map { p =>
+          val routed = r.routing(cent, q, "qv", "bid", p)
+            .select(col("bid"), col("cell"))
+          matches.join(routed, Seq("bid", "cell"), "left_semi")
+            .select(col("bid")).distinct()
+            .agg(count(lit(1)).cast("long").as("n_hit"))
+            .select(lit(p).as("n_probe"), col("n_hit"))
+        }.reduce(_ unionByName _)
+        perP.crossJoin(broadcast(nEval))
+    }
   }
 
   /** Choose the smallest candidate `nProbe` whose estimated ground-truth
@@ -458,14 +485,17 @@ object EmbeddingIndex {
                  vecCol: String, idCol: String, targetRecall: Double,
                  candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
                  threshold: Double = 0.4, maxQueries: Int = 256,
-                 excludeSelf: Boolean = true): (Int, Seq[(Int, Double)]) = {
+                 excludeSelf: Boolean = true,
+                 router: Router = FlatRouter): (Int, Seq[(Int, Double)]) = {
     require(candidates.nonEmpty, "candidates must be non-empty")
     val rows = estimateProbeRecall(index, cent, queries, vecCol, idCol,
-        candidates.distinct.sorted, threshold, maxQueries, excludeSelf)
+        candidates.distinct.sorted, threshold, maxQueries, excludeSelf,
+        router)
       .collect()
-    if (rows.isEmpty) throw new IllegalArgumentException(
-      "tuneNProbe: no sampled query has a true near-dup at threshold " +
-      s"$threshold — raise maxQueries or lower the threshold")
+    if (rows.isEmpty || rows.forall(_.getLong(2) == 0L))
+      throw new IllegalArgumentException(
+        "tuneNProbe: no sampled query has a true near-dup at threshold " +
+        s"$threshold — raise maxQueries or lower the threshold")
     val curve = rows.map(r => (r.getInt(0),
         r.getLong(1).toDouble / r.getLong(2))).toSeq.sortBy(_._1)
     val chosen = curve.collectFirst {

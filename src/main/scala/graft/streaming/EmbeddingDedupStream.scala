@@ -241,6 +241,33 @@ object EmbeddingDedupStream {
       cent, q, "v", "vec_id", nProbe, threshold)
   }
 
+  /** Recall-targeted nProbe for the CURRENT committed delta-core index —
+    * [[EmbeddingIndex.tuneNProbe]] run against the maintained view under
+    * the router the index is STAMPED with (a hier-built index tunes its
+    * hier-aware routing; a flat index its ranking). The returned curve is
+    * the evidence to record next to the frozen quantizer; the chosen
+    * value feeds [[probeDelta]]/[[dedupStreamDelta]]'s `nProbe`. A
+    * scan-class job (brute-force truth over the index for ≤ `maxQueries`
+    * sampled queries — run once per quantizer freeze or retune review,
+    * not per trigger). `queries` carries `(vec_id, embedding)`.
+    */
+  def tuneProbeDelta(spark: SparkSession, indexDir: String, cent: DataFrame,
+                     queries: DataFrame, targetRecall: Double,
+                     candidates: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
+                     threshold: Double = 0.4,
+                     maxQueries: Int = 256): (Int, Seq[(Int, Double)]) = {
+    val view = deltaView(spark, indexDir, compactEvery = 8).read()
+    val router = EmbeddingIndex
+      .stampedRouter(spark, indexDir, cent, stateExists = view.nonEmpty)
+      .getOrElse(EmbeddingIndex.FlatRouter)
+    val idx = view.map(normalize)
+      .getOrElse(graft.util.Frames.empty(spark, IndexSchema))
+    EmbeddingIndex.tuneNProbe(idx, cent,
+      queries.select(col("vec_id"), col("embedding")), "embedding", "vec_id",
+      targetRecall, candidates, threshold, maxQueries, excludeSelf = true,
+      router = router)
+  }
+
   private def deltaView(spark: SparkSession, indexDir: String,
                         compactEvery: Int): DeltaView =
     DeltaView(spark, indexDir, keyCols = Seq("vec_id"),

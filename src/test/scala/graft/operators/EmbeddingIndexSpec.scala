@@ -132,6 +132,20 @@ class EmbeddingIndexSpec extends SparkSpec {
     val rh4 = recallWith(EmbeddingIndex.probeDedupHierAware)(hierIdx, 4)
     val rh8 = recallWith(EmbeddingIndex.probeDedupHierAware)(hierIdx, 8)
     val rf8 = recallWith(EmbeddingIndex.probeDedup)(flatIdx, 8)
+    // the router-generic recall ESTIMATOR must measure exactly what the
+    // hier-aware probe achieves on the hier-built index (same candidate
+    // join, reproduced per candidate on the sample)
+    val nTruthH = hasMatch.values.count(identity)
+    val estH = EmbeddingIndex.estimateProbeRecall(hierIdx, cent, batchDf,
+        "embedding", "vec_id", nProbes = Seq(4, 8), threshold = threshold,
+        maxQueries = Int.MaxValue, router = EmbeddingIndex.HierRouter)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    Seq(4 -> rh4, 8 -> rh8).foreach { case (p, r) =>
+      assert(estH(p)._2 == nTruthH.toLong, s"hier estimator denominator@$p")
+      assert(estH(p)._1 == math.round(r * nTruthH),
+        s"hier estimator@$p hit=${estH(p)._1} but the hier-aware probe " +
+        s"resolved ${math.round(r * nTruthH)} of $nTruthH")
+    }
     flatIdx.unpersist(); hierIdx.unpersist()
     info(f"agreement $agree/$nCorpus = ${agree.toDouble / nCorpus}%.3f; " +
       f"ground-truth recall: flat@4 $rf%.3f, hier+flat-probe@4 " +

@@ -302,10 +302,22 @@ class EmbeddingDedupStreamSpec extends SparkSpec {
     val served = rows(EmbeddingDedupStream.probeDelta(spark, idx, cent, queries))
     val wantHier = rows(EmbeddingIndex.probeDedupHierAware(got, cent,
       queries.select(col("vec_id"), col("embedding").as("v")), "v", "vec_id"))
-    cent.unpersist()
     assert(served == wantHier,
       s"served diverged from hier-aware: ${(served diff wantHier).take(5)}")
     assert(served.exists(!_._3), "no dup verdicts at all — fixture inert")
+
+    // the serving-side tuner obeys the stamp too: its curve equals a
+    // direct tune of the same view under the HIER router
+    val (pServed, curveServed) = EmbeddingDedupStream.tuneProbeDelta(
+      spark, idx, cent, queries, targetRecall = 0.8,
+      candidates = Seq(1, 2, 4), maxQueries = 128)
+    val (pDirect, curveDirect) = EmbeddingIndex.tuneNProbe(got, cent,
+      queries, "embedding", "vec_id", targetRecall = 0.8,
+      candidates = Seq(1, 2, 4), maxQueries = 128,
+      router = EmbeddingIndex.HierRouter)
+    cent.unpersist()
+    assert(pServed == pDirect && curveServed == curveDirect,
+      s"stamped tuner diverged: $pServed/$curveServed vs $pDirect/$curveDirect")
   }
 
   test("delta-core stream driver maintains the index end-to-end") {
