@@ -5,8 +5,10 @@ import org.apache.spark.sql.SparkSession
 /** Benchmark main. Emits ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
   *
-  * Covers (a) the full query corpus (each timed to first materialization via
-  * count) and (b) the replication engine end-to-end — bootstrap and
+  * Covers (a) the full query corpus (each timed consumption-faithfully —
+  * a checksum over every output column, so column pruning cannot delete
+  * the operator's own work from the timed plan; see util.Consume) and
+  * (b) the replication engine end-to-end — bootstrap and
   * incremental — which is what BASELINE.md actually measures (~36.7 s
   * bootstrap / ~45.5 s incremental on the reference's two-cluster rig).
   */
@@ -126,17 +128,22 @@ object Bench {
       case None => SparkEntry.queries
     }
     corpus.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      // the timed body is count() spelled as groupBy().count().collect()
-      // (identical work), so the executed DataFrame survives for the
-      // fingerprint — taken from the SECOND run's finalized adaptive plan.
-      // The CONSTRUCTION call stays INSIDE the timer: iterative/maintainer
-      // queries do eager work while building (localCheckpoint cadences,
-      // k-means driver loops) — a first draft that hoisted fn() out of
-      // time{} read q155 at 0.17 s vs its honest 8.8 s
+      // the timed body is CONSUMPTION-FAITHFUL: a checksum referencing
+      // every output column (util.Consume), not count() — count() lets
+      // ColumnPruning delete unused result-column work (aggregate
+      // expressions, whole Window computations, argmax structs) so a row
+      // would time the plan count() needs instead of the plan the
+      // operator produces (the round-12 find; BENCH_k_build.md). The
+      // executed 1-row frame survives for the fingerprint — taken from
+      // the SECOND run's finalized adaptive plan. The CONSTRUCTION call
+      // stays INSIDE the timer: iterative/maintainer queries do eager
+      // work while building (localCheckpoint cadences, k-means driver
+      // loops) — a first draft that hoisted fn() out of time{} read q155
+      // at 0.17 s vs its honest 8.8 s
       def once: Option[(Double, org.apache.spark.sql.DataFrame)] =
         try {
           var cdf: org.apache.spark.sql.DataFrame = null
-          val t = time { cdf = fn(spark, sfDir).groupBy().count(); cdf.collect(); () }
+          val t = time { cdf = graft.util.Consume.frame(fn(spark, sfDir)); cdf.collect(); () }
           Some((t, cdf))
         }
         catch { case e: Throwable =>

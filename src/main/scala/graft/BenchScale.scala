@@ -324,7 +324,9 @@ object BenchScale {
               pmod(col("user_id"), lit(50L * scale))).as("key"),
             expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
           .groupBy(col("key"), col("hr")).agg(count(lit(1)).as("cnt"))
-        TimeSeries.rollingZScore(hourly).count(); ()
+        // checksum, not count(): the z-score is withColumn-final, so
+        // count() prunes the whole Window computation out of the plan
+        graft.util.Consume.checksum(TimeSeries.rollingZScore(hourly)); ()
       }) ++
       // Sorted-neighborhood ER: ranks from the sharded prefix scan, then
       // a width-w block equi-join — candidates w·n by construction, so
@@ -402,7 +404,8 @@ object BenchScale {
               pmod(col("user_id"), lit(50L * scale))).as("key"),
             expr("unix_micros(cast(ts as timestamp)) DIV 3600000000").as("hr"))
           .groupBy(col("key"), col("hr")).agg(count(lit(1)).as("cnt"))
-        TimeSeries.seasonalAnomaly(hourly).count(); ()
+        // checksum, not count() — same pruning note as q127 above
+        graft.util.Consume.checksum(TimeSeries.seasonalAnomaly(hourly)); ()
       }) ++
       // Perceptual-hash image dedup end-to-end (decode + transcode the
       // planted copies + hash + banded join + hamming verify): the decode
@@ -728,12 +731,18 @@ object BenchScale {
       // stored cell table — its flat comparison row (n·k → ~n² at scaled
       // cells) runs in the comparison pass. The q86 coarse-quantizer fix
       // applied to the BUILD; recall price pinned in EmbeddingIndexSpec.
+      // CONSUME THE ARGMAX (sum over the chosen cell), never .count():
+      // count() references no aggregate output, so Catalyst's column
+      // pruning deletes the max(struct(cos, …)) — the entire cosine
+      // scoring — from the plan, and the row times an empty-handed
+      // distinct-keys pass (the round-12 find that invalidated the first
+      // BENCH_sf4_build fit; BENCH_k_build.md documents the trap)
       row("idx_build_hier")(bestOf2 {
         import graft.operators.EmbeddingIndex
         val cent = EmbeddingIndex.seedCentroids(t.embeddings, "embedding",
           "vec_id", nCells = 16 * scale)
         EmbeddingIndex.assignCellsHier(t.embeddings, cent, "embedding",
-          "vec_id").count(); ()
+          "vec_id").agg(sum(col("cell"))).head(); ()
       }) ++
       // Streamed-maintainer COMMIT cost on the DeltaView core: the corpus
       // index is the pre-existing state (bootstrapped untimed), one FIXED
@@ -814,8 +823,9 @@ object BenchScale {
         import graft.operators.EmbeddingIndex
         val cent = EmbeddingIndex.seedCentroids(t.embeddings, "embedding",
           "vec_id", nCells = 16 * scale)
+        // sum(cell), not count() — see idx_build_hier's pruning note
         EmbeddingIndex.assignCells(t.embeddings, cent, "embedding",
-          "vec_id").count(); ()
+          "vec_id").agg(sum(col("cell"))).head(); ()
       }) ++
       // the snapshot-core maintainer commit: rewrites the full index per
       // trigger — linear BY CONSTRUCTION, the comparison row for

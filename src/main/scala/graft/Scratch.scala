@@ -169,13 +169,73 @@ object Scratch {
         for (k <- ks; run <- Seq("a", "b")) {
           val cent = EmbeddingIndex.seedCentroids(e, "embedding", "vec_id", k)
             .localCheckpoint()
+          // consume sum(cell), not count(): count() column-prunes the
+          // max(struct(…)) argmax — the entire cosine scoring — out of
+          // the plan (the find BENCH_k_build.md documents)
           t(s"flat n=$n k=$k ($run)") {
             EmbeddingIndex.assignCells(e, cent, "embedding", "vec_id")
-              .count(); ()
+              .agg(sum(col("cell"))).head(); ()
           }
           t(s"hier n=$n k=$k ($run)") {
             EmbeddingIndex.assignCellsHier(e, cent, "embedding", "vec_id")
-              .count(); ()
+              .agg(sum(col("cell"))).head(); ()
+          }
+        }
+      }
+      else if (q == "idx_build_hier_split") {
+        // stage attribution for assignCellsHier at large k: where does the
+        // two-level build's constant live — childOf (k·√k model join +
+        // k-row broadcast), stage-1 coarse routing (n·√k), or stage-2
+        // child argmax (n·(k/√k) fan-out)?
+        import org.apache.spark.sql.functions._
+        import graft.operators.EmbeddingIndex
+        import graft.functions.VectorFunctions._
+        val e0 = Tables(spark, dir).embeddings
+        val reps = sys.env.getOrElse("SPARK_GRAFT_BUILD_REPS", "256").toInt
+        val base = e0.agg(max(col("vec_id"))).head().getLong(0) + 1
+        val e = (0 until reps).map(i =>
+            e0.select((col("vec_id") + lit(i.toLong * base)).as("vec_id"),
+              col("embedding")))
+          .reduce(_ unionByName _).localCheckpoint()
+        val k = sys.env.getOrElse("SPARK_GRAFT_BUILD_K", "65536").toInt
+        val cent = EmbeddingIndex.seedCentroids(e, "embedding", "vec_id", k)
+          .localCheckpoint()
+        val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
+        val coarse = cent.orderBy(col("cid")).limit(nCoarse)
+          .select(col("cid").as("gid"), col("cv").as("gv")).localCheckpoint()
+        for (run <- Seq("a", "b")) {
+          var childOf: org.apache.spark.sql.DataFrame = null
+          t(s"childOf k=$k ($run)") {
+            childOf = cent.join(broadcast(coarse))
+              .groupBy(col("cid"))
+              .agg(max(struct(
+                cosineFast(col("cv"), col("gv")).as("cos"),
+                (-col("gid")).as("ngid"),
+                col("cv").as("cv"))).as("m"))
+              .select(col("cid"), (-col("m.ngid")).as("gid"),
+                col("m.cv").as("cv")).localCheckpoint()
+          }
+          var vg: org.apache.spark.sql.DataFrame = null
+          t(s"stage1 vec->coarse ($run)") {
+            vg = e.select(col("vec_id"), col("embedding").as("v"))
+              .join(broadcast(coarse))
+              .groupBy(col("vec_id"))
+              .agg(max(struct(
+                cosineFast(col("v"), col("gv")).as("cos"),
+                (-col("gid")).as("ngid"),
+                col("v").as("v"))).as("m"))
+              .select(col("vec_id"), (-col("m.ngid")).as("gid"),
+                col("m.v").as("v")).localCheckpoint()
+          }
+          t(s"stage2 child argmax ($run)") {
+            vg.join(broadcast(childOf), "gid")
+              .groupBy(col("vec_id"))
+              .agg(max(struct(
+                cosineFast(col("v"), col("cv")).as("cos"),
+                (-col("cid")).as("ncid"),
+                col("v").as("v"))).as("m"))
+              .select(col("vec_id"), (-col("m.ncid")).as("cell"))
+              .agg(sum(col("cell"))).head(); () // sum, not count: see above
           }
         }
       }

@@ -744,14 +744,11 @@ object Dedup {
     import graft.functions.VectorFunctions._
     val cent = centroids.getOrElse(embs.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    val assigned = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    val embsV = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val assigned = embsV
+      .join(ArgMax.rescoreArgmax(embsV, "vec_id", "v", cent, "cv", "cid",
+        "cell"), "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosineFast(col("a.v"), col("b.v")) >= threshold)

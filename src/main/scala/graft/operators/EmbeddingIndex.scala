@@ -204,21 +204,19 @@ object EmbeddingIndex {
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
 
   /** Nearest-centroid assignment KEEPING the vector — the stored cell
-    * table. Same map-side-combinable `max(struct(cos, -cid, v))` argmax as
-    * [[Similarity.annIvf]] (corpus vectors never shuffle; ties to the
-    * smaller cid).
+    * table. The argmax is [[ArgMax.rescoreArgmax]] (sort-free,
+    * whole-stage codegen; see that object's scaladoc for the
+    * SortAggregate/ENOSPC story) and the vector re-attaches by one
+    * co-partitioned n-row join. Results are bit-identical to the old
+    * struct-max form (ties to the smaller cid) under any partitioning.
     */
   def assignCells(vectors: DataFrame, cent: DataFrame, vecCol: String,
                   idCol: String): DataFrame = {
-    import graft.functions.VectorFunctions._
-    vectors.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    val vin = vectors.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
+    val best = ArgMax.rescoreArgmax(vin, "vec_id", "v", cent, "cv", "cid",
+      "cell")
+    vin.join(best, "vec_id").select(col("vec_id"), col("cell"), col("v"))
   }
 
   /** [[assignCells]] with TWO-LEVEL routing — the index-BUILD
@@ -226,16 +224,17 @@ object EmbeddingIndex {
     * expected cell size). Flat assignment scores n·k cosines — n² when
     * k ∝ n; this is [[Similarity.knnJoinInCellHier]]'s coarse-quantizer
     * fix applied to the stored cell table. The crossover is MEASURED,
-    * not asserted (BENCH_k_build.md, fixed n = 512 k vectors, k swept to
-    * 65 536): the flat build's whole-stage-codegen'd argmax scores a
-    * cosine in ~0.6 ns while hier's two stages materialize their n·√k
-    * fan-out rows (≈300× the per-row constant), so flat stays AHEAD
-    * until k* ≈ 1.1×10⁵ cells — n* ≈ 4×10⁷ vectors at dim 64 under the
-    * cells-∝-n layout (dim scales flat's side: at dim 768, n* ≈ 4×10⁶).
-    * Flat is therefore the correct default at every scale this engine's
-    * studies reach; hier is the ≥10⁸-vector configuration (at 10⁹
-    * vectors flat extrapolates to days of core-time vs hier's hours):
-    * route each vector to one of √k coarse cells
+    * not asserted (BENCH_k_build.md — after round 12 fixed two
+    * measurement bugs that had inverted it: a count() consumption that
+    * PRUNED the argmax out of the timed plan, and the struct-max argmax
+    * itself planning SortAggregate, which ENOSPC'd at the 100× point;
+    * both forms now run the sort-free [[ArgMax.rescoreArgmax]]): flat is
+    * cleanly ∝ k above its floor, hier ∝ √k, crossover k* ≈ 100–150
+    * cells ≈ n* of 40–55 k vectors at dim 64 under the cells-∝-n layout.
+    * THIS is the documented build for cells-∝-n corpora beyond ~30× the
+    * base study corpus (15× faster at 100×, gap widening as √n); the
+    * flat build remains the oracle-replayable form and the right choice
+    * for fixed small k: route each vector to one of √k coarse cells
     * (the first √k centroids by id), then to the best centroid among
     * that coarse cell's children — n·2√k total. Standard IVF
     * approximation: a vector whose true nearest centroid hangs under a
@@ -256,32 +255,25 @@ object EmbeddingIndex {
     val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
     val coarse = cent.orderBy(col("cid")).limit(nCoarse)
       .select(col("cid").as("gid"), col("cv").as("gv"))
+    // every argmax below is the sort-free [[rescoreArgmax]] with the
+    // payload OUTSIDE the aggregates (re-attached by one join at the end)
     // centroid -> nearest coarse centroid (k·√k scalars, model-sized);
     // a coarse centroid routes to itself, so every coarse cell has a child
-    val childOf = cent.join(broadcast(coarse))
-      .groupBy(col("cid"))
-      .agg(max(struct(
-        cosineFast(col("cv"), col("gv")).as("cos"),
-        (-col("gid")).as("ngid"),
-        col("cv").as("cv"))).as("m"))
-      .select(col("cid"), (-col("m.ngid")).as("gid"), col("m.cv").as("cv"))
+    val childBest = ArgMax.rescoreArgmax(cent, "cid", "cv", coarse, "gv",
+      "gid", "_g")
+    val childOf = cent.join(childBest, "cid")
+      .select(col("cid"), col("_g").as("gid"), col("cv"))
+    val vin = vectors.select(col(idCol).cast("long").as("vec_id"),
+      col(vecCol).as("v"))
     // stage 1: vector -> coarse cell (n·√k)
-    val vg = vectors.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(coarse))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("gv")).as("cos"),
-        (-col("gid")).as("ngid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ngid")).as("gid"), col("m.v").as("v"))
-    // stage 2: vector -> best child of its coarse cell (n·~√k)
-    vg.join(broadcast(childOf), "gid")
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    val vgBest = ArgMax.rescoreArgmax(vin, "vec_id", "v", coarse, "gv",
+      "gid", "gid")
+    val vg = vin.join(vgBest, "vec_id")
+    // stage 2: vector -> best child of its coarse cell (n·~√k candidates
+    // via the gid equi-join)
+    val best = ArgMax.rescoreArgmax(vg, "vec_id", "v", childOf, "cv",
+      "cid", "cell", candKey = Some("gid"))
+    vin.join(best, "vec_id").select(col("vec_id"), col("cell"), col("v"))
   }
 
   /** Probe the stored cell index with a batch: each batch vector's

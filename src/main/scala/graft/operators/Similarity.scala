@@ -90,14 +90,13 @@ object Similarity {
       .map(r => r.getLong(0) -> r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()))
       .toMap
     for (_ <- 1 to iters) {
-      val centDf = broadcast(cent.toSeq.sortBy(_._1).toDF("cid", "cv"))
-      val assigned = vecs.join(centDf)
-        .groupBy(col("vec_id"))
-        .agg(max(struct(
-          cosineFast(col("v"), col("cv")).as("cos"),
-          (-col("cid")).as("ncid"),
-          col("v").as("v"))).as("m"))
-        .select((-col("m.ncid")).as("cell"), col("m.v").as("v"))
+      val centDf = cent.toSeq.sortBy(_._1).toDF("cid", "cv")
+      // sort-free argmax (ArgMax.rescoreArgmax; broadcast inside) + an
+      // n-row join-back for the payload — see that object's scaladoc
+      val assigned = vecs.join(
+          ArgMax.rescoreArgmax(vecs, "vec_id", "v", centDf, "cv", "cid",
+            "cell"), "vec_id")
+        .select(col("cell"), col("v"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy(col("cell"), col("pos"))
@@ -136,25 +135,21 @@ object Similarity {
     val mc = matchCol.toSeq
     val cent = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    // Nearest-centroid assignment: argmax cosine, ties to the smaller cid.
-    // max(struct(cos, -cid, v)) is partially aggregatable, so the corpus
-    // never shuffles its vectors — only one candidate struct per group.
-    // `matchCol` (filtered search: a metadata column that must MATCH
-    // between query and corpus — tenant, language, label) rides the
-    // grouping (functionally dependent on the vector id) and then joins
-    // as part of the candidate KEY below: the filter shrinks the
-    // candidate join instead of post-filtering a top-k (which would
-    // silently return < k) or scanning unfiltered cells.
-    val assigned = corpus
+    // Nearest-centroid assignment: argmax cosine, ties to the smaller
+    // cid, via the sort-free ArgMax.rescoreArgmax (see its scaladoc: the
+    // old max(struct(cos, -cid, v)) planned SortAggregate and sorted the
+    // n·k candidate join). `matchCol` (filtered search: a metadata column
+    // that must MATCH between query and corpus — tenant, language, label)
+    // rides the payload frame (functionally dependent on the vector id)
+    // and then joins as part of the candidate KEY below: the filter
+    // shrinks the candidate join instead of post-filtering a top-k (which
+    // would silently return < k) or scanning unfiltered cells.
+    val corpusV = corpus
       .select(col(idCol).as("vec_id") +: col(vecCol).as("v") +: mc.map(col): _*)
-      .join(broadcast(cent))
-      .groupBy(col("vec_id") +: mc.map(col): _*)
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id") +: (-col("m.ncid")).as("cell") +:
-        col("m.v").as("v") +: mc.map(col): _*)
+    val assigned = corpusV
+      .join(ArgMax.rescoreArgmax(corpusV, "vec_id", "v", cent, "cv", "cid",
+        "cell"), "vec_id")
+      .select(col("vec_id") +: col("cell") +: col("v") +: mc.map(col): _*)
     // Probe list: each query's nProbe nearest centroids (query side is small).
     val probes = queries
       .select(col(idCol).as("query_id") +: col(vecCol).as("qv") +: mc.map(col): _*)
@@ -261,15 +256,11 @@ object Similarity {
       // kmeansCentroids' seeding; identical picks on dense ids).
       val cent = corpus.orderBy(col("vec_id")).limit(nCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val assigned = corpus.select(col("vec_id"), col("embedding").as("v"))
-        .join(broadcast(cent))
-        .groupBy(col("vec_id"))
-        .agg(max(struct(
-          cosineFast(col("v"), col("cv")).as("cos"),
-          (-col("cid")).as("ncid"),
-          col("v").as("v"))).as("m"))
-        .select(col("vec_id"), col("m.v").as("v"),
-          (-col("m.ncid")).cast("int").as("cell"))
+      val corpusV = corpus.select(col("vec_id"), col("embedding").as("v"))
+      val assigned = corpusV
+        .join(ArgMax.rescoreArgmax(corpusV, "vec_id", "v", cent, "cv",
+          "cid", "cell"), "vec_id")
+        .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
       // Cluster before the dynamic-partition write: nCells grows with the
       // corpus, so a raw partitionBy here opens tasks × nCells files — the
       // worst instance of the pattern PartitionedWrites exists to bound
@@ -325,14 +316,11 @@ object Similarity {
     import graft.functions.VectorFunctions._
     val cent = embs.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val assigned = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"),
-        col("v").as("v"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"), col("m.v").as("v"))
+    val embsV = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
+    val assigned = embsV
+      .join(ArgMax.rescoreArgmax(embsV, "vec_id", "v", cent, "cv", "cid",
+        "cell"), "vec_id")
+      .select(col("vec_id"), col("cell"), col("v"))
     cellPairJoin(assigned)
   }
 
@@ -679,16 +667,12 @@ object Similarity {
     * assignment.
     */
   def ivfAssignCells(corpus: DataFrame, vecCol: String, idCol: String,
-                     cent: DataFrame): DataFrame = {
-    import graft.functions.VectorFunctions._
-    corpus.select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"))
-  }
+                     cent: DataFrame): DataFrame =
+    ArgMax.rescoreArgmax(
+        corpus.select(col(idCol).cast("long").as("vec_id"),
+          col(vecCol).as("v")),
+        "vec_id", "v", cent, "cv", "cid", "cell")
+      .select(col("vec_id"), col("cell"))
 
   /** Each query's `nProbe` nearest cells under `cent` — [[annIvfPq]]'s
     * probe list, exposed for scope inspection (see [[ivfAssignCells]]).
@@ -716,18 +700,17 @@ object Similarity {
     val cent = ivfSeedCentroids(corpus, vecCol, idCol, nCells)
     // Nearest-centroid assignment (argmax cosine, ties to smaller cid) +
     // residual against the winning centroid + the EXACT original norm.
-    val resid = corpus
+    val vin = corpus
       .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-      .join(broadcast(cent))
-      .groupBy(col("vec_id"))
-      .agg(max(struct(
-        cosineFast(col("v"), col("cv")).as("cos"),
-        (-col("cid")).as("ncid"),
-        col("v").as("v"), col("cv").as("ccv"))).as("m"))
-      .select(col("vec_id"), (-col("m.ncid")).as("cell"),
-        zip_with(col("m.v").cast("array<double>"), col("m.ccv"),
+    val resid = vin
+      .join(ArgMax.rescoreArgmax(vin, "vec_id", "v", cent, "cv", "cid",
+        "cell"), "vec_id")
+      .join(broadcast(cent.select(col("cid").as("cell"),
+        col("cv").as("ccv"))), "cell")
+      .select(col("vec_id"), col("cell"),
+        zip_with(col("v").cast("array<double>"), col("ccv"),
           (a, b) => a - b).as("resid"),
-        norm2(toDense(col("m.v"))).as("vnorm"))
+        norm2(toDense(col("v"))).as("vnorm"))
       .cache()
     val cb = pqCodebooks(resid, "resid", "vec_id", m, nCodes, iters)
     val index = pqEncode(resid, "resid", "vec_id", cb)
