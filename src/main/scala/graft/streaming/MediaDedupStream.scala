@@ -102,7 +102,12 @@ object MediaDedupStream {
     val vv = VersionedView(spark, indexDir)
     // replay check FIRST (one pointer read): a recovered/replayed batch
     // must not pay the emptiness job below just to be skipped inside
-    if (vv.committed.exists(_._1 >= batchId)) return
+    val cur = vv.committed
+    if (cur.exists(_._1 >= batchId)) return
+    // fingerprint-family freeze, enforced per trigger: a hash-family or
+    // band-layout change fails loudly instead of probing wrong emptiness
+    Multimodal.ensureFingerprintStamp(spark, indexDir,
+      stateExists = cur.nonEmpty)
     val (hashes, dels) = splitSigned(batch)
     try {
       if (hashes.isEmpty && dels.isEmpty) return // idle trigger: no commit
@@ -125,7 +130,10 @@ object MediaDedupStream {
                             batch: DataFrame, batchId: Long,
                             maxDist: Int = 3, compactEvery: Int = 8): Unit = {
     val dv = deltaView(spark, indexDir, compactEvery)
-    if (dv.committed.exists(_._1 >= batchId)) return
+    val cur = dv.committed
+    if (cur.exists(_._1 >= batchId)) return
+    Multimodal.ensureFingerprintStamp(spark, indexDir,
+      stateExists = cur.nonEmpty)
     val (hashes, dels) = splitSigned(batch)
     try {
       if (hashes.isEmpty && dels.isEmpty) return // idle trigger: no commit

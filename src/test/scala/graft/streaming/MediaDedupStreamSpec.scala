@@ -206,4 +206,53 @@ class MediaDedupStreamSpec extends SparkSpec {
     assert(ids(MediaDedupStream.readIndexDelta(spark, s"$dir/delta"))
       == Set(2L, 10L))
   }
+
+  test("fingerprint-family stamp: retuned family and pre-stamp state are refused loudly") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-mds9").toString
+    val idx = s"$dir/index"
+    def batch(rows: (Long, Long, Long, Long, Long)*) =
+      rows.map { case (id, b0, b1, b2, b3) => ("I", id, b0, b1, b2, b3) }
+        .toDF("op", "media_id", "b0", "b1", "b2", "b3")
+    MediaDedupStream.applySignedBatchDelta(spark, idx,
+      batch(fp(1L, 50L)), 0L)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val stamp = graft.util.AtomicPointer.read(conf,
+      new org.apache.hadoop.fs.Path(idx, "FPFAMILY"))
+    assert(stamp.contains(graft.operators.Multimodal.fingerprintStamp))
+
+    // a FUTURE family retune (simulated foreign stamp) must refuse both
+    // maintainer cores instead of probing wrong emptiness
+    graft.util.AtomicPointer.commit(conf,
+      new org.apache.hadoop.fs.Path(idx, "FPFAMILY"),
+      "family=phash64,bands=8x8,v=2")
+    val e1 = intercept[IllegalStateException] {
+      MediaDedupStream.applySignedBatchDelta(spark, idx,
+        batch(fp(2L, 60L)), 1L)
+    }
+    assert(e1.getMessage.contains("fingerprint-family mismatch"), e1.getMessage)
+
+    // committed state WITHOUT a stamp (pre-stamp engine / foreign writer)
+    val bare = s"$dir/bare"
+    graft.util.DeltaView(spark, bare, Seq("media_id")).applyBatch(0L) { _ =>
+      (Seq((1L, 50L, 7L, 9L, 11L)).toDF("media_id", "b0", "b1", "b2", "b3"),
+       Seq.empty[Long].toDF("media_id"))
+    }
+    val e2 = intercept[IllegalStateException] {
+      MediaDedupStream.applySignedBatchDelta(spark, bare,
+        batch(fp(2L, 60L)), 1L)
+    }
+    assert(e2.getMessage.contains("no FPFAMILY stamp"), e2.getMessage)
+
+    // snapshot core enforces the same contract
+    val snap = s"$dir/snap"
+    MediaDedupStream.applySignedBatch(spark, snap, batch(fp(1L, 50L)), 0L)
+    graft.util.AtomicPointer.commit(conf,
+      new org.apache.hadoop.fs.Path(snap, "FPFAMILY"),
+      "family=phash64,bands=8x8,v=2")
+    val e3 = intercept[IllegalStateException] {
+      MediaDedupStream.applySignedBatch(spark, snap, batch(fp(2L, 60L)), 1L)
+    }
+    assert(e3.getMessage.contains("fingerprint-family mismatch"), e3.getMessage)
+  }
 }
