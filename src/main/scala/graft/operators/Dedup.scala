@@ -725,10 +725,10 @@ object Dedup {
     * corpus-wide, which is what makes semantic dedup feasible at 100 TB
     * (cf. the SemDeDup recipe: k-means, then within-cluster cosine).
     *
-    * Plan shape: centroid assignment is the same broadcast +
-    * map-side-combinable argmax as [[Similarity.annIvf]] (the corpus's
-    * vectors never shuffle for assignment — `max(struct(cos,-cid,v))`
-    * carries them through partial aggregation), and the within-cell pair
+    * Plan shape: centroid assignment is the same broadcast + sort-free
+    * rescoring argmax as [[Similarity.annIvf]]
+    * ([[ArgMax.rescoreArgmax]] — the corpus's vectors never shuffle for
+    * assignment; the payload re-attaches by an n-row join), and the within-cell pair
     * join is an equi-join on the cell id whose two sides reuse ONE shuffle
     * exchange (Spark's ReuseExchange — the self-join re-reads the same
     * aggregated frame). Default centroids are the first `nCells` vectors so

@@ -115,9 +115,10 @@ object Similarity {
 
   /** IVF-style ANN: partition the corpus into `nCells` Voronoi cells around
     * deterministic centroid vectors, then search only the query's `nProbe`
-    * nearest cells. The scale path complementing [[annLsh]]: assignment is a
-    * map-side-combinable `max(struct(cos, -cid, v))` aggregation (partial
-    * aggregation bounds reducer input to one row per (vec_id) group), the
+    * nearest cells. The scale path complementing [[annLsh]]: assignment is
+    * the sort-free [[ArgMax.rescoreArgmax]] (whole-stage-codegen
+    * HashAggregates; see that object for why struct-max is NOT map-side
+    * combinable in practice — it plans SortAggregate), the
     * centroid table is broadcast everywhere, and the candidate join keys on
     * the cell id — at 100 TB the corpus is scanned once to build the index
     * and each query touches `nProbe / nCells` of the data.
