@@ -57,4 +57,28 @@ private[graft] object ArgMax {
       .filter(cos === col("_mc") || (isnan(cos) && isnan(col("_mc"))))
       .groupBy(col(key)).agg(min(col(idCol2)).as(out))
   }
+
+  /** Generic min-then-rescore ARGMIN: for each group (`keys`) over the
+    * candidate join `left ⋈ broadcast(small)` (equi-keyed on `candKeys`,
+    * cross when empty), the smallest `idCol2` among candidates whose
+    * `score` expression equals the group minimum — the same two
+    * HashAggregates + codegen filter shape as [[rescoreArgmax]], for
+    * score-minimizing selections (PQ code assignment's L2). Ties resolve
+    * to the smallest id; the NaN arm preserves struct-min's ordering
+    * (NaN greatest — an all-NaN group still selects its smallest id).
+    * `score` must reference only columns of the candidate join and be
+    * deterministic (it is evaluated twice; bit-reproducible by
+    * expression-tree identity).
+    */
+  def rescoreArgmin(left: DataFrame, keys: Seq[String], small: DataFrame,
+                    candKeys: Seq[String], score: Column, idCol2: String,
+                    out: String): DataFrame = {
+    def cand(df: DataFrame): DataFrame =
+      if (candKeys.isEmpty) df.join(broadcast(small))
+      else df.join(broadcast(small), candKeys)
+    val ms = cand(left).groupBy(keys.map(col): _*).agg(min(score).as("_ms"))
+    cand(left.join(ms, keys))
+      .filter(score === col("_ms") || (isnan(score) && isnan(col("_ms"))))
+      .groupBy(keys.map(col): _*).agg(min(col(idCol2)).as(out))
+  }
 }

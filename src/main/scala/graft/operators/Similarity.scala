@@ -476,14 +476,18 @@ object Similarity {
       .map(r => (r.getInt(1), codeOf(r.getLong(0))) -> r.getSeq[Double](2).toSeq)
       .toMap
     for (_ <- 1 to iters) {
-      val centDf = broadcast(cent.toSeq.map { case ((j, c), v) => (j, c, v) }
-        .sortBy(t => (t._1, t._2)).toDF("j", "code", "cv"))
+      val centDf = cent.toSeq.map { case ((j, c), v) => (j, c, v) }
+        .sortBy(t => (t._1, t._2)).toDF("j", "code", "cv")
       val d2 = dotd(col("sv"), col("sv")) - lit(2.0) * dotd(col("sv"), col("cv")) +
         dotd(col("cv"), col("cv"))
-      val assigned = slices.join(centDf, "j")
-        .groupBy(col("vec_id"), col("j"))
-        .agg(min(struct(d2.as("d2"), col("code"), col("sv"))).as("m"))
-        .select(col("j"), col("m.code").as("code"), col("m.sv").as("sv"))
+      // sort-free argmin (ArgMax.rescoreArgmin — the old min(struct(d2,
+      // code, sv)) planned SortAggregate and sorted the n·m·nCodes
+      // candidate stream with the sub-vector payload aboard); the
+      // sub-vector re-attaches by one (vec_id, j) join
+      val assigned = slices.join(
+          ArgMax.rescoreArgmin(slices, Seq("vec_id", "j"), centDf,
+            Seq("j"), d2, "code", "code"), Seq("vec_id", "j"))
+        .select(col("j"), col("code"), col("sv"))
       val means = assigned
         .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
         .groupBy(col("j"), col("code"), col("pos"))
@@ -516,16 +520,16 @@ object Similarity {
     val sub = dim / m
     val d2 = dotd(col("sv"), col("sv")) - lit(2.0) * dotd(col("sv"), col("cv")) +
       dotd(col("cv"), col("cv"))
-    val codes = corpus.select(col(idCol).cast("long").as("vec_id"),
+    val slicesDf = corpus.select(col(idCol).cast("long").as("vec_id"),
         explode(array((0 until m).map(j =>
           struct(lit(j).as("j"),
             slice(col(vecCol), j * sub + 1, sub).cast("array<double>").as("sv"))): _*)).as("s"))
       .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-      .join(broadcast(codebooks), "j")
-      .groupBy(col("vec_id"), col("j"))
-      .agg(min(struct(d2.as("d2"), col("code"))).as("m"))
+    // sort-free argmin per (vec_id, j) — see pqCodebooks' note
+    val codes = ArgMax.rescoreArgmin(slicesDf, Seq("vec_id", "j"),
+        codebooks, Seq("j"), d2, "code", "code")
       .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("m.code")))),
+      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
         x => x.getField("code")).as("codes"))
     corpus.select(col(idCol).cast("long").as("vec_id"),
         norm2(toDense(col(vecCol))).as("vnorm"))
