@@ -283,6 +283,12 @@ object Dedup {
       if (hashKeys) spansText.select(col("doc_id"), col("pos"),
         xxhash64(col("span")).as("sk"))
       else spansText.withColumn("sk", col("span"))
+    // min(struct(doc_id, pos)) DOES plan SortAggregate (struct buffer —
+    // the ArgMax.rescoreArgmax story), and is deliberately kept here: the
+    // sorted rows are key-only (sk, doc_id, pos — no payload), the
+    // lexicographic two-field min has no single-column rescore form (the
+    // rescore alternative doubles the span scan AND adds a spans-volume
+    // join), and the q103/q104 study legs hold with the sort in place.
     val stats = spans
       .groupBy(col("sk"))
       .agg(count(lit(1)).as("n_occ"),
