@@ -90,6 +90,15 @@ object Bench {
             sh += s.metrics.get("shuffleBytesWritten").map(_.value).getOrElse(0L)
           case f: org.apache.spark.sql.execution.FileSourceScanExec =>
             scan += f.metrics.get("filesSize").map(_.value).getOrElse(0L)
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            // DSv2 reports no filesSize; take what it exposes so a future
+            // v1→v2 source migration reads as its true scan volume, not a
+            // silent drop to 0 that the VOLUME tripwire would misread
+            scan += b.metrics.get("bytesRead").orElse(b.metrics.get("filesSize"))
+              .map(_.value).getOrElse(0L)
+          case l if l.children.isEmpty && l.nodeName.toLowerCase.contains("scan") =>
+            System.err.println(
+              s"[bench] volume: unrecognized leaf scan ${l.getClass.getSimpleName} — scan_mb undercounts")
           case _ => ()
         }
         val extra = p match {

@@ -731,10 +731,10 @@ object Dedup {
     * corpus-wide, which is what makes semantic dedup feasible at 100 TB
     * (cf. the SemDeDup recipe: k-means, then within-cluster cosine).
     *
-    * Plan shape: centroid assignment is the same broadcast + sort-free
-    * rescoring argmax as [[Similarity.annIvf]]
-    * ([[ArgMax.rescoreArgmax]] — the corpus's vectors never shuffle for
-    * assignment; the payload re-attaches by an n-row join), and the within-cell pair
+    * Plan shape: centroid assignment is the same map-only argmax
+    * projection as [[Similarity.annIvf]]
+    * ([[ArgMax.argmaxCosine]] — the corpus's vectors never shuffle for
+    * assignment; no joins, no aggregates), and the within-cell pair
     * join is an equi-join on the cell id whose two sides reuse ONE shuffle
     * exchange (Spark's ReuseExchange — the self-join re-reads the same
     * aggregated frame). Default centroids are the first `nCells` vectors so
@@ -750,11 +750,9 @@ object Dedup {
     import graft.functions.VectorFunctions._
     val cent = centroids.getOrElse(embs.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv")))
-    val embsV = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val assigned = embsV
-      .join(ArgMax.rescoreArgmax(embsV, "vec_id", "v", cent, "cv", "cid",
-        "cell"), "vec_id")
-      .select(col("vec_id"), col("cell"), col("v"))
+    val m = ArgMax.cosModel(cent, "cv", "cid")
+    val assigned = embs.select(col(idCol).as("vec_id"),
+      ArgMax.argmaxCosine(m, col(vecCol)).as("cell"), col(vecCol).as("v"))
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosineFast(col("a.v"), col("b.v")) >= threshold)

@@ -66,6 +66,12 @@ object EmbeddingIndex {
     def probe(index: DataFrame, cent: DataFrame, batch: DataFrame,
               vecCol: String, idCol: String, nProbe: Int,
               threshold: Double): DataFrame
+    /** Resolve to a concrete routing family for `cent` — identity for the
+      * concrete routers; [[AutoRouter]] picks from the measured crossover.
+      * Maintainers resolve BEFORE stamping, so only concrete names are
+      * ever stamped.
+      */
+    def resolve(cent: DataFrame): Router = this
   }
   case object FlatRouter extends Router("flat") {
     def assign(vectors: DataFrame, cent: DataFrame, vecCol: String,
@@ -91,6 +97,45 @@ object EmbeddingIndex {
               threshold: Double): DataFrame =
       probeDedupHierAware(index, cent, batch, vecCol, idCol, nProbe, threshold)
   }
+  /** Measured flat↔hier build crossover in CELLS (BENCH_k_build.md: flat
+    * assignment ∝ k above its floor, hier ∝ √k; crossover k* ≈ 100–150
+    * cells ≈ 40–55 k vectors at constant expected cell size). Below it
+    * flat's smaller constant wins and stays the oracle-replayable form;
+    * above it flat's n·k build bends toward n² under cells ∝ n
+    * (fitted exp 0.88, legs ~1.1 at 100× — BENCH_sf4_build.json) while
+    * hier holds exp ≈ 0.25.
+    */
+  val AutoRouterCellCrossover = 128
+
+  /** BUILD-TIME router selection from the measured crossover — the
+    * DEFAULT for the streamed maintainers, so a caller bootstrapping a
+    * large index no longer silently gets the exp-0.88 flat build: ≤
+    * [[AutoRouterCellCrossover]] cells resolves to [[FlatRouter]]
+    * (bit-replayable, every oracle's form), above it to [[HierRouter]]
+    * (the n·2√k build; recall price pinned in EmbeddingIndexSpec).
+    * Resolution happens once per maintainer call against the frozen
+    * quantizer (a model-sized count), BEFORE stamping — the stamp then
+    * dispatches every later probe, so an index auto-built hier is probed
+    * hier-aware automatically and a later caller who forces `flat`
+    * against it fails loudly at the stamp. Never itself stamped or
+    * probed: using it unresolved throws.
+    */
+  case object AutoRouter extends Router("auto") {
+    override def resolve(cent: DataFrame): Router =
+      if (cent.count() > AutoRouterCellCrossover) HierRouter else FlatRouter
+    private def unresolved: Nothing = throw new IllegalStateException(
+      "AutoRouter must be resolved against the quantizer (router.resolve" +
+      "(cent)) before assign/routing/probe — maintainers resolve before " +
+      "stamping")
+    def assign(vectors: DataFrame, cent: DataFrame, vecCol: String,
+               idCol: String): DataFrame = unresolved
+    def routing(cent: DataFrame, batch: DataFrame, vecCol: String,
+                idCol: String, nProbe: Int): DataFrame = unresolved
+    def probe(index: DataFrame, cent: DataFrame, batch: DataFrame,
+              vecCol: String, idCol: String, nProbe: Int,
+              threshold: Double): DataFrame = unresolved
+  }
+
   def routerByName(name: String): Router = name match {
     case FlatRouter.name => FlatRouter
     case HierRouter.name => HierRouter
@@ -142,9 +187,12 @@ object EmbeddingIndex {
                        stateExists: Boolean): Router = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
-    val want = indexStamp(cent, router)
+    // AUTO resolves here — against the frozen quantizer, before the stamp
+    // is formed — so only concrete family names are ever stamped
+    val r = router.resolve(cent)
+    val want = indexStamp(cent, r)
     graft.util.AtomicPointer.read(conf, p) match {
-      case Some(s) if s == want => router
+      case Some(s) if s == want => r
       case Some(s) => throw new IllegalStateException(
         s"embedding-index stamp mismatch, rebuild required: $dir was " +
         s"built under '$s' but this maintainer is '$want' — a different " +
@@ -156,7 +204,22 @@ object EmbeddingIndex {
         s"a pre-stamp engine or a foreign writer; rebuild required " +
         s"(engine is '$want')")
       case None =>
-        graft.util.AtomicPointer.commit(conf, p, want); router
+        // CREATE-EXCLUSIVE first commit: two concurrent bootstrappers with
+        // different router/quantizer would otherwise both read None, both
+        // overwrite-stamp, and one would run a full batch under a stamp
+        // that no longer matches (surfacing only at the NEXT trigger).
+        // Exactly one rename wins; the loser validates against the
+        // winner's stamp and fails loudly NOW.
+        if (graft.util.AtomicPointer.commitExclusive(conf, p, want)) r
+        else graft.util.AtomicPointer.read(conf, p) match {
+          case Some(s) if s == want => r
+          case Some(s) => throw new IllegalStateException(
+            s"embedding-index stamp race lost: $dir was concurrently " +
+            s"stamped '$s' but this maintainer is '$want' — rebuild or " +
+            "align the bootstrappers")
+          case None => throw new IllegalStateException(
+            s"$dir/ROUTER vanished during first commit")
+        }
     }
   }
 
@@ -204,19 +267,18 @@ object EmbeddingIndex {
       .select(col(idCol).cast("long").as("cid"), col(vecCol).as("cv"))
 
   /** Nearest-centroid assignment KEEPING the vector — the stored cell
-    * table. The argmax is [[ArgMax.rescoreArgmax]] (sort-free,
-    * whole-stage codegen; see that object's scaladoc for the
-    * SortAggregate/ENOSPC story) and the vector re-attaches by one
-    * co-partitioned n-row join. Results are bit-identical to the old
-    * struct-max form (ties to the smaller cid) under any partitioning.
+    * table. The argmax is one whole-stage-codegen projection over the
+    * collected centroid model ([[ArgMax.argmaxCosine]] — zero joins,
+    * zero shuffles; see that object's scaladoc for why this beats both
+    * `max(struct)` and the rescoring form). Results are bit-identical to
+    * the struct-max form (ties to the smaller cid) under any
+    * partitioning.
     */
   def assignCells(vectors: DataFrame, cent: DataFrame, vecCol: String,
                   idCol: String): DataFrame = {
-    val vin = vectors.select(col(idCol).cast("long").as("vec_id"),
-      col(vecCol).as("v"))
-    val best = ArgMax.rescoreArgmax(vin, "vec_id", "v", cent, "cv", "cid",
-      "cell")
-    vin.join(best, "vec_id").select(col("vec_id"), col("cell"), col("v"))
+    val m = ArgMax.cosModel(cent, "cv", "cid")
+    vectors.select(col(idCol).cast("long").as("vec_id"),
+      ArgMax.argmaxCosine(m, col(vecCol)).as("cell"), col(vecCol).as("v"))
   }
 
   /** [[assignCells]] with TWO-LEVEL routing — the index-BUILD
@@ -228,7 +290,8 @@ object EmbeddingIndex {
     * measurement bugs that had inverted it: a count() consumption that
     * PRUNED the argmax out of the timed plan, and the struct-max argmax
     * itself planning SortAggregate, which ENOSPC'd at the 100× point;
-    * both forms now run the sort-free [[ArgMax.rescoreArgmax]]): flat is
+    * both forms now run the map-only [[ArgMax.argmaxCosine]] projection):
+    * flat is
     * cleanly ∝ k above its floor, hier ∝ √k, crossover k* ≈ 100–150
     * cells ≈ n* of 40–55 k vectors at dim 64 under the cells-∝-n layout.
     * THIS is the documented build for cells-∝-n corpora beyond ~30× the
@@ -250,30 +313,31 @@ object EmbeddingIndex {
     */
   def assignCellsHier(vectors: DataFrame, cent: DataFrame, vecCol: String,
                       idCol: String): DataFrame = {
-    import graft.functions.VectorFunctions._
-    val k = cent.count() // model-sized; callers pass a bounded quantizer
+    // model-sized by contract: the quantizer crosses the driver for its
+    // digest anyway. Sorted by cid = the flat form's orderBy/limit seeding.
+    val centRows = cent
+      .select(col("cid").cast("long"), col("cv").cast("array<double>"))
+      .collect().toSeq
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val k = centRows.length
     val nCoarse = math.max(1, math.ceil(math.sqrt(k.toDouble)).toInt)
-    val coarse = cent.orderBy(col("cid")).limit(nCoarse)
-      .select(col("cid").as("gid"), col("cv").as("gv"))
-    // every argmax below is the sort-free [[rescoreArgmax]] with the
-    // payload OUTSIDE the aggregates (re-attached by one join at the end)
-    // centroid -> nearest coarse centroid (k·√k scalars, model-sized);
-    // a coarse centroid routes to itself, so every coarse cell has a child
-    val childBest = ArgMax.rescoreArgmax(cent, "cid", "cv", coarse, "gv",
-      "gid", "_g")
-    val childOf = cent.join(childBest, "cid")
-      .select(col("cid"), col("_g").as("gid"), col("cv"))
-    val vin = vectors.select(col(idCol).cast("long").as("vec_id"),
+    val coarse = centRows.take(nCoarse)
+    // centroid -> nearest coarse centroid (k·√k scalars, computed on the
+    // driver with the executor loop's exact IEEE op order); a coarse
+    // centroid routes to itself, so every coarse cell has a child
+    val coarseModel = ArgMax.cosModelOf(coarse)
+    val childOf = ArgMax.cosKeyedModelOf(centRows.map { case (cid, cv) =>
+      (ArgMax.argmaxCosineDriver(coarse, cv), cid, cv)
+    })
+    // ONE projection: stage 1 (vector -> coarse cell, n·√k) nests as the
+    // KEY of stage 2 (vector -> best child of that coarse cell, n·~√k) —
+    // the whole two-level routing is a single whole-stage-codegen pass
+    // with no joins, no aggregates, no shuffles.
+    vectors.select(col(idCol).cast("long").as("vec_id"),
+      ArgMax.argmaxCosine(childOf, col(vecCol),
+        key = ArgMax.argmaxCosine(coarseModel, col(vecCol))).as("cell"),
       col(vecCol).as("v"))
-    // stage 1: vector -> coarse cell (n·√k)
-    val vgBest = ArgMax.rescoreArgmax(vin, "vec_id", "v", coarse, "gv",
-      "gid", "gid")
-    val vg = vin.join(vgBest, "vec_id")
-    // stage 2: vector -> best child of its coarse cell (n·~√k candidates
-    // via the gid equi-join)
-    val best = ArgMax.rescoreArgmax(vg, "vec_id", "v", childOf, "cv",
-      "cid", "cell", candKey = Some("gid"))
-    vin.join(best, "vec_id").select(col("vec_id"), col("cell"), col("v"))
   }
 
   /** Probe the stored cell index with a batch: each batch vector's

@@ -20,6 +20,16 @@ import org.apache.spark.sql.functions._
   *    vectors sharing a bucket with the query in ≥1 table; cost is a join
   *    on (table, bucket) — sublinear probing at the price of recall < 1.
   *    The DedupSpec-style recall harness lives in SimilaritySpec.
+  *
+  * Caching contract (the [[Dedup]] header's, restated for this file):
+  * multiply-consumed CORPUS-SIZED intermediates on serving paths
+  * ([[annIvfPq]]'s residual frame, [[annIvfIndexed]]'s probe list) are
+  * eagerly `localCheckpoint()`ed, never `cache()`d — checkpoint blocks
+  * self-release via ContextCleaner when the frame becomes unreachable,
+  * so a long-lived serving session calling these repeatedly pins no
+  * storage (SimilaritySpec "serving calls pin no storage blocks" gates
+  * it). The k-means/PQ TRAINING loops keep `persist(MEMORY_AND_DISK)` +
+  * explicit `unpersist()` in-method, Spark MLlib's own policy.
   */
 object Similarity {
 
@@ -90,13 +100,13 @@ object Similarity {
       .map(r => r.getLong(0) -> r.getSeq[Any](1).map(x => x.asInstanceOf[Number].doubleValue()))
       .toMap
     for (_ <- 1 to iters) {
-      val centDf = cent.toSeq.sortBy(_._1).toDF("cid", "cv")
-      // sort-free argmax (ArgMax.rescoreArgmax; broadcast inside) + an
-      // n-row join-back for the payload — see that object's scaladoc
-      val assigned = vecs.join(
-          ArgMax.rescoreArgmax(vecs, "vec_id", "v", centDf, "cv", "cid",
-            "cell"), "vec_id")
-        .select(col("cell"), col("v"))
+      // map-only argmax over the driver-resident centroid model (the loop
+      // state IS a driver map) — each Lloyd round is one fused scan + one
+      // partially-aggregated shuffle of (cell, pos) scalars, no joins
+      val m = ArgMax.cosModelOf(
+        cent.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) })
+      val assigned = vecs.select(
+        ArgMax.argmaxCosine(m, col("v")).as("cell"), col("v"))
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy(col("cell"), col("pos"))
@@ -137,20 +147,18 @@ object Similarity {
     val cent = centroids.getOrElse(corpus.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv")))
     // Nearest-centroid assignment: argmax cosine, ties to the smaller
-    // cid, via the sort-free ArgMax.rescoreArgmax (see its scaladoc: the
-    // old max(struct(cos, -cid, v)) planned SortAggregate and sorted the
-    // n·k candidate join). `matchCol` (filtered search: a metadata column
-    // that must MATCH between query and corpus — tenant, language, label)
-    // rides the payload frame (functionally dependent on the vector id)
-    // and then joins as part of the candidate KEY below: the filter
-    // shrinks the candidate join instead of post-filtering a top-k (which
-    // would silently return < k) or scanning unfiltered cells.
-    val corpusV = corpus
-      .select(col(idCol).as("vec_id") +: col(vecCol).as("v") +: mc.map(col): _*)
-    val assigned = corpusV
-      .join(ArgMax.rescoreArgmax(corpusV, "vec_id", "v", cent, "cv", "cid",
-        "cell"), "vec_id")
-      .select(col("vec_id") +: col("cell") +: col("v") +: mc.map(col): _*)
+    // cid, as ONE map-only projection over the collected centroid model
+    // (ArgMax.argmaxCosine — see its scaladoc for why this beats both
+    // max(struct) and the join+rescore form). `matchCol` (filtered
+    // search: a metadata column that must MATCH between query and
+    // corpus — tenant, language, label) rides the row and then joins as
+    // part of the candidate KEY below: the filter shrinks the candidate
+    // join instead of post-filtering a top-k (which would silently
+    // return < k) or scanning unfiltered cells.
+    val am = ArgMax.cosModel(cent, "cv", "cid")
+    val assigned = corpus.select(col(idCol).as("vec_id") +:
+      ArgMax.argmaxCosine(am, col(vecCol)).as("cell") +:
+      col(vecCol).as("v") +: mc.map(col): _*)
     // Probe list: each query's nProbe nearest centroids (query side is small).
     val probes = queries
       .select(col(idCol).as("query_id") +: col(vecCol).as("qv") +: mc.map(col): _*)
@@ -257,11 +265,10 @@ object Similarity {
       // kmeansCentroids' seeding; identical picks on dense ids).
       val cent = corpus.orderBy(col("vec_id")).limit(nCells)
         .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-      val corpusV = corpus.select(col("vec_id"), col("embedding").as("v"))
-      val assigned = corpusV
-        .join(ArgMax.rescoreArgmax(corpusV, "vec_id", "v", cent, "cv",
-          "cid", "cell"), "vec_id")
-        .select(col("vec_id"), col("v"), col("cell").cast("int").as("cell"))
+      val im = ArgMax.cosModel(cent, "cv", "cid")
+      val assigned = corpus.select(col("vec_id"),
+        col("embedding").as("v"),
+        ArgMax.argmaxCosine(im, col("embedding")).cast("int").as("cell"))
       // Cluster before the dynamic-partition write: nCells grows with the
       // corpus, so a raw partitionBy here opens tasks × nCells files — the
       // worst instance of the pattern PartitionedWrites exists to bound
@@ -286,7 +293,11 @@ object Similarity {
           .orderBy(cosineFast(col("qv"), col("cv")).desc, col("cid"))))
       .filter(col("rn") <= nProbe)
       .select(col("query_id"), col("qv"), col("cid").cast("int").as("cell"))
-      .cache()
+      // eager localCheckpoint, not .cache(): the probe list feeds the
+      // control-plane collect below AND the candidate join; checkpoint
+      // blocks self-release (ContextCleaner) so a serving session calling
+      // this repeatedly pins nothing — see the header's caching contract
+      .localCheckpoint()
     // control-plane round-trip: ≤ nCells ints prune the partitioned scan
     val probedCells = probes.select(col("cell")).distinct()
       .collect().map(_.getInt(0)).toIndexedSeq
@@ -317,12 +328,9 @@ object Similarity {
     import graft.functions.VectorFunctions._
     val cent = embs.orderBy(col(idCol)).limit(nCells)
       .select(col(idCol).as("cid"), col(vecCol).as("cv"))
-    val embsV = embs.select(col(idCol).as("vec_id"), col(vecCol).as("v"))
-    val assigned = embsV
-      .join(ArgMax.rescoreArgmax(embsV, "vec_id", "v", cent, "cv", "cid",
-        "cell"), "vec_id")
-      .select(col("vec_id"), col("cell"), col("v"))
-    cellPairJoin(assigned)
+    val m = ArgMax.cosModel(cent, "cv", "cid")
+    cellPairJoin(embs.select(col(idCol).as("vec_id"),
+      ArgMax.argmaxCosine(m, col(vecCol)).as("cell"), col(vecCol).as("v")))
   }
 
   /** [[knnJoinInCell]] with TWO-LEVEL cell assignment — the configuration a
@@ -476,18 +484,16 @@ object Similarity {
       .map(r => (r.getInt(1), codeOf(r.getLong(0))) -> r.getSeq[Double](2).toSeq)
       .toMap
     for (_ <- 1 to iters) {
-      val centDf = cent.toSeq.map { case ((j, c), v) => (j, c, v) }
-        .sortBy(t => (t._1, t._2)).toDF("j", "code", "cv")
-      val d2 = dotd(col("sv"), col("sv")) - lit(2.0) * dotd(col("sv"), col("cv")) +
-        dotd(col("cv"), col("cv"))
-      // sort-free argmin (ArgMax.rescoreArgmin — the old min(struct(d2,
-      // code, sv)) planned SortAggregate and sorted the n·m·nCodes
-      // candidate stream with the sub-vector payload aboard); the
-      // sub-vector re-attaches by one (vec_id, j) join
-      val assigned = slices.join(
-          ArgMax.rescoreArgmin(slices, Seq("vec_id", "j"), centDf,
-            Seq("j"), d2, "code", "code"), Seq("vec_id", "j"))
-        .select(col("j"), col("code"), col("sv"))
+      // map-only keyed argmin over the driver-resident codebooks (the
+      // loop state IS a driver map — the old min(struct(d2, code, sv))
+      // planned SortAggregate over the n·m·nCodes candidate stream with
+      // the sub-vector payload aboard; see ArgMax's scaladoc)
+      val m0 = ArgMax.l2ModelOf(cent.toSeq
+        .map { case ((j, c), v) => (j.toLong, c.toLong, v.toArray) }
+        .sortBy(t => (t._1, t._2)))
+      val assigned = slices.select(col("j"),
+        ArgMax.argminL2(m0, col("sv"), key = col("j")).cast("int").as("code"),
+        col("sv"))
       val means = assigned
         .select(col("j"), col("code"), posexplode(col("sv")).as(Seq("pos", "val")))
         .groupBy(col("j"), col("code"), col("pos"))
@@ -515,25 +521,13 @@ object Similarity {
   def pqEncode(corpus: DataFrame, vecCol: String, idCol: String,
                codebooks: DataFrame): DataFrame = {
     import graft.functions.VectorFunctions._
-    val m = codebooks.agg(max(col("j"))).head().getInt(0) + 1
-    val dim = corpus.select(size(col(vecCol))).head().getInt(0)
-    val sub = dim / m
-    val d2 = dotd(col("sv"), col("sv")) - lit(2.0) * dotd(col("sv"), col("cv")) +
-      dotd(col("cv"), col("cv"))
-    val slicesDf = corpus.select(col(idCol).cast("long").as("vec_id"),
-        explode(array((0 until m).map(j =>
-          struct(lit(j).as("j"),
-            slice(col(vecCol), j * sub + 1, sub).cast("array<double>").as("sv"))): _*)).as("s"))
-      .select(col("vec_id"), col("s.j").as("j"), col("s.sv").as("sv"))
-    // sort-free argmin per (vec_id, j) — see pqCodebooks' note
-    val codes = ArgMax.rescoreArgmin(slicesDf, Seq("vec_id", "j"),
-        codebooks, Seq("j"), d2, "code", "code")
-      .groupBy(col("vec_id"))
-      .agg(transform(array_sort(collect_list(struct(col("j"), col("code")))),
-        x => x.getField("code")).as("codes"))
+    // all m per-subspace argmins fused into ONE projection over the
+    // collected codebooks (ArgMax.pqCodes): no explode fan-out, no
+    // shuffle, no join — encoding is a single pass over the corpus
+    val m = ArgMax.l2Model(codebooks, "cv", "code", keyCol = Some("j"))
     corpus.select(col(idCol).cast("long").as("vec_id"),
-        norm2(toDense(col(vecCol))).as("vnorm"))
-      .join(codes, "vec_id")
+      norm2(toDense(col(vecCol))).as("vnorm"),
+      ArgMax.pqCodes(m, col(vecCol)).as("codes"))
   }
 
   /** PQ ANN: asymmetric-distance shortlist over the code index, then an
@@ -588,12 +582,17 @@ object Similarity {
     pd.join(qn, "query_id")
   }
 
-  /** The m ADC table lookups for a `codes` row against the joined `pd`. */
-  private def adcSum(m: Int): Column =
-    aggregate(
-      zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
-        (c, j) => element_at(element_at(col("pd"), j + 1), c + 1)),
-      lit(0.0), (acc, x) => acc + x)
+  /** The m ADC table lookups for a `codes` row against the joined `pd` —
+    * the codegen'd [[graft.functions.AdcSum]] (the composed triple-HOF
+    * form was interpreted per element on the n·|queries| hot path; same
+    * fold order, bit-identical sum).
+    */
+  private def adcSum(m: Int): Column = {
+    val _ = m // fused expression reads m from the codes row itself
+    org.apache.spark.sql.GraftInterop.column(graft.functions.AdcSum(
+      org.apache.spark.sql.GraftInterop.expression(col("codes")),
+      org.apache.spark.sql.GraftInterop.expression(col("pd"))))
+  }
 
   /** Shared approximate-score tail: salted two-phase shortlist over an
     * `approx` frame carrying (query_id, vec_id, acos), then exact-cosine
@@ -672,12 +671,11 @@ object Similarity {
     * assignment.
     */
   def ivfAssignCells(corpus: DataFrame, vecCol: String, idCol: String,
-                     cent: DataFrame): DataFrame =
-    ArgMax.rescoreArgmax(
-        corpus.select(col(idCol).cast("long").as("vec_id"),
-          col(vecCol).as("v")),
-        "vec_id", "v", cent, "cv", "cid", "cell")
-      .select(col("vec_id"), col("cell"))
+                     cent: DataFrame): DataFrame = {
+    val m = ArgMax.cosModel(cent, "cv", "cid")
+    corpus.select(col(idCol).cast("long").as("vec_id"),
+      ArgMax.argmaxCosine(m, col(vecCol)).as("cell"))
+  }
 
   /** Each query's `nProbe` nearest cells under `cent` — [[annIvfPq]]'s
     * probe list, exposed for scope inspection (see [[ivfAssignCells]]).
@@ -703,20 +701,25 @@ object Similarity {
     val dim = corpus.select(size(col(vecCol))).head().getInt(0)
     val sub = dim / m
     val cent = ivfSeedCentroids(corpus, vecCol, idCol, nCells)
-    // Nearest-centroid assignment (argmax cosine, ties to smaller cid) +
-    // residual against the winning centroid + the EXACT original norm.
-    val vin = corpus
-      .select(col(idCol).cast("long").as("vec_id"), col(vecCol).as("v"))
-    val resid = vin
-      .join(ArgMax.rescoreArgmax(vin, "vec_id", "v", cent, "cv", "cid",
-        "cell"), "vec_id")
+    // Nearest-centroid assignment (argmax cosine, ties to smaller cid —
+    // map-only over the collected model) + residual against the winning
+    // centroid + the EXACT original norm. Eager localCheckpoint, not
+    // .cache(): the residual frame is corpus-sized and feeds codebook
+    // training, encoding and the serving join — checkpoint blocks
+    // self-release via ContextCleaner when this call returns, so a
+    // long-lived serving session calling annIvfPq repeatedly pins
+    // nothing (the session caching contract in this file's header).
+    val am = ArgMax.cosModel(cent, "cv", "cid")
+    val resid = corpus
+      .select(col(idCol).cast("long").as("vec_id"),
+        ArgMax.argmaxCosine(am, col(vecCol)).as("cell"), col(vecCol).as("v"))
       .join(broadcast(cent.select(col("cid").as("cell"),
         col("cv").as("ccv"))), "cell")
       .select(col("vec_id"), col("cell"),
         zip_with(col("v").cast("array<double>"), col("ccv"),
           (a, b) => a - b).as("resid"),
         norm2(toDense(col("v"))).as("vnorm"))
-      .cache()
+      .localCheckpoint()
     val cb = pqCodebooks(resid, "resid", "vec_id", m, nCodes, iters)
     val index = pqEncode(resid, "resid", "vec_id", cb)
       .select(col("vec_id"), col("codes"))

@@ -123,10 +123,20 @@ object CurationStream {
     val exNew = reps
       .join(docsV.select(col("hash")), Seq("hash"), "left_anti")
       .join(docsV.select(col("doc_id")), Seq("doc_id"), "left_anti")
-    val nearKept = Dedup.lshIndexProbe(index, exNew, "text", "doc_id",
-        n, threshold)
-      .filter(col("kept")).select("doc_id")
-    val survivors = exNew.join(nearKept, "doc_id")
+    // EMPTY-INDEX short-circuit (the bootstrap leg): probing an empty
+    // index keeps every batch doc by definition, but the probe's batch
+    // side still pays a full shingle+MinHash pass (its bSets frame is an
+    // EAGER localCheckpoint) before its candidates join the empty band
+    // view — measured at a third of q155's bootstrap-leg cost. The
+    // emptiness check is a limit-1 read of the band view.
+    val survivors =
+      if (index.bands.isEmpty) exNew
+      else {
+        val nearKept = Dedup.lshIndexProbe(index, exNew, "text", "doc_id",
+            n, threshold)
+          .filter(col("kept")).select("doc_id")
+        exNew.join(nearKept, "doc_id")
+      }
     val cnts = docsV.groupBy(col("source")).agg(count(lit(1)).as("cnt"))
     val rn = row_number().over(org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id")))

@@ -126,7 +126,7 @@ object EmbeddingDedupStream {
   def applyBatch(spark: SparkSession, indexDir: String, cent: DataFrame,
                  batch: DataFrame, batchId: Long, nProbe: Int = 2,
                  threshold: Double = 0.4,
-                 router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter): Unit = {
+                 router: EmbeddingIndex.Router = EmbeddingIndex.AutoRouter): Unit = {
     val vv = VersionedView(spark, indexDir)
     // replay check FIRST (one pointer read), and cache the batch BEFORE
     // the emptiness probe so the probe job and the commit work share one
@@ -136,16 +136,16 @@ object EmbeddingDedupStream {
     // quantizer-freeze + router-consistency contract, enforced per trigger
     // (one model-sized collect): a re-seeded quantizer or a mismatched
     // router fails loudly here instead of silently losing recall
-    EmbeddingIndex.ensureIndexStamp(spark, indexDir, cent, router,
+    val r = EmbeddingIndex.ensureIndexStamp(spark, indexDir, cent, router,
       stateExists = cur.nonEmpty)
-    val (assigned, dels, reps) = prepBatch(cent, batch, threshold, router)
+    val (assigned, dels, reps) = prepBatch(cent, batch, threshold, r)
     try {
       if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
       vv.applyBatch(batchId) { cur2 =>
         val index = cur2.getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val afterDel = EmbeddingIndex.retract(index, dels)
         afterDel.unionByName(
-          acceptedAgainst(afterDel, cent, reps, nProbe, threshold, router))
+          acceptedAgainst(afterDel, cent, reps, nProbe, threshold, r))
       }: Unit
     } finally { assigned.unpersist(); dels.unpersist() }
   }
@@ -180,16 +180,16 @@ object EmbeddingDedupStream {
   def applyBatchDelta(spark: SparkSession, indexDir: String, cent: DataFrame,
                       batch: DataFrame, batchId: Long, nProbe: Int = 2,
                       threshold: Double = 0.4, compactEvery: Int = 8,
-                      router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter): Unit = {
+                      router: EmbeddingIndex.Router = EmbeddingIndex.AutoRouter): Unit = {
     val dv = deltaView(spark, indexDir, compactEvery)
     val cur0 = dv.committed
     if (cur0.exists(_._1 >= batchId)) return
-    EmbeddingIndex.ensureIndexStamp(spark, indexDir, cent, router,
+    val r = EmbeddingIndex.ensureIndexStamp(spark, indexDir, cent, router,
       stateExists = cur0.nonEmpty)
-    val (assigned, dels, reps) = prepBatch(cent, batch, threshold, router)
+    val (assigned, dels, reps) = prepBatch(cent, batch, threshold, r)
     try {
       if (assigned.isEmpty && dels.isEmpty) return // idle trigger: no commit
-      val cells = probedCellIds(cent, reps, nProbe, router)
+      val cells = probedCellIds(cent, reps, nProbe, r)
       dv.applyBatch(batchId) { cur =>
         // the probe's view of the index is (current − this batch's
         // deletes) pruned to the probed cells — the same post-retract
@@ -198,7 +198,7 @@ object EmbeddingDedupStream {
         val index = cur.map(normalize).getOrElse(graft.util.Frames.empty(spark, IndexSchema))
         val afterDel = EmbeddingIndex.retract(
           index.filter(col("cell").isin(cells: _*)), dels)
-        val kept = router.probe(afterDel, cent,
+        val kept = r.probe(afterDel, cent,
             reps.select(col("vec_id"), col("v")), "v", "vec_id",
             nProbe, threshold)
           .filter(col("is_new")).select("vec_id")
@@ -295,7 +295,7 @@ object EmbeddingDedupStream {
   def dedupStream(changes: DataFrame, cent: DataFrame, indexDir: String,
                   checkpointDir: String, nProbe: Int = 2,
                   threshold: Double = 0.4,
-                  router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter)
+                  router: EmbeddingIndex.Router = EmbeddingIndex.AutoRouter)
       : StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
@@ -316,7 +316,7 @@ object EmbeddingDedupStream {
   def dedupStreamDelta(changes: DataFrame, cent: DataFrame, indexDir: String,
                        checkpointDir: String, nProbe: Int = 2,
                        threshold: Double = 0.4, compactEvery: Int = 8,
-                       router: EmbeddingIndex.Router = EmbeddingIndex.FlatRouter)
+                       router: EmbeddingIndex.Router = EmbeddingIndex.AutoRouter)
       : StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream

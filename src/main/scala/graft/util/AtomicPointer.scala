@@ -49,4 +49,37 @@ object AtomicPointer {
     val fc = FileContext.getFileContext(fs.getUri, conf)
     fc.rename(fs.makeQualified(tmp), fs.makeQualified(p), Options.Rename.OVERWRITE)
   }
+
+  /** CREATE-EXCLUSIVE commit: atomically install the payload only if no
+    * pointer exists yet — write a writer-unique temp, then rename WITHOUT
+    * overwrite, which fails iff the destination already exists. Returns
+    * true iff this writer won. Two concurrent first-committers thus
+    * cannot both believe they stamped ([[graft.operators.EmbeddingIndex
+    * .ensureIndexStamp]]'s first-commit race): exactly one rename
+    * succeeds, and the loser re-reads the winner's value and fails its
+    * own validation loudly instead of running a batch under a stamp that
+    * no longer matches.
+    */
+  def commitExclusive(conf: Configuration, p: Path, payload: String): Boolean = {
+    val fs = p.getFileSystem(conf)
+    fs.mkdirs(p.getParent)
+    val tmp = new Path(p.getParent,
+      s"${p.getName}.${java.util.UUID.randomUUID().toString.take(8)}.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(payload.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    val fc = FileContext.getFileContext(fs.getUri, conf)
+    try {
+      fc.rename(fs.makeQualified(tmp), fs.makeQualified(p), Options.Rename.NONE)
+      true
+    } catch {
+      case _: org.apache.hadoop.fs.FileAlreadyExistsException |
+           _: java.nio.file.FileAlreadyExistsException |
+           _: java.io.IOException =>
+        // rename refused: someone else won. Clean our temp and report.
+        fs.delete(tmp, false)
+        if (!fs.exists(p)) throw new java.io.IOException(
+          s"commitExclusive: rename to $p failed but no pointer exists")
+        false
+    }
+  }
 }

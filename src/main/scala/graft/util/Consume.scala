@@ -32,10 +32,17 @@ object Consume {
     case _ => false
   }
 
-  /** One-row frame `sum(xxhash64(all columns))` over `df` — evaluating it
-    * forces every column of every row. Exposed (rather than just
+  /** One-row frame `bit_xor(xxhash64(all columns))` over `df` — evaluating
+    * it forces every column of every row. Exposed (rather than just
     * [[checksum]]) so callers that need the executed DataFrame afterwards
     * (plan fingerprinting) can hold it.
+    *
+    * NOT a content-equivalence check: XOR cancels duplicate rows pairwise
+    * (any even multiset of identical rows contributes 0), which is fine
+    * for the one purpose here — forcing consumption so timing can't be
+    * column-pruned — but two frames differing by an even number of
+    * duplicate rows would collide. Content comparison is the driver's
+    * oracle gate (sorted-rows hash), not this.
     */
   def frame(df: DataFrame): DataFrame = {
     // positional rename first: raw column names may contain dots/spaces

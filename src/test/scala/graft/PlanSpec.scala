@@ -89,12 +89,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
   }
 
-  test("q51: IVF assignment is a partial+final agg over a broadcast of centroids") {
+  test("q51: IVF assignment is the map-only argmax expression, no aggregate") {
     val p = planString("q51_ann_ivf")
-    // centroid/probe sides broadcast — corpus vectors never shuffle for a join
+    // probe side broadcasts — corpus vectors never shuffle for a join
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastHashJoin"), p.take(1500))
-    // argmax-by-struct assignment keeps map-side combine (partial_max)
-    assert(p.contains("partial_max") || p.contains("partial max"), p.take(1500))
+    // cell assignment is ONE codegen'd projection over the collected
+    // centroid model (ArgMax.argmaxCosine) — no candidate join, no
+    // argmax aggregate, and in particular no SortAggregate anywhere
+    assert(p.contains("graft_nearest_cos"), p.take(1500))
+    assert(!p.contains("SortAggregate"), p.take(1500))
   }
 
   test("q52: grouping sets is one Expand pass with partial+final aggregation") {

@@ -367,4 +367,65 @@ class EmbeddingIndexSpec extends SparkSpec {
       curve.map { case (q, r) => f"$q->$r%.3f" }.mkString(" "))
     assert(p == 1, s"easy corpus should tune to nProbe=1, got $p ($curve)")
   }
+  test("auto-router resolves from the measured cell crossover and stamps the choice") {
+    val corpus = embs.filter(!isBatch)
+    val few = EmbeddingIndex.seedCentroids(corpus, "embedding", "vec_id", 16)
+    assert(EmbeddingIndex.AutoRouter.resolve(few) == EmbeddingIndex.FlatRouter)
+    // above the crossover (k* ~ 100-150 cells) AUTO must pick the n·2√k
+    // hier build — the exp-0.88 flat build is no longer the silent default
+    val many = EmbeddingIndex.seedCentroids(
+      graft.Tables(spark, sf("sf0.01")).embeddings, "embedding", "vec_id",
+      EmbeddingIndex.AutoRouterCellCrossover + 1)
+    assert(EmbeddingIndex.AutoRouter.resolve(many) == EmbeddingIndex.HierRouter)
+    // unresolved AUTO must fail loudly, never route
+    intercept[IllegalStateException] {
+      EmbeddingIndex.AutoRouter.assign(corpus, few, "embedding", "vec_id")
+    }
+    // a maintainer bootstrapping under the default (AUTO) stamps the
+    // RESOLVED family, and the serving probe dispatches from that stamp
+    val dirF = java.nio.file.Files.createTempDirectory("graft-auto-f").toString
+    val gotF = EmbeddingIndex.ensureIndexStamp(spark, dirF, few,
+      EmbeddingIndex.AutoRouter, stateExists = false)
+    assert(gotF == EmbeddingIndex.FlatRouter)
+    assert(EmbeddingIndex.stampedRouter(spark, dirF, few,
+      stateExists = false).contains(EmbeddingIndex.FlatRouter))
+    val dirH = java.nio.file.Files.createTempDirectory("graft-auto-h").toString
+    val gotH = EmbeddingIndex.ensureIndexStamp(spark, dirH, many,
+      EmbeddingIndex.AutoRouter, stateExists = false)
+    assert(gotH == EmbeddingIndex.HierRouter)
+    assert(EmbeddingIndex.stampedRouter(spark, dirH, many,
+      stateExists = false).contains(EmbeddingIndex.HierRouter))
+    // an explicit FLAT build against the auto-stamped hier dir fails
+    // loudly at the stamp (build appropriateness is now enforced)
+    intercept[IllegalStateException] {
+      EmbeddingIndex.ensureIndexStamp(spark, dirH, many,
+        EmbeddingIndex.FlatRouter, stateExists = true)
+    }
+  }
+
+  test("first-commit stamp is create-exclusive: a concurrent loser fails loudly") {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("graft-stamp-race").toString
+    val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
+    // winner installs; loser's exclusive commit reports the loss instead
+    // of overwriting (the last-writer-wins window the round-11 advice
+    // flagged)
+    assert(graft.util.AtomicPointer.commitExclusive(conf, p, "router=flat,quantizer=aaaa"))
+    assert(!graft.util.AtomicPointer.commitExclusive(conf, p, "router=hier,quantizer=bbbb"))
+    assert(graft.util.AtomicPointer.read(conf, p)
+      .contains("router=flat,quantizer=aaaa"))
+    // ensureIndexStamp's first-commit path surfaces the race as an error
+    // for the loser: a second bootstrapper with a DIFFERENT quantizer
+    // must throw, not silently run under the winner's stamp
+    val corpus = embs.filter(!isBatch)
+    val centA = EmbeddingIndex.seedCentroids(corpus, "embedding", "vec_id", 16)
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-stamp-race2").toString
+    EmbeddingIndex.ensureIndexStamp(spark, dir2, centA,
+      EmbeddingIndex.FlatRouter, stateExists = false)
+    val centB = EmbeddingIndex.seedCentroids(corpus, "embedding", "vec_id", 8)
+    intercept[IllegalStateException] {
+      EmbeddingIndex.ensureIndexStamp(spark, dir2, centB,
+        EmbeddingIndex.FlatRouter, stateExists = false)
+    }
+  }
 }

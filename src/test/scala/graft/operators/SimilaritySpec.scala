@@ -299,4 +299,22 @@ class SimilaritySpec extends SparkSpec {
       case (k, None) => conf.unset(k)
     }
   }
+  test("serving calls pin no storage blocks (session caching contract)") {
+    // annIvfPq / annIvfIndexed use eager localCheckpoint (self-releasing
+    // via ContextCleaner), never cache(): after a serving call returns,
+    // the SQL cache manager must hold nothing — a long-lived serving
+    // session calling these repeatedly must not accumulate pinned
+    // corpus-sized blocks (the round-11 hygiene finding)
+    spark.catalog.clearCache()
+    val e = graft.Tables(spark, sf("sf0.001")).embeddings
+    val qs = e.filter(col("vec_id") % 100 === 0)
+    Similarity.annIvfPq(e, qs, "embedding", "vec_id", k = 3,
+      nCells = 4, nProbe = 2, m = 8, nCodes = 8, iters = 1,
+      shortlist = 16).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "annIvfPq left entries in the SQL cache manager")
+    Similarity.annIvfIndexed(spark, sf("sf0.001"), k = 3).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "annIvfIndexed left entries in the SQL cache manager")
+  }
 }
