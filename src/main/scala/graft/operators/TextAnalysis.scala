@@ -69,18 +69,16 @@ object TextAnalysis {
     * computing a side frame and semi-joining it back (two extra shuffles
     * and a second corpus scan for what is a per-row predicate).
     */
-  def qualityScoreExpr(text: Column): Column = {
-    val toks = tokens(text)
-    val nTok = size(toks)
-    val ttr = size(array_distinct(toks)) * lit(1.0) / nTok
-    val en = langProfiles.toMap.apply("en")
-    val stop = size(filter(toks, x => x.isin(en: _*))) * lit(1.0) / nTok
-    val lenScore = when(nTok.between(30, 500), 1.0)
-      .when(nTok.between(10, 1000), 0.5).otherwise(0.0)
-    val score = lenScore * 0.4 + least(ttr * lit(2.0), lit(1.0)) * 0.3 +
-      least(stop * lit(10.0), lit(1.0)) * 0.3
-    round(score, 6)
-  }
+  def qualityScoreExpr(text: Column): Column =
+    // fused single-pass kernel ([[graft.functions.QualityScoreRaw]]) with
+    // Spark's own round on top; bit-identical to the composed form
+    //   round(lenScore*0.4 + least(ttr*2,1)*0.3 + least(stop*10,1)*0.3, 6)
+    // (same tokenize calls, same double op order — see the kernel's
+    // scaladoc; oracle gates q30/q155 hash-verify it every run)
+    round(org.apache.spark.sql.GraftInterop.column(
+      graft.functions.QualityScoreRaw(
+        org.apache.spark.sql.GraftInterop.expression(text),
+        langProfiles.toMap.apply("en"))), 6)
 
   def qualityKeepExpr(text: Column): Column = qualityScoreExpr(text) >= 0.5
 
@@ -135,17 +133,15 @@ object TextAnalysis {
   /** Language guess as a plain column expression (see [[qualityScoreExpr]]
     * for why expression-level access matters to pipeline composers).
     */
-  def langGuessExpr(text: Column): Column = {
-    val dtoks = array_distinct(tokens(text))
-    val scores: Seq[(String, Column)] = langProfiles.map { case (lang, words) =>
-      lang -> size(array_intersect(dtoks, array(words.map(lit): _*)))
-    }
-    val best = scores.map(_._2).reduce((a, b) => greatest(a, b))
-    // reverse fold ⇒ FIRST profile in langProfiles order wins ties
-    scores.reverse.foldLeft(lit("und")) { case (acc, (lang, s)) =>
-      when(s === best && best > 0, lang).otherwise(acc)
-    }
-  }
+  def langGuessExpr(text: Column): Column =
+    // fused single-pass kernel ([[graft.functions.LangGuess]]): the
+    // composed per-profile-intersect + tie-break fold duplicated the
+    // tokenization ~30× per row (every branch re-references every score
+    // and `best`); the kernel computes each score once, first profile in
+    // langProfiles order wins ties, 'und' when all scores are 0 —
+    // bit-identical (oracle gates q29/q155 hash-verify it)
+    org.apache.spark.sql.GraftInterop.column(graft.functions.LangGuess(
+      org.apache.spark.sql.GraftInterop.expression(text), langProfiles))
 
   def langId(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val dtoks = col("_dtoks")

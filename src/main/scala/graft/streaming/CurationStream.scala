@@ -97,9 +97,13 @@ object CurationStream {
   private def gateBatch(ok: DataFrame, batch: DataFrame, n: Int,
                         threshold: Double)
       : (DataFrame, DataFrame, DataFrame, DataFrame) = {
+    // eager localCheckpoint: the gated batch feeds the exact-dedup
+    // groupBy AND the semi-join back — one gate pass instead of two,
+    // blocks self-release (per-trigger caller, the lshIndexProbe
+    // convention)
     val eligible = batch.filter(
       TextAnalysis.langGuessExpr(col("text")) === "en" &&
-      TextAnalysis.qualityKeepExpr(col("text")))
+      TextAnalysis.qualityKeepExpr(col("text"))).localCheckpoint()
     val exactKeep = Dedup.exact(eligible, col("text"), col("doc_id"))
       .select(col("keep_id").as("doc_id"))
     val e2 = eligible.join(exactKeep, Seq("doc_id"), "left_semi")
@@ -107,10 +111,14 @@ object CurationStream {
         md5(col("text")).as("hash")).cache()
     val art = Dedup.lshArtifacts(e2, "text", "doc_id", ok, n)
     val sets = art.sets.cache()
-    val inDrop = Dedup.lshPairsWithin(LshIndex(ok, sets, art.bands), threshold)
+    // the band rows are consumed twice (in-batch pair join here, the
+    // bands-view appender later) and each evaluation re-runs the MinHash
+    // signature aggregate — checkpoint once, self-releasing
+    val bands = art.bands.localCheckpoint()
+    val inDrop = Dedup.lshPairsWithin(LshIndex(ok, sets, bands), threshold)
       .select(col("doc_b").as("drop_id")).distinct()
     val reps = e2.join(inDrop, col("doc_id") === col("drop_id"), "left_anti")
-    (e2, sets, art.bands, reps)
+    (e2, sets, bands, reps)
   }
 
   /** Stages 3+5+6 given the CURRENT views: exact gate vs the corpus, the
@@ -120,6 +128,13 @@ object CurationStream {
     */
   private def admit(docsV: DataFrame, index: LshIndex, reps: DataFrame,
                     capN: Long, n: Int, threshold: Double): DataFrame = {
+    // EMPTY-BATCH short-circuit (delete-only triggers): with no insert
+    // survivors the admission is empty by definition — skip the probe's
+    // eager batch-side artifact jobs and the two full index-view folds
+    // they force (reps derives from the caller's CACHED e2, so the check
+    // is a cheap local scan)
+    if (reps.isEmpty)
+      return reps.select(col("doc_id"), col("source"), col("hash"))
     val exNew = reps
       .join(docsV.select(col("hash")), Seq("hash"), "left_anti")
       .join(docsV.select(col("doc_id")), Seq("doc_id"), "left_anti")
@@ -189,7 +204,9 @@ object CurationStream {
         docsV.unionByName(admit(docsV, index, reps, capN, n, threshold))
       }
 
-      val accepted = acceptedOf(e2, readDocs(spark, dir))
+      // checkpointed once: both appenders consume it, each evaluation
+      // would re-join the batch against the docs view
+      val accepted = acceptedOf(e2, readDocs(spark, dir)).localCheckpoint()
       vvSets.applyBatch(batchId) { cur =>
         val v = cur.getOrElse(empty(spark, SetsSchema))
         v.unionByName(sets.join(accepted, "doc")
@@ -251,6 +268,7 @@ object CurationStream {
       }
 
       val accepted = acceptedOf(e2, readDocsDelta(spark, dir))
+        .localCheckpoint() // consumed by both appenders
       vSets.applyBatch(batchId) { cur =>
         val v = cur.getOrElse(empty(spark, SetsSchema))
         (sets.join(accepted, "doc")
@@ -317,6 +335,7 @@ object CurationStream {
       }
 
       val accepted = acceptedOf(e2, readDocsDelta(spark, dir))
+        .localCheckpoint() // consumed by both appenders
       val delDocs = dels.withColumnRenamed("doc_id", "doc")
       // the re-insert guard reads the POST-DELETE view: a doc id deleted
       // and re-admitted in THIS batch must get fresh set/band rows (the

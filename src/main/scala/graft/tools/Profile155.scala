@@ -31,6 +31,12 @@ object Profile155 {
     import graft.streaming.CurationStream
     val d = Tables(spark, sfDir).documents
       .select(col("doc_id"), col("text"), col("source"))
+    // warm up scan/codegen/JIT so stage times are marginal costs
+    for (w <- 1 to 2) time(s"warmup$w") {
+      d.filter(TextAnalysis.langGuessExpr(col("text")) === "en" &&
+        TextAnalysis.qualityKeepExpr(col("text"))).count()
+      Dedup.exact(d, col("text"), col("doc_id")).count(); ()
+    }
     val eligible = d.filter(
       TextAnalysis.langGuessExpr(col("text")) === "en" &&
       TextAnalysis.qualityKeepExpr(col("text")))
@@ -46,6 +52,31 @@ object Profile155 {
         eligible.join(keep, Seq("doc_id"), "left_semi"),
         "text", "doc_id").ok.cache()
       ok.count(); ()
+    }
+    // leg-1 internals replicated for stage attribution
+    locally {
+      import graft.operators.Dedup.LshIndex
+      var e2: org.apache.spark.sql.DataFrame = null
+      var sets: org.apache.spark.sql.DataFrame = null
+      var bands: org.apache.spark.sql.DataFrame = null
+      time("leg1a-gates-e2") {
+        val exactKeep = Dedup.exact(eligible, col("text"), col("doc_id"))
+          .select(col("keep_id").as("doc_id"))
+        e2 = eligible.join(exactKeep, Seq("doc_id"), "left_semi")
+          .select(col("doc_id"), col("source"), col("text"),
+            md5(col("text")).as("hash")).cache()
+        e2.count(); ()
+      }
+      time("leg1b-artifacts") {
+        val art = Dedup.lshArtifacts(e2, "text", "doc_id", ok, 3)
+        sets = art.sets.cache()
+        bands = art.bands
+        sets.count(); ()
+      }
+      time("leg1c-pairsWithin") {
+        Dedup.lshPairsWithin(LshIndex(ok, sets, bands), 0.5).count(); ()
+      }
+      e2.unpersist(); sets.unpersist()
     }
     val tmp = java.nio.file.Files.createTempDirectory("graft-p155").toString
     time("leg1-insert") {
