@@ -96,7 +96,10 @@ object Bench {
             // silent drop to 0 that the VOLUME tripwire would misread
             scan += b.metrics.get("bytesRead").orElse(b.metrics.get("filesSize"))
               .map(_.value).getOrElse(0L)
-          case l if l.children.isEmpty && l.nodeName.toLowerCase.contains("scan") =>
+          // warn ONLY for real data-source scans we fail to meter —
+          // InMemoryTableScan / LocalTableScan legitimately carry no
+          // file bytes and must not spam the log
+          case l: org.apache.spark.sql.execution.DataSourceScanExec =>
             System.err.println(
               s"[bench] volume: unrecognized leaf scan ${l.getClass.getSimpleName} — scan_mb undercounts")
           case _ => ()
@@ -354,10 +357,47 @@ object Bench {
     sys.env.get("SPARK_GRAFT_BENCH_OUT")
       .orElse(Some(new java.io.File("BENCH_full_latest.json").getAbsolutePath))
       .filter(_.nonEmpty).foreach { p =>
-        try java.nio.file.Files.write(java.nio.file.Paths.get(p),
-          (detailLine + "\n" + totalLine + "\n" + planLine + "\n" +
-           volumeLine + "\n").getBytes("UTF-8"))
-        catch { case e: Throwable =>
+        try {
+          val path = java.nio.file.Paths.get(p)
+          // keep the prior artifact: the plan/volume tripwire below (and
+          // any later hand diff) needs a round-over-round pair
+          val prev = java.nio.file.Paths.get(
+            p.stripSuffix(".json") + "_prev.json")
+          if (java.nio.file.Files.exists(path))
+            java.nio.file.Files.move(path, prev,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          java.nio.file.Files.write(path,
+            (detailLine + "\n" + totalLine + "\n" + planLine + "\n" +
+             volumeLine + "\n").getBytes("UTF-8"))
+          // The tripwire runs IN the bench entry — un-skippable, not
+          // judge-invoked: every full-corpus run diffs itself against the
+          // previous artifact (plan-shape changes without a bench win,
+          // same-shape shuffle growth) and persists the report. Exit is
+          // nonzero on flagged rows only under SPARK_GRAFT_PLAN_GATE=1:
+          // the driver's round bench must still publish its artifact
+          // even when a diff needs adjudication (host noise can flag a
+          // plan change that IS a win), so the hard gate is the
+          // builder-loop configuration, documented in the verify skill.
+          if (only.isEmpty && java.nio.file.Files.exists(prev) &&
+              new java.io.File("tools/plan_diff.py").exists()) {
+            val pb = new ProcessBuilder("python3", "tools/plan_diff.py",
+              prev.toString, path.toString).redirectErrorStream(true)
+            val proc = pb.start()
+            val out = new String(proc.getInputStream.readAllBytes(), "UTF-8")
+            val code = proc.waitFor()
+            java.nio.file.Files.write(
+              java.nio.file.Paths.get("PLAN_DIFF_latest.txt"),
+              out.getBytes("UTF-8"))
+            System.err.println(out)
+            if (code != 0) {
+              System.err.println("[bench] plan/volume tripwire FLAGGED " +
+                "rows (see PLAN_DIFF_latest.txt)")
+              if (sys.env.get("SPARK_GRAFT_PLAN_GATE").contains("1")) {
+                spark.stop(); sys.exit(3)
+              }
+            }
+          }
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] artifact write failed: $e") }
       }
     spark.stop()

@@ -744,6 +744,20 @@ object BenchScale {
         EmbeddingIndex.assignCellsHier(t.embeddings, cent, "embedding",
           "vec_id").agg(sum(col("cell"))).head(); ()
       }) ++
+      // The DEFAULT build path under cells ∝ n: AutoRouter resolves from
+      // the measured ~128-cell crossover, so the small legs run flat
+      // (16·scale ≤ 128 at 1×) and the big legs run hier — this row
+      // exists to prove the default a caller actually gets stays on the
+      // sub-linear side to 100× (top legs must track idx_build_hier's,
+      // not flat's ~1.1)
+      row("idx_build_auto")(bestOf2 {
+        import graft.operators.EmbeddingIndex
+        val cent = EmbeddingIndex.seedCentroids(t.embeddings, "embedding",
+          "vec_id", nCells = 16 * scale)
+        EmbeddingIndex.AutoRouter.resolve(cent)
+          .assign(t.embeddings, cent, "embedding", "vec_id")
+          .agg(sum(col("cell"))).head(); ()
+      }) ++
       // Streamed-maintainer COMMIT cost on the DeltaView core: the corpus
       // index is the pre-existing state (bootstrapped untimed), one FIXED
       // ~200-vector novel batch commits. The delta commit writes only the

@@ -697,6 +697,82 @@ object EmbeddingIndex {
           "embedding", "vec_id", nProbes = Seq(1, 2, 4, 8), threshold = 0.4,
           maxQueries = Int.MaxValue)
         .orderBy(col("n_probe"))
+    }),
+
+    // The STREAMED embedding maintainer end-to-end, in the main bench
+    // corpus (it previously lived only in the scale study, so the
+    // plan/volume tripwire never guarded it): direct index bootstrap
+    // (the BenchScale idx-commit convention — assignCells → one
+    // compacted cell-partitioned DeltaView commit), then one SIGNED
+    // I-batch through [[graft.streaming.EmbeddingDedupStream
+    // .applyBatchDelta]] — in-batch min-id dominance, nProbe-cell probe
+    // against the pruned persisted index, O(batch) delta commit — then
+    // the final index reads back. The oracle replays the WHOLE lifecycle
+    // from first principles: corpus cell assignment, the batch's top-1
+    // cells, the in-batch dominance rule, nProbe=2 probe routing, the
+    // cosine verify, id-uniqueness — so the maintainer's committed state
+    // hash-matches a from-scratch recompute.
+    Query(
+      "q158_embedding_stream_commit",
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE NOT (vec_id % 10 = 0)
+                ORDER BY vec_id LIMIT 16),
+          ca AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS v,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM embeddings e CROSS JOIN cent c
+                 WHERE NOT (e.vec_id % 10 = 0)),
+          cells AS (SELECT vid, cid AS cell, v FROM ca WHERE rn = 1),
+          ba AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS v,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM embeddings e CROSS JOIN cent c
+                 WHERE e.vec_id % 10 = 0),
+          bcells AS (SELECT vid, cid AS cell, v FROM ba WHERE rn = 1),
+          bdrop AS (SELECT DISTINCT b.vid FROM bcells a JOIN bcells b
+                    ON a.cell = b.cell AND a.vid < b.vid
+                   AND list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]) >= 0.4),
+          reps AS (SELECT * FROM bcells
+                   WHERE vid NOT IN (SELECT vid FROM bdrop)),
+          pr AS (SELECT r.vid AS bid, r.v AS qv, c.cid AS pcell,
+                   ROW_NUMBER() OVER (PARTITION BY r.vid
+                     ORDER BY list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM reps r CROSS JOIN cent c),
+          probes AS (SELECT bid, qv, pcell AS cell FROM pr WHERE rn <= 2),
+          dup AS (SELECT bid FROM probes JOIN cells USING (cell)
+                  WHERE list_cosine_similarity(qv::DOUBLE[], cells.v::DOUBLE[]) >= 0.4
+                  GROUP BY bid),
+          acc AS (SELECT vid, cell FROM reps
+                  WHERE vid NOT IN (SELECT bid FROM dup)
+                    AND vid NOT IN (SELECT vid FROM cells))
+          SELECT vid AS vec_id, CAST(cell AS BIGINT) AS cell FROM cells
+          UNION ALL
+          SELECT vid AS vec_id, CAST(cell AS BIGINT) AS cell FROM acc
+          ORDER BY vec_id"""))((spark, dir) => {
+      import graft.streaming.EmbeddingDedupStream
+      val e = Tables(spark, dir).embeddings
+      val isBatch = col("vec_id") % 10 === 0
+      val corpus = e.filter(!isBatch)
+      val cent = seedCentroids(corpus, "embedding", "vec_id", nCells = 16)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q158").toString
+      ensureIndexStamp(spark, root, cent, FlatRouter, stateExists = false)
+      graft.util.DeltaView(spark, root, Seq("vec_id"), compactEvery = 1,
+          basePartitionCols = Seq("cell"))
+        .applyBatch(0L) { _ =>
+          (assignCells(corpus, cent, "embedding", "vec_id")
+            .select(col("vec_id").cast("long"), col("cell").cast("long"),
+              col("v").cast("array<double>")),
+           e.limit(0).select(col("vec_id")))
+        }
+      EmbeddingDedupStream.applyBatchDelta(spark, root, cent,
+        e.filter(isBatch).select(lit("I").as("op"), col("vec_id"),
+          col("embedding")), batchId = 1L)
+      EmbeddingDedupStream.readIndexDelta(spark, root)
+        .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
     })
   )
 }

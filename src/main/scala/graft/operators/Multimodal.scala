@@ -780,6 +780,129 @@ object Multimodal extends MultimodalFixtures with MultimodalCodecs {
       videoIndexServe(spark, dir,
           videoFrameHashes(spark, copies.unionByName(novel)))
         .orderBy(col("media_id"))
+    }),
+
+    // The STREAMED media maintainer end-to-end, in the main bench corpus
+    // (previously study-only, so the plan/volume tripwire never guarded
+    // it — the q158 convention on the media modality): direct index
+    // bootstrap (corpus fingerprints → one DeltaView commit), then one
+    // SIGNED I-batch (q144's copies + novel clips) through
+    // [[graft.streaming.MediaDedupStream.applySignedBatchDelta]] —
+    // in-batch cluster dedup, banded-hamming probe, O(batch) delta
+    // commit — then the final index reads back. The oracle replays the
+    // whole lifecycle from the closed-form fixture math: corpus hash4,
+    // the batch's identical-fp collapse + connected-component reps,
+    // band-candidate probe with hamming ≤ 3 verify, id-uniqueness.
+    Query(
+      "q159_media_stream_commit",
+      Some("""
+        WITH RECURSIVE a AS (SELECT doc_id AS b FROM documents WHERE doc_id % 3 = 1),
+        allv AS (SELECT b AS src, b AS d, 0 AS sh, 0 AS is_batch FROM a
+                 UNION ALL
+                 SELECT b, b + 10000, 1, 1 FROM a WHERE b % 5 = 1
+                 UNION ALL
+                 SELECT b + 20000, b + 20000, 0, 1 FROM a WHERE b % 5 = 2),
+        s AS (SELECT d, is_batch, ((src % 400) + 100)::INT AS n, i,
+                ((i*37 + src*11) % 2001 - 1000) + sh AS val
+              FROM allv,
+                   unnest(range(0, ((src % 400) + 100)::INT)) AS t(i)),
+        g AS (SELECT d, is_batch, n, (i * 64 // n) AS f, val * val AS e
+              FROM s),
+        cells AS (SELECT d, is_batch, f, SUM(e) AS ef, COUNT(*) AS cf
+                  FROM g GROUP BY 1, 2, 3),
+        tot AS (SELECT d, is_batch, SUM(e) AS et, COUNT(*) AS ct
+                FROM g GROUP BY 1, 2),
+        bits AS (SELECT d, is_batch, f,
+                   CASE WHEN ef::HUGEINT * ct > et::HUGEINT * cf THEN 1 ELSE 0 END AS bit
+                 FROM cells JOIN tot USING (d, is_batch)),
+        bands AS (SELECT d, is_batch, f // 16 AS k,
+                    CAST(SUM(bit * (1 << (f % 16))) AS BIGINT) AS v
+                  FROM bits GROUP BY 1, 2, 3),
+        hash4 AS (SELECT d, is_batch,
+                    MAX(CASE WHEN k = 0 THEN v END) AS b0,
+                    MAX(CASE WHEN k = 1 THEN v END) AS b1,
+                    MAX(CASE WHEN k = 2 THEN v END) AS b2,
+                    MAX(CASE WHEN k = 3 THEN v END) AS b3
+                  FROM bands GROUP BY 1, 2),
+        bgrp AS (SELECT b0, b1, b2, b3, MIN(d) AS rep
+                 FROM hash4 WHERE is_batch = 1 GROUP BY 1, 2, 3, 4),
+        bmem AS (SELECT h.d, g2.rep
+                 FROM hash4 h JOIN bgrp g2 USING (b0, b1, b2, b3)
+                 WHERE h.is_batch = 1),
+        repfp AS (SELECT rep AS d, b0, b1, b2, b3 FROM bgrp),
+        bands2 AS (SELECT d, 0 AS k, b0 AS v FROM repfp
+                   UNION ALL SELECT d, 1, b1 FROM repfp
+                   UNION ALL SELECT d, 2, b2 FROM repfp
+                   UNION ALL SELECT d, 3, b3 FROM repfp),
+        cand AS (SELECT DISTINCT a2.d AS da, b2.d AS db
+                 FROM bands2 a2 JOIN bands2 b2
+                   ON a2.k = b2.k AND a2.v = b2.v AND a2.d < b2.d),
+        near AS (SELECT da, db
+                 FROM cand JOIN repfp ha ON ha.d = da
+                           JOIN repfp hb ON hb.d = db
+                 WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+                     + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3)) <= 3),
+        edges AS (SELECT da AS src, db AS dst FROM near
+                  UNION SELECT db, da FROM near),
+        reach AS (
+          SELECT src, dst FROM edges
+          UNION
+          SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+        ),
+        cc AS (SELECT doc, least(doc, MIN(dst)) AS lbl
+               FROM (SELECT src AS doc, dst FROM reach)
+               GROUP BY doc),
+        bcl AS (SELECT m.d AS media_id, COALESCE(c.lbl, m.rep) AS cluster
+                FROM bmem m LEFT JOIN cc c ON c.doc = m.rep),
+        reps AS (SELECT h.d, h.b0, h.b1, h.b2, h.b3
+                 FROM hash4 h JOIN bcl ON bcl.media_id = h.d
+                 WHERE h.is_batch = 1 AND bcl.cluster = h.d),
+        pcand AS (SELECT DISTINCT rb.d AS bid, cb.d AS cid
+                  FROM bands rb JOIN bands cb
+                    ON rb.k = cb.k AND rb.v = cb.v
+                   AND rb.is_batch = 1 AND cb.is_batch = 0
+                  WHERE rb.d IN (SELECT d FROM reps)),
+        dup AS (SELECT bid FROM pcand
+                JOIN reps hb ON hb.d = bid
+                JOIN hash4 hc ON hc.d = cid AND hc.is_batch = 0
+                WHERE bit_count(xor(hb.b0, hc.b0)) + bit_count(xor(hb.b1, hc.b1))
+                    + bit_count(xor(hb.b2, hc.b2)) + bit_count(xor(hb.b3, hc.b3)) <= 3
+                GROUP BY bid),
+        acc AS (SELECT d, b0, b1, b2, b3 FROM reps
+                WHERE d NOT IN (SELECT bid FROM dup)
+                  AND d NOT IN (SELECT d FROM hash4 WHERE is_batch = 0))
+        SELECT d AS media_id, b0, b1, b2, b3 FROM hash4 WHERE is_batch = 0
+        UNION ALL
+        SELECT d AS media_id, b0, b1, b2, b3 FROM acc
+        ORDER BY media_id"""))((spark, dir) => {
+      import graft.streaming.MediaDedupStream
+      val docs = Tables(spark, dir).documents
+      val wav = udf((d: Long) => makeWav(d, audioN(d)))
+      val originals = mediaTable(docs).filter(col("kind") === "audio")
+        .select(col("media_id").cast("long"), col("kind"),
+          wav(col("media_id")).as("payload"))
+        .cache()
+      val copies = shiftedAudioCopies(spark,
+        originals.filter(col("media_id") % 5 === 1), offset = 10000L,
+        delta = 1)
+      val novel = docs.filter(col("doc_id") % 3 === 1 && col("doc_id") % 5 === 2)
+        .select((col("doc_id") + 20000L).as("media_id"),
+          lit("audio").as("kind"),
+          wav(col("doc_id") + 20000L).as("payload"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q159").toString
+      ensureFingerprintStamp(spark, root, stateExists = false)
+      graft.util.DeltaView(spark, root, Seq("media_id"), compactEvery = 8)
+        .applyBatch(0L) { _ =>
+          (audioFingerprintHashes(spark, originals),
+           originals.limit(0).select(col("media_id")))
+        }
+      MediaDedupStream.applySignedBatchDelta(spark, root,
+        audioFingerprintHashes(spark, copies.unionByName(novel))
+          .select(lit("I").as("op"), col("media_id"), col("b0"),
+            col("b1"), col("b2"), col("b3")),
+        batchId = 1L, maxDist = 3)
+      MediaDedupStream.readIndexDelta(spark, root).orderBy(col("media_id"))
     })
   )
 }

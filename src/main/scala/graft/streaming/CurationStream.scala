@@ -56,6 +56,19 @@ import org.apache.spark.sql.types._
   * processing read the set/band views at the PREVIOUS batch's state —
   * consistent, because they only ever lag within the in-flight batch.
   */
+
+/** Fault-injection for the coupled-view crash-window spec (the
+  * [[graft.repl.CrashHooks]] recipe on the streaming plane): called with
+  * a window label after each of the three view commits of a curation
+  * batch. Production value is a no-op; the forked victim JVM parks here
+  * so the parent can SIGKILL it BETWEEN view commits and prove the
+  * documented crash-window contract (replay converges to the sequential
+  * reference) by test, not by argument.
+  */
+private[graft] object StreamCrashHooks {
+  @volatile var afterViewCommit: String => Unit = _ => ()
+}
+
 object CurationStream {
 
   val DocsSchema: StructType = StructType(Seq(
@@ -333,6 +346,7 @@ object CurationStream {
         val docsV = minus(cur.getOrElse(empty(spark, DocsSchema)), "doc_id")
         (admit(docsV, index, reps, capN, n, threshold), dels)
       }
+      StreamCrashHooks.afterViewCommit("docs")
 
       val accepted = acceptedOf(e2, readDocsDelta(spark, dir))
         .localCheckpoint() // consumed by both appenders
@@ -345,6 +359,7 @@ object CurationStream {
         (sets.join(accepted, "doc")
           .join(v.select(col("doc")), Seq("doc"), "left_anti"), delDocs)
       }
+      StreamCrashHooks.afterViewCommit("sets")
       vBands.applyBatch(batchId) { cur =>
         val v = minus(cur.getOrElse(empty(spark, BandsSchema)), "doc")
         (bands.join(accepted, "doc")
