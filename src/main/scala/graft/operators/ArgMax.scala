@@ -26,8 +26,12 @@ import org.apache.spark.sql.functions._
   *     per stage inside the (Spark-broadcast) task binary. A per-row
   *     expression also cannot drop a key group — the silent-loss edge the
   *     rescoring form's invariant note below guards against. Measured at
-  *     the 100× build study point (200 k vectors × 1600 cells): the flat
-  *     IVF build drops from 20 s (rescoring form) to a single fused scan.
+  *     the 100× build study point (200 k vectors × 1600 cells,
+  *     BENCH_sf4_build2.json): the flat IVF build drops 20.1 s
+  *     (rescoring form) → **1.04 s**, hier 2.81 s → 0.63 s, and the
+  *     whole build family re-fits at exponents ≤ 0.12 where flat had
+  *     been 0.88 — the candidate join, its two shuffled aggregates and
+  *     the join-back were ~95 % of the assignment's cost.
   *
   *  2. [[rescoreArgmax]] / [[rescoreArgmin]] — the DataFrame-sided
   *     max-then-rescore form, kept for candidate sets too large to

@@ -97,13 +97,18 @@ object EmbeddingIndex {
               threshold: Double): DataFrame =
       probeDedupHierAware(index, cent, batch, vecCol, idCol, nProbe, threshold)
   }
-  /** Measured flat↔hier build crossover in CELLS (BENCH_k_build.md: flat
-    * assignment ∝ k above its floor, hier ∝ √k; crossover k* ≈ 100–150
-    * cells ≈ 40–55 k vectors at constant expected cell size). Below it
-    * flat's smaller constant wins and stays the oracle-replayable form;
-    * above it flat's n·k build bends toward n² under cells ∝ n
-    * (fitted exp 0.88, legs ~1.1 at 100× — BENCH_sf4_build.json) while
-    * hier holds exp ≈ 0.25.
+  /** Measured flat↔hier build crossover in CELLS. Under the map-only
+    * expression argmax the whole family got ~20× cheaper and the
+    * crossover RE-MEASURED at k* ≈ 256 (k-sweep at fixed n: hier ≤ flat
+    * from k ≈ 256, clearly ahead ≥ 1024; 100× cells-∝-n point flat
+    * 1.04 s vs hier 0.63 s, flat's top leg 0.82 vs hier 0.29 —
+    * BENCH_sf4_build2.json; the pre-expression history with flat's
+    * exp-0.88 / 20 s / ENOSPC arc is BENCH_k_build.md). The constant
+    * stays at 128 — conservative toward the sub-linear side, since the
+    * mid-range delta is ±0.1 s noise while flat's ∝-k term is the only
+    * super-linear tail; the real trade hier buys into is RECALL (one
+    * nProbe doubling, pinned in EmbeddingIndexSpec), which is why flat
+    * remains the oracle-replayable default below the crossover.
     */
   val AutoRouterCellCrossover = 128
 

@@ -458,6 +458,15 @@ object RelationalExt {
         FROM chain GROUP BY root, user_id
         ORDER BY session_id"""))((spark, dir) => {
       Tables(spark, dir).events.createOrReplaceTempView("g88_events")
+      // Scale constant surfaced by the 10× full-corpus run (BENCH_sf1
+      // triage): Spark's recursive-CTE runaway guard defaults to 1 M
+      // TOTAL rows across iterations, and this recursion provably
+      // touches each event exactly ONCE (functional prev-pointer graph),
+      // so the guard trips on any corpus past 1 M events while the
+      // recursion itself is linear and bounded by the session-gap rule.
+      // Raise the row guard; keep the LEVEL guard (the true runaway
+      // signal for a chain recursion) at its default.
+      spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
       spark.sql("""
         WITH RECURSIVE evs AS (
           SELECT user_id, event_id,

@@ -43,9 +43,14 @@ import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType, StructField,
   * or a router flip fails loudly with "rebuild required" instead of
   * silently losing recall), and [[probeDelta]] DISPATCHES from the stamp
   * — a hier-built index ([[EmbeddingIndex.assignCellsHier]], the
-  * beyond-100× build regime, `router = HierRouter` here) is probed
-  * hier-aware automatically, never paying the measured store/probe
-  * router-mismatch tax (0.855 vs 0.957 @ nProbe=4, EmbeddingIndexSpec).
+  * beyond-100× build regime) is probed hier-aware automatically, never
+  * paying the measured store/probe router-mismatch tax (0.855 vs 0.957
+  * @ nProbe=4, EmbeddingIndexSpec). The DEFAULT router is
+  * [[EmbeddingIndex.AutoRouter]]: the build family resolves from the
+  * quantizer's cell count at the measured ~128-cell crossover, so a
+  * caller bootstrapping a large index gets the n·2√k hier build instead
+  * of silently inheriting flat's ∝-k assignment; pass a concrete router
+  * to force a family (the stamp then enforces it forever).
   *
   * Exactly-once effect = checkpointed offsets × the idempotent versioned
   * commit (replayed batchIds no-op — including replayed DELETES; crash
