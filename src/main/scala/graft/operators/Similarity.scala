@@ -319,9 +319,17 @@ object Similarity {
     * id that AQE can skew-split — MEASURED, not asserted: SimilaritySpec
     * plants a hot cell and gates that the post-execution adaptive plan
     * actually split it (skew=true). Deterministic winner: highest cosine,
-    * smallest neighbor id on ties, picked by a map-side-combinable
-    * max(struct) — no per-key window sort. Singleton cells emit nothing
-    * (no neighbor exists in-cell).
+    * smallest neighbor id on ties, by `max(struct(cos, -nid))`. Honest
+    * plan note (the ArgMax FIND-2 caveat applied here): the struct
+    * buffer plans SortAggregate — but its input is the (vec_id, cos,
+    * nid) SCALAR triple, the vectors having been consumed by the cosine
+    * inside the join, so the per-partition sort is bounded at ~24 B per
+    * candidate (q86's cells-∝-n study fits exp 0.31 to 100× —
+    * BENCH_sf4_emb2.json). This is categorically unlike the assignment
+    * case that died at 100×, where the payload vectors rode the buffer
+    * through the sort; a rescoring rewrite here would re-run the pair
+    * join (the expensive part) for a sort that is already scalar-cheap.
+    * Singleton cells emit nothing (no neighbor exists in-cell).
     */
   def knnJoinInCell(embs: DataFrame, vecCol: String, idCol: String,
                     nCells: Int = 16): DataFrame = {

@@ -803,12 +803,18 @@ object TextAnalysis {
         ORDER BY lift DESC, bigram LIMIT 20"""))((spark, dir) => {
       val docs = Tables(spark, dir).documents
       // one corpus scan feeds the unigram table; the token TOTAL is just
-      // sum(cw) over it — no second pass
-      val uni = docs.select(explode(tokens(col("text"))).as("w"))
+      // sum(cw) over it — no second pass. MATERIALIZE the token array
+      // before shingling: `shingles` is a HOF whose lambda references its
+      // input per element, so passing the raw `tokens(text)` expression
+      // re-ran the split O(tokens) times per row (CollapseProject will
+      // not inline a non-cheap multi-referenced alias, so the projection
+      // boundary is load-bearing)
+      val toksDf = docs.select(tokens(col("text")).as("_t"))
+      val uni = toksDf.select(explode(col("_t")).as("w"))
         .groupBy(col("w")).agg(count(lit(1)).as("cw")).cache()
       val nToks = uni.agg(sum(col("cw")).as("n_toks"))
-      val bgc = docs
-        .select(explode(shingles(tokens(col("text")), 2)).as("b"))
+      val bgc = toksDf
+        .select(explode(shingles(col("_t"), 2)).as("b"))
         .groupBy(col("b")).agg(count(lit(1)).as("cb"))
         .filter(col("cb") >= 20)
         .withColumn("w1", split(col("b"), " ").getItem(0))

@@ -30,6 +30,15 @@ object TextPrep {
   /** Positional word n-gram shingles ("a b c" 3-grams) of a token array.
     * (Guarded: Spark's `sequence(0, -1)` counts DOWN, so short docs need an
     * explicit empty-array branch.)
+    *
+    * PASS A MATERIALIZED COLUMN, never a raw `tokens(text)` expression:
+    * the lambda references `toks` per element, so an inline expression
+    * re-evaluates the whole split O(tokens) times per row (interpreted —
+    * HOFs are CodegenFallback). Project the tokens into a named column
+    * first; CollapseProject will not inline a non-cheap multi-referenced
+    * alias, so the projection boundary holds. (The hashed LSH paths use
+    * the fused [[graft.functions.TextHashFunctions.hashedShingles]] and
+    * are immune.)
     */
   def shingles(toks: Column, n: Int): Column =
     when(size(toks) >= n,
