@@ -637,10 +637,13 @@ object Curation {
         .select(col("doc_id"), col("text"), col("source"))
       // the frozen df-cap universe: built over the bootstrap batch's
       // post-gate survivors, so the oracle's pair CTEs (which derive df
-      // stats from e2) replay the identical universe
+      // stats from e2) replay the identical universe. The gated frame is
+      // eagerly checkpointed (self-releasing) — it feeds the exact-dedup
+      // groupBy AND the semi-join back, and without the boundary the
+      // gate scan would run twice more here on top of the legs' own
       val eligible = d.filter(
         TextAnalysis.langGuessExpr(col("text")) === "en" &&
-        TextAnalysis.qualityKeepExpr(col("text")))
+        TextAnalysis.qualityKeepExpr(col("text"))).localCheckpoint()
       val keep = Dedup.exact(eligible, col("text"), col("doc_id"))
         .select(col("keep_id").as("doc_id"))
       val ok = Dedup.lshIndexBuild(
