@@ -281,8 +281,8 @@ object TextAnalysis {
     * the tail of [[bm25TopK]] and [[bm25TopKServed]], factored so the scan
     * and served forms rank through literally the same code.
     */
-  private def bm25SaltedTopK(scored: DataFrame, k: Int,
-                             nSalts: Int): DataFrame = {
+  private[graft] def bm25SaltedTopK(scored: DataFrame, k: Int,
+                                    nSalts: Int): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val salted = scored.withColumn("salt",
       pmod(crc32(col("doc").cast("string")), lit(nSalts)))
@@ -356,8 +356,24 @@ object TextAnalysis {
     val post = spark.read.parquet(s"$root/postings")
       .filter(col("tb").isin(buckets: _*) && col("term").isin(allTerms: _*))
     val stats = spark.read.parquet(s"$root/stats")
-    // exact per-term df from the pruned scan (a term's postings are all in
-    // its bucket); model-sized, broadcast back
+    bm25ScorePostings(post, stats, queries, k, k1, b, nSalts)
+  }
+
+  /** Score + rank queries against a PRUNED postings frame `(term, doc,
+    * dl, tf)` and a 1-row stats frame `(n, avgdl)` — the shared serving
+    * tail of [[bm25TopKServed]] (memoized batch index) and
+    * [[graft.streaming.PostingsStream]] (the DeltaView-maintained index):
+    * exact per-term df from the pruned postings (a term's postings all
+    * live in its bucket), the same decimal-routed contribution arithmetic
+    * as [[bm25TopK]], the same salted two-phase top-k.
+    */
+  def bm25ScorePostings(post: DataFrame, stats: DataFrame,
+                        queries: Seq[(Long, String)], k: Int = 10,
+                        k1: Double = 1.2, b: Double = 0.75,
+                        nSalts: Int = 16): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val spark = post.sparkSession
+    import spark.implicits._
     val dfs = post.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val contrib =
       (log(lit(1) + (col("n") - col("df") + 0.5) / (col("df") + 0.5)) *
@@ -648,6 +664,40 @@ object TextAnalysis {
         bm25TopKServed(spark, dir, Bm25Queries)
           .orderBy(col("query_id"), col("rank"))
       }),
+
+    // The STREAMED postings maintainer end-to-end (the q158/q159
+    // convention on the text-retrieval modality): bootstrap batch 0
+    // inserts every doc_id % 10 != 0; batch 1 DELETES every doc_id % 7
+    // == 0 and INSERTS every doc_id % 10 == 0 in the SAME signed batch —
+    // deletes apply first, so a doc that is both re-enters (the
+    // delete-then-reinsert contract) and the surviving corpus is exactly
+    // NOT(doc_id % 7 = 0 AND doc_id % 10 <> 0). Serving then answers the
+    // fixed q80 query set from the MAINTAINED index; the oracle is the
+    // from-scratch scan-form BM25 over the surviving corpus — stats, df,
+    // scores and ranking all hash-equal, proving maintained ≡ rebuilt
+    // through inserts, takedowns and same-batch reinsertion.
+    Query(
+      "q160_bm25_stream_commit",
+      Some(bm25OracleSql(
+        "(SELECT * FROM documents WHERE NOT (doc_id % 7 = 0 AND doc_id % 10 <> 0))",
+        "text", "doc_id", Bm25Queries)))((spark, dir) => {
+      import graft.streaming.PostingsStream
+      val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q160").toString
+      PostingsStream.applySignedBatchDelta(spark, root,
+        d.filter(col("doc_id") % 10 =!= 0)
+          .select(lit("I").as("op"), col("doc_id"), col("text")),
+        batchId = 0L)
+      PostingsStream.applySignedBatchDelta(spark, root,
+        d.filter(col("doc_id") % 7 === 0)
+          .select(lit("D").as("op"), col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select(lit("I").as("op"), col("doc_id"), col("text"))),
+        batchId = 1L)
+      PostingsStream.bm25TopKDelta(spark, root, Bm25Queries)
+        .orderBy(col("query_id"), col("rank"))
+    }),
 
     // Per-doc TF-IDF keywords: top-3 tokens of every document, scores as
     // exact BIGINT tf·idf_micro products so the ranking hash-matches.
