@@ -767,6 +767,32 @@ object BenchScale {
       // whole index per commit — linear BY CONSTRUCTION — which is
       // exactly the difference the delta core exists to remove.
       row("idx_commit_delta")(idxCommitRow(dir, snapshot = false)) ++
+      // Streamed POSTINGS maintainer commit cost (q160's machinery): the
+      // corpus postings bootstrapped as batch 0 (untimed), then one FIXED
+      // ~500-doc batch of fresh-id documents commits through the signed
+      // path — tokenize + per-batch (term, doc) groupBy + two O(batch)
+      // delta commits; the residual growth term is the docs-view fold
+      // inside the acceptance derivation (2 columns, no vectors). Target
+      // legs ≪ 1 — a day's ingest must cost the day, not the corpus.
+      row("postings_commit_delta") {
+        import graft.streaming.PostingsStream
+        val root = java.nio.file.Files
+          .createTempDirectory("graft-postc").toString
+        val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+        PostingsStream.applySignedBatchDelta(spark, root,
+          d.select(lit("I").as("op"), col("doc_id"), col("text")),
+          batchId = 0L, compactEvery = 1000)
+        val batch = d.filter(col("doc_id") < 500)
+          .select(lit("I").as("op"), (col("doc_id") + 10000000L).as("doc_id"),
+            col("text"))
+        val s = time {
+          PostingsStream.applySignedBatchDelta(spark, root, batch, 1L,
+            compactEvery = 1000)
+        }
+        spark.catalog.clearCache()
+        org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(root))
+        s
+      } ++
       // Incremental cluster maintenance (q154) in its steady-state shape:
       // the corpus label map prebuilt from the LSH pair graph (untimed, the
       // nightly artifact), a FIXED batch of arriving docs' probe links
