@@ -93,9 +93,16 @@ object Bench {
           case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
             // DSv2 reports no filesSize; take what it exposes so a future
             // v1→v2 source migration reads as its true scan volume, not a
-            // silent drop to 0 that the VOLUME tripwire would misread
-            scan += b.metrics.get("bytesRead").orElse(b.metrics.get("filesSize"))
-              .map(_.value).getOrElse(0L)
+            // silent drop to 0 that the VOLUME tripwire would misread.
+            // A v2 scan exposing NEITHER key must warn here — it is not a
+            // DataSourceScanExec, so the v1 arm below never sees it
+            b.metrics.get("bytesRead").orElse(b.metrics.get("filesSize"))
+              .map(_.value) match {
+              case Some(v) => scan += v
+              case None => System.err.println(
+                s"[bench] volume: BatchScanExec with neither bytesRead nor " +
+                s"filesSize (${b.scan.getClass.getSimpleName}) — scan_mb undercounts")
+            }
           // warn ONLY for real data-source scans we fail to meter —
           // InMemoryTableScan / LocalTableScan legitimately carry no
           // file bytes and must not spam the log

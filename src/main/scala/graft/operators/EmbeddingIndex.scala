@@ -192,23 +192,38 @@ object EmbeddingIndex {
                        stateExists: Boolean): Router = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
-    // AUTO resolves here — against the frozen quantizer, before the stamp
-    // is formed — so only concrete family names are ever stamped
-    val r = router.resolve(cent)
-    val want = indexStamp(cent, r)
+    val digest = quantizerDigest(cent)
     graft.util.AtomicPointer.read(conf, p) match {
-      case Some(s) if s == want => r
-      case Some(s) => throw new IllegalStateException(
-        s"embedding-index stamp mismatch, rebuild required: $dir was " +
-        s"built under '$s' but this maintainer is '$want' — a different " +
-        "quantizer or router makes stored cell assignments incomparable " +
-        "(a mismatched probe silently loses recall: 0.855 vs 0.957 " +
-        "@ nProbe=4 measured in EmbeddingIndexSpec)")
+      case Some(s) =>
+        val (stampedName, stampedDigest) = parseStamp(dir, s)
+        // A valid stamp (quantizer digest matches) PINS the concrete
+        // family for AUTO: adopt it instead of re-deriving from the cell
+        // count. Otherwise an index built under an older default — or
+        // near the boundary after the crossover is re-tuned — would
+        // hard-fail "rebuild required" on its next trigger even though
+        // every stored assignment is still valid. The crossover decides
+        // only the FIRST commit; after that the stamp owns the family.
+        val r = router match {
+          case AutoRouter if stampedDigest == digest =>
+            routerByName(stampedName)
+          case other => other.resolve(cent)
+        }
+        if (stampedName == r.name && stampedDigest == digest) r
+        else throw new IllegalStateException(
+          s"embedding-index stamp mismatch, rebuild required: $dir was " +
+          s"built under '$s' but this maintainer is " +
+          s"'router=${r.name},quantizer=$digest' — a different " +
+          "quantizer or router makes stored cell assignments incomparable " +
+          "(a mismatched probe silently loses recall: 0.855 vs 0.957 " +
+          "@ nProbe=4 measured in EmbeddingIndexSpec)")
       case None if stateExists => throw new IllegalStateException(
         s"$dir has committed index state but no ROUTER stamp — built by " +
-        s"a pre-stamp engine or a foreign writer; rebuild required " +
-        s"(engine is '$want')")
+        s"a pre-stamp engine or a foreign writer; rebuild required")
       case None =>
+        // First commit: AUTO resolves here — against the frozen quantizer
+        // — so only concrete family names are ever stamped.
+        val r = router.resolve(cent)
+        val want = s"router=${r.name},quantizer=$digest"
         // CREATE-EXCLUSIVE first commit: two concurrent bootstrappers with
         // different router/quantizer would otherwise both read None, both
         // overwrite-stamp, and one would run a full batch under a stamp
@@ -228,6 +243,18 @@ object EmbeddingIndex {
     }
   }
 
+  /** `router=<name>,quantizer=<digest>` → (name, digest); loud on any
+    * foreign content — shared by [[ensureIndexStamp]]/[[stampedRouter]].
+    */
+  private def parseStamp(dir: String, s: String): (String, String) =
+    s.split(",", 2) match {
+      case Array(r, q) if r.startsWith("router=") &&
+          q.startsWith("quantizer=") =>
+        (r.stripPrefix("router="), q.stripPrefix("quantizer="))
+      case _ => throw new IllegalStateException(
+        s"$dir/ROUTER is not an embedding-index stamp (got '$s')")
+    }
+
   /** The router a persisted index directory was built under, verifying the
     * caller's quantizer against the stamped digest — the SERVING-side
     * entry: readers obey the stamp instead of guessing. None = no stamp
@@ -240,13 +267,7 @@ object EmbeddingIndex {
     val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
     graft.util.AtomicPointer.read(conf, p) match {
       case Some(s) =>
-        val m = s.split(",", 2) match {
-          case Array(r, q) if r.startsWith("router=") &&
-              q.startsWith("quantizer=") =>
-            (r.stripPrefix("router="), q.stripPrefix("quantizer="))
-          case _ => throw new IllegalStateException(
-            s"$dir/ROUTER is not an embedding-index stamp (got '$s')")
-        }
+        val m = parseStamp(dir, s)
         val got = quantizerDigest(cent)
         if (m._2 != got) throw new IllegalStateException(
           s"quantizer mismatch on $dir: index built under digest " +

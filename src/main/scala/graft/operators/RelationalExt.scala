@@ -457,7 +457,6 @@ object RelationalExt {
                CAST(max(us) AS BIGINT) AS end_us
         FROM chain GROUP BY root, user_id
         ORDER BY session_id"""))((spark, dir) => {
-      Tables(spark, dir).events.createOrReplaceTempView("g88_events")
       // Scale constant surfaced by the 10× full-corpus run (BENCH_sf1
       // triage): Spark's recursive-CTE runaway guard defaults to 1 M
       // TOTAL rows across iterations, and this recursion provably
@@ -465,9 +464,17 @@ object RelationalExt {
       // so the guard trips on any corpus past 1 M events while the
       // recursion itself is linear and bounded by the session-gap rule.
       // Raise the row guard; keep the LEVEL guard (the true runaway
-      // signal for a chain recursion) at its default.
-      spark.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
-      spark.sql("""
+      // signal for a chain recursion) at its default. The raise is
+      // SCOPED to a cloned session (isolated SQLConf, shared
+      // SparkContext/cache): the frame executes lazily — after this
+      // body returns — so a set/restore here could not cover the actual
+      // run, while a frame BOUND to the clone carries the raised guard
+      // to every consumption and leaves the shared session's runaway
+      // guard at its default for all later queries.
+      val s88 = spark.newSession()
+      s88.conf.set("spark.sql.cteRecursionRowLimit", "2000000000")
+      Tables(s88, dir).events.createOrReplaceTempView("g88_events")
+      s88.sql("""
         WITH RECURSIVE evs AS (
           SELECT user_id, event_id,
                  unix_micros(CAST(ts AS TIMESTAMP)) AS us,

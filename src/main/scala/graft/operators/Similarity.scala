@@ -105,8 +105,13 @@ object Similarity {
       // partially-aggregated shuffle of (cell, pos) scalars, no joins
       val m = ArgMax.cosModelOf(
         cent.toSeq.sortBy(_._1).map { case (cid, cv) => (cid, cv.toArray) })
+      // NearestId yields a NULL cell for dim-mismatched or null vectors
+      // (where the old join+rescore form dropped the row). Row.getLong on
+      // that null below would read 0 and silently fold the bad row into
+      // centroid 0 — exclude it instead, preserving the drop semantics.
       val assigned = vecs.select(
         ArgMax.argmaxCosine(m, col("v")).as("cell"), col("v"))
+        .filter(col("cell").isNotNull)
       val means = assigned
         .select(col("cell"), posexplode(col("v")).as(Seq("pos", "val")))
         .groupBy(col("cell"), col("pos"))

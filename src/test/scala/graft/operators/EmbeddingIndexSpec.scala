@@ -401,6 +401,22 @@ class EmbeddingIndexSpec extends SparkSpec {
       EmbeddingIndex.ensureIndexStamp(spark, dirH, many,
         EmbeddingIndex.FlatRouter, stateExists = true)
     }
+    // AUTO against an EXISTING valid stamp ADOPTS the stamped family
+    // instead of re-deriving from the cell count: an index built 'flat'
+    // under an older default (or before a crossover re-tune) with a
+    // quantizer ABOVE today's crossover must keep serving, not hard-fail
+    // "rebuild required" while its state is perfectly valid (r12 ADVICE)
+    val dirAdopt = java.nio.file.Files.createTempDirectory("graft-auto-adopt").toString
+    assert(EmbeddingIndex.ensureIndexStamp(spark, dirAdopt, many,
+      EmbeddingIndex.FlatRouter, stateExists = false) == EmbeddingIndex.FlatRouter)
+    assert(EmbeddingIndex.ensureIndexStamp(spark, dirAdopt, many,
+      EmbeddingIndex.AutoRouter, stateExists = true) == EmbeddingIndex.FlatRouter)
+    // ...but adoption is digest-gated: AUTO against a DIFFERENT quantizer
+    // still fails loudly (assignments are incomparable either way)
+    intercept[IllegalStateException] {
+      EmbeddingIndex.ensureIndexStamp(spark, dirAdopt, few,
+        EmbeddingIndex.AutoRouter, stateExists = true)
+    }
   }
 
   test("first-commit stamp is create-exclusive: a concurrent loser fails loudly") {
