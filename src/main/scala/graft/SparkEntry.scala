@@ -18,6 +18,7 @@ object SparkEntry {
     graft.operators.EmbeddingIndex.queries ++
     graft.operators.TextAnalysis.queries ++
     graft.operators.Similarity.queries ++
+    graft.operators.HybridRetrieval.queries ++
     graft.operators.Multimodal.queries ++
     graft.operators.Pipeline.queries ++
     graft.operators.RangeJoin.queries ++

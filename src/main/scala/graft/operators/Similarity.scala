@@ -284,13 +284,21 @@ object Similarity {
     }: Unit }
 
   def annIvfIndexed(spark: org.apache.spark.sql.SparkSession, sfDir: String,
-                    k: Int, nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+                    k: Int, nCells: Int = 16, nProbe: Int = 2,
+                    queryIds: Option[Seq[Long]] = None): DataFrame = {
     import graft.functions.VectorFunctions._
     val idx = spark.read.parquet(ivfIndexFor(spark, sfDir, nCells))
     val t = Tables(spark, sfDir)
     val cent = t.embeddings.orderBy(col("vec_id")).limit(nCells)
       .select(col("vec_id").as("cid"), col("embedding").as("cv"))
-    val probes = t.embeddings.filter(col("vec_id") % 100 === 0)
+    // default query set = every 100th vector (the q51/q91 fixture); an
+    // explicit id list (the hybrid-retrieval read path, q162) reaches the
+    // query-vector scan as a pushed `vec_id IN (…)` filter
+    val qset = queryIds match {
+      case Some(ids) => t.embeddings.filter(col("vec_id").isin(ids: _*))
+      case None => t.embeddings.filter(col("vec_id") % 100 === 0)
+    }
+    val probes = qset
       .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
       .join(broadcast(cent))
       .withColumn("rn", row_number().over(
@@ -462,6 +470,37 @@ object Similarity {
   private[operators] def centSql(n: Int): String =
     s"""(SELECT vec_id AS cid, embedding AS cv FROM embeddings
                       ORDER BY vec_id LIMIT $n)"""
+
+  /** q91's oracle as a composable CTE FRAGMENT (`cent`/`a`/`cells`/`q`/
+    * `p`/`probes`/`scored`/`ranked`; `ranked` carries the per-query
+    * rank). `querySql` defines the query set — q91 passes the `vec_id %
+    * 100 = 0` fixture; the hybrid-retrieval oracle (q162) passes its
+    * literal id list, so fusion ranks through literally this SQL.
+    */
+  private[operators] def annIndexedOracleCtes(querySql: String,
+      nCells: Int = 16, nProbe: Int = 2): String =
+    s"""cent AS ${centSql(nCells)},
+        a AS (SELECT e.vec_id, c.cid, e.embedding,
+                ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM embeddings e CROSS JOIN cent c),
+        cells AS (SELECT vec_id, cid AS cell, embedding FROM a WHERE rn = 1),
+        q AS ($querySql),
+        p AS (SELECT q.query_id, q.qv, c.cid AS cell,
+                ROW_NUMBER() OVER (PARTITION BY q.query_id
+                  ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                           c.cid) AS rn
+              FROM q CROSS JOIN cent c),
+        probes AS (SELECT query_id, qv, cell FROM p WHERE rn <= $nProbe),
+        scored AS (SELECT pr.query_id, ce.vec_id,
+                     list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]) AS cos
+                   FROM probes pr JOIN cells ce ON ce.cell = pr.cell
+                   WHERE ce.vec_id <> pr.query_id),
+        ranked AS (SELECT query_id, vec_id, cos,
+                     ROW_NUMBER() OVER (PARTITION BY query_id
+                       ORDER BY cos DESC, vec_id) AS rank
+                   FROM scored)"""
 
   // ------------------------------------------------ product quantization
 
@@ -1033,29 +1072,9 @@ object Similarity {
     Query(
       "q91_ann_indexed",
       Some(s"""
-        WITH cent AS ${centSql(16)},
-        a AS (SELECT e.vec_id, c.cid, e.embedding,
-                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                  ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
-                           c.cid) AS rn
-              FROM embeddings e CROSS JOIN cent c),
-        cells AS (SELECT vec_id, cid AS cell, embedding FROM a WHERE rn = 1),
-        q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
-              WHERE vec_id % 100 = 0),
-        p AS (SELECT q.query_id, q.qv, c.cid AS cell,
-                ROW_NUMBER() OVER (PARTITION BY q.query_id
-                  ORDER BY list_cosine_similarity(q.qv::DOUBLE[], c.cv::DOUBLE[]) DESC,
-                           c.cid) AS rn
-              FROM q CROSS JOIN cent c),
-        probes AS (SELECT query_id, qv, cell FROM p WHERE rn <= 2),
-        scored AS (SELECT pr.query_id, ce.vec_id,
-                     list_cosine_similarity(pr.qv::DOUBLE[], ce.embedding::DOUBLE[]) AS cos
-                   FROM probes pr JOIN cells ce ON ce.cell = pr.cell
-                   WHERE ce.vec_id <> pr.query_id),
-        ranked AS (SELECT query_id, vec_id, cos,
-                     ROW_NUMBER() OVER (PARTITION BY query_id
-                       ORDER BY cos DESC, vec_id) AS rank
-                   FROM scored)
+        WITH ${annIndexedOracleCtes(
+          """SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id % 100 = 0""")}
         SELECT query_id, rank, vec_id, round(cos, 6) AS cos_sim
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""))((spark, dir) =>

@@ -398,7 +398,21 @@ object TextAnalysis {
     */
   def bm25OracleSql(table: String, textCol: String, idCol: String,
                     queries: Seq[(Long, String)], k: Int = 10,
-                    k1: Double = 1.2, b: Double = 0.75): String = {
+                    k1: Double = 1.2, b: Double = 0.75): String =
+    s"""
+      WITH ${bm25OracleCtes(table, textCol, idCol, queries, k1, b)}
+      SELECT query_id, rank, doc AS doc_id,
+             round(CAST(s AS DOUBLE), 6) AS score
+      FROM r WHERE rank <= $k
+      ORDER BY query_id, rank"""
+
+  /** [[bm25OracleSql]]'s CTE chain alone (`dd`/`st`/`sc`/`r`; `r` carries
+    * the per-query rank) — a composable FRAGMENT, so the hybrid-retrieval
+    * oracle (q162) ranks through literally the q80/q156 scoring SQL.
+    */
+  def bm25OracleCtes(table: String, textCol: String, idCol: String,
+                     queries: Seq[(Long, String)],
+                     k1: Double = 1.2, b: Double = 0.75): String = {
     val allTerms = queries.flatMap(_._2.toLowerCase.trim.split(" +")).distinct
     val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
       s"CAST(len(list_filter(tk, x -> x = '$t')) AS BIGINT) AS tf_$i"
@@ -415,8 +429,7 @@ object TextAnalysis {
             CAST(${idxs.map(contrib).mkString(" + ")} AS DECIMAL(18,9)) AS s
           FROM dd, st"""
     }.mkString("\nUNION ALL\n")
-    s"""
-      WITH dd AS (
+    s"""dd AS (
         SELECT $idCol AS doc, CAST(len(tk) AS BIGINT) AS dl,
                $tfCols
         FROM (SELECT $idCol, ${sqlTokens(textCol)} AS tk FROM $table)),
@@ -428,11 +441,123 @@ object TextAnalysis {
       r AS (SELECT query_id, doc, s,
               ROW_NUMBER() OVER (PARTITION BY query_id
                 ORDER BY s DESC, doc) AS rank
-            FROM sc WHERE s > 0)
-      SELECT query_id, rank, doc AS doc_id,
-             round(CAST(s AS DOUBLE), 6) AS score
-      FROM r WHERE rank <= $k
-      ORDER BY query_id, rank"""
+            FROM sc WHERE s > 0)"""
+  }
+
+  /** Iterative BPE tokenizer TRAINING: `rounds` synchronized merge steps.
+    * q89 computes only the FIRST merge (the argmax pair); a tokenizer-
+    * training pipeline runs the LOOP — apply the winning merge to the
+    * token stream, recount adjacent pairs, repeat — and its output is the
+    * ordered merge table (round, pair, cnt) that defines the tokenizer.
+    *
+    * Semantics (the standard character-BPE contract):
+    *  - the unit of training is the word TYPE with its occurrence count —
+    *    pair counts are Σ n_occ, so per-round work is O(vocab), not
+    *    O(corpus): the corpus is scanned ONCE to build the weighted
+    *    vocabulary and never again (the classic Sennrich et al. 2016
+    *    implementation trick, and the 100 TB term: vocabulary is bounded
+    *    by the heavy-tailed type distribution, not data volume);
+    *  - training words are `^[a-z0-9]+$` types of length ≥ 2 (symbols
+    *    never contain the encoding delimiter, and 1-symbol words can
+    *    never produce a pair);
+    *  - each round's merge is the (cnt DESC, pair ASC) argmax — ONE row
+    *    collected to the driver per round (control-plane, the
+    *    [[Similarity.kmeansCentroids]] loop-state policy);
+    *  - applying a merge is GREEDY LEFT-TO-RIGHT and non-overlapping
+    *    within a word ("aaa" under merge (a,a) → ["aa","a"]).
+    *
+    * The greedy apply is ONE codegen'd string `replace` per round, via the
+    * delimiter encoding `"ab" → "|a||b|"`: merging pair (x,y) is literally
+    * `replace(s, "|x||y|", "|xy|")`, and string replace IS left-to-right
+    * non-overlapping in both engines — consecutive occurrences merge
+    * ("|a||b||a||b|" → "|ab||ab|") while a symbol whose SUFFIX matches x
+    * cannot false-match ("|xa||b|" does not contain "|a||b|"). Vocabulary
+    * state localCheckpoints per round so lineage never nests (the q85
+    * cadence); the merged frame is vocab-sized, so the checkpoint is
+    * cheap and self-releasing.
+    *
+    * The DuckDB oracle ([[bpeOracleSql]]) is machine-generated unrolled
+    * CTEs (the q126/q132 pattern) replaying the same encoding, the same
+    * argmax tie-break and the same replace — counts are exact integers,
+    * so the full merge table hash-matches.
+    */
+  def bpeTrainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    var w = docs.select(explode(tokens(col(textCol))).as("w"))
+      .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).cast("long").as("n"))
+      .select(regexp_replace(col("w"), "(.)", "|$1|").as("s"), col("n"))
+      .localCheckpoint()
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var exhausted = false
+    for (r <- 1 to rounds if !exhausted) {
+      // symbols from the encoded state; the array is MATERIALIZED into a
+      // named column before the pair HOF references it per element
+      // (TextPrep.shingles' projection-boundary contract)
+      val syms = split(col("s").substr(lit(2), length(col("s")) - 2), "\\|\\|")
+      val top = w.select(col("n"), syms.as("a"))
+        .filter(size(col("a")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("a")) - 1),
+          i => concat(lit("|"), element_at(col("a"), i), lit("||"),
+            element_at(col("a"), i + 1), lit("|")))).as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .collect()
+      if (top.isEmpty) exhausted = true // corpus out of pairs: stop early
+      else {
+        val pair = top(0).getString(0)
+        merges += ((r, pair, top(0).getLong(1)))
+        w = w.select(replace(col("s"), lit(pair),
+            lit(pair.replace("||", ""))).as("s"), col("n"))
+          .localCheckpoint()
+      }
+    }
+    merges.toSeq
+      .map { case (r, p, c) => (r, p.replace("||", " ").replace("|", ""), c) }
+      .toDF("round", "pair", "cnt")
+      .orderBy(col("round"))
+  }
+
+  /** DuckDB twin of [[bpeTrainMerges]]: machine-generated unrolled CTEs,
+    * one (pair-count argmax, replace-apply) stage per round. MATERIALIZED
+    * stops DuckDB's CTE inlining from exponentiating the base scans
+    * (each w_r is referenced by two CTEs of round r+1 — the q126 rule).
+    */
+  def bpeOracleSql(table: String, textCol: String, rounds: Int): String = {
+    val init = s"""w0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(${sqlTokens(textCol)}) AS w FROM $table)
+        WHERE regexp_matches(w, '^[a-z0-9]+$$') AND len(w) >= 2
+        GROUP BY w)"""
+    val steps = (1 to rounds).map { r =>
+      val apply =
+        if (r == rounds) "" // the final round's merged state is unused
+        else s""",
+          w$r AS MATERIALIZED (
+            SELECT replace(s, (SELECT pair FROM m$r),
+                     (SELECT replace(pair, '||', '') FROM m$r)) AS s, n
+            FROM w${r - 1})"""
+      s"""a$r AS (SELECT string_split(substr(s, 2, len(s) - 2), '||') AS a, n
+                  FROM w${r - 1}),
+          p$r AS (SELECT unnest(list_transform(range(1, len(a)),
+                    i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair, n
+                  FROM a$r),
+          m$r AS MATERIALIZED (
+            SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+            FROM p$r GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 1)$apply"""
+    }.mkString(",\n")
+    val branches = (1 to rounds).map { r =>
+      s"""SELECT CAST($r AS INTEGER) AS round,
+            replace(replace(pair, '||', ' '), '|', '') AS pair, cnt
+          FROM m$r"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $init,
+        $steps
+        SELECT round, pair, cnt FROM ($branches) ORDER BY round"""
   }
 
   def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
@@ -877,6 +1002,61 @@ object TextAnalysis {
           round(col("cb") * lit(1.0) * col("n_toks")
             / (col("c1") * lit(1.0) * col("c2")), 6).as("lift"))
         .orderBy(col("lift").desc, col("bigram")).limit(20)
+    }),
+
+    // Iterative BPE tokenizer training, 8 synchronized merge rounds (q89
+    // is round 1's argmax only): the ordered merge table, hash-matched
+    // against a machine-generated unrolled-CTE oracle replaying the same
+    // greedy left-to-right merge apply. See bpeTrainMerges for the
+    // O(vocab)-per-round scale contract.
+    Query(
+      "q161_bpe_train",
+      Some(bpeOracleSql("documents", "text", rounds = 8)))((spark, dir) =>
+      bpeTrainMerges(Tables(spark, dir).documents, "text", rounds = 8)),
+
+    // The streamed postings index SERVED with a compacted base AND live
+    // uncompacted deltas — the steady-state read plan: base_v0 is the
+    // bootstrap corpus (compacted, tb-partitioned), batches 1 and 2
+    // (takedowns + same-batch reinserts) stay live deltas at
+    // compactEvery=3, so the serve FOLDS base+deltas with tb/term
+    // pruning on the base scan (PlanSpec-gated). Unlike q160 (which
+    // times the commit lifecycle), the maintained state is memoized
+    // per (sfDir) so this row's time IS the fold+prune serve cost —
+    // the tripwire now guards that plan's shape and volume. The oracle
+    // is the from-scratch scan-form BM25 over the surviving corpus:
+    //   live = (all \ {d%7=0 ∧ d%10≠0}) \ {d%5=0} ∪ {d%15=0}
+    // (batch 2 deletes every d%5=0 and reinserts d%15=0 in the same
+    // signed batch — deletes-first, so the reinserts re-enter).
+    Query(
+      "q163_bm25_stream_serve",
+      Some(bm25OracleSql(
+        """(SELECT * FROM documents
+            WHERE (NOT (doc_id % 7 = 0 AND doc_id % 10 <> 0)
+                   AND doc_id % 5 <> 0)
+               OR doc_id % 15 = 0)""",
+        "text", "doc_id", Bm25Queries)))((spark, dir) => {
+      import graft.streaming.PostingsStream
+      val root = graft.PartitionedWrites.memoizedIndex(s"q163#$dir") { path =>
+        val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+        PostingsStream.applySignedBatchDelta(spark, path,
+          d.filter(col("doc_id") % 10 =!= 0)
+            .select(lit("I").as("op"), col("doc_id"), col("text")),
+          batchId = 0L, compactEvery = 3) // first commit = compacted base_v0
+        PostingsStream.applySignedBatchDelta(spark, path,
+          d.filter(col("doc_id") % 7 === 0)
+            .select(lit("D").as("op"), col("doc_id"), col("text"))
+            .unionByName(d.filter(col("doc_id") % 10 === 0)
+              .select(lit("I").as("op"), col("doc_id"), col("text"))),
+          batchId = 1L, compactEvery = 3) // live delta_v1
+        PostingsStream.applySignedBatchDelta(spark, path,
+          d.filter(col("doc_id") % 5 === 0)
+            .select(lit("D").as("op"), col("doc_id"), col("text"))
+            .unionByName(d.filter(col("doc_id") % 15 === 0)
+              .select(lit("I").as("op"), col("doc_id"), col("text"))),
+          batchId = 2L, compactEvery = 3) // live delta_v2
+      }
+      PostingsStream.bm25TopKDelta(spark, root, Bm25Queries)
+        .orderBy(col("query_id"), col("rank"))
     })
   )
 }

@@ -249,6 +249,42 @@ class PlanSpec extends SparkSpec {
       "term filter did not reach the postings scan")
   }
 
+  test("q162: BOTH index scans stay pruned inside the fused hybrid plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = deepNodes(executed(q("q162_hybrid_rrf"))).collect {
+      case f: FileSourceScanExec => f
+    }
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+      .map(_.partitionFilters.mkString(","))
+    // the BM25 postings tier keeps its term-bucket pruning...
+    assert(pruned.exists(s => s.contains("tb") &&
+        (s.contains(" IN (") || s.contains("INSET"))),
+      s"no tb IN/INSET partition filter on the postings scan in the fused plan: $pruned")
+    // ...and the ANN IVF tier keeps its probed-cell pruning — a fusion
+    // that silently rescans either corpus would still rank correctly,
+    // so only a plan gate catches it
+    assert(pruned.exists(s => s.contains("cell") && s.contains(" IN (")),
+      s"no cell IN (...) partition filter on the IVF index scan in the fused plan: $pruned")
+  }
+
+  test("q163: the folded postings BASE scan is partition-pruned under live deltas") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = deepNodes(executed(q("q163_bm25_stream_serve"))).collect {
+      case f: FileSourceScanExec => f
+    }
+    // the fold unions the compacted tb-partitioned base with the
+    // (unpartitioned) live deltas; the tb predicate must reach the BASE
+    // side as PARTITION pruning — the steady-state serve cost contract
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+      .map(_.partitionFilters.mkString(","))
+    assert(pruned.exists(s => s.contains("tb") &&
+        (s.contains(" IN (") || s.contains("INSET"))),
+      s"no tb IN/INSET partition filter on the folded base scan: $pruned")
+    // the term predicate must reach the scans too (row-group pruning)
+    assert(scans.exists(_.dataFilters.mkString(",").contains("term")),
+      "term filter did not reach the postings scans")
+  }
+
   test("q93: the hint yields a ShuffledHashJoin, not a sort-merge join") {
     val p = planString("q93_shuffle_hash_join")
     assert(p.contains("ShuffledHashJoin"), p.take(1500))

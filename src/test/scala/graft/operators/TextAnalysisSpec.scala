@@ -53,4 +53,32 @@ class TextAnalysisSpec extends SparkSpec {
     val a = run(docs)
     assert(a == run(docs.repartition(9)) && a.nonEmpty)
   }
+
+  test("bpeTrainMerges: hand-traced rounds — greedy apply, weighting, tie-break") {
+    import spark.implicits._
+    // word types: aab ×3, ab ×1, aaa ×1; 'b' (len 1) and 'x!y' (non-alnum)
+    // are excluded from training.
+    val docs = Seq(
+      (1L, "aab aab ab"),
+      (2L, "aab b x!y"),
+      (3L, "aaa")).toDF("doc_id", "text")
+    // round 1: pairs (a,a)=3+2=5 > (a,b)=3+1=4 → merge (a,a), cnt 5.
+    //   GREEDY left-to-right: aaa → [aa, a] (not [a, aa]); aab → [aa, b].
+    // round 2: (aa,b)=3, (aa,a)=1, (a,b)=1 → merge (aa,b), cnt 3.
+    // round 3: (aa,a)=1 ties (a,b)=1 → encoded-pair ASC picks "|aa||a|"
+    //   ('a' < '|' bytewise), display "aa a", cnt 1.
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "a a", 5L), (2, "aa b", 3L), (3, "aa a", 1L)), got)
+  }
+
+  test("bpeTrainMerges stops early when the corpus runs out of pairs") {
+    import spark.implicits._
+    val docs = Seq((1L, "ab ab")).toDF("doc_id", "text")
+    // round 1 merges (a,b); every word is then a single symbol — no pair
+    // exists for round 2 and the loop must stop, not throw or emit nulls
+    val got = TextAnalysis.bpeTrainMerges(docs, "text", rounds = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq((1, "a b", 2L)), got)
+  }
 }
