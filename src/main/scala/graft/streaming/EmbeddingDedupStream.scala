@@ -273,6 +273,79 @@ object EmbeddingDedupStream {
       router = router)
   }
 
+  /** One quantizer-drift measurement: served recall of the CURRENT grown
+    * index at the serving `nProbe`, with the recommendation verdict.
+    */
+  final case class DriftReport(batchId: Long, nProbe: Int,
+                               targetRecall: Double,
+                               curve: Seq[(Int, Double)],
+                               recallAtNProbe: Double,
+                               requantizeRecommended: Boolean) {
+    def toJson: String = {
+      val c = curve.map { case (p, r) => s""""$p":$r""" }.mkString(",")
+      s"""{"batch_id":$batchId,"n_probe":$nProbe,""" +
+      s""""target_recall":$targetRecall,"curve":{$c},""" +
+      s""""recall_at_n_probe":$recallAtNProbe,""" +
+      s""""requantize_recommended":$requantizeRecommended}"""
+    }
+  }
+
+  /** Quantizer-DRIFT monitor for the frozen-quantizer delta-core index:
+    * [[EmbeddingIndex.estimateProbeRecall]] of the GROWN index against
+    * its own stored vectors — the grown corpus is its own drift witness:
+    * recall at the stamped router + served `nProbe` decays exactly when
+    * newly-ingested vectors' true near-neighbors land in cells the
+    * frozen quantizer does not co-locate (mass concentrating off the
+    * original centroids). The quantizer-freeze contract makes stored
+    * assignments immortal but says nothing about their continued
+    * QUALITY; this is the watcher that turns that blind spot into a
+    * signal.
+    *
+    * Returns None before any commit or when no stored vector has a true
+    * near-dup at `threshold` (nothing evaluable — a corpus the dedup
+    * already keeps near-dup-free at the serving threshold needs no
+    * re-quantize signal). Otherwise records the measured curve NEXT TO
+    * THE STAMP (`<dir>/RECALL`, atomic pointer — the evidence trail a
+    * retune review reads) and recommends re-quantization when the
+    * serving recall has fallen below `targetRecall` — the target is
+    * unreachable at the stamped nProbe, so either nProbe grows (paying
+    * probe cost forever) or the quantizer is re-fit and the index
+    * rebuilt under a new stamp.
+    *
+    * Cost: a brute-force truth join over ≤ `maxQueries` sampled stored
+    * vectors (the [[tuneProbeDelta]] scan class) — a cadence job
+    * ([[dedupStreamDelta]] runs it every `monitorEvery` commits), never
+    * per trigger.
+    */
+  def monitorDriftDelta(spark: SparkSession, indexDir: String,
+                        cent: DataFrame, nProbe: Int = 2,
+                        targetRecall: Double = 0.9,
+                        threshold: Double = 0.4,
+                        maxQueries: Int = 256): Option[DriftReport] = {
+    val view = deltaView(spark, indexDir, compactEvery = 8).read()
+    if (view.isEmpty) return None
+    val router = EmbeddingIndex
+      .stampedRouter(spark, indexDir, cent, stateExists = true)
+      .getOrElse(EmbeddingIndex.FlatRouter)
+    val idx = normalize(view.get)
+    val probes = (Seq(1, 2, 4, 8) :+ nProbe).distinct.sorted
+    val rows = EmbeddingIndex.estimateProbeRecall(idx, cent,
+        idx.select(col("vec_id"), col("v")), "v", "vec_id",
+        probes, threshold, maxQueries, excludeSelf = true, router)
+      .collect()
+    if (rows.isEmpty || rows.forall(_.getLong(2) == 0L)) return None
+    val curve = rows.map(r =>
+      (r.getInt(0), r.getLong(1).toDouble / r.getLong(2))).toSeq.sortBy(_._1)
+    val atServed = curve.find(_._1 == nProbe).map(_._2).getOrElse(0.0)
+    val report = DriftReport(
+      committedDelta(spark, indexDir).map(_._1).getOrElse(-1L),
+      nProbe, targetRecall, curve, atServed,
+      requantizeRecommended = atServed < targetRecall)
+    graft.util.AtomicPointer.commit(spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(indexDir, "RECALL"), report.toJson)
+    Some(report)
+  }
+
   private def deltaView(spark: SparkSession, indexDir: String,
                         compactEvery: Int): DeltaView =
     DeltaView(spark, indexDir, keyCols = Seq("vec_id"),
@@ -321,7 +394,8 @@ object EmbeddingDedupStream {
   def dedupStreamDelta(changes: DataFrame, cent: DataFrame, indexDir: String,
                        checkpointDir: String, nProbe: Int = 2,
                        threshold: Double = 0.4, compactEvery: Int = 8,
-                       router: EmbeddingIndex.Router = EmbeddingIndex.AutoRouter)
+                       router: EmbeddingIndex.Router = EmbeddingIndex.AutoRouter,
+                       monitorEvery: Int = 0, targetRecall: Double = 0.9)
       : StreamingQuery = {
     val spark = changes.sparkSession
     changes.writeStream
@@ -329,6 +403,19 @@ object EmbeddingDedupStream {
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         applyBatchDelta(spark, indexDir, cent, batch, batchId, nProbe,
           threshold, compactEvery, router)
+        // drift cadence: every `monitorEvery` commits, measure the grown
+        // index's served recall against the frozen quantizer and persist
+        // the curve next to the stamp (0 = off). A recommendation is a
+        // SIGNAL for the operator (re-fit + rebuild under a new stamp),
+        // never an automatic rebuild — the stamp contract stays frozen.
+        if (monitorEvery > 0 && batchId % monitorEvery == 0)
+          monitorDriftDelta(spark, indexDir, cent, nProbe, targetRecall,
+              threshold).foreach { rep =>
+            if (rep.requantizeRecommended) System.err.println(
+              s"[embedding-dedup] quantizer drift: recall@$nProbe = " +
+              f"${rep.recallAtNProbe}%.3f < target $targetRecall — " +
+              "re-quantize recommended (curve at " + s"$indexDir/RECALL)")
+          }
       }
       .start()
   }

@@ -339,4 +339,56 @@ class EmbeddingDedupStreamSpec extends SparkSpec {
       .select("vec_id").collect().map(_.getLong(0)).toSet
     assert(got == Set(2L, 30L, 40L), got.toString)
   }
+
+  test("drift monitor: planted off-centroid drift trips the re-quantize signal; a stationary corpus does not") {
+    import spark.implicits._
+    // 8-d fixture: 4 disjoint 2-plane subspaces, one twin PAIR per plane
+    // (cos(2°) ≈ 0.99939 between twins, 0 across planes), 8 axis
+    // centroids. Stationary twins sit at 10°/12° — both assign to the
+    // even axis cell, so each query's true near-dup shares its rank-1
+    // cell. Drift twins STRADDLE the 45° cell boundary (44°/46°): the
+    // frozen quantizer splits every pair across two cells, so serving at
+    // nProbe=1 misses ALL of them — the exact decay mode the monitor
+    // exists to catch.
+    def pairVec(j: Int, deg: Double): Seq[Double] = {
+      val a = math.toRadians(deg)
+      val buf = Array.fill(8)(0.0)
+      buf(2 * j) = math.cos(a); buf(2 * j + 1) = math.sin(a)
+      buf.toIndexedSeq
+    }
+    val cent8 = (0 until 8).map { i =>
+      (i.toLong, Seq.tabulate(8)(d => if (d == i) 1.0 else 0.0))
+    }.toDF("cid", "cv")
+    def corpus(degA: Double, degB: Double) = (0 until 4).flatMap { j =>
+      Seq(("I", (2 * j).toLong, pairVec(j, degA)),
+          ("I", (2 * j + 1).toLong, pairVec(j, degB)))
+    }.toDF("op", "vec_id", "embedding")
+    def bootstrap(rows: org.apache.spark.sql.DataFrame): String = {
+      val dir = java.nio.file.Files.createTempDirectory("graft-drift").toString
+      // ingest threshold 0.9999 > cos(2°): twins must BOTH enter (the
+      // drift being planted is in the survivors, not dedup rejections)
+      EmbeddingDedupStream.applyBatchDelta(spark, dir, cent8, rows, 0L,
+        nProbe = 1, threshold = 0.9999)
+      dir
+    }
+    // monitor threshold 0.999: only the engineered twin counts as a true
+    // near-dup (cos(2°) = 0.99939 passes; everything else is ≤ cos(30°))
+    val stationary = bootstrap(corpus(10, 12))
+    val repS = EmbeddingDedupStream.monitorDriftDelta(spark, stationary,
+      cent8, nProbe = 1, targetRecall = 0.9, threshold = 0.999).get
+    assert(!repS.requantizeRecommended && repS.recallAtNProbe == 1.0, repS)
+
+    val drifted = bootstrap(corpus(44, 46))
+    val repD = EmbeddingDedupStream.monitorDriftDelta(spark, drifted,
+      cent8, nProbe = 1, targetRecall = 0.9, threshold = 0.999).get
+    assert(repD.requantizeRecommended && repD.recallAtNProbe == 0.0, repD)
+    // the signal is ACTIONABLE: the curve shows the target IS reachable
+    // one probe up (boundary straddle, not quantizer collapse)
+    assert(repD.curve.find(_._1 == 2).exists(_._2 == 1.0), repD.curve)
+    // the curve is recorded next to the stamp for the retune review
+    val rec = graft.util.AtomicPointer.read(
+      spark.sparkContext.hadoopConfiguration,
+      new org.apache.hadoop.fs.Path(drifted, "RECALL"))
+    assert(rec.exists(_.contains("\"requantize_recommended\":true")), rec)
+  }
 }
