@@ -33,6 +33,18 @@ object Bench {
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
     val firstRun = scala.collection.mutable.LinkedHashMap[String, Double]()
     val planFps = scala.collection.mutable.LinkedHashMap[String, String]()
+    // per-row evidence for post-hoc adjudication (the r12 lesson: one
+    // loadavg snapshot for a 160-row run cannot localize a host stall):
+    // row END wall-clock + the 1-min loadavg at that moment + every plan
+    // shape the row's runs produced (AQE-multistable rows legitimately
+    // flip between equivalent shapes; recording BOTH runs' fingerprints
+    // lets tools/plan_diff.py flag only genuinely NEW shapes)
+    val rowMeta = scala.collection.mutable.LinkedHashMap[
+      String, (Double, Double, Seq[String])]()
+    def load1m: Double =
+      try scala.io.Source.fromFile("/proc/loadavg").mkString
+        .split(" ")(0).toDouble
+      catch { case _: Throwable => -1.0 }
     val errors = scala.collection.mutable.ListBuffer[String]()
 
     // Canonical fingerprint of the POST-EXECUTION physical plan (AQE
@@ -54,6 +66,16 @@ object Bench {
       val label = p match {
         case j: org.apache.spark.sql.execution.joins.BaseJoinExec =>
           s"${p.nodeName}[${j.joinType}]"
+        // WholeStageCodegenExec's nodeName embeds its codegenStageId — a
+        // session-GLOBAL counter whose value depends on what compiled
+        // before and on AQE stage-materialization order (thread timing).
+        // It is not a plan property: r12's six "AQE-multistable" rows
+        // (q24/q27/q53/q72/q110/q133) were all IDENTICAL trees whose ids
+        // drifted (PlanFlip probe: 4-5 raw shapes each, exactly 1 after
+        // stripping the id). Normalize so the fingerprint hashes the
+        // tree, not the compile order.
+        case _: org.apache.spark.sql.execution.WholeStageCodegenExec =>
+          "WholeStageCodegen"
         case _ => p.nodeName
       }
       label + "(" + (p.children ++ extra).map(planShape).mkString(",") + ")"
@@ -167,13 +189,28 @@ object Bench {
         }
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: $e"); None }
+      def fpOf(df: org.apache.spark.sql.DataFrame): Option[String] =
+        try Some(fingerprint(df))
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name fingerprint failed: $e"); None }
       (once, once) match {
-        case (Some((a, _)), Some((b, cdf))) =>
-          firstRun(name) = a; results(name) = math.min(a, b)
-          try planFps(name) = fingerprint(cdf)
-          catch { case e: Throwable =>
-            System.err.println(s"[bench] $name fingerprint failed: $e") }
-          try volumes(name) = volumeOf(cdf)
+        case (Some((a, cdfA)), Some((b, cdfB))) =>
+          firstRun(name) = a
+          // a heavy row whose two runs DISAGREE >2x is a stall suspect —
+          // one tie-breaker run so a single noisy-neighbor window cannot
+          // own the row's reported time (min-of-3 on disagreement only;
+          // concordant rows stay min-of-2 and pay nothing extra)
+          val third =
+            if (math.min(a, b) > 2.0 && math.max(a, b) > 2 * math.min(a, b))
+              once.map(_._1)
+            else None
+          results(name) = (Seq(a, b) ++ third).min
+          val fpA = fpOf(cdfA)
+          val fpB = fpOf(cdfB)
+          fpB.orElse(fpA).foreach(planFps(name) = _)
+          rowMeta(name) = ((System.currentTimeMillis() / 1000.0, load1m,
+            (fpA.toSeq ++ fpB.toSeq).distinct))
+          try volumes(name) = volumeOf(cdfB)
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name volume failed: $e") }
         case _ => errors += name
@@ -353,6 +390,16 @@ object Bench {
       .map { case (k, v) =>
         f""""$k":{"shuffle_mb":${v.shuffleMb}%.2f,"scan_mb":${v.scanMb}%.2f,"exchanges":${v.exchanges}}""" }
       .mkString("""{"metric":"volume","queries":{""", ",", "}}")
+    // rows line (artifact-file only): execution-ordered per-row end
+    // timestamp + loadavg sample + the row's observed plan-shape SET —
+    // what lets plan_diff.py (a) self-identify a host-stall window from
+    // the artifacts alone and (b) flag only genuinely NEW plan shapes on
+    // AQE-multistable rows
+    val rowsLine = rowMeta
+      .map { case (k, (end, ld, fps)) =>
+        val fpj = fps.map("\"" + _ + "\"").mkString("[", ",", "]")
+        f""""$k":{"end_s":$end%.1f,"load_1m":$ld%.2f,"shapes":$fpj}""" }
+      .mkString("""{"metric":"rows","queries":{""", ",", "}}")
     println(detailLine)
     println(totalLine)
     // The driver archives only a ~2000-char TAIL of stdout, which truncates
@@ -375,7 +422,7 @@ object Bench {
               java.nio.file.StandardCopyOption.REPLACE_EXISTING)
           java.nio.file.Files.write(path,
             (detailLine + "\n" + totalLine + "\n" + planLine + "\n" +
-             volumeLine + "\n").getBytes("UTF-8"))
+             volumeLine + "\n" + rowsLine + "\n").getBytes("UTF-8"))
           // The tripwire runs IN the bench entry — un-skippable, not
           // judge-invoked: every full-corpus run diffs itself against the
           // previous artifact (plan-shape changes without a bench win,

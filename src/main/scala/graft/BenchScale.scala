@@ -375,6 +375,15 @@ object BenchScale {
         spark.catalog.clearCache()
         s
       } ++
+      // Iterative BPE training (8 merge rounds): the corpus is scanned
+      // ONCE into the weighted type vocabulary; each round is a
+      // vocab-sized map-combinable count shuffle + a 1-row argmax collect
+      // + a map-only replace. The permuted replica vocabulary grows ∝
+      // scale, so both terms are ∝ n — exponent ≈ 1, no bend expected.
+      row("q161_bpe_train")(bestOf2 {
+        graft.util.Consume.checksum(
+          TextAnalysis.bpeTrainMerges(t.documents, "text", rounds = 8)); ()
+      }) ++
       // Quality-aware survivor selection in the 100 TB configuration
       // (LSH candidate pairs → components → broadcast membership into one
       // corpus scan + per-cluster argmax). Rides the q56 family's shape;
