@@ -42,6 +42,9 @@ object PlanFlip {
       label + "(" + (p.children ++ extra).map(planShape).mkString(",") + ")"
     }
 
+    def fpOf(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-1")
+        .digest(s.getBytes("UTF-8")).take(6).map("%02x".format(_)).mkString
     for (name <- names) {
       val shapes = scala.collection.mutable.LinkedHashMap[String, Int]()
       for (_ <- 1 to reps) {
@@ -54,9 +57,13 @@ object PlanFlip {
         } catch { case e: Throwable =>
           System.err.println(s"[planflip] $name failed: $e")
         }
-        spark.catalog.clearCache()
+        // bench-faithful cache lifecycle: the cache persists ACROSS a
+        // query's reps (Bench clears only after both timed runs), so
+        // cache-warm-state-dependent AQE decisions reproduce here
       }
-      println(s"== $name: ${shapes.size} distinct shapes over $reps runs")
+      spark.catalog.clearCache()
+      println(s"== $name: ${shapes.size} distinct shapes over $reps runs " +
+        shapes.keys.map(fpOf).mkString("[", " ", "]"))
       shapes.zipWithIndex.foreach { case ((s, n), i) =>
         println(s"-- shape $i (x$n):")
         // indent nested structure for readability
