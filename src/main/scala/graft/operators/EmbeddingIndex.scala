@@ -191,6 +191,7 @@ object EmbeddingIndex {
                        cent: DataFrame, router: Router,
                        stateExists: Boolean): Router = {
     val conf = spark.sparkContext.hadoopConfiguration
+    refuseIfRequantizing(conf, dir)
     val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
     val digest = quantizerDigest(cent)
     graft.util.AtomicPointer.read(conf, p) match {
@@ -243,6 +244,29 @@ object EmbeddingIndex {
     }
   }
 
+  /** Marker a [[graft.streaming.EmbeddingDedupStream.requantizeDelta]]
+    * holds while moving an index between quantizers. Between the marker
+    * write and the stamp move the directory's cell assignments and its
+    * ROUTER stamp can disagree (the rebase commits first, then the stamp
+    * moves — crash between them and a reader passing the OLD centroids
+    * would match the stamp but probe NEW cells, losing recall silently).
+    * Every reader and writer funnels through [[ensureIndexStamp]] /
+    * [[stampedRouter]], so refusing here turns that silent window into a
+    * loud one: re-running the requantizer converges (rebase replays via
+    * its batchId, the stamp move is idempotent) and clears the marker.
+    */
+  def requantMarkerPath(dir: String): org.apache.hadoop.fs.Path =
+    new org.apache.hadoop.fs.Path(dir, "REQUANT")
+
+  private def refuseIfRequantizing(conf: org.apache.hadoop.conf.Configuration,
+                                   dir: String): Unit =
+    graft.util.AtomicPointer.read(conf, requantMarkerPath(dir)).foreach { m =>
+      throw new IllegalStateException(
+        s"$dir has a live REQUANT marker ('$m') — a re-quantization is in " +
+        "progress or crashed mid-move; re-run requantizeDelta with the " +
+        "same target quantizer to converge, then retry")
+    }
+
   /** `router=<name>,quantizer=<digest>` → (name, digest); loud on any
     * foreign content — shared by [[ensureIndexStamp]]/[[stampedRouter]].
     */
@@ -264,6 +288,7 @@ object EmbeddingIndex {
   def stampedRouter(spark: org.apache.spark.sql.SparkSession, dir: String,
                     cent: DataFrame, stateExists: Boolean): Option[Router] = {
     val conf = spark.sparkContext.hadoopConfiguration
+    refuseIfRequantizing(conf, dir)
     val p = new org.apache.hadoop.fs.Path(dir, "ROUTER")
     graft.util.AtomicPointer.read(conf, p) match {
       case Some(s) =>
@@ -797,6 +822,93 @@ object EmbeddingIndex {
       EmbeddingDedupStream.applyBatchDelta(spark, root, cent,
         e.filter(isBatch).select(lit("I").as("op"), col("vec_id"),
           col("embedding")), batchId = 1L)
+      EmbeddingDedupStream.readIndexDelta(spark, root)
+        .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
+    }),
+
+    // RE-QUANTIZATION lifecycle (the act q164's drift monitor recommends):
+    // the q158 lifecycle grows the index past its 16-cell seed quantizer,
+    // then [[graft.streaming.EmbeddingDedupStream.requantizeDelta]] re-fits
+    // a FINER deterministic quantizer (first-32-live-ids seed — the
+    // oracle-replayable stand-in for a kmeans re-fit; production passes
+    // kmeansCentroids output) and rebuilds in place: one DeltaView.rebase
+    // (fresh compacted base, NOT delete-all+reinsert-all), stamp moved to
+    // the new digest, live vec_id set preserved exactly. The oracle
+    // replays the grown live set from first principles and re-assigns it
+    // under the replayed new quantizer — passing proves the rebuilt state
+    // is bit-identical to a from-scratch build over the survivors, i.e.
+    // re-quantization changes WHERE vectors live, never WHICH. The crash
+    // windows (marker up, stamp not yet moved) are spec-pinned in
+    // EmbeddingDedupStreamSpec, not oracle-visible.
+    Query(
+      "q164_ivf_requantize",
+      Some("""WITH cent AS (SELECT vec_id AS cid, embedding AS cv
+                FROM embeddings WHERE NOT (vec_id % 10 = 0)
+                ORDER BY vec_id LIMIT 16),
+          ca AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS v,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM embeddings e CROSS JOIN cent c
+                 WHERE NOT (e.vec_id % 10 = 0)),
+          cells AS (SELECT vid, cid AS cell, v FROM ca WHERE rn = 1),
+          ba AS (SELECT e.vec_id AS vid, c.cid, e.embedding AS v,
+                   ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                     ORDER BY list_cosine_similarity(e.embedding::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM embeddings e CROSS JOIN cent c
+                 WHERE e.vec_id % 10 = 0),
+          bcells AS (SELECT vid, cid AS cell, v FROM ba WHERE rn = 1),
+          bdrop AS (SELECT DISTINCT b.vid FROM bcells a JOIN bcells b
+                    ON a.cell = b.cell AND a.vid < b.vid
+                   AND list_cosine_similarity(a.v::DOUBLE[], b.v::DOUBLE[]) >= 0.4),
+          reps AS (SELECT * FROM bcells
+                   WHERE vid NOT IN (SELECT vid FROM bdrop)),
+          pr AS (SELECT r.vid AS bid, r.v AS qv, c.cid AS pcell,
+                   ROW_NUMBER() OVER (PARTITION BY r.vid
+                     ORDER BY list_cosine_similarity(r.v::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM reps r CROSS JOIN cent c),
+          probes AS (SELECT bid, qv, pcell AS cell FROM pr WHERE rn <= 2),
+          dup AS (SELECT bid FROM probes JOIN cells USING (cell)
+                  WHERE list_cosine_similarity(qv::DOUBLE[], cells.v::DOUBLE[]) >= 0.4
+                  GROUP BY bid),
+          acc AS (SELECT vid, v FROM reps
+                  WHERE vid NOT IN (SELECT bid FROM dup)
+                    AND vid NOT IN (SELECT vid FROM cells)),
+          live AS (SELECT vid, v FROM cells UNION ALL SELECT vid, v FROM acc),
+          nc AS (SELECT vid AS cid, v AS cv FROM live ORDER BY vid LIMIT 32),
+          na AS (SELECT l.vid, c.cid,
+                   ROW_NUMBER() OVER (PARTITION BY l.vid
+                     ORDER BY list_cosine_similarity(l.v::DOUBLE[], c.cv::DOUBLE[]) DESC,
+                              c.cid) AS rn
+                 FROM live l CROSS JOIN nc c)
+          SELECT vid AS vec_id, CAST(cid AS BIGINT) AS cell FROM na
+          WHERE rn = 1 ORDER BY vec_id"""))((spark, dir) => {
+      import graft.streaming.EmbeddingDedupStream
+      val e = Tables(spark, dir).embeddings
+      val isBatch = col("vec_id") % 10 === 0
+      val corpus = e.filter(!isBatch)
+      val cent = seedCentroids(corpus, "embedding", "vec_id", nCells = 16)
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-q164").toString
+      ensureIndexStamp(spark, root, cent, FlatRouter, stateExists = false)
+      graft.util.DeltaView(spark, root, Seq("vec_id"), compactEvery = 1,
+          basePartitionCols = Seq("cell"))
+        .applyBatch(0L) { _ =>
+          (assignCells(corpus, cent, "embedding", "vec_id")
+            .select(col("vec_id").cast("long"), col("cell").cast("long"),
+              col("v").cast("array<double>")),
+           e.limit(0).select(col("vec_id")))
+        }
+      EmbeddingDedupStream.applyBatchDelta(spark, root, cent,
+        e.filter(isBatch).select(lit("I").as("op"), col("vec_id"),
+          col("embedding")), batchId = 1L)
+      val newCent = seedCentroids(
+        EmbeddingDedupStream.readIndexDelta(spark, root), "v", "vec_id",
+        nCells = 32)
+      EmbeddingDedupStream.requantizeDelta(spark, root, newCent,
+        batchId = 2L)
       EmbeddingDedupStream.readIndexDelta(spark, root)
         .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
     })

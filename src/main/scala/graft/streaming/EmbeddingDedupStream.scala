@@ -246,6 +246,48 @@ object EmbeddingDedupStream {
       cent, q, "v", "vec_id", nProbe, threshold)
   }
 
+  /** ANN top-k RANKING served from the CURRENT committed delta-core
+    * index — the retrieval twin of [[probeDelta]] (which answers "is this
+    * a dup", not "what are the k nearest"): per query, route to the
+    * stamped router's `nProbe` cells, score cosine against only the
+    * probed cells' stored vectors, rank (cos DESC, vec_id). The read is
+    * the same `cell IN (…)`-pruned folded scan as [[probeDelta]] — the
+    * compacted `partitionBy(cell)` base partition-prunes under live
+    * uncompacted deltas — so a STREAMED index serves ANN retrieval with
+    * no rebuild between commits. This is the vector tier a live RAG
+    * stack reads (q166 fuses it with the streamed BM25 tier).
+    * `queries` carries `(vec_id, embedding)`; self-matches are excluded.
+    */
+  def annTopKDelta(spark: SparkSession, indexDir: String, cent: DataFrame,
+                   queries: DataFrame, k: Int, nProbe: Int = 2): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val q = queries.select(col("vec_id").cast("long").as("query_id"),
+      col("embedding").cast("array<double>").as("qv"))
+    val view = deltaView(spark, indexDir, compactEvery = 8).read()
+    val router = EmbeddingIndex
+      .stampedRouter(spark, indexDir, cent, stateExists = view.nonEmpty)
+      .getOrElse(EmbeddingIndex.FlatRouter)
+    val idx = view.map(normalize)
+      .getOrElse(graft.util.Frames.empty(spark, IndexSchema))
+    val routed = router.routing(cent, q, "qv", "query_id", nProbe)
+      .select(col("bid").as("query_id"), col("qv"),
+        col("cell").cast("long").as("cell"))
+      .localCheckpoint() // feeds the control-plane collect AND the join
+    val cells = routed.select(col("cell")).distinct()
+      .collect().map(_.getLong(0)).toIndexedSeq
+    val scored = idx.filter(col("cell").isin(cells: _*))
+      .join(broadcast(routed), Seq("cell"))
+      .filter(col("vec_id") =!= col("query_id"))
+      .select(col("query_id"), col("vec_id"),
+        cosineFast(col("qv"), col("v")).as("cos"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("query_id")).orderBy(col("cos").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   /** Recall-targeted nProbe for the CURRENT committed delta-core index —
     * [[EmbeddingIndex.tuneNProbe]] run against the maintained view under
     * the router the index is STAMPED with (a hier-built index tunes its
@@ -344,6 +386,79 @@ object EmbeddingDedupStream {
     graft.util.AtomicPointer.commit(spark.sparkContext.hadoopConfiguration,
       new org.apache.hadoop.fs.Path(indexDir, "RECALL"), report.toJson)
     Some(report)
+  }
+
+  /** RE-QUANTIZE the maintained index — the lifecycle act
+    * [[monitorDriftDelta]]'s recommendation points at: re-assign every
+    * live vector under `newCent`, rewrite the state as one fresh
+    * compacted base ([[DeltaView.rebase]] — NOT delete-all+reinsert-all,
+    * which would put the corpus in the tombstone set and break the
+    * fold's broadcast bound), and move the ROUTER stamp to the new
+    * quantizer's digest. The live `vec_id` set is preserved EXACTLY:
+    * survivors stay survivors, takedowns stay gone — re-quantization
+    * changes WHERE vectors live, never WHICH vectors live (no re-dedup;
+    * past accept/reject decisions are history, not state).
+    *
+    * Crash safety: the stamp and the cell assignments can never disagree
+    * SILENTLY. A create-exclusive `REQUANT` marker (the target stamp
+    * string) goes up first; every reader/writer gate
+    * ([[EmbeddingIndex.ensureIndexStamp]]/[[EmbeddingIndex.stampedRouter]])
+    * refuses while it exists. Then the rebase commits (replay-keyed by
+    * `batchId`), the ROUTER stamp moves, the stale `RECALL` curve (it
+    * measured the OLD quantizer) is removed, and the marker clears. A
+    * crash in any window converges by re-running with the same
+    * `newCent`: a marker with a DIFFERENT target refuses (two
+    * requantizers racing is an operator error to adjudicate, not to
+    * last-write-win). `AutoRouter` re-resolves against `newCent` — a
+    * re-quantize IS a rebuild, so the crossover decision is fresh.
+    *
+    * Cost: one live-view scan + the codegen argmax assignment + one
+    * clustered `partitionBy(cell)` base write — the compaction price,
+    * paid on the cadence drift actually demands (the monitor's), not per
+    * trigger. Returns false on a pure replay (stamp already moved,
+    * batchId already committed, no marker).
+    */
+  def requantizeDelta(spark: SparkSession, indexDir: String,
+                      newCent: DataFrame, batchId: Long,
+                      router: EmbeddingIndex.Router = EmbeddingIndex.AutoRouter,
+                      compactEvery: Int = 8): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val marker = EmbeddingIndex.requantMarkerPath(indexDir)
+    val stampP = new org.apache.hadoop.fs.Path(indexDir, "ROUTER")
+    val fs = stampP.getFileSystem(conf)
+    val dv = deltaView(spark, indexDir, compactEvery)
+    val cur = dv.committed
+    require(cur.nonEmpty,
+      s"requantizeDelta: $indexDir has no committed index state")
+    val r = router.resolve(newCent)
+    val want = EmbeddingIndex.indexStamp(newCent, r)
+    graft.util.AtomicPointer.read(conf, marker) match {
+      case Some(m) if m == want => // resume a crashed attempt at this target
+      case Some(m) => throw new IllegalStateException(
+        s"$indexDir/REQUANT is held by a different re-quantization " +
+        s"('$m' vs this run's '$want') — converge that one first " +
+        "(re-run with ITS quantizer) or adjudicate manually")
+      case None =>
+        if (graft.util.AtomicPointer.read(conf, stampP).contains(want) &&
+            cur.exists(_._1 >= batchId)) return false // replayed, complete
+        require(cur.exists(_._1 < batchId),
+          s"requantizeDelta: batchId $batchId does not advance past the " +
+          s"committed ${cur.get._1} — the rebase would no-op on live state")
+        if (!graft.util.AtomicPointer.commitExclusive(conf, marker, want))
+          throw new IllegalStateException(
+            s"$indexDir/REQUANT appeared concurrently — another " +
+            "re-quantizer is live; exactly one may run")
+    }
+    dv.rebase(batchId) { view =>
+      r.assign(normalize(view).select(col("vec_id"), col("v")),
+          newCent, "v", "vec_id")
+        .select(col("vec_id").cast("long"), col("cell").cast("long"),
+          col("v").cast("array<double>"))
+    }
+    graft.util.AtomicPointer.commit(conf, stampP, want)
+    fs.delete(new org.apache.hadoop.fs.Path(indexDir, "RECALL"), false)
+    fs.delete(marker, false)
+    true
   }
 
   private def deltaView(spark: SparkSession, indexDir: String,

@@ -151,6 +151,40 @@ final case class DeltaView(spark: SparkSession, dir: String,
     try applyLocked(batchId)(fn) finally lock.release()
   }
 
+  /** Rewrite the ENTIRE view as one fresh compacted base: `fn` maps the
+    * current view to its replacement (same schema). This is the lifecycle
+    * commit a delta log cannot express as a batch — re-quantizing an
+    * embedding index, a layout migration — where every row changes at
+    * once: routing it through [[applyBatch]] as delete-all + reinsert-all
+    * would put the whole corpus in the tombstone set and break the fold's
+    * broadcast bound. A rebase ignores the compaction cadence (it IS a
+    * compaction), keeps the replay contract (`batchId` ≤ committed
+    * no-ops), holds the writer lock, and prunes like any commit. Requires
+    * committed state — an empty view has nothing to rewrite; bootstrap
+    * through [[applyBatch]].
+    */
+  def rebase(batchId: Long)(fn: DataFrame => DataFrame): Boolean = {
+    val lock = WriterLock.acquire(spark, dir, ownerId, writerLockStaleMs)
+    try {
+      val cur = committed
+      require(cur.nonEmpty,
+        s"rebase requires committed state at $dir — bootstrap via applyBatch")
+      if (cur.exists(_._1 >= batchId)) return false
+      val next = fn(readAt(cur).get)
+      val newV = cur.get._2 + 1
+      val clustered =
+        if (basePartitionCols.nonEmpty)
+          next.repartition(basePartitionCols.map(col): _*)
+        else next
+      val w = clustered.write.mode("overwrite")
+      (if (basePartitionCols.nonEmpty) w.partitionBy(basePartitionCols: _*)
+       else w).parquet(s"$dir/base_v$newV")
+      AtomicPointer.commit(conf, pointer, s"$batchId,$newV,$newV")
+      prune(newV)
+      true
+    } finally lock.release()
+  }
+
   private def applyLocked(batchId: Long)
                          (fn: Option[DataFrame] => (DataFrame, DataFrame)): Boolean = {
     val cur = committed // read ONCE per batch (guards pointer + view read)

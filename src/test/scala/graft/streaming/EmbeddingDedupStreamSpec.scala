@@ -390,5 +390,80 @@ class EmbeddingDedupStreamSpec extends SparkSpec {
       spark.sparkContext.hadoopConfiguration,
       new org.apache.hadoop.fs.Path(drifted, "RECALL"))
     assert(rec.exists(_.contains("\"requantize_recommended\":true")), rec)
+
+    // --- the lifecycle the recommendation points at: RE-QUANTIZE ---
+    // re-fit quantizer a kmeans pass would find: one 45°-diagonal
+    // centroid per plane — each straddling twin pair now co-locates
+    val cent4 = (0 until 4).map { j =>
+      val d = math.sqrt(2.0) / 2
+      (j.toLong, Seq.tabulate(8)(k =>
+        if (k == 2 * j || k == 2 * j + 1) d else 0.0))
+    }.toDF("cid", "cv")
+    val before = EmbeddingDedupStream.readIndexDelta(spark, drifted)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(EmbeddingDedupStream.requantizeDelta(spark, drifted, cent4,
+      batchId = 1L))
+    // WHICH vectors live is untouched; only WHERE they live moved
+    val after = EmbeddingDedupStream.readIndexDelta(spark, drifted)
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(after == before, s"$after vs $before")
+    // the drift is CURED at the served nProbe, and the monitor (running
+    // against the new quantizer) says so — closed loop
+    val repR = EmbeddingDedupStream.monitorDriftDelta(spark, drifted,
+      cent4, nProbe = 1, targetRecall = 0.9, threshold = 0.999).get
+    assert(!repR.requantizeRecommended && repR.recallAtNProbe == 1.0, repR)
+    // probing under the RETIRED quantizer is refused (stamp moved)
+    val exOld = intercept[IllegalStateException] {
+      EmbeddingDedupStream.probeDelta(spark, drifted, cent8,
+        corpus(44, 46).select($"vec_id", $"embedding"), nProbe = 1)
+    }
+    assert(exOld.getMessage.contains("quantizer mismatch"), exOld.getMessage)
+    // replay of the completed requantize no-ops
+    assert(!EmbeddingDedupStream.requantizeDelta(spark, drifted, cent4,
+      batchId = 1L))
+  }
+
+  test("requantize crash window: a live REQUANT marker refuses every read/write until the re-run converges") {
+    import spark.implicits._
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dir = java.nio.file.Files.createTempDirectory("graft-requant").toString
+    val cent = Seq((0L, Seq(1.0, 0.0)), (1L, Seq(0.0, 1.0))).toDF("cid", "cv")
+    val rows = Seq(("I", 1L, Seq(0.9, 0.1)), ("I", 2L, Seq(0.1, 0.9)))
+      .toDF("op", "vec_id", "embedding")
+    EmbeddingDedupStream.applyBatchDelta(spark, dir, cent, rows, 0L,
+      threshold = 0.9999)
+    // simulate a requantizer that died after raising its marker: the
+    // target stamp is up, the data/stamp may disagree — every gate must
+    // refuse rather than serve the ambiguous state
+    val cent2 = Seq((0L, Seq(0.8, 0.6)), (1L, Seq(-0.6, 0.8))).toDF("cid", "cv")
+    val want = graft.operators.EmbeddingIndex.indexStamp(cent2,
+      graft.operators.EmbeddingIndex.FlatRouter)
+    assert(graft.util.AtomicPointer.commitExclusive(conf,
+      graft.operators.EmbeddingIndex.requantMarkerPath(dir), want))
+    val exProbe = intercept[IllegalStateException] {
+      EmbeddingDedupStream.probeDelta(spark, dir, cent,
+        rows.select($"vec_id", $"embedding"))
+    }
+    assert(exProbe.getMessage.contains("REQUANT"), exProbe.getMessage)
+    val exWrite = intercept[IllegalStateException] {
+      EmbeddingDedupStream.applyBatchDelta(spark, dir, cent, rows, 1L)
+    }
+    assert(exWrite.getMessage.contains("REQUANT"), exWrite.getMessage)
+    // a marker toward a DIFFERENT target refuses (no last-write-wins)
+    val cent3 = Seq((0L, Seq(1.0, 1.0))).toDF("cid", "cv")
+    val exOther = intercept[IllegalStateException] {
+      EmbeddingDedupStream.requantizeDelta(spark, dir, cent3, batchId = 1L)
+    }
+    assert(exOther.getMessage.contains("different re-quantization"),
+      exOther.getMessage)
+    // re-running with the MARKER'S target converges and clears it
+    assert(EmbeddingDedupStream.requantizeDelta(spark, dir, cent2,
+      batchId = 1L))
+    assert(graft.util.AtomicPointer.read(conf,
+      graft.operators.EmbeddingIndex.requantMarkerPath(dir)).isEmpty)
+    val served = EmbeddingDedupStream.probeDelta(spark, dir, cent2,
+      Seq((9L, Seq(0.8, 0.6))).toDF("vec_id", "embedding"), nProbe = 1,
+      threshold = 0.4)
+    assert(served.count() == 1)
   }
 }

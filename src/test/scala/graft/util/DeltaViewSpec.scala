@@ -67,6 +67,30 @@ class DeltaViewSpec extends SparkSpec {
     assert(dv.committed.get._3 > 0)
   }
 
+  test("rebase rewrites the whole view as one fresh base; replay no-ops; empty dir refuses") {
+    val dir = tmp("rebase")
+    val dv = DeltaView(spark, dir, Seq("k"), compactEvery = 100)
+    // an empty directory has nothing to rewrite
+    intercept[IllegalArgumentException] {
+      dv.rebase(0)(identity)
+    }
+    dv.applyBatch(0)(_ => (ins(1L -> "a", 2L -> "b"), del()))
+    dv.applyBatch(1)(_ => (ins(3L -> "c"), del(1L)))
+    // every row transforms at once — the commit a delta batch cannot
+    // express without corpus-sized tombstones
+    assert(dv.rebase(2)(v => v.withColumn("p", upper(col("p")))))
+    assert(rows(dv.read()) == Set(2L -> "B", 3L -> "C"))
+    // the rewrite IS a compaction: the new state is one base, no deltas
+    val (_, v, base) = dv.committed.get
+    assert(v == base, s"v=$v base=$base")
+    // replay no-ops (the transform must not apply twice)
+    assert(!dv.rebase(2)(v => v.withColumn("p", upper(col("p")))))
+    assert(rows(dv.read()) == Set(2L -> "B", 3L -> "C"))
+    // normal delta commits continue on top of the rebased state
+    dv.applyBatch(3)(_ => (ins(4L -> "d"), del(2L)))
+    assert(rows(dv.read()) == Set(3L -> "C", 4L -> "d"))
+  }
+
   test("replayed batches no-op; the pointer is the replay guard") {
     val dv = DeltaView(spark, tmp("replay"), Seq("k"), compactEvery = 100)
     assert(dv.applyBatch(0)(_ => (ins(1L -> "a"), del())))
