@@ -484,6 +484,17 @@ object TextAnalysis {
   def bpeTrainMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
     val spark = docs.sparkSession
     import spark.implicits._
+    bpeTrainRaw(docs, textCol, rounds)
+      .map { case (r, p, c) => (r, p.replace("||", " ").replace("|", ""), c) }
+      .toDF("round", "pair", "cnt")
+      .orderBy(col("round"))
+  }
+
+  /** The training loop itself, returning merges in DELIMITER form
+    * (`"|x||y|"`) — the form [[bpeEncodeCounts]] replays verbatim.
+    */
+  private def bpeTrainRaw(docs: DataFrame, textCol: String,
+                          rounds: Int): Seq[(Int, String, Long)] = {
     var w = docs.select(explode(tokens(col(textCol))).as("w"))
       .filter(col("w").rlike("^[a-z0-9]+$") && length(col("w")) >= 2)
       .groupBy(col("w")).agg(count(lit(1)).cast("long").as("n"))
@@ -515,9 +526,99 @@ object TextAnalysis {
       }
     }
     merges.toSeq
-      .map { case (r, p, c) => (r, p.replace("||", " ").replace("|", ""), c) }
-      .toDF("round", "pair", "cnt")
-      .orderBy(col("round"))
+  }
+
+  /** ENCODE the corpus under a trained merge table — the serving side of
+    * [[bpeTrainMerges]], and the number a training-mix planner actually
+    * budgets with: per-document token count under the tokenizer the
+    * corpus itself trained.
+    *
+    * Scale shape: training is vocab-sized (see [[bpeTrainMerges]]); the
+    * encode is ONE map-only whole-stage-codegen projection over the
+    * corpus — each doc's words char-delimiter-encode inside a single
+    * `transform`, join on a space separator (a pair string is always
+    * `"|x||y|"` with alnum x/y, so the `"| |"` at a word boundary can
+    * never match one — merges cannot cross words by construction), then
+    * the `rounds` trained merges apply as a chain of codegen'd string
+    * `replace`s in rank order, and the final token count is pipes/2 (every
+    * surviving symbol is wrapped `|…|`). No explode, no shuffle, no join:
+    * at 100 TB this is scan-bound, embarrassingly parallel, and the
+    * R-deep replace chain is the whole-stage-codegen span the plan shows.
+    *
+    * Tokens outside the trained alphabet (`^[a-z0-9]+$`; the training
+    * filter) are ATOMIC: they encode as one un-mergeable symbol `"|_|"`
+    * ("_" is outside every pair's alphabet) and contribute exactly 1 —
+    * the byte-fallback convention, collapsed to a single symbol. The
+    * DuckDB oracle replays encoding, merge order and the replace
+    * semantics bit-exactly (both engines' `replace` is left-to-right
+    * non-overlapping).
+    */
+  def bpeEncodeCounts(docs: DataFrame, textCol: String, idCol: String,
+                      rounds: Int): DataFrame = {
+    val mergePairs = bpeTrainRaw(docs, textCol, rounds).map(_._2)
+    val enc = array_join(transform(tokens(col(textCol)), w =>
+      when(w.rlike("^[a-z0-9]+$"), regexp_replace(w, "(.)", "|$1|"))
+        .otherwise(lit("|_|"))), " ")
+    val merged = mergePairs.foldLeft(enc)((s, p) =>
+      replace(s, lit(p), lit(p.replace("||", ""))))
+    docs.select(col(idCol).as("doc"),
+      ((length(merged) - length(replace(merged, lit("|"), lit(""))))
+        .cast("long") / 2).cast("long").as("bpe_tokens"))
+  }
+
+  /** DuckDB twin of [[bpeEncodeCounts]]: the [[bpeOracleSql]] merge-table
+    * CTE chain (m1..mR), then the same single-projection encode — per-doc
+    * words char-encode / atomize, space-join, the R merges replace in
+    * rank order via scalar subqueries, count = pipes/2.
+    */
+  def bpeEncodeOracleSql(table: String, textCol: String, idCol: String,
+                         rounds: Int): String = {
+    val init = s"""w0 AS MATERIALIZED (
+        SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM (SELECT unnest(${sqlTokens(textCol)}) AS w FROM $table)
+        WHERE regexp_matches(w, '^[a-z0-9]+$$') AND len(w) >= 2
+        GROUP BY w)"""
+    val steps = (1 to rounds).map { r =>
+      val apply =
+        if (r == rounds) ""
+        else s""",
+          w$r AS MATERIALIZED (
+            SELECT replace(s, (SELECT pair FROM m$r),
+                     (SELECT replace(pair, '||', '') FROM m$r)) AS s, n
+            FROM w${r - 1})"""
+      s"""a$r AS (SELECT string_split(substr(s, 2, len(s) - 2), '||') AS a, n
+                  FROM w${r - 1}),
+          p$r AS (SELECT unnest(list_transform(range(1, len(a)),
+                    i -> '|' || a[i] || '||' || a[i + 1] || '|')) AS pair, n
+                  FROM a$r),
+          m$r AS MATERIALIZED (
+            SELECT pair, CAST(SUM(n) AS BIGINT) AS cnt
+            FROM p$r GROUP BY pair
+            ORDER BY cnt DESC, pair LIMIT 1)$apply"""
+    }.mkString(",\n")
+    val encSteps = (1 to rounds).map { r =>
+      // CASE-guarded: a round past pair exhaustion has an empty m_r, whose
+      // scalar subquery is NULL — replace(s, NULL, NULL) would NULL the
+      // whole doc while the engine just applies fewer merges
+      s"""e$r AS (SELECT doc,
+                    CASE WHEN (SELECT COUNT(*) FROM m$r) = 0 THEN s
+                    ELSE replace(s, (SELECT pair FROM m$r),
+                      (SELECT replace(pair, '||', '') FROM m$r)) END AS s
+                  FROM e${r - 1})"""
+    }.mkString(",\n")
+    s"""WITH $init,
+        $steps,
+        e0 AS (SELECT $idCol AS doc,
+                 array_to_string(list_transform(${sqlTokens(textCol)},
+                   w -> CASE WHEN regexp_matches(w, '^[a-z0-9]+$$')
+                     THEN regexp_replace(w, '(.)', '|\\1|', 'g')
+                     ELSE '|_|' END), ' ') AS s
+               FROM $table),
+        $encSteps
+        SELECT doc, CAST((len(s) - len(replace(s, '|', ''))) // 2 AS BIGINT)
+          AS bpe_tokens
+        FROM e$rounds ORDER BY doc"""
   }
 
   /** DuckDB twin of [[bpeTrainMerges]]: machine-generated unrolled CTEs,
@@ -1014,6 +1115,20 @@ object TextAnalysis {
       Some(bpeOracleSql("documents", "text", rounds = 8)))((spark, dir) =>
       bpeTrainMerges(Tables(spark, dir).documents, "text", rounds = 8)),
 
+    // BPE ENCODING under the trained tokenizer — the serving side of
+    // q161 and the per-doc token budget a mix planner reads: train 8
+    // merges on the corpus, then encode the whole corpus in ONE map-only
+    // codegen projection (words char-encode inside a transform, space
+    // join, 8 chained replaces, count = pipes/2 — no explode, no
+    // shuffle). Non-alphabet tokens are atomic (1 token each).
+    Query(
+      "q165_bpe_encode",
+      Some(bpeEncodeOracleSql("documents", "text", "doc_id", rounds = 8)))(
+      (spark, dir) =>
+        bpeEncodeCounts(Tables(spark, dir).documents, "text", "doc_id",
+            rounds = 8)
+          .orderBy(col("doc"))),
+
     // The streamed postings index SERVED with a compacted base AND live
     // uncompacted deltas — the steady-state read plan: base_v0 is the
     // bootstrap corpus (compacted, tb-partitioned), batches 1 and 2
@@ -1030,33 +1145,52 @@ object TextAnalysis {
     Query(
       "q163_bm25_stream_serve",
       Some(bm25OracleSql(
-        """(SELECT * FROM documents
-            WHERE (NOT (doc_id % 7 = 0 AND doc_id % 10 <> 0)
-                   AND doc_id % 5 <> 0)
-               OR doc_id % 15 = 0)""",
-        "text", "doc_id", Bm25Queries)))((spark, dir) => {
+        SteadyStatePostingsCorpusSql, "text", "doc_id", Bm25Queries)))(
+      (spark, dir) => {
       import graft.streaming.PostingsStream
-      val root = graft.PartitionedWrites.memoizedIndex(s"q163#$dir") { path =>
-        val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
-        PostingsStream.applySignedBatchDelta(spark, path,
-          d.filter(col("doc_id") % 10 =!= 0)
-            .select(lit("I").as("op"), col("doc_id"), col("text")),
-          batchId = 0L, compactEvery = 3) // first commit = compacted base_v0
-        PostingsStream.applySignedBatchDelta(spark, path,
-          d.filter(col("doc_id") % 7 === 0)
-            .select(lit("D").as("op"), col("doc_id"), col("text"))
-            .unionByName(d.filter(col("doc_id") % 10 === 0)
-              .select(lit("I").as("op"), col("doc_id"), col("text"))),
-          batchId = 1L, compactEvery = 3) // live delta_v1
-        PostingsStream.applySignedBatchDelta(spark, path,
-          d.filter(col("doc_id") % 5 === 0)
-            .select(lit("D").as("op"), col("doc_id"), col("text"))
-            .unionByName(d.filter(col("doc_id") % 15 === 0)
-              .select(lit("I").as("op"), col("doc_id"), col("text"))),
-          batchId = 2L, compactEvery = 3) // live delta_v2
-      }
-      PostingsStream.bm25TopKDelta(spark, root, Bm25Queries)
+      PostingsStream.bm25TopKDelta(spark,
+          steadyStatePostingsRoot(spark, dir), Bm25Queries)
         .orderBy(col("query_id"), col("rank"))
     })
   )
+
+  /** The q163 steady-state maintained postings index — compacted base_v0
+    * plus two LIVE uncompacted deltas (takedowns + same-batch reinserts
+    * at compactEvery=3) — memoized per sf dir so q163 and the streamed
+    * hybrid fusion (q166) serve from literally the same state. Surviving
+    * corpus ≡ [[SteadyStatePostingsCorpusSql]].
+    */
+  def steadyStatePostingsRoot(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): String = {
+    import graft.streaming.PostingsStream
+    graft.PartitionedWrites.memoizedIndex(s"q163#$dir") { path =>
+      val d = Tables(spark, dir).documents.select(col("doc_id"), col("text"))
+      PostingsStream.applySignedBatchDelta(spark, path,
+        d.filter(col("doc_id") % 10 =!= 0)
+          .select(lit("I").as("op"), col("doc_id"), col("text")),
+        batchId = 0L, compactEvery = 3) // first commit = compacted base_v0
+      PostingsStream.applySignedBatchDelta(spark, path,
+        d.filter(col("doc_id") % 7 === 0)
+          .select(lit("D").as("op"), col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 10 === 0)
+            .select(lit("I").as("op"), col("doc_id"), col("text"))),
+        batchId = 1L, compactEvery = 3) // live delta_v1
+      PostingsStream.applySignedBatchDelta(spark, path,
+        d.filter(col("doc_id") % 5 === 0)
+          .select(lit("D").as("op"), col("doc_id"), col("text"))
+          .unionByName(d.filter(col("doc_id") % 15 === 0)
+            .select(lit("I").as("op"), col("doc_id"), col("text"))),
+        batchId = 2L, compactEvery = 3) // live delta_v2
+    }
+  }
+
+  /** The documents surviving [[steadyStatePostingsRoot]]'s lifecycle, as
+    * a DuckDB subquery — the corpus every oracle over that index scores.
+    */
+  def SteadyStatePostingsCorpusSql: String = // def: evaluated inside the
+    // eager `queries` init above, which runs BEFORE a val here would set
+    """(SELECT * FROM documents
+        WHERE (NOT (doc_id % 7 = 0 AND doc_id % 10 <> 0)
+               AND doc_id % 5 <> 0)
+           OR doc_id % 15 = 0)"""
 }

@@ -267,6 +267,25 @@ class PlanSpec extends SparkSpec {
       s"no cell IN (...) partition filter on the IVF index scan in the fused plan: $pruned")
   }
 
+  test("q166: both STREAMED index tiers stay partition-pruned inside the fused plan") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val scans = deepNodes(executed(q("q166_hybrid_stream_rrf"))).collect {
+      case f: FileSourceScanExec => f
+    }
+    val pruned = scans.filter(_.partitionFilters.nonEmpty)
+      .map(_.partitionFilters.mkString(","))
+    // the streamed postings tier's compacted base keeps tb pruning under
+    // its two live deltas...
+    assert(pruned.exists(s => s.contains("tb") &&
+        (s.contains(" IN (") || s.contains("INSET"))),
+      s"no tb IN/INSET partition filter on the streamed postings base: $pruned")
+    // ...and the delta-maintained embedding index's compacted base keeps
+    // probed-cell pruning under ITS live delta
+    assert(pruned.exists(s => s.contains("cell") &&
+        (s.contains(" IN (") || s.contains("INSET"))),
+      s"no cell IN/INSET partition filter on the embedding base: $pruned")
+  }
+
   test("q163: the folded postings BASE scan is partition-pruned under live deltas") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val scans = deepNodes(executed(q("q163_bm25_stream_serve"))).collect {

@@ -81,4 +81,27 @@ class TextAnalysisSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2))).toSeq
     assert(got == Seq((1, "a b", 2L)), got)
   }
+
+  test("bpeEncodeCounts: hand-traced encode under the trained merges") {
+    import spark.implicits._
+    // Same corpus as the hand-traced trainer; 3 rounds train
+    //   (a,a) → (aa,b) → (aa,a).
+    // Encode per word:  aab → |aab| = 1 symbol; ab → |a||b| = 2 (the
+    // (a,b) pair never trained); aaa → |aa||a| → merge 3 → |aaa| = 1;
+    // b → |b| = 1 (len-1 words encode even though they never train);
+    // x!y → atomic |_| = 1.
+    val docs = Seq(
+      (1L, "aab aab ab"),   // 1 + 1 + 2 = 4
+      (2L, "aab b x!y"),    // 1 + 1 + 1 = 3
+      (3L, "aaa")).toDF("doc_id", "text") // 1
+    val got = TextAnalysis.bpeEncodeCounts(docs, "text", "doc_id", rounds = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got == Map(1L -> 4L, 2L -> 3L, 3L -> 1L), got.toString)
+    // merges cannot cross word boundaries: "a b" never becomes "ab"
+    val boundary = Seq((1L, "ab ab a b")).toDF("doc_id", "text")
+    val b = TextAnalysis.bpeEncodeCounts(boundary, "text", "doc_id",
+      rounds = 1).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // trained merge (a,b): ab→1 each; standalone a→1, b→1 (separate words)
+    assert(b == Map(1L -> 4L), b.toString)
+  }
 }
