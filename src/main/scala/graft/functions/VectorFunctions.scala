@@ -93,6 +93,120 @@ case class DotProductD(left: Expression, right: Expression)
     copy(left = newLeft, right = newRight)
 }
 
+/** Late-interaction MaxSim (Khattab & Zaharia 2020, ColBERT §3.1) over
+  * multi-vector representations packed into ONE array column: both inputs
+  * are `m` contiguous subvectors of width `len/m`, and the score is
+  * `Σ_i max_j dot(q_i, d_j)` — each query subvector matches its best
+  * document subvector, summed over query subvectors.
+  *
+  * The composed form (m² `dotd(slice(q,…), slice(d,…))` columns,
+  * `greatest` per i, `+` across i) materializes 2·m² sliced array copies
+  * per pair; this expression walks both arrays in place with one fused
+  * loop nest — the same per-dot sequential multiply-add order and the
+  * same i-ascending summation order, so scores are bit-identical to the
+  * composed form and to the generated DuckDB oracle
+  * ([[graft.operators.Similarity]] q168). Max ties across j are
+  * value-ties only (the winning VALUE is the term) — no id tie-break is
+  * needed inside the expression.
+  *
+  * Null when either array's length differs from the other's or is not
+  * divisible by `m` (the composed form's null-poisoned aggregate).
+  */
+case class MaxSimD(left: Expression, right: Expression, m: Int)
+    extends BinaryExpression {
+
+  override def nullable: Boolean = true
+
+  private def elemType(e: Expression): Option[DataType] = e.dataType match {
+    case ArrayType(t @ (DoubleType | FloatType), _) => Some(t)
+    case _ => None
+  }
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (elemType(left), elemType(right)) match {
+      case (Some(_), Some(_)) if m >= 1 => TypeCheckResult.TypeCheckSuccess
+      case _ => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires array<float|double> inputs and m >= 1, " +
+          s"got (${left.dataType}, ${right.dataType}, m=$m)")
+    }
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "graft_maxsim"
+
+  private def get(x: ArrayData, t: DataType, i: Int): Double = t match {
+    case DoubleType => x.getDouble(i)
+    case _          => x.getFloat(i).toDouble
+  }
+
+  override protected def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    if (n != y.numElements() || n % m != 0) return null
+    val (lt, rt) = (elemType(left).get, elemType(right).get)
+    val sub = n / m
+    var total = 0.0
+    var i = 0
+    while (i < m) {
+      var best = Double.NegativeInfinity
+      var j = 0
+      while (j < m) {
+        var s = 0.0
+        var d = 0
+        while (d < sub) {
+          s += get(x, lt, i * sub + d) * get(y, rt, j * sub + d)
+          d += 1
+        }
+        if (s > best) best = s
+        j += 1
+      }
+      total += best
+      i += 1
+    }
+    total
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      def acc(v: String, t: DataType, i: String): String = t match {
+        case DoubleType => s"$v.getDouble($i)"
+        case _          => s"((double) $v.getFloat($i))"
+      }
+      val n = ctx.freshName("n")
+      val sub = ctx.freshName("sub")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      val d = ctx.freshName("d")
+      val s = ctx.freshName("s")
+      val best = ctx.freshName("best")
+      val total = ctx.freshName("total")
+      s"""
+        int $n = $a.numElements();
+        if ($n != $b.numElements() || $n % $m != 0) {
+          ${ev.isNull} = true;
+        } else {
+          int $sub = $n / $m;
+          double $total = 0.0;
+          for (int $i = 0; $i < $m; $i++) {
+            double $best = Double.NEGATIVE_INFINITY;
+            for (int $j = 0; $j < $m; $j++) {
+              double $s = 0.0;
+              for (int $d = 0; $d < $sub; $d++) {
+                $s += ${acc(a, elemType(left).get, s"$i * $sub + $d")}
+                    * ${acc(b, elemType(right).get, s"$j * $sub + $d")};
+              }
+              if ($s > $best) { $best = $s; }
+            }
+            $total += $best;
+          }
+          ${ev.value} = $total;
+        }
+      """
+    })
+
+  override protected def withNewChildrenInternal(newLeft: Expression, newRight: Expression): MaxSimD =
+    copy(left = newLeft, right = newRight)
+}
+
 /** All hyperplane-LSH bucket ids of a vector in ONE pass.
   *
   * `annLsh` needs `tables × planes` signed dot products per vector; as
@@ -218,6 +332,11 @@ object VectorFunctions {
     */
   def cosineFast(a: Column, b: Column): Column =
     dotd(a, b) / (norm2(a) * norm2(b))
+
+  /** Codegen'd late-interaction MaxSim over `m` packed subvectors. */
+  def maxsimd(a: Column, b: Column, m: Int): Column =
+    GraftInterop.column(MaxSimD(
+      GraftInterop.expression(a), GraftInterop.expression(b), m))
 
   /** All `hp` LSH bucket ids of `v` as one array<long> (fused loop). */
   def hyperplaneBuckets(v: Column, hp: Seq[Seq[Seq[Double]]]): Column = {

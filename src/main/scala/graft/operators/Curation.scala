@@ -195,10 +195,21 @@ object Curation {
     * executes per-row.
     */
   def mixAllocation(docs: DataFrame, textCol: String, sourceCol: String,
-                    weight: Column, budget: Long): DataFrame = {
+                    weight: Column, budget: Long): DataFrame =
+    mixAllocationWith(docs, sourceCol,
+      size(tokens(col(textCol))).cast("long"), weight, budget)
+
+  /** [[mixAllocation]] generalized over the per-document token counter —
+    * the budgeting arithmetic is tokenizer-agnostic; `tok` is any pure
+    * per-row column (whitespace `size(tokens(…))` for q108, the trained-
+    * BPE count column for [[mixAllocationBpe]]). One corpus scan, a
+    * mixture-table-sized groupBy — the allocation stays a broadcastable
+    * side table at any corpus size.
+    */
+  def mixAllocationWith(docs: DataFrame, sourceCol: String, tok: Column,
+                        weight: Column, budget: Long): DataFrame = {
     val perSource = docs
-      .select(col(sourceCol).as("source"),
-        size(tokens(col(textCol))).cast("long").as("tok"))
+      .select(col(sourceCol).as("source"), tok.as("tok"))
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"), sum(col("tok")).as("toks"))
     perSource
@@ -208,6 +219,32 @@ object Curation {
       .withColumn("exp_toks", round(least(lit(1.0), col("w") * budget / col("toks"))
         * col("toks")).cast("long"))
   }
+
+  /** Mix allocation budgeted in TRAINED-TOKENIZER tokens instead of
+    * whitespace words — the number a real mix planner feeds a token-budget
+    * target with (a 20 %-over-segmented source under the tokenizer gets a
+    * correspondingly lower per-doc sampling rate; whitespace counts can't
+    * see that). Composition of q161/q165's BPE machinery with q108's
+    * allocation arithmetic:
+    *
+    *  1. train `rounds` merges on the corpus itself ([[TextAnalysis
+    *     .bpeTrainPairs]] — vocab-sized per round, a ~R-row model);
+    *  2. count each document under the trained table as ONE map-only
+    *     codegen column ([[TextAnalysis.bpeCountCol]] — the merge table
+    *     ships as literals inside the projection, no join, no second
+    *     training pass);
+    *  3. the [[mixAllocationWith]] groupBy — mixture-table-sized.
+    *
+    * At 100 TB: two corpus scans total (one feeding the vocab groupBy the
+    * training loop iterates on, one for the count+allocate pass), both
+    * map-side-combined; everything between is control-plane sized.
+    */
+  def mixAllocationBpe(docs: DataFrame, textCol: String, sourceCol: String,
+                       weight: Column, budget: Long, rounds: Int): DataFrame =
+    mixAllocationWith(docs, sourceCol,
+      TextAnalysis.bpeCountCol(col(textCol),
+        TextAnalysis.bpeTrainPairs(docs, textCol, rounds)),
+      weight, budget)
 
   /** Materialize the training mix that [[mixAllocation]] planned: each
     * document of source `s` appears `floor(epochs_s)` times, plus one more
@@ -530,6 +567,39 @@ object Curation {
       mixMaterialize(Tables(spark, dir).documents, "text", "source",
           "doc_id", w, 50000L)
         .orderBy(col("doc_id"), col("copy_idx"))
+    }),
+
+    // Mix allocation budgeted in TRAINED-BPE tokens (q108 under the q161
+    // tokenizer): train 8 merges, count every doc in one map-only codegen
+    // projection, allocate per source. The oracle replays training +
+    // encode via the q165 CTE chain, then the q108 arithmetic.
+    Query(
+      "q167_mix_bpe_budget",
+      Some(s"""
+        WITH ${TextAnalysis.bpeEncodeCtes("documents", "text", "doc_id", 8)},
+        cnt AS (SELECT doc,
+                  CAST((len(s) - len(replace(s, '|', ''))) // 2 AS BIGINT)
+                    AS tok
+                FROM e8),
+        per AS (SELECT d.source, COUNT(*) AS n_docs,
+                  CAST(SUM(c.tok) AS BIGINT) AS toks
+                FROM documents d JOIN cnt c ON c.doc = d.doc_id
+                GROUP BY d.source)
+        SELECT source, n_docs, toks,
+               (CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0 AS w,
+               round(least(1.0, (CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0
+                 * 50000 / toks), 6) AS rate,
+               round((CAST(substr(source, 4) AS INT) % 4 + 1) / 50.0
+                 * 50000 / toks, 6) AS epochs,
+               CAST(round(least(1.0, (CAST(substr(source, 4) AS INT) % 4 + 1)
+                 / 50.0 * 50000 / toks) * toks) AS BIGINT) AS exp_toks
+        FROM per ORDER BY source"""))((spark, dir) => {
+      val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0)
+      mixAllocationBpe(Tables(spark, dir).documents, "text", "source",
+          w, 50000L, rounds = 8)
+        .select(col("source"), col("n_docs"), col("toks"), col("w"),
+          col("rate"), col("epochs"), col("exp_toks"))
+        .orderBy(col("source"))
     }),
 
     // The full curation layer in one job: dedup -> quality -> cap -> order.

@@ -325,6 +325,57 @@ object Similarity {
         round(col("cos"), 6).as("cos_sim"))
   }
 
+  /** Late-interaction MaxSim RE-RANK over the served IVF shortlist — the
+    * ColBERT-style two-stage read path (Khattab & Zaharia 2020): stage 1
+    * retrieves `shortlistK` candidates per query by whole-vector cosine
+    * from the persisted cell-pruned index ([[annIvfIndexed]], q91's
+    * plan, including its partition pruning); stage 2 re-scores ONLY
+    * those candidates with the fused [[graft.functions.MaxSimD]]
+    * expression over `m` packed subvectors (the multi-vector reading of
+    * the fixture's single embedding column) and keeps the top `k`.
+    *
+    * 100 TB shape: stage 2 touches `shortlistK · |queries|` rows — the
+    * shortlist broadcasts INTO one corpus scan (semi-join shaped, the
+    * scan prunes on the join), the query vectors broadcast, and the
+    * MaxSim loop nest is one whole-stage-codegen projection; re-rank
+    * cost is independent of corpus size. The expensive m²·d interaction
+    * is paid only on candidates stage 1 already bounded.
+    */
+  def maxSimRerank(spark: org.apache.spark.sql.SparkSession, sfDir: String,
+                   shortlistK: Int, k: Int, m: Int): DataFrame = {
+    import graft.functions.VectorFunctions._
+    val t = Tables(spark, sfDir)
+    val short = annIvfIndexed(spark, sfDir, k = shortlistK)
+      .select(col("query_id"), col("vec_id"))
+    val qv = t.embeddings.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qv"))
+    val scored = t.embeddings
+      .join(broadcast(short), "vec_id")
+      .join(broadcast(qv), "query_id")
+      .select(col("query_id"), col("vec_id"),
+        maxsimd(col("qv"), col("embedding"), m).as("ms"))
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("ms").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("vec_id"),
+        round(col("ms"), 6).as("maxsim"))
+  }
+
+  /** The q168 oracle's MaxSim term: per query subvector `i` (constant
+    * slice bounds, so the i-sum's order is the generated `+` chain —
+    * matching [[graft.functions.MaxSimD]]'s i-ascending accumulation),
+    * the max over `m` document subvectors of the sequential dot.
+    */
+  private[operators] def maxSimSql(qCol: String, dCol: String, m: Int,
+                                   dim: Int): String = {
+    val sub = dim / m
+    (0 until m).map { i =>
+      s"""list_max(list_transform(range(0, $m), j ->
+            list_dot_product(($qCol[${i * sub + 1} : ${(i + 1) * sub}])::DOUBLE[],
+              ($dCol[j * $sub + 1 : j * $sub + $sub])::DOUBLE[])))"""
+    }.mkString("(", "\n + ", ")")
+  }
+
   /** KNN self-join (k=1): every vector's nearest neighbor by cosine,
     * bounded to its Voronoi cell (deterministic centroids, q74's cells) —
     * the all-corpus companion of the query-set ANN ops: pairwise work drops
@@ -1079,6 +1130,36 @@ object Similarity {
         FROM ranked WHERE rank <= 5
         ORDER BY query_id, rank"""))((spark, dir) =>
       annIvfIndexed(spark, dir, k = 5).orderBy(col("query_id"), col("rank"))),
+
+    // Late-interaction MaxSim re-rank of the served IVF shortlist
+    // (ColBERT two-stage read): stage 1 = q91's index-served cosine
+    // top-20, stage 2 = MaxSimD over m=4 packed subvectors, top-5. The
+    // oracle composes q91's CTE fragment (shortlist ranks through
+    // literally that SQL) with the per-term maxsim arithmetic — dots,
+    // max, i-order sum all replayed bit-exactly.
+    Query(
+      "q168_maxsim_rerank",
+      Some(s"""
+        WITH ${annIndexedOracleCtes(
+          """SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+             WHERE vec_id % 100 = 0""")},
+        short AS (SELECT query_id, vec_id FROM ranked WHERE rank <= 20),
+        qvs AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings
+                WHERE vec_id % 100 = 0),
+        ms AS (SELECT s.query_id, s.vec_id,
+                 ${maxSimSql("q.qv", "e.embedding", m = 4, dim = 64)} AS ms
+               FROM short s
+               JOIN embeddings e ON e.vec_id = s.vec_id
+               JOIN qvs q ON q.query_id = s.query_id),
+        rr AS (SELECT query_id, vec_id, ms,
+                 ROW_NUMBER() OVER (PARTITION BY query_id
+                   ORDER BY ms DESC, vec_id) AS rank
+               FROM ms)
+        SELECT query_id, rank, vec_id, round(ms, 6) AS maxsim
+        FROM rr WHERE rank <= 5
+        ORDER BY query_id, rank"""))((spark, dir) =>
+      maxSimRerank(spark, dir, shortlistK = 20, k = 5, m = 4)
+        .orderBy(col("query_id"), col("rank"))),
 
     // Per-label embedding centroids (mean-pooling — the class-prototype
     // vector aggregate): posexplode to (label, dim) cells, one

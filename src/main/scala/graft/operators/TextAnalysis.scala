@@ -554,16 +554,33 @@ object TextAnalysis {
     * non-overlapping).
     */
   def bpeEncodeCounts(docs: DataFrame, textCol: String, idCol: String,
-                      rounds: Int): DataFrame = {
-    val mergePairs = bpeTrainRaw(docs, textCol, rounds).map(_._2)
-    val enc = array_join(transform(tokens(col(textCol)), w =>
+                      rounds: Int): DataFrame =
+    docs.select(col(idCol).as("doc"),
+      bpeCountCol(col(textCol), bpeTrainPairs(docs, textCol, rounds))
+        .as("bpe_tokens"))
+
+  /** Train `rounds` merges and return them in delimiter form (`"|x||y|"`)
+    * — the model a [[bpeCountCol]] projection replays. Control-plane
+    * sized: one ~R-row Seq, the shape the mix planner ships to every
+    * scan task as literals.
+    */
+  def bpeTrainPairs(docs: DataFrame, textCol: String, rounds: Int): Seq[String] =
+    bpeTrainRaw(docs, textCol, rounds).map(_._2)
+
+  /** The per-row BPE token count under a trained merge table, as ONE
+    * codegen'd column (see [[bpeEncodeCounts]] for the encoding
+    * contract) — reusable by any operator that budgets in tokenizer
+    * tokens (q165 encode, q167 mix allocation) without a join against
+    * an encoded frame.
+    */
+  def bpeCountCol(text: Column, mergePairs: Seq[String]): Column = {
+    val enc = array_join(transform(tokens(text), w =>
       when(w.rlike("^[a-z0-9]+$"), regexp_replace(w, "(.)", "|$1|"))
         .otherwise(lit("|_|"))), " ")
     val merged = mergePairs.foldLeft(enc)((s, p) =>
       replace(s, lit(p), lit(p.replace("||", ""))))
-    docs.select(col(idCol).as("doc"),
-      ((length(merged) - length(replace(merged, lit("|"), lit(""))))
-        .cast("long") / 2).cast("long").as("bpe_tokens"))
+    ((length(merged) - length(replace(merged, lit("|"), lit(""))))
+      .cast("long") / 2).cast("long")
   }
 
   /** DuckDB twin of [[bpeEncodeCounts]]: the [[bpeOracleSql]] merge-table
@@ -572,7 +589,20 @@ object TextAnalysis {
     * rank order via scalar subqueries, count = pipes/2.
     */
   def bpeEncodeOracleSql(table: String, textCol: String, idCol: String,
-                         rounds: Int): String = {
+                         rounds: Int): String =
+    s"""WITH ${bpeEncodeCtes(table, textCol, idCol, rounds)}
+        SELECT doc, CAST((len(s) - len(replace(s, '|', ''))) // 2 AS BIGINT)
+          AS bpe_tokens
+        FROM e$rounds ORDER BY doc"""
+
+  /** The [[bpeEncodeOracleSql]] CTE chain alone (training m1..mR plus the
+    * encode stages e0..eR; `e<rounds>` holds `(doc, s)` with `s` the
+    * fully-merged delimiter encoding) — so a composing oracle (q167's
+    * mix allocation) can budget over the encoded corpus without
+    * restating the machinery.
+    */
+  def bpeEncodeCtes(table: String, textCol: String, idCol: String,
+                    rounds: Int): String = {
     val init = s"""w0 AS MATERIALIZED (
         SELECT regexp_replace(w, '(.)', '|\\1|', 'g') AS s,
                CAST(COUNT(*) AS BIGINT) AS n
@@ -607,7 +637,7 @@ object TextAnalysis {
                       (SELECT replace(pair, '||', '') FROM m$r)) END AS s
                   FROM e${r - 1})"""
     }.mkString(",\n")
-    s"""WITH $init,
+    s"""$init,
         $steps,
         e0 AS (SELECT $idCol AS doc,
                  array_to_string(list_transform(${sqlTokens(textCol)},
@@ -615,10 +645,7 @@ object TextAnalysis {
                      THEN regexp_replace(w, '(.)', '|\\1|', 'g')
                      ELSE '|_|' END), ' ') AS s
                FROM $table),
-        $encSteps
-        SELECT doc, CAST((len(s) - len(replace(s, '|', ''))) // 2 AS BIGINT)
-          AS bpe_tokens
-        FROM e$rounds ORDER BY doc"""
+        $encSteps"""
   }
 
   /** DuckDB twin of [[bpeTrainMerges]]: machine-generated unrolled CTEs,

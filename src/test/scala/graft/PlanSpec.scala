@@ -286,6 +286,33 @@ class PlanSpec extends SparkSpec {
       s"no cell IN/INSET partition filter on the embedding base: $pruned")
   }
 
+  test("q167: the BPE-budgeted allocation pass is one joinless, explodeless scan") {
+    // the trained merge table ships as literals inside the count
+    // projection — a Join or Generate here means the encode regressed to
+    // a per-doc join against an encoded frame / an exploded token stream
+    val p = planString("q167_mix_bpe_budget")
+    assert(!p.contains("Join"), "allocation pass joins: " + p.take(1500))
+    assert(!p.contains("Generate"), "allocation pass explodes: " + p.take(1500))
+    assert(p.contains("HashAggregate"), p.take(1500))
+  }
+
+  test("q168: the IVF scan stays cell-pruned and the re-rank side only broadcasts") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val plan = executed(q("q168_maxsim_rerank"))
+    val pruned = deepNodes(plan).collect {
+      case f: FileSourceScanExec if f.partitionFilters.nonEmpty =>
+        f.partitionFilters.mkString(",")
+    }
+    // stage 1 keeps q91's probed-cell pruning inside the composed plan
+    assert(pruned.exists(s => s.contains("cell") && s.contains(" IN (")),
+      s"no cell IN (...) partition filter on the IVF index scan: $pruned")
+    // stage 2's shortlist + query vectors broadcast into the corpus scan —
+    // a shuffled join would price the re-rank by corpus size
+    val ps = plan.toString
+    assert(!ps.contains("SortMergeJoin"),
+      "re-rank shuffled a corpus-sized side: " + ps.take(1500))
+  }
+
   test("q163: the folded postings BASE scan is partition-pruned under live deltas") {
     import org.apache.spark.sql.execution.FileSourceScanExec
     val scans = deepNodes(executed(q("q163_bm25_stream_serve"))).collect {

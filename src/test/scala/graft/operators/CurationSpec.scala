@@ -96,6 +96,37 @@ class CurationSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Double]("epochs") > 1.0))
   }
 
+  test("mixAllocationBpe: budgets in trained-tokenizer tokens, consistent with the q165 encode") {
+    // Two sources with identical WHITESPACE token counts but different
+    // compressibility under the corpus-trained tokenizer: src1's words are
+    // repeated bigram-heavy strings (few BPE tokens after the merges),
+    // src2's are hostile to every trained merge. Whitespace budgeting
+    // cannot tell them apart; BPE budgeting must.
+    import spark.implicits._
+    val d = (1 to 8).map(i =>
+        (i.toLong, "src1", "ababab ababab ababab ababab")) ++
+      (9 to 16).map(i =>
+        (i.toLong, "src2", "xq zv pk mw")) // no repeated pair anywhere
+    val docs = d.toDF("doc_id", "source", "text")
+    val alloc = Curation.mixAllocationBpe(docs, "text", "source",
+        lit(0.5), budget = 100L, rounds = 4)
+      .orderBy("source").collect()
+    assert(alloc.length == 2)
+    val toks = alloc.map(r => r.getString(0) -> r.getLong(2)).toMap
+    // consistency with the encode frame the oracle replays: per-source
+    // sums of bpeEncodeCounts equal the allocation's toks
+    val enc = TextAnalysis.bpeEncodeCounts(docs, "text", "doc_id", rounds = 4)
+      .join(docs.select(col("doc_id").as("doc"), col("source")), "doc")
+      .groupBy("source").agg(sum("bpe_tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(toks == enc, s"$toks vs $enc")
+    // the trained merges compress src1 below src2 (same whitespace count:
+    // 4 words/doc each), so src1's epochs/rate come out HIGHER per weight
+    assert(toks("src1") < toks("src2"), toks.toString)
+    val epochs = alloc.map(r => r.getString(0) -> r.getDouble(5)).toMap
+    assert(epochs("src1") > epochs("src2"), epochs.toString)
+  }
+
   test("mixMaterialize: copies bracket epochs exactly, deterministic under repartition") {
     val w = (substring(col("source"), 4, 10).cast("int") % 4 + 1) / lit(50.0)
     val out = Curation.mixMaterialize(docs, "text", "source", "doc_id", w, 50000L)
