@@ -46,6 +46,7 @@ object Bench {
         .split(" ")(0).toDouble
       catch { case _: Throwable => -1.0 }
     val errors = scala.collection.mutable.ListBuffer[String]()
+    val refused = scala.collection.mutable.LinkedHashSet[String]()
 
     // Canonical fingerprint of the POST-EXECUTION physical plan (AQE
     // finalized): the operator-tree shape — node names plus join types —
@@ -187,8 +188,17 @@ object Bench {
           val t = time { cdf = graft.util.Consume.frame(fn(spark, sfDir)); cdf.collect(); () }
           Some((t, cdf))
         }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] $name failed: $e"); None }
+        catch {
+          // a ContractRefusal is the operator's DOCUMENTED behavior on an
+          // out-of-contract corpus (e.g. the exact all-pairs baseline past
+          // its candidate bound at 30×) — recorded as "refused", not an
+          // error, so a scale run distinguishes "the engine broke" from
+          // "the engine declined work its contract names infeasible"
+          case e: graft.util.ContractRefusal =>
+            System.err.println(s"[bench] $name refused by contract: ${e.getMessage}")
+            refused += name; None
+          case e: Throwable =>
+            System.err.println(s"[bench] $name failed: $e"); None }
       def fpOf(df: org.apache.spark.sql.DataFrame): Option[String] =
         try Some(fingerprint(df))
         catch { case e: Throwable =>
@@ -213,7 +223,7 @@ object Bench {
           try volumes(name) = volumeOf(cdfB)
           catch { case e: Throwable =>
             System.err.println(s"[bench] $name volume failed: $e") }
-        case _ => errors += name
+        case _ => if (!refused.contains(name)) errors += name
       }
       spark.catalog.clearCache()
     }
@@ -357,6 +367,7 @@ object Bench {
     def jmap(m: scala.collection.Map[String, Double], fmt: String): String =
       m.map { case (k, v) => "\"" + k + "\":" + fmt.format(v) }.mkString("{", ",", "}")
     val errs = errors.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val refusedJson = refused.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum
     // Host-noise self-description: this machine is shared, and past rounds
     // showed multi-second inflations that evaporated on an idle host. The
@@ -378,7 +389,7 @@ object Bench {
     val detailLine =
       f"""{"metric":"detail","unit":"sec","queries_first":${jmap(firstRun, "%.3f")},"errors":$errs}"""
     val totalLine =
-      f"""{"metric":"total","value":$total%.2f,"unit":"sec",$host"queries":${jmap(results, "%.2f")},"errors":$errs,"sf":"$sfDir"}"""
+      f"""{"metric":"total","value":$total%.2f,"unit":"sec",$host"queries":${jmap(results, "%.2f")},"errors":$errs,"refused":$refusedJson,"sf":"$sfDir"}"""
     // plan-fingerprint line: artifact-file ONLY (the stdout tail the
     // driver archives truncates >2 KB lines; the hashes are for
     // tools/plan_diff.py, which reads the artifact)

@@ -28,6 +28,18 @@ object Scratch {
             n = 3, threshold = 0.5, maxDf = Some(cap)).count(); ()
         }
       }
+      else if (q == "setsim_cand_probe") {
+        // print the guard's candidate estimate at this dir (calibration
+        // for setSimJoinPrefix.maxCandEstimate): bound 0 forces the
+        // refusal, whose message carries the computed estimate
+        val tb = Tables(spark, dir)
+        try {
+          operators.Dedup.setSimJoinPrefix(tb.documents, "text", "doc_id",
+            maxCandEstimate = 0L).count(): Unit
+          println("[scratch] setsim candidates: 0 (empty prefix frame?)")
+        } catch { case e: graft.util.ContractRefusal =>
+          println(s"[scratch] $dir: ${e.getMessage.takeWhile(_ != ';')}") }
+      }
       else if (q == "grouped_pairs_probe") {
         // grouped vs per-doc minhashLshPairs on a DUPLICATE-HEAVY corpus:
         // every doc replicated into an 8-copy class (the shape the old

@@ -167,10 +167,18 @@ object Dedup {
     * joins keyed on doc id (arrays travel once per CANDIDATE, not per
     * shared token); the length filter (`t ≤ min/max size`) prunes before
     * the arrays move.
+    *
+    * `maxCandEstimate` bounds the contract: the candidate volume
+    * Σ (prefix-df choose 2) is estimated up front and the operator
+    * throws [[graft.util.ContractRefusal]] above the bound (default
+    * 2·10⁸ ≈ the largest volume this host verifiably survives — the 10×
+    * corpus ran 4.7·10⁷ in 16 s; the 30× corpus's ~10⁹ died at >79 GB
+    * of spill before the guard existed).
     */
   def setSimJoinPrefix(docs: DataFrame, textCol: String, idCol: String,
                        n: Int = 3, threshold: Double = 0.5,
-                       maxDf: Option[Int] = None): DataFrame = {
+                       maxDf: Option[Int] = None,
+                       maxCandEstimate: Long = 200000000L): DataFrame = {
     val toksAll = docs.select(col(idCol).as("doc"),
       explode(array_distinct(
         graft.functions.TextHashFunctions.hashedShingles(col(textCol), n))).as("tok"))
@@ -203,6 +211,25 @@ object Dedup {
       .cache()
     val prefix = perDoc.select(col("doc"), col("sz"),
       explode(slice(col("ts"), lit(1), col("plen"))).as("ptok"))
+    // Contract guard: candidate volume is Σ_tok (prefix-df choose 2) —
+    // computable for one vocab-sized aggregate BEFORE the join runs. The
+    // 30× full-corpus run (BENCH_sf3.md) killed the unguarded join with
+    // ENOSPC after >79 GB of sort spill; past the bound this operator
+    // REFUSES with the scale path named instead of dying mid-shuffle.
+    // The estimate is an upper bound (pre-distinct, pre-length-filter),
+    // so the refusal is conservative; the guard costs one small job on
+    // every call (≈0.3 s at sf0.1 — the price of a bounded contract).
+    val candEst = prefix.groupBy(col("ptok")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(((col("c") * (col("c") - 1)) / 2).cast("long")),
+        lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (candEst > maxCandEstimate)
+      throw new graft.util.ContractRefusal(
+        s"setSimJoinPrefix: estimated candidate volume $candEst exceeds " +
+        s"the exact-join bound $maxCandEstimate (Ω(n²) by contract — " +
+        "prefix filtering is a constant-factor saving, not an exponent " +
+        "saving); route this corpus through Dedup.minhashLshPairs " +
+        "(banded LSH + exact verify) or run exactly within blocks")
     val cand = prefix.as("a").join(prefix.as("b"),
         col("a.ptok") === col("b.ptok") && col("a.doc") < col("b.doc") &&
         least(col("a.sz"), col("b.sz")) >=

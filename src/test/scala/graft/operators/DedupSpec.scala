@@ -218,6 +218,19 @@ class DedupSpec extends SparkSpec {
     assert(got == Set((1L, 2L), (3L, 4L)))
   }
 
+  test("setSimJoinPrefix refuses past its candidate bound, naming the scale path") {
+    // the guard is an estimate GATE, not a semantics change: past the
+    // bound the operator throws ContractRefusal (the 30x full-corpus run
+    // died in spill without it); within the bound results are untouched
+    // (the equality specs above run at the default bound)
+    val ex = intercept[graft.util.ContractRefusal] {
+      Dedup.setSimJoinPrefix(docs, "text", "doc_id", maxCandEstimate = 1L)
+        .count()
+    }
+    assert(ex.getMessage.contains("minhashLshPairs"), ex.getMessage)
+    assert(ex.getMessage.contains("estimated candidate volume"), ex.getMessage)
+  }
+
   test("lshIncrementalDedup equals the full exact batch-vs-corpus compare (q71)") {
     // The LSH index probe and the corpus-shingle-scan incremental dedup
     // share semantics exactly (corpus df cap, exact-Jaccard verify,
