@@ -248,6 +248,19 @@ object BenchScale {
         Similarity.knnJoinInCell(t.embeddings, "embedding", "vec_id",
           nCells = 16 * scale).count(); ()
       }) ++
+      // The SHIPPED auto-sized forms (q169/q170): k derives from count()
+      // at target cell 512, hier-routed — the oracle-gated full-corpus
+      // rows' own code path, so the fitted exponent describes exactly
+      // what the gate runs. Checksum-consumed (the FIND-1 convention):
+      // count() could prune the argmax struct agg out of the timed plan.
+      row("q170_knn_join_auto")(bestOf2 {
+        graft.util.Consume.checksum(Similarity.knnJoinInCellAuto(
+          t.embeddings, "embedding", "vec_id")); ()
+      }) ++
+      row("q169_semdedup_auto")(bestOf2 {
+        graft.util.Consume.checksum(Dedup.semanticDedupAuto(
+          t.embeddings, "embedding", "vec_id")); ()
+      }) ++
       // The composed curation layer (dedup → LM quality gate → domain
       // cap → epoch order) with BOTH absolute thresholds scaled to keep
       // selectivity constant — the nightly-job shape whose composed

@@ -377,12 +377,27 @@ object Dedup {
     * pair within distance `maxHamming` must agree on at least one whole band
     * (pigeonhole), so banding only prunes true negatives. One equi-join on
     * (band index, band value) replaces the all-pairs scan.
+    *
+    * Scale contract (`maxCandEstimate`, the [[setSimJoinPrefix]]
+    * pattern): exactness has a STRUCTURAL chance-collision term — with
+    * `bandBits`-wide bands, unrelated documents share a band value at
+    * ~n²·nBands/2^bandBits (12-bit bands here: n²/1024), and no fixed
+    * fingerprint width can make an exact pigeonhole path sub-quadratic
+    * forever (the 30× full corpus measured q26 at 5.3× for the 3×
+    * 10×→30× leg as this term took over). The band-bucket candidate
+    * volume Σ (bucket-df choose 2) is computed up front (one aggregate
+    * over the banded frame — the simhash pass is checkpointed, so the
+    * pair join does not recompute it) and the operator throws
+    * [[graft.util.ContractRefusal]] above the bound, naming
+    * [[minhashLshPairs]] (probabilistic, S-curve-contracted) as the
+    * scale path for corpora past exactness's reach.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
-                   maxHamming: Int = 3): DataFrame = {
+                   maxHamming: Int = 3,
+                   maxCandEstimate: Long = 200000000L): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands
-    val sh = simhash(docs, textCol, idCol)
+    val sh = simhash(docs, textCol, idCol).localCheckpoint(true)
     val bands = sh.select(col("doc"), col("simhash"),
       explode(array((0 until nBands).map { i =>
         struct(lit(i).as("band"),
@@ -390,6 +405,19 @@ object Dedup {
             .bitwiseAND((1L << bandBits) - 1).as("value"))
       }: _*)).as("bd"))
       .select(col("doc"), col("simhash"), col("bd.band"), col("bd.value"))
+    val candEst = bands.groupBy(col("band"), col("value"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(((col("c") * (col("c") - 1)) / 2).cast("long")),
+        lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (candEst > maxCandEstimate)
+      throw new graft.util.ContractRefusal(
+        s"simhashPairs: estimated band-bucket candidate volume $candEst " +
+        s"exceeds the exact-pigeonhole bound $maxCandEstimate (chance " +
+        s"band collisions grow ~n²·${nBands}/2^$bandBits — a fixed " +
+        "fingerprint width cannot stay sub-quadratic); route this corpus " +
+        "through Dedup.minhashLshPairs (banded LSH + exact verify) or " +
+        "run exactly within blocks")
     bands.as("a").join(bands.as("b"),
         col("a.band") === col("b.band") && col("a.value") === col("b.value") &&
         col("a.doc") < col("b.doc"))
@@ -780,6 +808,38 @@ object Dedup {
     val m = ArgMax.cosModel(cent, "cv", "cid")
     val assigned = embs.select(col(idCol).as("vec_id"),
       ArgMax.argmaxCosine(m, col(vecCol)).as("cell"), col(vecCol).as("v"))
+    dominanceDedup(assigned, threshold)
+  }
+
+  /** [[semanticDedup]] with cells ∝ n
+    * ([[Similarity.autoCellCount]], target expected cell ≈ 512) and
+    * two-level hier assignment ([[EmbeddingIndex.assignCellsHier]]) —
+    * the configuration that scales: the within-cell pair join is
+    * ≈ n·targetCellSize expected instead of the fixed-k form's n²/k
+    * (measured quadratic on the 30× corpus — BENCH_sf3.md), and
+    * assignment stays ≈ linear (n·2√k) where flat with k ∝ n would
+    * itself be n². The corpus count is one control-plane aggregate;
+    * both derived constants replay in SQL from COUNT(*), so the op is
+    * hash-match oracled at any scale (q169).
+    */
+  def semanticDedupAuto(embs: DataFrame, vecCol: String, idCol: String,
+                        targetCellSize: Int = 512,
+                        threshold: Double = 0.4): DataFrame = {
+    val k = Similarity.autoCellCount(embs.count(), targetCellSize)
+    val cent = embs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    dominanceDedup(
+      EmbeddingIndex.assignCellsHier(embs, cent, vecCol, idCol), threshold)
+  }
+
+  /** Shared min-id dominance tail over an assigned (vec_id, cell, v)
+    * frame — see [[semanticDedup]] for the rule's contract. The self-join
+    * re-reads one shuffle exchange (ReuseExchange); AQE skew-splits hot
+    * cells.
+    */
+  private def dominanceDedup(assigned: DataFrame,
+                             threshold: Double): DataFrame = {
+    import graft.functions.VectorFunctions._
     val dropped = assigned.as("a").join(assigned.as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(cosineFast(col("a.v"), col("b.v")) >= threshold)
@@ -927,6 +987,34 @@ object Dedup {
         ORDER BY cell"""))((spark, dir) => {
       val t = Tables(spark, dir)
       semanticDedup(t.embeddings, "embedding", "vec_id", nCells = 16, threshold = 0.4)
+        .groupBy(col("cell"))
+        .agg(count(lit(1)).as("n_members"),
+          count(when(col("dropped"), 1)).as("n_dropped"))
+        .orderBy(col("cell"))
+    }),
+
+    // q74's scale-path twin: cells ∝ n + hier assignment (see
+    // semanticDedupAuto) — the SemDeDup configuration that holds its
+    // expected cell size as the corpus grows, with k and the √k coarse
+    // stage derived from COUNT(*) in the oracle so the hash-match is not
+    // pinned to one corpus size.
+    Query(
+      "q169_semdedup_auto",
+      Some(s"""
+        WITH ${Similarity.hierCellsSql(512)},
+        drp AS (SELECT DISTINCT y.vec_id
+                FROM cells x JOIN cells y
+                  ON x.cell = y.cell AND x.vec_id < y.vec_id
+                WHERE list_cosine_similarity(x.embedding::DOUBLE[],
+                        y.embedding::DOUBLE[]) >= 0.4)
+        SELECT cell, COUNT(*) AS n_members,
+               COUNT(d.vec_id) AS n_dropped
+        FROM cells c LEFT JOIN drp d ON d.vec_id = c.vec_id
+        GROUP BY cell
+        ORDER BY cell"""))((spark, dir) => {
+      val t = Tables(spark, dir)
+      semanticDedupAuto(t.embeddings, "embedding", "vec_id",
+          targetCellSize = 512, threshold = 0.4)
         .groupBy(col("cell"))
         .agg(count(lit(1)).as("n_members"),
           count(when(col("dropped"), 1)).as("n_dropped"))

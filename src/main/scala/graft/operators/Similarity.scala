@@ -436,6 +436,84 @@ object Similarity {
     cellPairJoin(EmbeddingIndex.assignCellsHier(embs, cent, vecCol, idCol))
   }
 
+  /** The cells-∝-n sizing rule shared by the auto-scaled cell-bounded
+    * ops (q169/q170) and their oracles: k = min(n, max(16,
+    * ceil(n / targetCellSize))) — constant EXPECTED cell size, so the
+    * Σ|cell|² pair join grows ≈ n·targetCellSize instead of n²/k_fixed
+    * (the 30× full-corpus run measured q74/q86's fixed k=16 at ~12–15×
+    * for the 3× 10×→30× leg — the expected quadratic; BENCH_sf3.md).
+    * The floor of 16 keeps small corpora on the fixed-k baselines'
+    * exact cell structure; the min(n, ·) cap makes the derived coarse
+    * count match the engine on sub-16-row fixtures.
+    */
+  private[operators] def autoCellCount(n: Long, targetCellSize: Int): Int =
+    math.min(n, math.max(16L, math.ceil(n.toDouble / targetCellSize).toLong))
+      .toInt
+
+  /** [[knnJoinInCellHier]] with cells ∝ n ([[autoCellCount]]) — the
+    * configuration that actually scales: hier assignment is n·2√k
+    * (≈ linear with k ∝ n) and the pair join is n·targetCellSize
+    * expected. The corpus count is one control-plane aggregate
+    * (columnar metadata read); both derived constants (k, √k coarse)
+    * replay in SQL from COUNT(*), so the whole op stays hash-match
+    * oracled at ANY scale — the oracle is not pinned to one corpus
+    * size.
+    */
+  def knnJoinInCellAuto(embs: DataFrame, vecCol: String, idCol: String,
+                        targetCellSize: Int = 512): DataFrame = {
+    val k = autoCellCount(embs.count(), targetCellSize)
+    val cent = embs.orderBy(col(idCol)).limit(k)
+      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    cellPairJoin(EmbeddingIndex.assignCellsHier(embs, cent, vecCol, idCol))
+  }
+
+  /** DuckDB oracle fragment for the AUTO-sized hier cell assignment —
+    * [[autoCellCount]] + [[EmbeddingIndex.assignCellsHier]] replayed
+    * from first principles: k derives from COUNT(*), centroids are the
+    * first k vectors by id, coarse = the first ceil(√k) of those,
+    * centroid→coarse and the two vector routing stages are argmax
+    * cosine with ties to the smallest id (ROW_NUMBER cos DESC, id ASC —
+    * DuckDB sorts NaN greatest, matching the engine's NaN-greatest
+    * contract). Yields `cells(vec_id, cell, embedding)`, the same shape
+    * as the flat fragment in [[annIndexedOracleCtes]].
+    */
+  private[operators] def hierCellsSql(targetCellSize: Int): String =
+    s"""nk AS (SELECT LEAST(COUNT(*), GREATEST(16,
+                 CAST(CEIL(COUNT(*) / $targetCellSize.0) AS BIGINT))) AS k
+               FROM embeddings),
+        centall AS (SELECT vec_id AS cid, embedding AS cv,
+                      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
+                    FROM embeddings),
+        cent AS (SELECT cid, cv FROM centall
+                 WHERE rn <= (SELECT k FROM nk)),
+        coarse AS (SELECT cid AS ccid, cv AS ccv FROM centall
+                   WHERE rn <= (SELECT CAST(CEIL(SQRT(k * 1.0)) AS BIGINT)
+                                FROM nk)),
+        childof AS (
+          SELECT cid, cv, ccid FROM (
+            SELECT c.cid, c.cv, cc.ccid,
+              ROW_NUMBER() OVER (PARTITION BY c.cid
+                ORDER BY list_cosine_similarity(c.cv::DOUBLE[],
+                                                cc.ccv::DOUBLE[]) DESC,
+                         cc.ccid) AS rn
+            FROM cent c CROSS JOIN coarse cc) WHERE rn = 1),
+        vcoarse AS (
+          SELECT vec_id, ccid, embedding FROM (
+            SELECT e.vec_id, cc.ccid, e.embedding,
+              ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                ORDER BY list_cosine_similarity(e.embedding::DOUBLE[],
+                                                cc.ccv::DOUBLE[]) DESC,
+                         cc.ccid) AS rn
+            FROM embeddings e CROSS JOIN coarse cc) WHERE rn = 1),
+        cells AS (
+          SELECT vec_id, cell, embedding FROM (
+            SELECT v.vec_id, ch.cid AS cell, v.embedding,
+              ROW_NUMBER() OVER (PARTITION BY v.vec_id
+                ORDER BY list_cosine_similarity(v.embedding::DOUBLE[],
+                                                ch.cv::DOUBLE[]) DESC,
+                         ch.cid) AS rn
+            FROM vcoarse v JOIN childof ch ON ch.ccid = v.ccid) WHERE rn = 1)"""
+
   /** Shared Σ|cell|² nearest-neighbor pair join over an assigned
     * (vec_id, cell, v) frame — see [[knnJoinInCell]] for the contract.
     */
@@ -1114,6 +1192,32 @@ object Similarity {
         FROM best WHERE rn = 1
         ORDER BY vec_id"""))((spark, dir) => {
       knnJoinInCell(Tables(spark, dir).embeddings, "embedding", "vec_id")
+        .orderBy(col("vec_id"))
+    }),
+
+    // q86's scale-path twin: cells ∝ n (target expected cell ≈ 512) with
+    // two-level hier assignment — the configuration whose pair join grows
+    // ≈ n·512 instead of q86's n²/16 (the 30× run measured the fixed-k
+    // form at ~12× for a 3× leg). k and the √k coarse stage both derive
+    // from COUNT(*) in the oracle, so the hash-match holds at any corpus
+    // size, and the previously spec-only hier routing is now oracled.
+    Query(
+      "q170_knn_join_auto",
+      Some(s"""
+        WITH ${hierCellsSql(512)},
+        nn AS (SELECT x.vec_id, y.vec_id AS cand,
+                      list_cosine_similarity(x.embedding::DOUBLE[],
+                                             y.embedding::DOUBLE[]) AS cs
+               FROM cells x JOIN cells y
+                 ON x.cell = y.cell AND x.vec_id <> y.vec_id),
+        best AS (SELECT vec_id, cand, cs,
+                   ROW_NUMBER() OVER (PARTITION BY vec_id
+                     ORDER BY cs DESC, cand) AS rn
+                 FROM nn)
+        SELECT vec_id, cand AS nn_id, round(cs, 6) AS cos_sim
+        FROM best WHERE rn = 1
+        ORDER BY vec_id"""))((spark, dir) => {
+      knnJoinInCellAuto(Tables(spark, dir).embeddings, "embedding", "vec_id")
         .orderBy(col("vec_id"))
     }),
 

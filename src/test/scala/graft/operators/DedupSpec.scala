@@ -73,6 +73,31 @@ class DedupSpec extends SparkSpec {
     assert(offenders.count() == 0)
   }
 
+  test("semanticDedupAuto: dominance invariant holds on hier cells; deterministic") {
+    val embs = Tables(spark, sf("sf0.001")).embeddings.cache()
+    val t = 0.3
+    // small target so the auto sizing actually derives k > the 16 floor
+    // (n=500, target=24 -> k=21, coarse=5) and the hier routing runs
+    val res = Dedup.semanticDedupAuto(embs, "embedding", "vec_id",
+      targetCellSize = 24, threshold = t).cache()
+    assert(res.count() == embs.count())
+    assert(res.select("vec_id").distinct().count() == embs.count())
+    assert(res.select("cell").distinct().count() > 16L) // cells ∝ n engaged
+    // the same min-id dominance rule as semanticDedup, on the hier cells:
+    // no same-cell survivor pair can reach the threshold
+    val surv = res.filter(!col("dropped"))
+      .join(embs.select(col("vec_id"), col("embedding")), "vec_id")
+    val offenders = surv.as("a").join(surv.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.functions.VectorFunctions.cosineFast(
+        col("a.embedding"), col("b.embedding")) >= t)
+    assert(offenders.count() == 0)
+    // bit-deterministic (broadcast argmax routing, smaller-id ties)
+    val again = Dedup.semanticDedupAuto(embs, "embedding", "vec_id",
+      targetCellSize = 24, threshold = t)
+    assert(res.collect().toSet == again.collect().toSet)
+  }
+
   test("exact dedup keeps the minimum id per group") {
     val d = Dedup.exact(docs, substring(col("text"), 1, 100), col("doc_id"))
     val dups = d.filter(col("group_size") > 1)
@@ -229,6 +254,18 @@ class DedupSpec extends SparkSpec {
     }
     assert(ex.getMessage.contains("minhashLshPairs"), ex.getMessage)
     assert(ex.getMessage.contains("estimated candidate volume"), ex.getMessage)
+  }
+
+  test("simhashPairs refuses past its band-collision bound, naming the scale path") {
+    // same contract class as setSimJoinPrefix: exact pigeonhole banding
+    // carries an ~n²/2^bandBits chance-collision term no fixed fingerprint
+    // width outruns; past the bound the operator refuses loudly
+    val ex = intercept[graft.util.ContractRefusal] {
+      Dedup.simhashPairs(docs, "text", "doc_id", maxCandEstimate = 0L)
+        .count()
+    }
+    assert(ex.getMessage.contains("minhashLshPairs"), ex.getMessage)
+    assert(ex.getMessage.contains("band-bucket candidate volume"), ex.getMessage)
   }
 
   test("lshIncrementalDedup equals the full exact batch-vs-corpus compare (q71)") {

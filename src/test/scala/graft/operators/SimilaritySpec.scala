@@ -137,6 +137,30 @@ class SimilaritySpec extends SparkSpec {
     assert(mh >= mf - 0.02, f"hier neighbor quality $mh%.4f well below flat $mf%.4f")
   }
 
+  test("auto-sized cell KNN: sizing rule, floor equivalence, k growth") {
+    // the cells-∝-n sizing rule the auto ops and their oracles share
+    assert(Similarity.autoCellCount(500, 512) == 16)   // floor
+    assert(Similarity.autoCellCount(2000, 512) == 16)  // still floor
+    assert(Similarity.autoCellCount(60000, 512) == 118)
+    assert(Similarity.autoCellCount(8, 512) == 8)      // capped at n
+    def run(f: => org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
+      f.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    // at the 16 floor (n=500) the auto form IS the hier form at k=16 —
+    // same seeding, same routing, bit-identical output
+    val auto = run(Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id"))
+    val hier = run(Similarity.knnJoinInCellHier(embs, "embedding", "vec_id",
+      nCells = 16))
+    assert(auto == hier)
+    // a smaller target drives k past the floor (500/24 -> 21 cells)
+    val fine = Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id",
+      targetCellSize = 24)
+    val nCellsUsed = fine.join(
+        Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id",
+          targetCellSize = 24), Seq("vec_id", "nn_id", "cos_sim"))
+      .count() // deterministic: self-join on full rows loses nothing
+    assert(nCellsUsed == fine.count())
+  }
+
   test("product quantization: code shape, determinism, shortlist recall") {
     import org.apache.spark.sql.functions._
     val embs = graft.Tables(spark, sf("sf0.01")).embeddings

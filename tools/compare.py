@@ -17,9 +17,15 @@ def norm(rows):
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
+    import os
     for t in ["region","nation","customer","supplier","part","orders",
               "lineitem","events","documents","embeddings"]:
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+        # driver testdata is one file per table; GenScale corpora are
+        # Spark-written DIRECTORIES of part files — glob those
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(p):
+            p = f"{p}/*.parquet"
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{p}')")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     only = set(sys.argv[3].split(",")) if len(sys.argv) > 3 else None
     n_pass = n_fail = 0
