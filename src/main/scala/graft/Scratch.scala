@@ -28,6 +28,18 @@ object Scratch {
             n = 3, threshold = 0.5, maxDf = Some(cap)).count(); ()
         }
       }
+      else if (q == "simhash_cand_probe") {
+        // print simhashPairs' band-bucket candidate estimate at this dir
+        // (calibration for maxCandEstimate) — bound 0 forces the refusal,
+        // whose message carries the computed estimate
+        val tb = Tables(spark, dir)
+        try {
+          operators.Dedup.simhashPairs(tb.documents, "text", "doc_id",
+            maxCandEstimate = 0L).count(): Unit
+          println("[scratch] simhash candidates: 0")
+        } catch { case e: graft.util.ContractRefusal =>
+          println(s"[scratch] $dir: ${e.getMessage.takeWhile(_ != '(')}") }
+      }
       else if (q == "setsim_cand_probe") {
         // print the guard's candidate estimate at this dir (calibration
         // for setSimJoinPrefix.maxCandEstimate): bound 0 forces the

@@ -390,11 +390,15 @@ object Dedup {
     * pair join does not recompute it) and the operator throws
     * [[graft.util.ContractRefusal]] above the bound, naming
     * [[minhashLshPairs]] (probabilistic, S-curve-contracted) as the
-    * scale path for corpora past exactness's reach.
+    * scale path for corpora past exactness's reach. Default calibrated
+    * against measured volumes (Scratch `simhash_cand_probe`): 3.9·10⁶ /
+    * 2.8·10⁸ / 2.6·10⁹ at 1×/10×/30× — the 30× volume verifiably ran
+    * (42 s, ~62 GB through the join); a 100× corpus's ~2.9·10¹⁰
+    * (~700 GB) is the q121 spill-death mode and refuses.
     */
   def simhashPairs(docs: DataFrame, textCol: String, idCol: String,
                    maxHamming: Int = 3,
-                   maxCandEstimate: Long = 200000000L): DataFrame = {
+                   maxCandEstimate: Long = 4000000000L): DataFrame = {
     val nBands = maxHamming + 1
     val bandBits = SimHashBits / nBands
     val sh = simhash(docs, textCol, idCol).localCheckpoint(true)
@@ -754,16 +758,34 @@ object Dedup {
 
   /** Exact all-pairs cosine near-dup baseline. O(n²/2) compares — the
     * correctness baseline for small N; at 100 TB use [[Similarity.annLsh]]
-    * (random-hyperplane LSH) instead.
+    * (random-hyperplane LSH) or [[semanticDedupAuto]] (cell-bounded)
+    * instead.
     *
     * Perf shape: vectors are cast to dense array<double> and their norms
     * computed ONCE per row before the pair join; each pair then costs one
     * codegen'd dot product ([[graft.functions.DotProductD]]) — not three
     * interpreted higher-order aggregates. ~40× on the sf0.1 bench.
+    *
+    * Scale contract (`maxPairEstimate`, the [[setSimJoinPrefix]]
+    * pattern): the pair volume is exactly n(n−1)/2 — one count() up
+    * front — and past the bound the operator throws
+    * [[graft.util.ContractRefusal]] naming the sub-quadratic paths
+    * (default 2·10⁹ ≈ the 30× corpus's verified-feasible 1.8·10⁹ pairs
+    * at 37 s; a 100× corpus's ~2·10¹⁰ refuses instead of burning ~10
+    * minutes of cluster time on a baseline).
     */
   def embeddingNearDupPairs(embs: DataFrame, vecCol: String, idCol: String,
-                            threshold: Double): DataFrame = {
+                            threshold: Double,
+                            maxPairEstimate: Long = 2000000000L): DataFrame = {
     import graft.functions.VectorFunctions._
+    val n = embs.count()
+    val pairEst = n * (n - 1) / 2
+    if (pairEst > maxPairEstimate)
+      throw new graft.util.ContractRefusal(
+        s"embeddingNearDupPairs: exact all-pairs volume $pairEst exceeds " +
+        s"the baseline bound $maxPairEstimate (Ω(n²) by contract); route " +
+        "this corpus through Dedup.semanticDedupAuto (cell-bounded " +
+        "dominance) or Similarity.annLsh (hyperplane LSH + exact verify)")
     val e = embs.select(col(idCol).as("id"), toDense(col(vecCol)).as("v"))
       .withColumn("nrm", norm2(col("v")))
     e.as("a").join(e.as("b"), col("a.id") < col("b.id"))

@@ -268,6 +268,16 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("band-bucket candidate volume"), ex.getMessage)
   }
 
+  test("embeddingNearDupPairs refuses past its pair bound, naming the scale paths") {
+    val embs = Tables(spark, sf("sf0.001")).embeddings
+    val ex = intercept[graft.util.ContractRefusal] {
+      Dedup.embeddingNearDupPairs(embs, "embedding", "vec_id",
+        threshold = 0.4, maxPairEstimate = 1L).count()
+    }
+    assert(ex.getMessage.contains("semanticDedupAuto"), ex.getMessage)
+    assert(ex.getMessage.contains("all-pairs volume"), ex.getMessage)
+  }
+
   test("lshIncrementalDedup equals the full exact batch-vs-corpus compare (q71)") {
     // The LSH index probe and the corpus-shingle-scan incremental dedup
     // share semantics exactly (corpus df cap, exact-Jaccard verify,
