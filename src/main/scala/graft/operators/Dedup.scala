@@ -1305,7 +1305,27 @@ object Dedup {
     * names; content strings would block on q-gram signatures instead).
     */
   def fuzzyPairs(df: DataFrame, name: Column, id: Column,
-                 maxDist: Int): DataFrame = {
+                 maxDist: Int,
+                 maxCandEstimate: Long = 4000000000L): DataFrame = {
+    // Scale contract (the setSimJoinPrefix pattern): the edit-distance
+    // verify is quadratic INSIDE blocks, so a corpus whose blocking key
+    // degenerates (one dominant length/prefix class) silently reverts
+    // toward n² — the candidate volume Σ (block-df choose 2) is one
+    // name-column aggregate, checked before any pair is formed. Past the
+    // bound the operator refuses, naming the sorted-neighborhood form
+    // (w·n by construction) as the bounded alternative.
+    val candEst = df.select(length(name).as("len"),
+        name.substr(lit(1), length(name) - 2).as("blk"))
+      .groupBy(col("len"), col("blk")).agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(((col("c") * (col("c") - 1)) / 2).cast("long")),
+        lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (candEst > maxCandEstimate)
+      throw new graft.util.ContractRefusal(
+        s"fuzzyPairs: estimated block candidate volume $candEst exceeds " +
+        s"the bound $maxCandEstimate (the equality-blocked edit-distance " +
+        "verify is quadratic inside blocks); use sortedNeighborhood " +
+        "(w·n by construction) or a finer blocking key")
     def side(suffix: String) = df.select(
       id.as(s"key_$suffix"), name.as(s"name_$suffix"),
       length(name).as(s"len_$suffix"),

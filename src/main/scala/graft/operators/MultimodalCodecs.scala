@@ -345,7 +345,8 @@ private[graft] trait MultimodalCodecs extends Serializable {
     * flat-content template concentrates one band bucket — cap band
     * buckets upstream (the shingle-df-cap analogue) if that happens.
     */
-  def bandedHammingPairs(hashesRaw: DataFrame, maxDist: Int): DataFrame = {
+  def bandedHammingPairs(hashesRaw: DataFrame, maxDist: Int,
+                         maxCandEstimate: Long = 4000000000L): DataFrame = {
     require(maxDist <= 3, "4x16 banding is only pigeonhole-exact to dist 3")
     // The hash table (5 longs per item) feeds TWO independent plan
     // branches (band candidates; hamming verify sides) — without a
@@ -363,6 +364,28 @@ private[graft] trait MultimodalCodecs extends Serializable {
         struct(lit(2).as("k"), col("b2").as("v")),
         struct(lit(3).as("k"), col("b3").as("v")))).as("b"))
       .select(col("media_id"), col("b.k").as("k"), col("b.v").as("v"))
+    // Scale contract (the Dedup.simhashPairs pattern, shared by every
+    // 64-bit fingerprint family through this tail): 16-bit bands carry a
+    // structural chance-collision term (~n²·4/2^16) plus whatever
+    // flat-content template classes the corpus really has; the band-bucket
+    // candidate volume Σ (df choose 2) is one tiny aggregate over the
+    // checkpointed hash rows (no payload ever decodes for it). Past the
+    // bound the operator refuses, naming the upstream bucket cap and the
+    // persisted per-modality band-bucket indexes as the scale paths.
+    val candEst = bands.groupBy(col("k"), col("v"))
+      .agg(count(lit(1)).as("c"))
+      .agg(coalesce(sum(((col("c") * (col("c") - 1)) / 2).cast("long")),
+        lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (candEst > maxCandEstimate)
+      throw new graft.util.ContractRefusal(
+        s"bandedHammingPairs: estimated band-bucket candidate volume " +
+        s"$candEst exceeds the bound $maxCandEstimate (16-bit bands put " +
+        "chance collisions at ~n²·4/2^16, and flat-content template " +
+        "classes concentrate buckets further); cap band buckets upstream " +
+        "(the shingle-df-cap analogue) or probe new items against the " +
+        "persisted per-modality band-bucket index instead of self-joining " +
+        "the corpus")
     val cand = bands.as("a").join(bands.as("c"),
         col("a.k") === col("c.k") && col("a.v") === col("c.v") &&
           col("a.media_id") < col("c.media_id"))

@@ -191,7 +191,8 @@ object Similarity {
     * recall ≥ 0.8.
     */
   def annLsh(corpus: DataFrame, queries: DataFrame, vecCol: String, idCol: String,
-             k: Int, tables: Int = 24, planes: Int = 4, dim: Int = 64): DataFrame = {
+             k: Int, tables: Int = 24, planes: Int = 4, dim: Int = 64,
+             maxCandEstimate: Long = 4000000000L): DataFrame = {
     val hp = hyperplanes(tables, planes, dim)
     // All `tables` bucket ids come from ONE fused expression (a single pass
     // over the vector + flat weight matrix) rather than tables × planes
@@ -202,6 +203,28 @@ object Similarity {
           col(vecCol), hp)).as(Seq("t", "b")))
     val cb = withBuckets(corpus, "vec_id")
     val qb = withBuckets(queries, "query_id")
+    // Scale contract (the setSimJoinPrefix pattern): with `planes`-bit
+    // buckets the candidate volume is Σ_{t,b} n_c·n_q — quadratic when
+    // the query batch grows with the corpus (4-plane tables = 16 buckets:
+    // n·q·24/16 expected) — and computable from two TINY histograms
+    // (≤ tables·2^planes rows each) before any vector moves; the only
+    // real cost is one extra column-pruned corpus scan for the bucket
+    // projection. Past the bound the operator refuses, naming the
+    // indexed ANN family (cells ∝ n, pruned scans) as the serving path.
+    val candEst = cb.groupBy(col("t"), col("b"))
+      .agg(count(lit(1)).as("nc"))
+      .join(qb.groupBy(col("t"), col("b")).agg(count(lit(1)).as("nq")),
+        Seq("t", "b"))
+      .agg(coalesce(sum(col("nc") * col("nq")), lit(0L)).as("cand"))
+      .head().getLong(0)
+    if (candEst > maxCandEstimate)
+      throw new graft.util.ContractRefusal(
+        s"annLsh: estimated bucket-collision candidate volume $candEst " +
+        s"exceeds the bound $maxCandEstimate (fixed $planes-plane tables " +
+        "put expected collisions at n·q·tables/2^planes — quadratic when " +
+        "queries grow with the corpus); serve through the persisted IVF " +
+        "index family (Similarity.annIvfIndexed / annIvfPq — cells ∝ n, " +
+        "partition-pruned scans) or shrink the query batch")
     val candidates = cb.join(broadcast(qb), Seq("t", "b"))
       .filter(col("vec_id") =!= col("query_id"))
       .select(col("query_id"), col("query_id_v"), col("vec_id"), col("vec_id_v"))

@@ -268,6 +268,19 @@ class DedupSpec extends SparkSpec {
     assert(ex.getMessage.contains("band-bucket candidate volume"), ex.getMessage)
   }
 
+  test("fuzzyPairs refuses past its block-candidate bound, naming sortedNeighborhood") {
+    import spark.implicits._
+    // two names sharing a (length, all-but-last-2 prefix) block
+    val names = Seq((1L, "alpha-001"), (2L, "alpha-002"))
+      .toDF("doc_id", "text")
+    val ex = intercept[graft.util.ContractRefusal] {
+      Dedup.fuzzyPairs(names, col("text"), col("doc_id"), maxDist = 2,
+        maxCandEstimate = 0L).count()
+    }
+    assert(ex.getMessage.contains("sortedNeighborhood"), ex.getMessage)
+    assert(ex.getMessage.contains("block candidate volume"), ex.getMessage)
+  }
+
   test("embeddingNearDupPairs refuses past its pair bound, naming the scale paths") {
     val embs = Tables(spark, sf("sf0.001")).embeddings
     val ex = intercept[graft.util.ContractRefusal] {

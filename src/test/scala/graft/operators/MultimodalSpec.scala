@@ -127,6 +127,19 @@ class MultimodalSpec extends SparkSpec {
     .select(col("media_id").cast("long"), col("kind"), col("payload"))
     .cache()
 
+  test("bandedHammingPairs refuses past its band-collision bound, naming the scale paths") {
+    import spark.implicits._
+    // two identical fingerprints -> candEst 4 (one per band) > bound 0
+    val hashes = Seq((1L, 1L, 2L, 3L, 4L), (2L, 1L, 2L, 3L, 4L))
+      .toDF("media_id", "b0", "b1", "b2", "b3")
+    val ex = intercept[graft.util.ContractRefusal] {
+      Multimodal.bandedHammingPairs(hashes, maxDist = 3,
+        maxCandEstimate = 0L).count()
+    }
+    assert(ex.getMessage.contains("band-bucket candidate volume"), ex.getMessage)
+    assert(ex.getMessage.contains("per-modality band-bucket index"), ex.getMessage)
+  }
+
   test("imagePHashPairs: an exact re-encode (delta=0) pairs at distance 0") {
     val corpus = imageRows.orderBy("media_id").limit(20).unionByName(
       Multimodal.brightenedCopies(spark, imageRows.orderBy("media_id").limit(20),

@@ -28,6 +28,18 @@ class SimilaritySpec extends SparkSpec {
     assert(recall >= 0.8, f"recall $recall%.3f below the 0.8 gate")
   }
 
+  test("annLsh refuses past its bucket-collision bound, naming the indexed path") {
+    // the batch-LSH contract class: fixed-width buckets make candidates
+    // quadratic when queries grow with the corpus; the guard reads two
+    // tiny (table, bucket) histograms, never the vectors
+    val ex = intercept[graft.util.ContractRefusal] {
+      Similarity.annLsh(embs, qs, "embedding", "vec_id", k = 5,
+        maxCandEstimate = 1L).count()
+    }
+    assert(ex.getMessage.contains("annIvfIndexed"), ex.getMessage)
+    assert(ex.getMessage.contains("bucket-collision"), ex.getMessage)
+  }
+
   test("IVF ANN: per-query results bounded by k, ranks contiguous, recall nontrivial") {
     val brute = Similarity.topKBruteForce(embs, qs, "embedding", "vec_id", k = 5)
       .select("query_id", "vec_id").collect().map(r => (r.get(0), r.get(1))).toSet
