@@ -834,7 +834,9 @@ object Dedup {
   }
 
   /** [[semanticDedup]] with cells ∝ n
-    * ([[Similarity.autoCellCount]], target expected cell ≈ 512) and
+    * ([[Similarity.autoCellCount]], target expected cell ≈ 512),
+    * spread centroid seeding ([[Similarity.spreadCentroids]] — coverage
+    * over the whole id range, not its head) and
     * two-level hier assignment ([[EmbeddingIndex.assignCellsHier]]) —
     * the configuration that scales: the within-cell pair join is
     * ≈ n·targetCellSize expected instead of the fixed-k form's n²/k
@@ -848,8 +850,7 @@ object Dedup {
                         targetCellSize: Int = 512,
                         threshold: Double = 0.4): DataFrame = {
     val k = Similarity.autoCellCount(embs.count(), targetCellSize)
-    val cent = embs.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cent = Similarity.spreadCentroids(embs, vecCol, idCol, k)
     dominanceDedup(
       EmbeddingIndex.assignCellsHier(embs, cent, vecCol, idCol), threshold)
   }

@@ -473,27 +473,68 @@ object Similarity {
     math.min(n, math.max(16L, math.ceil(n.toDouble / targetCellSize).toLong))
       .toInt
 
-  /** [[knnJoinInCellHier]] with cells ∝ n ([[autoCellCount]]) — the
-    * configuration that actually scales: hier assignment is n·2√k
-    * (≈ linear with k ∝ n) and the pair join is n·targetCellSize
-    * expected. The corpus count is one control-plane aggregate
-    * (columnar metadata read); both derived constants (k, √k coarse)
-    * replay in SQL from COUNT(*), so the whole op stays hash-match
-    * oracled at ANY scale — the oracle is not pinned to one corpus
-    * size.
+  /** Deterministic SPREAD centroid seeding for the auto-scaled cell ops:
+    * the id range [min, max] splits into `k` equal-width strides and each
+    * stride contributes its smallest id — so centroids cover the WHOLE id
+    * space instead of its head. First-k-by-id seeding (the fixed-k
+    * baselines' rule, kept there for their pinned oracles) degrades
+    * structurally when ids correlate with ingest time — all centroids
+    * come from the oldest data, so a drifting corpus (new topics, new
+    * languages) crowds its later mass into whichever old cells happen to
+    * win. Honest measurement note: on the SYNTHETIC replicated corpus the
+    * two seedings produce near-identical occupancy (Σ|cell|² 67.7 M
+    * first-k vs 68.9 M spread at 30× — that corpus's skew is
+    * embedding-space geometry plus hier coarse-stage funneling, which no
+    * id-based seeding touches; [[kmeansCentroids]] is the variance
+    * reducer when occupancy matters). The spread rule is the right
+    * DEFAULT because its failure mode is strictly smaller: it can never
+    * be blind to an id region. Cost: two control-plane aggregates and one
+    * broadcast semi-join — no sort, no window, nothing corpus-wide moves.
+    * Replays in SQL from MIN/MAX/COUNT, so the auto family stays
+    * hash-match oracled at any scale. Sparse id ranges may yield < k
+    * centroids (empty strides) — both sides derive the coarse stage from
+    * the ACTUAL selected count.
+    */
+  private[operators] def spreadCentroids(embs: DataFrame, vecCol: String,
+                                         idCol: String, k: Int): DataFrame = {
+    val mm = embs.agg(min(col(idCol).cast("long")).as("lo"),
+      max(col(idCol).cast("long")).as("hi")).head()
+    val (lo, hi) = (mm.getLong(0), mm.getLong(1))
+    val stride = math.max(1L, (hi - lo + k) / k) // ceil((hi-lo+1)/k)
+    // integral DIV (Spark's `/` on longs is double division; DuckDB's
+    // `//` on BIGINT is exact — both sides must floor-divide exactly)
+    val sel = embs.select(col(idCol).cast("long").as("_id"))
+      .groupBy(expr(s"(_id - ${lo}L) DIV ${stride}L").as("bkt"))
+      .agg(min(col("_id")).as("cid"))
+      .select(col("cid"))
+    embs.join(broadcast(sel), col(idCol).cast("long") === col("cid"))
+      .select(col("cid"), col(vecCol).as("cv"))
+  }
+
+  /** [[knnJoinInCellHier]] with cells ∝ n ([[autoCellCount]]) and
+    * [[spreadCentroids]] seeding — the configuration that actually
+    * scales: hier assignment is n·2√k (≈ linear with k ∝ n) and the
+    * pair join is n·targetCellSize expected with coverage-bounded
+    * occupancy. The corpus count is one control-plane aggregate
+    * (columnar metadata read); every derived constant (k, the stride,
+    * the √k coarse stage) replays in SQL from COUNT/MIN/MAX, so the
+    * whole op stays hash-match oracled at ANY scale — the oracle is not
+    * pinned to one corpus size.
     */
   def knnJoinInCellAuto(embs: DataFrame, vecCol: String, idCol: String,
                         targetCellSize: Int = 512): DataFrame = {
     val k = autoCellCount(embs.count(), targetCellSize)
-    val cent = embs.orderBy(col(idCol)).limit(k)
-      .select(col(idCol).as("cid"), col(vecCol).as("cv"))
+    val cent = spreadCentroids(embs, vecCol, idCol, k)
     cellPairJoin(EmbeddingIndex.assignCellsHier(embs, cent, vecCol, idCol))
   }
 
   /** DuckDB oracle fragment for the AUTO-sized hier cell assignment —
-    * [[autoCellCount]] + [[EmbeddingIndex.assignCellsHier]] replayed
-    * from first principles: k derives from COUNT(*), centroids are the
-    * first k vectors by id, coarse = the first ceil(√k) of those,
+    * [[autoCellCount]] + [[spreadCentroids]] +
+    * [[EmbeddingIndex.assignCellsHier]] replayed from first principles:
+    * k derives from COUNT(*), centroids are the smallest id of each of k
+    * equal-width id strides (stride from MIN/MAX — the spread-seeding
+    * rule), coarse = the first ceil(√k') of the SELECTED centroids by id
+    * (k' = actual selected count; sparse strides may be empty),
     * centroid→coarse and the two vector routing stages are argmax
     * cosine with ties to the smallest id (ROW_NUMBER cos DESC, id ASC —
     * DuckDB sorts NaN greatest, matching the engine's NaN-greatest
@@ -502,16 +543,21 @@ object Similarity {
     */
   private[operators] def hierCellsSql(targetCellSize: Int): String =
     s"""nk AS (SELECT LEAST(COUNT(*), GREATEST(16,
-                 CAST(CEIL(COUNT(*) / $targetCellSize.0) AS BIGINT))) AS k
+                 CAST(CEIL(COUNT(*) / $targetCellSize.0) AS BIGINT))) AS k,
+               MIN(vec_id) AS lo, MAX(vec_id) AS hi
                FROM embeddings),
-        centall AS (SELECT vec_id AS cid, embedding AS cv,
-                      ROW_NUMBER() OVER (ORDER BY vec_id) AS rn
-                    FROM embeddings),
-        cent AS (SELECT cid, cv FROM centall
-                 WHERE rn <= (SELECT k FROM nk)),
-        coarse AS (SELECT cid AS ccid, cv AS ccv FROM centall
-                   WHERE rn <= (SELECT CAST(CEIL(SQRT(k * 1.0)) AS BIGINT)
-                                FROM nk)),
+        st AS (SELECT ((hi - lo + k) // k) AS stride FROM nk),
+        sel AS (SELECT MIN(e.vec_id) AS scid
+                FROM embeddings e
+                GROUP BY (e.vec_id - (SELECT lo FROM nk))
+                           // (SELECT stride FROM st)),
+        centrk AS (SELECT e.vec_id AS cid, e.embedding AS cv,
+                     ROW_NUMBER() OVER (ORDER BY e.vec_id) AS rn
+                   FROM embeddings e JOIN sel ON sel.scid = e.vec_id),
+        cent AS (SELECT cid, cv FROM centrk),
+        coarse AS (SELECT cid AS ccid, cv AS ccv FROM centrk
+                   WHERE rn <= (SELECT CAST(CEIL(SQRT(COUNT(*) * 1.0))
+                                  AS BIGINT) FROM centrk)),
         childof AS (
           SELECT cid, cv, ccid FROM (
             SELECT c.cid, c.cv, cc.ccid,

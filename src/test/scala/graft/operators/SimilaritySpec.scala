@@ -157,20 +157,22 @@ class SimilaritySpec extends SparkSpec {
     assert(Similarity.autoCellCount(8, 512) == 8)      // capped at n
     def run(f: => org.apache.spark.sql.DataFrame): Map[Long, (Long, Double)] =
       f.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
-    // at the 16 floor (n=500) the auto form IS the hier form at k=16 —
-    // same seeding, same routing, bit-identical output
+    // spread seeding: one centroid per occupied id stride, covering the
+    // whole id range (not its head, the fixed-k baselines' seeding)
+    val cent = Similarity.spreadCentroids(embs, "embedding", "vec_id", 16)
+      .collect().map(_.getLong(0)).sorted
+    assert(cent.length == 16, cent.toSeq.toString)
+    val maxId = embs.agg(max(col("vec_id"))).head().getLong(0)
+    assert(cent.last > maxId / 2, s"centroids bunched at the head: ${cent.toSeq}")
+    // bit-deterministic across runs (broadcast argmax, smaller-id ties)
     val auto = run(Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id"))
-    val hier = run(Similarity.knnJoinInCellHier(embs, "embedding", "vec_id",
-      nCells = 16))
-    assert(auto == hier)
-    // a smaller target drives k past the floor (500/24 -> 21 cells)
-    val fine = Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id",
-      targetCellSize = 24)
-    val nCellsUsed = fine.join(
-        Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id",
-          targetCellSize = 24), Seq("vec_id", "nn_id", "cos_sim"))
-      .count() // deterministic: self-join on full rows loses nothing
-    assert(nCellsUsed == fine.count())
+    val again = run(Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id"))
+    assert(auto == again)
+    // a smaller target drives k past the floor and stays deterministic
+    val fine = run(Similarity.knnJoinInCellAuto(embs, "embedding", "vec_id",
+      targetCellSize = 24))
+    assert(fine == run(Similarity.knnJoinInCellAuto(embs, "embedding",
+      "vec_id", targetCellSize = 24)))
   }
 
   test("product quantization: code shape, determinism, shortlist recall") {
