@@ -15,7 +15,7 @@ import sys
 
 
 def load(path):
-    total, host, errors = {}, {}, []
+    total, host, errors, refused = {}, {}, [], []
     for line in open(path):
         line = line.strip()
         if not line:
@@ -24,21 +24,27 @@ def load(path):
         if d.get("metric") == "total":
             total = d.get("queries", {})
             host = d.get("host", {})
+            refused = d.get("refused", [])
         elif d.get("metric") == "detail":
             errors = d.get("errors", [])
-    return total, host, errors
+    return total, host, errors, refused
 
 
 def main():
     if len(sys.argv) != 4:
         sys.exit(__doc__)
-    base_t, base_h, base_e = load(sys.argv[1])
-    big_t, big_h, big_e = load(sys.argv[2])
+    base_t, base_h, base_e, base_r = load(sys.argv[1])
+    big_t, big_h, big_e, big_r = load(sys.argv[2])
     n = float(sys.argv[3])
     print(f"base: total={sum(base_t.values()):.1f}s "
-          f"loadavg_15m={base_h.get('loadavg_15m', '?')} errors={base_e}")
+          f"loadavg_15m={base_h.get('loadavg_15m', '?')} errors={base_e} "
+          f"refused={base_r}")
     print(f"{n:g}x:  total={sum(big_t.values()):.1f}s "
-          f"loadavg_15m={big_h.get('loadavg_15m', '?')} errors={big_e}")
+          f"loadavg_15m={big_h.get('loadavg_15m', '?')} errors={big_e} "
+          f"refused={big_r}")
+    if big_r:
+        print(f"\ncontract refusals at {n:g}x (documented operator "
+              f"behavior, not errors): {', '.join(big_r)}")
     common = sorted(set(base_t) & set(big_t))
     rows = []
     for q in common:
