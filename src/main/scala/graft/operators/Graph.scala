@@ -13,6 +13,33 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Long-encoded bipartite node ids for the customer/supplier purchase
+    * graphs (q85/q145/q146): `'c'||k ⇔ 2k`, `'s'||k ⇔ 2k+1`. The string
+    * form is the ORACLE's output surface only — carrying it through every
+    * join/aggregate made the hot shuffles string-keyed (≈6 B varying-width
+    * keys, hashed per comparison); the bijective long encoding shuffles
+    * 8-byte fixed-width keys through the same topology and reconstructs
+    * the label once, on the final (top-k-sized) projection. Guide §2.3
+    * "narrower types". Bijectivity makes every per-node sum identical.
+    */
+  def custNode(c: Column): Column = c.cast("long") * 2
+  def suppNode(s: Column): Column = s.cast("long") * 2 + 1
+  def nodeLabel(n: Column): Column =
+    concat(when(n % 2 === 0, lit("c")).otherwise(lit("s")),
+      shiftright(n, 1).cast("string"))
+
+  /** Both directions of a distinct bipartite pair list in ONE scan —
+    * `pairs.select(a,b).union(pairs.select(b,a))` evaluates the (often
+    * expensive) pair derivation once per union LEG (two concurrent
+    * subtree executions racing any cache); the explode emits both
+    * directions from a single pass. Guide §2.4.
+    */
+  def bothDirections(pairs: DataFrame, a: String, b: String): DataFrame =
+    pairs.select(explode(array(
+        struct(col(a).as("src"), col(b).as("dst")),
+        struct(col(b).as("src"), col(a).as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
+
   /** Canonical undirected edge list (u < v, deduplicated) with a minimum
     * support filter — pairs co-occurring under a blocking key at least
     * `minSupport` times. One equi-join keyed on the block (baskets are
@@ -49,9 +76,16 @@ object Graph {
     * data. The degree table is nodes-sized — broadcast when dims allow,
     * hash-partitioned otherwise; Catalyst picks per AQE stats.
     */
-  def triangleCounts(edges: DataFrame): DataFrame = {
-    // Degrees over the undirected list.
-    val deg = edges.select(col("u").as("n")).unionAll(edges.select(col("v").as("n")))
+  def triangleCounts(edges0: DataFrame): DataFrame = {
+    // Materialize the edge list ONCE: it is scanned three times below
+    // (degrees, orientation, closure) and is typically the output of an
+    // expensive derivation (q118's co-occurrence join aggregates ~1.2 M
+    // candidate pairs down to ~3.6 k edges at sf0.1) — left lazy, each
+    // scan re-runs the derivation. localCheckpoint is self-releasing and
+    // the checkpointed frame is edge-list sized. Guide §2.4/§5.
+    val edges = edges0.select(col("u"), col("v")).localCheckpoint()
+    // Degrees over the undirected list (one scan via explode).
+    val deg = edges.select(explode(array(col("u"), col("v"))).as("n"))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
     // Orient: src = endpoint with smaller (degree, id).
     val du = deg.select(col("n").as("u"), col("d").as("du"))
@@ -101,9 +135,14 @@ object Graph {
     * shrinks the frame, so checkpoint size is monotonically decreasing.
     */
   def kCore(edges: DataFrame, k: Int, rounds: Int): DataFrame = {
-    var e = edges.select(col("u"), col("v"))
+    // Materialize the input ONCE before round 1: the round body references
+    // `e` twice (degree aggregate + induced-edge join), so a lazy edge
+    // DERIVATION would run twice in the first checkpoint's plan (the
+    // triangleCounts note; same ~1.2 M-pair q118 fixture). Rounds after
+    // the first read the previous round's checkpoint anyway.
+    var e = edges.select(col("u"), col("v")).localCheckpoint()
     for (_ <- 1 to rounds) {
-      val deg = e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+      val deg = e.select(explode(array(col("u"), col("v"))).as("n"))
         .groupBy(col("n")).agg(count(lit(1)).as("d"))
       val keep = deg.filter(col("d") >= k).select(col("n"))
       e = e.join(keep.withColumnRenamed("n", "u"), "u")
@@ -160,9 +199,8 @@ object Graph {
     * shrinks as communities coalesce.
     */
   def labelPropagation(edges: DataFrame, rounds: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
-    val nbrs = edges.select(col("u").as("node"), col("v").as("nbr"))
-      .unionAll(edges.select(col("v").as("node"), col("u").as("nbr")))
+    val nbrs = bothDirections(edges.select(col("u"), col("v")), "u", "v")
+      .select(col("src").as("node"), col("dst").as("nbr"))
       .localCheckpoint()
     var labels = nbrs.select(col("node")).distinct()
       .withColumn("label", col("node"))
@@ -170,10 +208,16 @@ object Graph {
       val counted = nbrs
         .join(labels.withColumnRenamed("node", "nbr"), "nbr")
         .groupBy(col("node"), col("label")).agg(count(lit(1)).as("c"))
-      val w = Window.partitionBy(col("node")).orderBy(col("c").desc, col("label"))
-      labels = counted.withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
-        .select(col("node"), col("label"))
+      // argmax by (count DESC, label ASC) as min(struct(-c, label)) — a
+      // hash aggregate (map-side partial, no sort) instead of the
+      // row_number window, which needed an exchange on node PLUS a full
+      // sort of every (node, label) row per round. `c` is a count ⇒
+      // nonnegative long, so the negation is exact; the struct min picks
+      // the largest c, ties to the smallest label, for any orderable
+      // label type — exactly row_number() = 1 under (c DESC, label ASC).
+      labels = counted.groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("label"))).as("m"))
+        .select(col("node"), col("m.label").as("label"))
         .localCheckpoint()
     }
     labels.select(col("node"), col("label").as("community"))
@@ -229,8 +273,14 @@ object Graph {
     */
   def hitsFixedRounds(edges0: DataFrame, iters: Int): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).distinct().cache()
-    val nodes = edges.select(col("src").as("node"))
-      .unionAll(edges.select(col("dst"))).distinct().cache()
+    // ONE scan of the (still cold) edge cache: the unionAll form's two
+    // legs raced to evaluate the upstream edge derivation before the
+    // first cache block landed (the r7 pageRank lesson), doubling the
+    // expensive join+distinct. The explode derives the node multiset in
+    // a single pass, so the materializing count below populates the
+    // cache with exactly one evaluation.
+    val nodes = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().cache()
     nodes.count()
     var scores = nodes.select(col("node"), lit(1L).as("a"), lit(1L).as("h"))
     for (_ <- 1 to iters) {
@@ -356,12 +406,17 @@ object Graph {
         iters = 2) + " ORDER BY authority DESC, node LIMIT 20"))(
       (spark, dir) => {
         val t = Tables(spark, dir)
+        // long-encoded node ids through the rounds (see custNode): the
+        // 'c…'/'s…' labels the oracle compares are reconstructed on the
+        // top-20 projection only, BEFORE the (authority, node) order so
+        // the string tie-break is unchanged
         val edges = t.orders
           .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-          .select(concat(lit("c"), col("o_custkey").cast("string")).as("src"),
-            concat(lit("s"), col("l_suppkey").cast("string")).as("dst"))
+          .select(custNode(col("o_custkey")).as("src"),
+            suppNode(col("l_suppkey")).as("dst"))
         hitsFixedRounds(edges, iters = 2)
-          .select(col("node"), col("a").as("authority"), col("h").as("hub"))
+          .select(nodeLabel(col("node")).as("node"), col("a").as("authority"),
+            col("h").as("hub"))
           .orderBy(col("authority").desc, col("node")).limit(20)
       })
   )

@@ -551,15 +551,19 @@ object Pipeline {
         FROM r3 ORDER BY pr DESC, node LIMIT 20"""
       })((spark, dir) => {
       val t = Tables(spark, dir)
+      // long-encoded nodes through the rounds; both edge directions in
+      // one scan of the distinct pair set (Graph.bothDirections — the
+      // union form evaluated the join+distinct once per leg). The
+      // 'c…'/'s…' labels reconstruct on the top-20 projection, before
+      // the (pr, node) order, so the string tie-break is unchanged.
       val base = t.orders
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .select(Graph.custNode(col("o_custkey")).as("a"),
+          Graph.suppNode(col("l_suppkey")).as("b"))
         .distinct()
-      val edges = base.select(col("a").as("src"), col("b").as("dst"))
-        .union(base.select(col("b").as("src"), col("a").as("dst")))
+      val edges = Graph.bothDirections(base, "a", "b")
       pageRankFixedPoint(edges, iters = 3)
-        .select(col("node"), col("r").as("pr"))
+        .select(Graph.nodeLabel(col("node")).as("node"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
     }),
 
@@ -664,17 +668,17 @@ object Pipeline {
         FROM r3 ORDER BY pr DESC, node LIMIT 20"""
       })((spark, dir) => {
       val t = Tables(spark, dir)
+      // long-encoded nodes + one-scan bidirection edges — the q85 recipe
       val bip = t.orders
         .join(t.lineitem, col("o_orderkey") === col("l_orderkey"))
-        .select(concat(lit("c"), col("o_custkey").cast("string")).as("a"),
-          concat(lit("s"), col("l_suppkey").cast("string")).as("b"))
+        .select(Graph.custNode(col("o_custkey")).as("a"),
+          Graph.suppNode(col("l_suppkey")).as("b"))
         .distinct()
-      val edges = bip.select(col("a").as("src"), col("b").as("dst"))
-        .union(bip.select(col("b").as("src"), col("a").as("dst")))
+      val edges = Graph.bothDirections(bip, "a", "b")
       val seeds = t.customer.filter(col("c_nationkey") === 0)
-        .select(concat(lit("c"), col("c_custkey").cast("string")).as("node"))
+        .select(Graph.custNode(col("c_custkey")).as("node"))
       personalizedPageRank(edges, seeds, iters = 3)
-        .select(col("node"), col("r").as("pr"))
+        .select(Graph.nodeLabel(col("node")).as("node"), col("r").as("pr"))
         .orderBy(col("pr").desc, col("node")).limit(20)
     })
   )
@@ -738,8 +742,13 @@ object Pipeline {
     // duplication was a measured ~7× cold-run inflation (r7 regression).
     val edges = edges0.select(col("src"), col("dst")).cache()
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().cache()
+    // node multiset in ONE scan of the still-cold edge cache: the old
+    // union form's two legs raced to evaluate the upstream edge
+    // derivation before the first cache block landed, re-paying the
+    // join+distinct once more (measured ~3 s of q85/q145's cost at
+    // sf0.1 — the r7 lesson recurring inside the node derivation itself)
+    val nodes = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().cache()
     // n_nodes is ONE scalar: read it on the driver (control-plane sized)
     // and embed it as a literal, instead of a broadcast 1-row frame cross-
     // joined into every round — each of those broadcast subtrees is an
@@ -806,8 +815,9 @@ object Pipeline {
                            checkpointEvery: Int = 4): DataFrame = {
     val edges = edges0.select(col("src"), col("dst")).cache()
     val odeg = edges.groupBy(col("src")).agg(count(lit(1)).as("odeg"))
-    val nodes = edges.select(col("src").as("node"))
-      .union(edges.select(col("dst"))).distinct().cache()
+    // one-scan node derivation — same rationale as pageRankFixedPoint
+    val nodes = edges.select(explode(array(col("src"), col("dst"))).as("node"))
+      .distinct().cache()
     val nNodes = nodes.count()
     if (nNodes == 0L) {
       edges.unpersist(false)
