@@ -18,7 +18,95 @@ object Scratch {
       println(f"[scratch] $name%-28s ${(System.nanoTime() - t0) / 1e9}%.2f s")
     }
     for (q <- args) {
-      if (q == "pr_probe") prProbe(spark, dir, t)
+      if (q == "maint_probe") {
+        // stage attribution for the streamed-maintainer bench rows
+        // (q160 postings / q158 embedding / q164 requantize): which part
+        // of the lifecycle owns the time — bootstrap commit, signed
+        // batch, readback/serve
+        import org.apache.spark.sql.functions._
+        import graft.streaming.{EmbeddingDedupStream, PostingsStream}
+        import graft.operators.{EmbeddingIndex, TextAnalysis}
+        val tb = Tables(spark, dir)
+        // warm the scans
+        t("warmup") { tb.documents.count(); tb.embeddings.count(); () }
+        locally { // q160
+          val d = tb.documents.select(col("doc_id"), col("text"))
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-p160").toString
+          t("q160 batch0 bootstrap") {
+            PostingsStream.applySignedBatchDelta(spark, root,
+              d.filter(col("doc_id") % 10 =!= 0)
+                .select(lit("I").as("op"), col("doc_id"), col("text")),
+              batchId = 0L)
+          }
+          t("q160 batch1 mixed") {
+            PostingsStream.applySignedBatchDelta(spark, root,
+              d.filter(col("doc_id") % 7 === 0)
+                .select(lit("D").as("op"), col("doc_id"), col("text"))
+                .unionByName(d.filter(col("doc_id") % 10 === 0)
+                  .select(lit("I").as("op"), col("doc_id"), col("text"))),
+              batchId = 1L)
+          }
+          t("q160 serve") {
+            PostingsStream.bm25TopKDelta(spark, root,
+              TextAnalysis.Bm25Queries).collect(); ()
+          }
+        }
+        locally { // q158 + q164 tail
+          val e = tb.embeddings
+          val isBatch = col("vec_id") % 10 === 0
+          val corpus = e.filter(!isBatch)
+          var cent: org.apache.spark.sql.DataFrame = null
+          t("q158 seedCentroids") {
+            cent = EmbeddingIndex.seedCentroids(corpus, "embedding",
+              "vec_id", nCells = 16)
+          }
+          val root = java.nio.file.Files
+            .createTempDirectory("graft-p158").toString
+          t("q158 stamp") {
+            EmbeddingIndex.ensureIndexStamp(spark, root, cent,
+              EmbeddingIndex.FlatRouter, stateExists = false)
+          }
+          t("q158 bootstrap commit") {
+            graft.util.DeltaView(spark, root, Seq("vec_id"),
+                compactEvery = 1, basePartitionCols = Seq("cell"))
+              .applyBatch(0L) { _ =>
+                (EmbeddingIndex.assignCells(corpus, cent, "embedding",
+                    "vec_id")
+                  .select(col("vec_id").cast("long"),
+                    col("cell").cast("long"),
+                    col("v").cast("array<double>")),
+                 e.limit(0).select(col("vec_id")))
+              }: Unit
+          }
+          t("q158 signed I-batch") {
+            EmbeddingDedupStream.applyBatchDelta(spark, root, cent,
+              e.filter(isBatch).select(lit("I").as("op"), col("vec_id"),
+                col("embedding")), batchId = 1L)
+          }
+          t("q158 readback") {
+            EmbeddingDedupStream.readIndexDelta(spark, root)
+              .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
+              .collect(); ()
+          }
+          var newCent: org.apache.spark.sql.DataFrame = null
+          t("q164 re-seed 32") {
+            newCent = EmbeddingIndex.seedCentroids(
+              EmbeddingDedupStream.readIndexDelta(spark, root), "v",
+              "vec_id", nCells = 32)
+          }
+          t("q164 requantize") {
+            EmbeddingDedupStream.requantizeDelta(spark, root, newCent,
+              batchId = 2L)
+          }
+          t("q164 readback") {
+            EmbeddingDedupStream.readIndexDelta(spark, root)
+              .select(col("vec_id"), col("cell")).orderBy(col("vec_id"))
+              .collect(); ()
+          }
+        }
+      }
+      else if (q == "pr_probe") prProbe(spark, dir, t)
       else if (q == "repl_probe") replProbe(spark, dir, t)
       else if (q == "setsim_capped_probe") {
         val tb = Tables(spark, dir)

@@ -47,10 +47,20 @@ object Graph {
     */
   def coOccurrenceEdges(pairs: DataFrame, block: Column, item: Column,
                         minSupport: Long): DataFrame = {
-    val b = pairs.select(block.as("blk"), item.as("it")).distinct()
-    b.as("a").join(b.as("c"),
-        col("a.blk") === col("c.blk") && col("a.it") < col("c.it"))
-      .groupBy(col("a.it").as("u"), col("c.it").as("v"))
+    // Basket-collect + in-row pair generation instead of the distinct +
+    // self-join: ONE exchange keyed on the block (collect_set is the
+    // distinct, map-side combined), pairs fan out of each basket row with
+    // NO shuffle, and the support count partially aggregates before its
+    // exchange. The self-join form paid the distinct's exchange PLUS two
+    // join-side exchanges re-keyed on the block. Per-basket fan-out is
+    // quadratic in basket size either way (the join matched the same
+    // pairs inside one block partition), so the skew bound is unchanged.
+    val baskets = pairs.select(block.as("blk"), item.as("it"))
+      .groupBy(col("blk"))
+      .agg(sort_array(collect_set(col("it"))).as("its"))
+    baskets.select(col("its"), explode(col("its")).as("u"))
+      .select(col("u"), explode(filter(col("its"), x => x > col("u"))).as("v"))
+      .groupBy(col("u"), col("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select(col("u"), col("v"))
