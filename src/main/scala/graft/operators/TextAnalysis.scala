@@ -691,14 +691,30 @@ object TextAnalysis {
   def repetitionSignals(docs: DataFrame, textCol: String, idCol: String): DataFrame = {
     val bi = col("_bi")
     val tri = col("_tri")
+    // Max bigram multiplicity via sort + one linear run-length fold —
+    // O(T log T) per row. The previous `array_max(transform(
+    // array_distinct(bi), g => size(filter(bi, _ === g))))` re-scanned
+    // the bigram array once per DISTINCT gram: O(T²) element compares
+    // per document, the measured bulk of this row's cost. The fold's
+    // `best` is the same integer count, so the rounded fraction is
+    // bit-identical.
+    val maxMult = aggregate(
+      sort_array(bi),
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1L)
+          .otherwise(1L)
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
     docs.withColumn("_toks", tokens(col(textCol)))
       .withColumn("_bi", shingles(col("_toks"), 2))
       .withColumn("_tri", shingles(col("_toks"), 3))
       .select(
         col(idCol).as("doc"),
-        round(when(size(bi) > 0,
-          array_max(transform(array_distinct(bi), g =>
-            size(filter(bi, x => x === g)))) * lit(1.0) / size(bi))
+        round(when(size(bi) > 0, maxMult * lit(1.0) / size(bi))
           .otherwise(0.0), 6).as("top_bigram_frac"),
         round(when(size(tri) > 0,
           (size(tri) - size(array_distinct(tri))) * lit(1.0) / size(tri))
