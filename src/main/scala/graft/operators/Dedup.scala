@@ -121,21 +121,16 @@ object Dedup {
                         maxShingleDf: Int = 20): DataFrame = {
     val sh = filteredShingles(docs, textCol, idCol, n, maxShingleDf).cache()
     val sizes = sh.groupBy("doc").agg(count(lit(1)).as("sz"))
-    // per-shingle doc basket + in-row pair generation instead of the
-    // shingle self-join (the coOccurrenceEdges shape): one exchange keyed
-    // on sh (collect_list, map-side combined — baskets are df-capped at
-    // maxShingleDf so arrays stay tiny), ordered pairs fan out of each
-    // basket with no shuffle, and the intersection count partially
-    // aggregates before its exchange. The self-join form paid the same
-    // sh exchange plus an SMJ sort on both (reused) sides. Candidate
-    // volume is Σ df² either way — the documented scale contract is
-    // unchanged.
-    val baskets = sh.groupBy(col("sh"))
-      .agg(sort_array(collect_list(col("doc"))).as("docs"))
-    val inter = baskets.select(col("docs"), explode(col("docs")).as("doc_a"))
-      .select(col("doc_a"),
-        explode(filter(col("docs"), x => x > col("doc_a"))).as("doc_b"))
-      .groupBy(col("doc_a"), col("doc_b"))
+    // Deliberately the shingle self-join. A per-shingle basket rewrite
+    // (groupBy(sh).collect_list(doc) + in-row pair explode) was tried in
+    // r13 and REVERTED on 10× evidence: collect_list plans as
+    // ObjectHashAggregate, which sort-falls-back past 128 keys — at sf1's
+    // millions of distinct shingles the probe ran 103.7 s vs this form's
+    // 24–46 s (cap 200, identical checksums), while the sf0.1 win was
+    // only ~0.6 s. See Graph.coOccurrenceEdges for the same finding.
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.sh") === col("b.sh") && col("a.doc") < col("b.doc"))
+      .groupBy(col("a.doc").as("doc_a"), col("b.doc").as("doc_b"))
       .agg(count(lit(1)).as("i"))
     inter
       .join(sizes.withColumnRenamed("doc", "doc_a").withColumnRenamed("sz", "sza"), "doc_a")

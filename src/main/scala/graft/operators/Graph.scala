@@ -47,20 +47,21 @@ object Graph {
     */
   def coOccurrenceEdges(pairs: DataFrame, block: Column, item: Column,
                         minSupport: Long): DataFrame = {
-    // Basket-collect + in-row pair generation instead of the distinct +
-    // self-join: ONE exchange keyed on the block (collect_set is the
-    // distinct, map-side combined), pairs fan out of each basket row with
-    // NO shuffle, and the support count partially aggregates before its
-    // exchange. The self-join form paid the distinct's exchange PLUS two
-    // join-side exchanges re-keyed on the block. Per-basket fan-out is
-    // quadratic in basket size either way (the join matched the same
-    // pairs inside one block partition), so the skew bound is unchanged.
-    val baskets = pairs.select(block.as("blk"), item.as("it"))
-      .groupBy(col("blk"))
-      .agg(sort_array(collect_set(col("it"))).as("its"))
-    baskets.select(col("its"), explode(col("its")).as("u"))
-      .select(col("u"), explode(filter(col("its"), x => x > col("u"))).as("v"))
-      .groupBy(col("u"), col("v"))
+    // Deliberately the distinct + self-join form. A basket-collect
+    // rewrite (groupBy(block).collect_set + in-row pair explode) was
+    // tried in r13 and REVERTED on 10× evidence: collect_set/collect_list
+    // plan as ObjectHashAggregate, whose in-memory map sort-falls-back
+    // past `spark.sql.objectHashAggregate.sortBased.fallbackThreshold`
+    // (default 128 KEYS) — at block cardinalities in the millions the
+    // "one exchange" becomes a full sort-aggregate and the op ran 2–4×
+    // slower at sf1 (q102 2.28→9.11 s, q118 3.90→6.67 s same-day A/B)
+    // while winning ~0.7 s at sf0.1. The distinct here is a true
+    // fixed-width HashAggregate and the join's per-block match streams
+    // pairs without materializing basket arrays.
+    val b = pairs.select(block.as("blk"), item.as("it")).distinct()
+    b.as("a").join(b.as("c"),
+        col("a.blk") === col("c.blk") && col("a.it") < col("c.it"))
+      .groupBy(col("a.it").as("u"), col("c.it").as("v"))
       .agg(count(lit(1)).as("support"))
       .filter(col("support") >= minSupport)
       .select(col("u"), col("v"))

@@ -605,19 +605,16 @@ object RelationalExt {
           ON a.l_orderkey = c.l_orderkey AND a.l_partkey < c.l_partkey
         GROUP BY 1, 2
         ORDER BY n_orders DESC, part_a, part_b LIMIT 20"""))((spark, dir) => {
-      // basket-collect + in-row pair generation (the Graph
-      // .coOccurrenceEdges shape): one exchange on the order key
-      // (collect_set ≡ the distinct, map-side combined), pairs fan out
-      // of each basket with no shuffle, support partially aggregates —
-      // the distinct + self-join form paid two extra exchanges
-      val baskets = Tables(spark, dir).lineitem
-        .select(col("l_orderkey"), col("l_partkey"))
-        .groupBy(col("l_orderkey"))
-        .agg(sort_array(collect_set(col("l_partkey"))).as("parts"))
-      baskets.select(col("parts"), explode(col("parts")).as("part_a"))
-        .select(col("part_a"),
-          explode(filter(col("parts"), x => x > col("part_a"))).as("part_b"))
-        .groupBy(col("part_a"), col("part_b"))
+      // distinct + self-join, deliberately: the basket-collect form was
+      // tried in r13 and reverted on 10× evidence — see the
+      // Graph.coOccurrenceEdges note (ObjectHashAggregate sort fallback
+      // past 128 keys makes collect_set a sort-aggregate at scale)
+      val b = Tables(spark, dir).lineitem
+        .select(col("l_orderkey"), col("l_partkey")).distinct()
+      b.as("a").join(b.as("c"),
+          col("a.l_orderkey") === col("c.l_orderkey") &&
+          col("a.l_partkey") < col("c.l_partkey"))
+        .groupBy(col("a.l_partkey").as("part_a"), col("c.l_partkey").as("part_b"))
         .agg(count(lit(1)).as("n_orders"))
         .orderBy(col("n_orders").desc, col("part_a"), col("part_b")).limit(20)
     })
