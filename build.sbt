@@ -11,6 +11,16 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Driver contract: graft.Bench must emit its one-line total JSON as the
+// LAST line of sbt's output so the harness can json-parse it. Two sbt
+// defaults broke that in every prior round (BENCH_r01..r13 all have
+// parsed:null): (a) forked run output is routed through sbt's logger,
+// which prefixes every stdout line with "[info] " — no line parses as
+// JSON; (b) sbt appends its own "[success] Total time: ..." footer as
+// the final line. StdoutOutput passes the forked JVM's stdout through
+// raw, and showSuccess := false drops the footer.
+run / outputStrategy := Some(StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -411,8 +411,6 @@ object Bench {
         val fpj = fps.map("\"" + _ + "\"").mkString("[", ",", "]")
         f""""$k":{"end_s":$end%.1f,"load_1m":$ld%.2f,"shapes":$fpj}""" }
       .mkString("""{"metric":"rows","queries":{""", ",", "}}")
-    println(detailLine)
-    println(totalLine)
     // The driver archives only a ~2000-char TAIL of stdout, which truncates
     // the per-query map (BENCH_r09.json lost its first half). Persist the
     // FULL two-line artifact to a repo file so round-over-round comparison
@@ -465,6 +463,15 @@ object Bench {
         } catch { case e: Throwable =>
           System.err.println(s"[bench] artifact write failed: $e") }
       }
+    // CONTRACT (round-14 fix): the one-line total JSON must be the LAST
+    // line of the process's output — the driver json-parses the tail of
+    // what sbt prints. Every side channel (artifact write, plan_diff
+    // tripwire echo) therefore runs ABOVE; here we silence Spark's
+    // shutdown logging, stop the session, and only then print the two
+    // contract lines so nothing can follow them on stdout or stderr.
+    spark.sparkContext.setLogLevel("OFF")
     spark.stop()
+    println(detailLine)
+    println(totalLine)
   }
 }
